@@ -1,0 +1,55 @@
+"""Testdata catalog: load the driver's parquet tables and register views.
+
+Mirrors the reference's table access patterns: Athena/Glue catalog scan
+(sagemaker notebook cell 7) becomes ``spark.read.parquet`` +
+``createOrReplaceTempView`` so ``spark.sql`` works against the same
+names DuckDB pre-registers (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with
+        # spark.sql.legacy.parquet.nanosAsLong it scans as long nanos.
+        # Convert with integer division (nanos exceed double's 2^53 exact
+        # range) to microsecond timestamps, matching DuckDB's truncation.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register each table as a temp view for spark.sql access."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

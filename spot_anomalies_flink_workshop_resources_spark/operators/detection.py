@@ -1,0 +1,285 @@
+"""Batch CEP-equivalent fragmentation-attack detection.
+
+Reference semantics (AnomalyDetection.java:126-167): per key (``ip_dst``),
+a run of ``times(10,30)`` events with ``packets < 10`` followed by exactly
+one event with ``packets > 10``, first-to-last span within 60 s, matches
+non-overlapping (``AfterMatchSkipStrategy.skipPastLastEvent()``,
+AnomalyDetection.java:126). Events with ``packets == 10`` match neither
+predicate (AnomalyDetection.java:127,130) and are neutral/skipped
+(relaxed contiguity of ``followedBy``).
+
+Spark-first formulation — ONE shuffle total:
+
+1. classify each event A (anomalous) / N (normal), drop neutral rows
+   (filter reaches the parquet scan);
+2. run-length encode per key: ``lag`` + cumulative ``sum`` of
+   phase-change flags over ``Window.partitionBy(key).orderBy(time, id)``
+   — the only hash exchange in the plan;
+3. aggregate one row per (key, run_id). HashPartitioning(key) satisfies
+   the ClusteredDistribution of (key, run_id), so NO second shuffle;
+4. runs strictly alternate A,N,A,N within a key (a run boundary IS a
+   phase change), so the trigger ("normal") event of a match is simply
+   the NEXT run — ``lead()`` over (key, run_id), again no shuffle and no
+   self-join;
+5. filter: run length in [min_run, ∞), next run is N, trigger time within
+   the window of the first matched event. Greedy cap: only the first
+   ``max_run`` events of a longer run are "matched" (the NFA consumes up
+   to 30 then waits for the N trigger; later A events are interleaved
+   ignorables under relaxed contiguity).
+
+Non-overlap (skipPastLastEvent) holds by construction: maximal runs are
+disjoint and each match consumes one A-run plus the head of the following
+N-run.
+
+At 100 TB: the single exchange partitions by the detection key (high
+cardinality — one partition per hash bucket of ip_dst/user_id); window +
+agg + lead all pipeline within that partitioning, and the classify filter
+prunes the scan to only anomalous/trigger rows before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def detect_attack_runs(
+    df: DataFrame,
+    *,
+    key_col: str,
+    time_col: str,
+    order_col: str,
+    metric_col: str,
+    low_threshold: float,
+    high_threshold: float,
+    min_run: int,
+    max_run: int,
+    window_seconds: float,
+    size_expr: Column | None = None,
+    end_time_col: str | None = None,
+    attacker_col: str | None = None,
+) -> DataFrame:
+    """Generic run-length attack detector.
+
+    Args:
+        df: input events.
+        key_col: partition key (reference: ``ip_dst`` — AD.java:136).
+        time_col: event-time column (timestamp type).
+        order_col: deterministic tiebreaker within equal timestamps.
+        metric_col: column classified against the thresholds
+            (reference: ``packets`` — AD.java:127,130).
+        low_threshold: anomalous iff metric < low (AD.java:127).
+        high_threshold: trigger iff metric > high (AD.java:130).
+        min_run/max_run: ``times(min,max)`` bounds (AD.java:128).
+        window_seconds: ``within()`` span, event-time (AD.java:132; the
+            reference matches in processing time — documented deviation,
+            SURVEY.md §7.4.2: event time is deterministic and testable).
+        size_expr: per-event expression averaged over matched anomalous
+            events (reference: ``bytes/packets`` — AD.java:150); defaults
+            to the metric column.
+        end_time_col: column giving an event's end time for
+            ``attack_end_time`` (reference: ``timestamp_end`` —
+            AD.java:159); defaults to ``time_col``.
+        attacker_col: column reported as attacker id from the first
+            matched event (reference: ``ip_src`` — AD.java:160); defaults
+            to the order column.
+
+    Returns one row per match:
+        target_key, attack_start_time, attack_end_time, attacker_id,
+        fragment_count, avg_packets, avg_fragment_size,
+        size_reduction_percent — formulas per AttackResult
+        (AD.java:157-166).
+    """
+    size_expr = size_expr if size_expr is not None else F.col(metric_col)
+    end_time = F.col(end_time_col) if end_time_col else F.col(time_col)
+    attacker = F.col(attacker_col) if attacker_col else F.col(order_col)
+
+    key, ts, oid, metric = (
+        F.col(key_col),
+        F.col(time_col),
+        F.col(order_col),
+        F.col(metric_col),
+    )
+
+    classified = df.where((metric < low_threshold) | (metric > high_threshold)).select(
+        key.alias("_key"),
+        ts.alias("_ts"),
+        oid.alias("_oid"),
+        metric.alias("_metric"),
+        size_expr.cast("double").alias("_size"),
+        end_time.alias("_end_ts"),
+        attacker.cast("string").alias("_attacker"),
+        F.when(metric < low_threshold, F.lit("A")).otherwise(F.lit("N")).alias("_phase"),
+    )
+
+    w = Window.partitionBy("_key").orderBy("_ts", "_oid")
+    runs = (
+        classified.withColumn("_prev_phase", F.lag("_phase").over(w))
+        .withColumn(
+            "_new_run",
+            F.when(
+                F.col("_prev_phase").isNull()
+                | (F.col("_phase") != F.col("_prev_phase")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_run_id", F.sum("_new_run").over(w))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_key", "_run_id").orderBy("_ts", "_oid")
+            ),
+        )
+    )
+
+    matched = F.col("_rn") <= F.lit(max_run)
+    per_run = runs.groupBy("_key", "_run_id").agg(
+        F.first("_phase").alias("_phase"),
+        F.count(F.lit(1)).alias("_run_len"),
+        F.sum(F.when(matched, 1).otherwise(0)).cast("long").alias("_frag_count"),
+        F.min("_ts").alias("_first_ts"),
+        F.max(F.when(matched, F.col("_end_ts"))).alias("_last_matched_end"),
+        F.avg(F.when(matched, F.col("_size"))).alias("_avg_size"),
+        F.min_by("_attacker", F.struct("_ts", "_oid")).alias("_first_attacker"),
+        F.min_by("_metric", F.struct("_ts", "_oid")).alias("_first_metric"),
+    )
+
+    wr = Window.partitionBy("_key").orderBy("_run_id")
+    paired = (
+        per_run.withColumn("_next_phase", F.lead("_phase").over(wr))
+        .withColumn("_next_first_ts", F.lead("_first_ts").over(wr))
+        .withColumn("_next_first_metric", F.lead("_first_metric").over(wr))
+    )
+
+    # timestamp→double cast yields fractional epoch seconds
+    window_ok = (
+        F.col("_next_first_ts").cast("double") - F.col("_first_ts").cast("double")
+    ) <= F.lit(float(window_seconds))
+
+    avg_packets = F.col("_next_first_metric").cast("double")
+    result = (
+        paired.where(
+            (F.col("_phase") == "A")
+            & (F.col("_next_phase") == "N")
+            & (F.col("_run_len") >= F.lit(min_run))
+            & window_ok
+        )
+        .select(
+            F.col("_key").alias("target_key"),
+            F.col("_first_ts").cast("double").alias("attack_start_time"),
+            F.col("_last_matched_end").cast("double").alias("attack_end_time"),
+            F.col("_first_attacker").alias("attacker_id"),
+            F.col("_frag_count").alias("fragment_count"),
+            avg_packets.alias("avg_packets"),
+            F.col("_avg_size").alias("avg_fragment_size"),
+            (
+                (avg_packets - F.col("_avg_size")) / avg_packets * F.lit(100.0)
+            ).alias("size_reduction_percent"),
+        )
+    )
+    return result
+
+
+def detect_fragmentation_flowlogs(events: DataFrame) -> DataFrame:
+    """Reference-exact specialization on the flow-log Event schema.
+
+    packets<10 run of 10-30, then packets>10, within 60 s per ip_dst
+    (AnomalyDetection.java:126-132); avg_fragment_size = mean of
+    per-event bytes/packets ratios (AD.java:149-151), avg_packets = mean
+    packets of the trigger events (AD.java:153-155), attack_end_time =
+    timestamp_end of the LAST anomalous event (AD.java:159).
+    """
+    out = detect_attack_runs(
+        events,
+        key_col="ip_dst",
+        time_col="event_time",
+        order_col="timestamp_start",
+        metric_col="packets",
+        low_threshold=10,
+        high_threshold=10,
+        min_run=10,
+        max_run=30,
+        window_seconds=60.0,
+        size_expr=F.col("bytes").cast("double") / F.col("packets"),
+        end_time_col="event_time_end",
+        attacker_col="ip_src",
+    )
+    return out.withColumnRenamed("target_key", "target_ip")
+
+
+def oracle_sql_attack_runs(
+    *,
+    table: str,
+    key_col: str,
+    time_col: str,
+    order_col: str,
+    metric_col: str,
+    low_threshold: float,
+    high_threshold: float,
+    min_run: int,
+    max_run: int,
+    window_seconds: float,
+) -> str:
+    """ANSI-SQL twin of :func:`detect_attack_runs` for the DuckDB oracle.
+
+    Same five stages expressed as CTEs; used by the driver's correctness
+    gate and by tests as an independent formulation.
+    """
+    return f"""
+WITH classified AS (
+  SELECT {key_col} AS k, {time_col} AS ts, {order_col} AS oid,
+         {metric_col} AS metric,
+         CAST({metric_col} AS DOUBLE) AS size,
+         CASE WHEN {metric_col} < {low_threshold} THEN 'A' ELSE 'N' END AS phase
+  FROM {table}
+  WHERE {metric_col} < {low_threshold} OR {metric_col} > {high_threshold}
+),
+lagged AS (
+  SELECT *, LAG(phase) OVER (PARTITION BY k ORDER BY ts, oid) AS prev_phase
+  FROM classified
+),
+runs AS (
+  SELECT *, SUM(CASE WHEN prev_phase IS NULL OR phase <> prev_phase
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY k ORDER BY ts, oid
+                  ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM lagged
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY k, run_id ORDER BY ts, oid) AS rn
+  FROM runs
+),
+per_run AS (
+  SELECT k, run_id,
+         MIN(phase) AS phase,
+         COUNT(*) AS run_len,
+         SUM(CASE WHEN rn <= {max_run} THEN 1 ELSE 0 END) AS frag_count,
+         MIN(ts) AS first_ts,
+         MAX(CASE WHEN rn <= {max_run} THEN ts END) AS last_matched_ts,
+         AVG(CASE WHEN rn <= {max_run} THEN size END) AS avg_size,
+         ARG_MIN(oid, rn) AS first_oid,
+         ARG_MIN(metric, rn) AS first_metric
+  FROM ranked
+  GROUP BY k, run_id
+),
+paired AS (
+  SELECT *,
+         LEAD(phase) OVER (PARTITION BY k ORDER BY run_id) AS next_phase,
+         LEAD(first_ts) OVER (PARTITION BY k ORDER BY run_id) AS next_first_ts,
+         LEAD(first_metric) OVER (PARTITION BY k ORDER BY run_id) AS next_first_metric
+  FROM per_run
+)
+SELECT k AS target_key,
+       CAST(EXTRACT(EPOCH FROM first_ts) AS DOUBLE) AS attack_start_time,
+       CAST(EXTRACT(EPOCH FROM last_matched_ts) AS DOUBLE) AS attack_end_time,
+       CAST(first_oid AS VARCHAR) AS attacker_id,
+       CAST(frag_count AS BIGINT) AS fragment_count,
+       CAST(next_first_metric AS DOUBLE) AS avg_packets,
+       avg_size AS avg_fragment_size,
+       (next_first_metric - avg_size) / next_first_metric * 100.0
+         AS size_reduction_percent
+FROM paired
+WHERE phase = 'A' AND next_phase = 'N' AND run_len >= {min_run}
+  AND EXTRACT(EPOCH FROM next_first_ts) - EXTRACT(EPOCH FROM first_ts)
+      <= {window_seconds}
+"""

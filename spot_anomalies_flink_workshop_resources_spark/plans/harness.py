@@ -1,0 +1,75 @@
+"""Query registry exercised by the driver's correctness harness.
+
+Each entry pairs a PySpark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL string the DuckDB oracle runs on the same
+parquet tables. Column names are aliased identically on both sides (the
+driver hash-compares values after sorting columns by name).
+
+Detection parameters for the generic ``events`` table (event_id, ts,
+user_id, event_type, value, props): anomalous iff value < 10, trigger iff
+value > 20, runs of 2-5, window 7 days. The thresholds scale the reference
+pattern (packets<10 / packets>10 / times(10,30) / within 60 s —
+AnomalyDetection.java:126-132) to the testdata's value distribution and
+inter-event spacing so positive matches exist at every sf.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators import detection
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+FLAGSHIP_PARAMS = dict(
+    key_col="user_id",
+    time_col="ts",
+    order_col="event_id",
+    metric_col="value",
+    low_threshold=10.0,
+    high_threshold=20.0,
+    min_run=2,
+    max_run=5,
+    window_seconds=7 * 24 * 3600.0,
+)
+
+
+def cep_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: run-length CEP detection on the events table."""
+    events = load_table(spark, sf_dir, "events")
+    return detection.detect_attack_runs(events, **FLAGSHIP_PARAMS)
+
+
+def cep_fragmentation_oracle() -> str:
+    p = dict(FLAGSHIP_PARAMS)
+    return detection.oracle_sql_attack_runs(
+        table="events",
+        key_col=p["key_col"],
+        time_col=p["time_col"],
+        order_col=p["order_col"],
+        metric_col=p["metric_col"],
+        low_threshold=p["low_threshold"],
+        high_threshold=p["high_threshold"],
+        min_run=p["min_run"],
+        max_run=p["max_run"],
+        window_seconds=p["window_seconds"],
+    )
+
+
+def build_queries() -> dict[str, QueryFn]:
+    from . import relational  # late import: keeps module load cheap
+
+    out: dict[str, QueryFn] = {"cep_fragmentation": cep_fragmentation}
+    out.update(relational.QUERIES)
+    return out
+
+
+def build_oracles() -> dict[str, str]:
+    from . import relational
+
+    out: dict[str, str] = {"cep_fragmentation": cep_fragmentation_oracle()}
+    out.update(relational.ORACLES)
+    return out
