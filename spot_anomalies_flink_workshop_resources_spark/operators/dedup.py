@@ -1,0 +1,378 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+Training-data-pipeline surface: exact dedup (hash groups), n-gram/token
+Jaccard near-dup (inverted-index self-join), MinHash+LSH (shingle →
+minhash signature → banded buckets → candidate join → verify), SimHash
+(bitwise majority fingerprint), and embedding-cosine near-dup (blocked
+pairwise).
+
+Scale notes (100 TB design):
+- The inverted-index join shuffles on token; ultra-common tokens create
+  skew — production config would frequency-prune tokens with document
+  frequency above a cap before the join (see ``df_cap`` parameter) and
+  let AQE skew-split the rest.
+- MinHash bands bound candidate generation to documents sharing a band
+  bucket — the classic sub-quadratic path; the verify join only touches
+  candidate pairs.
+- SimHash is a narrow per-document transform plus one (doc,bit) shuffle;
+  at extreme scale the bit explode (×32) trades shuffle volume for
+  staying fully in JVM built-ins (the pandas-UDF alternative halves
+  shuffle bytes but leaves codegen).
+- Everything is md5-based so the DuckDB oracle reproduces results
+  bit-for-bit (Spark's murmur3 ``hash()`` has no DuckDB twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_RE
+
+NUM_HASHES = 16
+BAND_SIZE = 2  # 8 bands x 2 rows: P(candidate) = 1-(1-j^2)^8 ≈ 0.90 at j=0.5
+
+
+def _hex32(col):
+    """First 32 bits of md5 as bigint — identical in Spark and DuckDB."""
+    return F.expr(
+        f"CAST(conv(substr(md5({col}), 1, 8), 16, 10) AS BIGINT)"
+    )
+
+
+def _tokens(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+    if distinct:
+        toks = F.array_distinct(toks)
+    return docs.select("doc_id", F.explode(toks).alias("tok"))
+
+
+def _shingles(docs: DataFrame, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per document (n=1 → token set).
+
+    n≥2 shingling is what keeps the inverted-index join sub-quadratic on
+    small-vocabulary corpora: unigram posting lists grow with corpus
+    size, n-gram posting lists stay short. try_element_at returns null
+    past the end (ANSI-safe), and concat_ws drops nulls — matching
+    DuckDB's out-of-range list index semantics.
+    """
+    if n == 1:
+        return _tokens(docs)
+    parts = ", ".join(f"try_element_at(ts, i + {j})" for j in range(n))
+    return docs.selectExpr(
+        "doc_id",
+        f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0) AS ts",
+    ).selectExpr(
+        "doc_id",
+        f"explode(array_distinct(transform("
+        f"sequence(1, greatest(size(ts) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', {parts})))) AS tok",
+    )
+
+
+def _shingles_sql(n: int) -> str:
+    """DuckDB CTE body producing (doc_id, tok) shingle rows."""
+    if n == 1:
+        return (
+            f"SELECT doc_id, unnest(list_distinct("
+            f"regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS tok FROM documents"
+        )
+    parts = ", ".join(f"ts[i + {j}]" for j in range(n))
+    return f"""
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(ts) - {n - 1}, 1)),
+           i -> concat_ws(' ', {parts})))) AS tok
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents)"""
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash of normalized text.
+
+    Returns one row per distinct content: the representative (min doc_id)
+    and the duplicate count. A pipeline keeps ``keep_id`` rows.
+    """
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        docs.select(h.alias("content_hash"), F.col("doc_id"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(lower(trim(text))) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM documents
+GROUP BY md5(lower(trim(text)))
+"""
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """N-gram-shingle Jaccard near-duplicate pairs via inverted-index join.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|); emitted for pairs ≥ threshold.
+    ``df_cap`` drops shingles with document frequency above the cap before
+    the join (skew/scale control; None = no pruning, exact result).
+    """
+    toks = _shingles(docs, shingle_n)
+    if df_cap is not None:
+        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        toks = toks.join(freq.where(F.col("df") <= df_cap), "tok")
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_sql(threshold: float = 0.5, shingle_n: int = 3) -> str:
+    return f"""
+WITH toks AS ({_shingles_sql(shingle_n)}
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+FROM common
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {threshold}
+"""
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate detection.
+
+    shingle (tokens) → ``num_hashes`` minhash signature (seeded md5) →
+    bands of ``band_size`` rows hashed to buckets → candidate pairs share
+    a bucket → verified with TRUE token-set Jaccard ≥ threshold.
+
+    Sub-quadratic: only bucket-colliding pairs reach the verify join.
+    """
+    assert num_hashes % band_size == 0
+    toks = _shingles(docs, shingle_n)
+    seeded = toks.withColumn(
+        "seed", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    )
+    sigs = seeded.groupBy("doc_id", "seed").agg(
+        F.min(_hex32("concat(seed, ':', tok)")).alias("sig")
+    )
+    band_cols = [
+        F.min(F.when(F.col("seed") % band_size == r, F.col("sig"))).cast("string")
+        for r in range(band_size)
+    ]
+    bands = sigs.groupBy(
+        "doc_id", (F.floor(F.col("seed") / band_size)).alias("band")
+    ).agg(F.md5(F.concat_ws(":", *band_cols)).alias("band_hash"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta, tb = _shingles(docs, shingle_n).alias("ta"), _shingles(docs, shingle_n).alias("tb")
+    common = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b")) & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_sql(
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    shingle_n: int = 3,
+) -> str:
+    band_exprs = ", ".join(
+        f"CAST(MIN(CASE WHEN seed % {band_size} = {r} THEN sig END) AS VARCHAR)"
+        for r in range(band_size)
+    )
+    return f"""
+WITH toks AS ({_shingles_sql(shingle_n)}
+),
+seeded AS (
+  SELECT doc_id, tok, seed
+  FROM toks, generate_series(0, {num_hashes - 1}) AS s(seed)
+),
+sigs AS (
+  SELECT doc_id, seed,
+         MIN(CAST(('0x' || substr(md5(concat(seed, ':', tok)), 1, 8)) AS BIGINT)) AS sig
+  FROM seeded GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {band_size} AS band,
+         md5(concat_ws(':', {band_exprs})) AS band_hash
+  FROM sigs GROUP BY doc_id, seed // {band_size}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+common AS (
+  SELECT doc_a, doc_b, COUNT(*) AS c
+  FROM cand
+  JOIN toks ta ON ta.doc_id = doc_a
+  JOIN toks tb ON tb.doc_id = doc_b AND ta.tok = tb.tok
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+FROM common
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {threshold}
+"""
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-document SimHash fingerprint (token multiplicity weighted).
+
+    For each bit b: sum ±1 over token hashes' bit b; fingerprint bit is 1
+    iff the sum is positive. Near-dups then differ in few bits (hamming).
+    """
+    toks = _tokens(docs, distinct=False).withColumn("h", _hex32("tok"))
+    contrib = (
+        toks.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))))
+        .select(
+            "doc_id",
+            "b",
+            F.expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END").alias("contrib"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )
+
+
+def simhash_sql(bits: int = 32) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+),
+contrib AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, generate_series(0, {bits - 1}) AS g(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+FROM contrib
+GROUP BY doc_id
+"""
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label.
+
+    Blocking bounds the pairwise work to within-block pairs (at scale the
+    block key would be an LSH/IVF bucket — see simsearch.ivf_topk). sqrt
+    is IEEE-exact, so cosine matches the oracle bit-for-bit.
+
+    Note: τ=0.3 suits the harness's synthetic embeddings (within-label
+    cosine tops out ≈0.45); real near-dup pipelines use τ≈0.95.
+    """
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
+    )
+    e = e.withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_sql(threshold: float = 0.3) -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> {x}.embedding[i]::DOUBLE * {y}.embedding[i]::DOUBLE))"
+    )
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       {dot.format(x='a', y='b')}
+         / (sqrt({dot.format(x='a', y='a')}) * sqrt({dot.format(x='b', y='b')}))
+         AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {dot.format(x='a', y='b')}
+        / (sqrt({dot.format(x='a', y='a')}) * sqrt({dot.format(x='b', y='b')}))
+      >= {threshold}
+"""

@@ -1,0 +1,189 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Training-data-pipeline surface: approximate-nearest-neighbor retrieval.
+Two strategies:
+
+- ``brute_force_topk``: exact cosine top-k — queries broadcast against
+  all candidates, rank per query. The correctness baseline; cost is
+  O(|Q|·N·dim) and fully scan-parallel (no shuffle until the per-query
+  top-k, which partitions on the small query-id key).
+- ``ivf_topk``: IVF-style bucketed search — every vector is assigned to
+  its nearest centroid (a deterministic seed set of vectors), and a
+  query only scans its own centroid's bucket: the O(N/k) scale path.
+  Recall < 1 by construction (documented approximation).
+
+Dot products use double arithmetic folded left-to-right
+(``aggregate(zip_with(...))``), which matches DuckDB's
+``list_sum(list_transform(...))`` bit-for-bit; sqrt is IEEE-exact.
+All ranks are deterministic: ties break on vec_id.
+
+At 100 TB: brute force becomes a broadcast-join map stage (queries are
+small); IVF reduces scanned candidates k-fold and its bucket assignment
+is one narrow pass — both avoid any N×N shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64  # harness embedding dimensionality (all sf)
+
+
+def _dot(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v)
+
+
+def _with_norm(embeddings: DataFrame) -> DataFrame:
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return e.withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> {x}.embedding[i]::DOUBLE * {y}.embedding[i]::DOUBLE))"
+)
+
+
+def _cos_sql(x: str, y: str, dim: int = DIM) -> str:
+    d = _DOT_SQL.format(dim=dim, x=x, y=y)
+    nx = _DOT_SQL.format(dim=dim, x=x, y=x)
+    ny = _DOT_SQL.format(dim=dim, x=y, y=y)
+    return f"{d} / (sqrt({nx}) * sqrt({ny}))"
+
+
+def brute_force_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: vectors with vec_id < n_queries are the query
+    set; returns each query's k nearest other vectors."""
+    e = _with_norm(embeddings)
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk_sql(n_queries: int = 8, k: int = 5, dim: int = DIM) -> str:
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('q', 'e', dim)} AS cosine
+  FROM embeddings q
+  JOIN embeddings e ON q.vec_id <> e.vec_id
+  WHERE q.vec_id < {n_queries}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k.
+
+    Centroids are the vectors with vec_id < n_centroids (deterministic
+    seeding — a production build would k-means these; the index/search
+    plumbing is identical). Every vector joins its nearest centroid's
+    inverted list; a query scans only its own list.
+    """
+    e = _with_norm(embeddings)
+    cent = e.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos_c = _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm"))
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
+    assigned = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "emb", "norm", "cent_id", cos_c.alias("c_cos"))
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .drop("rn", "c_cos")
+    )
+    q = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("cent_id").alias("q_cent"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(
+            assigned,
+            (F.col("q_cent") == F.col("cent_id"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("cent_id").alias("centroid_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_sql(
+    n_queries: int = 8, k: int = 5, n_centroids: int = 16, dim: int = DIM
+) -> str:
+    return f"""
+WITH assign_scored AS (
+  SELECT e.vec_id, c.vec_id AS cent_id,
+         {_cos_sql('e', 'c', dim)} AS c_cos
+  FROM embeddings e
+  JOIN embeddings c ON c.vec_id < {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY c_cos DESC, cent_id ASC) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT qa.vec_id AS query_id, ea.cent_id AS centroid_id,
+         ea.vec_id AS neighbor_id,
+         {_cos_sql('q', 'e', dim)} AS cosine
+  FROM assigned qa
+  JOIN embeddings q ON q.vec_id = qa.vec_id
+  JOIN assigned ea ON ea.cent_id = qa.cent_id AND ea.vec_id <> qa.vec_id
+  JOIN embeddings e ON e.vec_id = ea.vec_id
+  WHERE qa.vec_id < {n_queries}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, centroid_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {k}
+"""

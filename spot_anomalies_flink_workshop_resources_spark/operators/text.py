@@ -1,0 +1,205 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline surface (BASELINE.json north star): language ID
+(stopword n-gram heuristic), quality scoring (length/punct/stopword
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (rolling hash over character shingles).
+
+All built-in JVM expressions — no Python UDFs — so the plans stay inside
+whole-stage codegen and scale linearly with document count (narrow,
+shuffle-free per-document transforms; only the per-source rollup
+shuffles, on the low-cardinality ``source`` key).
+
+Cross-engine determinism rules used throughout (validated bit-exact
+against DuckDB): md5 for all hashing (identical in both engines), hex
+strings -> bigint via conv/0x-cast, regex token extraction with shared
+patterns, and only +,-,*,/ on doubles (no transcendentals — libm exp/log
+are not IEEE-identical across engines).
+
+The reference has no text operators; the closest analogue is the SQLi
+payload text column it generates but never analyzes
+(code/lambdas/fragmentation_attack/lambda_handler.py:19-29).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Shared token definitions (identical strings on the DuckDB side).
+TOKEN_RE = "[a-z0-9]+"
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+PUNCT_RE = "[.!?,;:]"
+STOPWORDS = {
+    "en": "the|a|an|and|or|of|in|to|is|was|for|on|with|as|by|at",
+    "de": "der|die|das|und|oder|von|im|zu|ist|war|für|auf|mit|als|bei",
+    "es": "el|la|los|las|y|o|de|en|a|es|era|para|con|como|por",
+    "fr": "le|la|les|et|ou|de|en|à|est|était|pour|sur|avec|comme|par",
+}
+FINGERPRINT_K = 8  # character-shingle width for the rolling hash
+
+
+def _hits(col, words: str):
+    """Count stopword occurrences of one language in a lowercased column."""
+    return F.size(F.regexp_extract_all(col, F.lit(f"\\b({words})\\b"), F.lit(0)))
+
+
+def _hits_sql(col: str, words: str) -> str:
+    return f"len(regexp_extract_all({col}, '\\b({words})\\b'))"
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token/quality metrics.
+
+    quality_score is a rational-arithmetic blend of three signals (each
+    in [0,1]): stopword ratio (fluency), alpha ratio (cleanliness), and
+    a length band (too-short/too-long penalty). Weights 0.4/0.3/0.3.
+    """
+    lower = F.lower(F.col("text"))
+    n_tokens = F.size(F.regexp_extract_all(lower, F.lit(TOKEN_RE), F.lit(0)))
+    n_words = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0)))
+    n_stop = _hits(lower, STOPWORDS["en"])
+    n_chars = F.length(F.col("text"))
+    alpha_chars = F.size(F.regexp_extract_all(lower, F.lit("[a-z]"), F.lit(0)))
+
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+    len_band = F.when((n_chars >= 100) & (n_chars <= 2000), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    quality = stop_ratio * 0.4 + alpha_ratio * 0.3 + len_band * 0.3
+
+    # counts cast to long: DuckDB len()/COUNT return BIGINT, Spark size()
+    # returns int — keep result schemas identical for the driver's check
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_words.cast("long").alias("n_words"),
+        n_punct.cast("long").alias("n_punct"),
+        n_stop.cast("long").alias("n_stopwords"),
+        (n_chars / F.greatest(n_words, F.lit(1))).alias("avg_word_len"),
+        quality.alias("quality_score"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
+       len(string_split_regex(trim(text), '\\s+')) AS n_words,
+       len(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct,
+       {_hits_sql('lower(text)', STOPWORDS['en'])} AS n_stopwords,
+       length(text) / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+         AS avg_word_len,
+       ({_hits_sql('lower(text)', STOPWORDS['en'])}
+          / greatest(len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 1)) * 0.4
+       + (len(regexp_extract_all(lower(text), '[a-z]'))
+          / greatest(length(text), 1)) * 0.3
+       + (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.3
+         AS quality_score
+FROM documents
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram (stopword-hit) language ID heuristic.
+
+    Argmax over per-language stopword hit counts with a fixed preference
+    order (en > de > es > fr) on ties — deterministic in both engines.
+    """
+    lower = F.lower(F.col("text"))
+    hits = {lang: _hits(lower, words) for lang, words in STOPWORDS.items()}
+    en, de, es, fr = hits["en"], hits["de"], hits["es"], hits["fr"]
+    pred = (
+        F.when((en >= de) & (en >= es) & (en >= fr), F.lit("en"))
+        .when((de >= es) & (de >= fr), F.lit("de"))
+        .when(es >= fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        en.cast("long").alias("en_hits"),
+        de.cast("long").alias("de_hits"),
+        es.cast("long").alias("es_hits"),
+        fr.cast("long").alias("fr_hits"),
+        pred.alias("pred_lang"),
+    )
+
+
+LANG_ID_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang AS declared_lang,
+         {_hits_sql('lower(text)', STOPWORDS['en'])} AS en_hits,
+         {_hits_sql('lower(text)', STOPWORDS['de'])} AS de_hits,
+         {_hits_sql('lower(text)', STOPWORDS['es'])} AS es_hits,
+         {_hits_sql('lower(text)', STOPWORDS['fr'])} AS fr_hits
+  FROM documents
+)
+SELECT doc_id, declared_lang, en_hits, de_hits, es_hits, fr_hits,
+       CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits
+              THEN 'en'
+            WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+            WHEN es_hits >= fr_hits THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM h
+"""
+
+
+def token_rollup(docs: DataFrame) -> DataFrame:
+    """Corpus token accounting by source: whitespace words vs BPE-ish
+    subword tokens (the ratio approximates tokens-per-word inflation)."""
+    lower = F.lower(F.col("text"))
+    n_bpe = F.size(F.regexp_extract_all(lower, F.lit(BPE_RE), F.lit(0)))
+    n_words = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    return (
+        docs.select("source", n_bpe.alias("n_bpe"), n_words.alias("n_words"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.sum("n_words").alias("total_words"),
+            (F.sum("n_bpe") / F.sum("n_words")).alias("tokens_per_word"),
+        )
+    )
+
+
+TOKEN_ROLLUP_SQL = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(len(regexp_extract_all(lower(text), '{BPE_RE}'))) AS total_bpe_tokens,
+       SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_words,
+       CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_RE}'))) AS DOUBLE)
+         / SUM(len(string_split_regex(trim(text), '\\s+'))) AS tokens_per_word
+FROM documents
+GROUP BY source
+"""
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprint: the min 32-bit md5 hash over all
+    character k-grams (k=8) — a 1-permutation minhash usable as a cheap
+    near-dup prefilter and as a content checksum robust to reordering."""
+    k = FINGERPRINT_K
+    gram_hash = (
+        "CAST(conv(substr(md5(substring(lower(text), i, {k})), 1, 8), 16, 10) "
+        "AS BIGINT)"
+    ).format(k=k)
+    fingerprint = F.expr(
+        f"array_min(transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
+        f"i -> {gram_hash}))"
+    )
+    return docs.select(
+        "doc_id", fingerprint.alias("fingerprint"), F.length("text").cast("long").alias("n_chars2")
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_min(list_transform(
+         generate_series(1, greatest(length(text) - {FINGERPRINT_K - 1}, 1)),
+         i -> CAST(('0x' || substr(md5(substring(lower(text), i, {FINGERPRINT_K})), 1, 8))
+                   AS BIGINT))) AS fingerprint,
+       length(text) AS n_chars2
+FROM documents
+"""

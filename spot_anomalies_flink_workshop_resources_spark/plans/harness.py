@@ -60,16 +60,18 @@ def cep_fragmentation_oracle() -> str:
 
 
 def build_queries() -> dict[str, QueryFn]:
-    from . import relational  # late import: keeps module load cheap
+    from . import pipeline_ops, relational  # late import: keeps module load cheap
 
     out: dict[str, QueryFn] = {"cep_fragmentation": cep_fragmentation}
     out.update(relational.QUERIES)
+    out.update(pipeline_ops.QUERIES)
     return out
 
 
 def build_oracles() -> dict[str, str]:
-    from . import relational
+    from . import pipeline_ops, relational
 
     out: dict[str, str] = {"cep_fragmentation": cep_fragmentation_oracle()}
     out.update(relational.ORACLES)
+    out.update(pipeline_ops.ORACLES)
     return out

@@ -1,0 +1,92 @@
+"""Harness wiring for the training-data-pipeline operators
+(text analysis, dedup, similarity search) over documents/embeddings."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators import dedup as D
+from ..operators import simsearch as S
+from ..operators import text as T
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def text_stats(spark, sf_dir):
+    return T.text_stats(_docs(spark, sf_dir))
+
+
+def lang_id(spark, sf_dir):
+    return T.lang_id(_docs(spark, sf_dir))
+
+
+def token_rollup(spark, sf_dir):
+    return T.token_rollup(_docs(spark, sf_dir))
+
+
+def doc_fingerprint(spark, sf_dir):
+    return T.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def dedup_jaccard(spark, sf_dir):
+    return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, shingle_n=3)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, shingle_n=3)
+
+
+def dedup_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def dedup_embedding(spark, sf_dir):
+    return D.embedding_near_dup(_embs(spark, sf_dir), threshold=0.3)
+
+
+def simsearch_brute_force(spark, sf_dir):
+    return S.brute_force_topk(_embs(spark, sf_dir))
+
+
+def simsearch_ivf(spark, sf_dir):
+    return S.ivf_topk(_embs(spark, sf_dir))
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_lang_id": lang_id,
+    "text_token_rollup": token_rollup,
+    "text_doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_jaccard": dedup_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "simsearch_brute_force": simsearch_brute_force,
+    "simsearch_ivf": simsearch_ivf,
+}
+
+ORACLES = {
+    "text_stats": T.TEXT_STATS_SQL,
+    "text_lang_id": T.LANG_ID_SQL,
+    "text_token_rollup": T.TOKEN_ROLLUP_SQL,
+    "text_doc_fingerprint": T.DOC_FINGERPRINT_SQL,
+    "dedup_exact": D.EXACT_DEDUP_SQL,
+    "dedup_jaccard": D.jaccard_pairs_sql(threshold=0.5, shingle_n=3),
+    "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3),
+    "dedup_simhash": D.simhash_sql(),
+    "dedup_embedding": D.embedding_near_dup_sql(threshold=0.3),
+    "simsearch_brute_force": S.brute_force_topk_sql(),
+    "simsearch_ivf": S.ivf_topk_sql(),
+}

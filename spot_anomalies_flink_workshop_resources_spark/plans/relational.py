@@ -276,7 +276,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        o.withColumn("rk", F.row_number().over(w))
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     )
@@ -401,7 +401,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_session",
             F.when(gap.isNull() | (gap > 3600), F.lit(1)).otherwise(F.lit(0)),
         )
-        .withColumn("session_id", F.sum("new_session").over(w))
+        .withColumn("session_id", F.sum("new_session").over(w).cast("long"))
     )
     return sessions.groupBy("user_id").agg(
         F.max("session_id").alias("n_sessions"),

@@ -1,0 +1,145 @@
+"""Semantics tests for the training-data-pipeline operators
+(dedup, text analysis, similarity search) on hand-built fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from spot_anomalies_flink_workshop_resources_spark.operators import (
+    dedup,
+    simsearch,
+    text,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source="s0", n_chars=len(t))
+            for i, t in enumerate(texts)
+        ]
+    )
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, ["Hello World", "  hello world ", "other doc", "OTHER DOC"])
+    out = {r.keep_id: r.n_dups for r in dedup.exact_dedup(df).collect()}
+    # normalization: lower + trim ⇒ 0≡1 and 2≡3
+    assert out == {0: 2, 2: 2}
+
+
+def test_jaccard_pairs_values(spark):
+    df = _docs(
+        spark,
+        [
+            "a b c d",  # doc 0
+            "a b c e",  # doc 1: |∩|=3, |∪|=5 → 0.6
+            "x y z w",  # doc 2: disjoint
+        ],
+    )
+    out = dedup.jaccard_pairs(df, threshold=0.5, shingle_n=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    assert r.jaccard == pytest.approx(3 / 5)
+    # 3-gram shingles: {"a b c","b c d"} vs {"a b c","b c e"} → 1/3
+    out3 = dedup.jaccard_pairs(df, threshold=0.3, shingle_n=3).collect()
+    assert len(out3) == 1 and out3[0].jaccard == pytest.approx(1 / 3)
+
+
+def test_minhash_lsh_finds_identical_docs(spark):
+    df = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",  # identical tokens
+            "completely different words entirely here now",
+        ],
+    )
+    out = dedup.minhash_lsh_pairs(df, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in out] == [(0, 1, 1.0)]
+
+
+def test_simhash_identical_and_different(spark):
+    df = _docs(spark, ["alpha beta gamma", "alpha beta gamma", "delta epsilon zeta"])
+    out = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+    assert 0 <= out[0] < 2**32
+
+
+def test_embedding_near_dup_cosine(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=1),
+        Row(vec_id=1, embedding=[1.0, 0.01], label=1),  # nearly parallel
+        Row(vec_id=2, embedding=[0.0, 1.0], label=1),  # orthogonal to 0
+        Row(vec_id=3, embedding=[1.0, 0.0], label=2),  # other block
+    ]
+    df = spark.createDataFrame(rows)
+    out = dedup.embedding_near_dup(df, threshold=0.9).collect()
+    assert [(r.vec_a, r.vec_b) for r in out] == [(0, 1)]
+    assert out[0].cosine == pytest.approx(1 / math.sqrt(1 + 0.01**2))
+
+
+def test_text_stats_counts(spark):
+    df = _docs(spark, ["The cat and the hat. Is it red?"])
+    r = text.text_stats(df).collect()[0]
+    assert r.n_words == 8
+    assert r.n_tokens == 8
+    assert r.n_punct == 2  # '.' and '?'
+    assert r.n_stopwords == 4  # the, and, the, is
+    assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_lang_id_prefers_hit_majority(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat is on the mat and a dog",  # en
+            "der hund und die katze ist im haus",  # de
+            "no stopwords whatsoever xyzzy qwerty",  # tie -> en preference
+        ],
+    )
+    out = {r.doc_id: r.pred_lang for r in text.lang_id(df).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "en"
+
+
+def test_fingerprint_deterministic_and_content_sensitive(spark):
+    # doc 2 shares no 8-gram with doc 0 (a single-char suffix change could
+    # legitimately keep the same min-hash — that's minhash working)
+    df = _docs(spark, ["abcdefghij", "abcdefghij", "zyxwvutsrq"])
+    out = {r.doc_id: r.fingerprint for r in text.doc_fingerprint(df).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=10, embedding=[1.0, 0.1], label=0),
+        Row(vec_id=11, embedding=[1.0, 1.0], label=0),
+        Row(vec_id=12, embedding=[-1.0, 0.0], label=0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = simsearch.brute_force_topk(df, n_queries=1, k=3).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [10, 11, 12]
+
+
+def test_ivf_restricts_to_bucket(spark):
+    # centroids: vec 0 (x-axis), vec 1 (y-axis); vecs 20,21 near x; 30 near y
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[0.0, 1.0], label=0),
+        Row(vec_id=20, embedding=[1.0, 0.05], label=0),
+        Row(vec_id=21, embedding=[1.0, 0.1], label=0),
+        Row(vec_id=30, embedding=[0.05, 1.0], label=0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = simsearch.ivf_topk(df, n_queries=1, k=5, n_centroids=2).collect()
+    # query 0 lives in the x-axis bucket: {0, 20, 21}; 30 must NOT appear
+    assert sorted(r.neighbor_id for r in out) == [20, 21]
