@@ -59,10 +59,51 @@ def cep_fragmentation_oracle() -> str:
     )
 
 
+def cep_fragmentation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the flagship, run to completion: the stateful
+    applyInPandasWithState detector over the same events table, checked
+    against the SAME DuckDB oracle (batch↔streaming equivalence is the
+    operator's contract — SURVEY.md §7.1)."""
+    import uuid
+
+    from ..streaming.detector import detect_attack_runs_stream
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # source needs a dir
+        .load(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        # same TIMESTAMP(NANOS) conversion as catalog.load_table
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    alerts = detect_attack_runs_stream(stream, **FLAGSHIP_PARAMS)
+    name = f"cep_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table(name)
+    # memory-sink key column is the stringified detector key; restore the
+    # oracle's bigint type for schema parity
+    return out.withColumn("target_key", F.col("target_key").cast("long"))
+
+
 def build_queries() -> dict[str, QueryFn]:
     from . import pipeline_ops, relational  # late import: keeps module load cheap
 
-    out: dict[str, QueryFn] = {"cep_fragmentation": cep_fragmentation}
+    out: dict[str, QueryFn] = {
+        "cep_fragmentation": cep_fragmentation,
+        "cep_fragmentation_stream": cep_fragmentation_stream,
+    }
     out.update(relational.QUERIES)
     out.update(pipeline_ops.QUERIES)
     return out
@@ -71,7 +112,10 @@ def build_queries() -> dict[str, QueryFn]:
 def build_oracles() -> dict[str, str]:
     from . import pipeline_ops, relational
 
-    out: dict[str, str] = {"cep_fragmentation": cep_fragmentation_oracle()}
+    out: dict[str, str] = {
+        "cep_fragmentation": cep_fragmentation_oracle(),
+        "cep_fragmentation_stream": cep_fragmentation_oracle(),
+    }
     out.update(relational.ORACLES)
     out.update(pipeline_ops.ORACLES)
     return out

@@ -1,0 +1,240 @@
+"""Streaming CEP-equivalent fragmentation detector.
+
+The Spark-native replacement for the reference's Flink CEP operator
+(AnomalyDetection.java:126-167): per key, a run of [min_run, max_run]
+low-metric events followed by one high-metric event within the window,
+matches non-overlapping (skipPastLastEvent — AD.java:126).
+
+Implementation: ``groupBy(key).applyInPandasWithState`` with O(1) state
+per key — no event buffering. The greedy run is folded into running
+aggregates (count, matched-count, first/last timestamps, size sum,
+first attacker), so state size is independent of run length and the
+state store scales with |distinct keys| only.
+
+Equivalence contract: identical output to
+``operators.detection.detect_attack_runs`` on the same input (the batch
+run-length oracle) — pinned by tests/test_streaming.py. Two deliberate
+properties follow from that contract:
+
+- A run ends ONLY at a trigger (high-metric) event, exactly like the
+  batch maximal-run rule. There is NO state timeout by default: a GC
+  timeout would re-anchor long runs and let later triggers match where
+  the batch semantics say no match (state is O(1)/key, so retention cost
+  is bounded by key cardinality). An optional processing-time GC timeout
+  is available for ops hygiene and mirrors the reference's own
+  processing-time pragmatics (AD.java:137) — a documented deviation when
+  enabled.
+- Within a micro-batch, events are sorted by (event_time, order col);
+  cross-batch disorder is late data, dropped by the upstream watermark —
+  the same behavior the reference gets from forMonotonousTimestamps
+  (AD.java:121-124, zero-lateness watermark).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("target_key", StringType()),
+        StructField("attack_start_time", DoubleType()),
+        StructField("attack_end_time", DoubleType()),
+        StructField("attacker_id", StringType()),
+        StructField("fragment_count", LongType()),
+        StructField("avg_packets", DoubleType()),
+        StructField("avg_fragment_size", DoubleType()),
+        StructField("size_reduction_percent", DoubleType()),
+    ]
+)
+
+# state: run_count, matched_count, first_ts, last_matched_end, sum_size,
+# first_attacker
+STATE_SCHEMA = StructType(
+    [
+        StructField("run_count", LongType()),
+        StructField("matched_count", LongType()),
+        StructField("first_ts", DoubleType()),
+        StructField("last_matched_end", DoubleType()),
+        StructField("sum_size", DoubleType()),
+        StructField("first_attacker", StringType()),
+    ]
+)
+
+EMPTY_STATE = (0, 0, 0.0, 0.0, 0.0, "")
+
+
+def make_detector_fn(
+    *,
+    low_threshold: float,
+    high_threshold: float,
+    min_run: int,
+    max_run: int,
+    window_seconds: float,
+):
+    """Build the applyInPandasWithState function for the given pattern
+    parameters (reference: 10/10/10-30/60 s — AD.java:126-132)."""
+
+    def detect(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # optional GC path (only reachable with a timeout configured)
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in OUTPUT_SCHEMA.fields])
+            return
+
+        run_count, matched, first_ts, last_end, sum_size, attacker = (
+            state.get if state.exists else EMPTY_STATE
+        )
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["_ts", "_oid"], kind="mergesort")
+
+        out: list[tuple] = []
+        key_str = str(key[0])
+        for ts, end_ts, metric, size, attk in zip(
+            batch["_ts"], batch["_end_ts"], batch["_metric"], batch["_size"],
+            batch["_attacker"],
+        ):
+            if pd.isna(metric) or pd.isna(ts):
+                continue
+            ts_s = ts.timestamp()
+            if metric < low_threshold:  # anomalous fragment (AD.java:127)
+                if run_count == 0:
+                    first_ts = ts_s
+                    attacker = str(attk)
+                run_count += 1
+                if run_count <= max_run:  # greedy cap: times(10,30)
+                    matched += 1
+                    last_end = end_ts.timestamp() if not pd.isna(end_ts) else ts_s
+                    sum_size += float(size)
+            elif metric > high_threshold:  # back-to-normal trigger (AD.java:130)
+                if run_count >= min_run and ts_s - first_ts <= window_seconds:
+                    avg_size = sum_size / matched
+                    avg_packets = float(metric)
+                    out.append(
+                        (
+                            key_str,
+                            first_ts,
+                            last_end,
+                            attacker,
+                            matched,
+                            avg_packets,
+                            avg_size,
+                            (avg_packets - avg_size) / avg_packets * 100.0,
+                        )
+                    )
+                # skipPastLastEvent: reset regardless of emit (AD.java:126)
+                run_count, matched, first_ts, last_end, sum_size, attacker = (
+                    EMPTY_STATE
+                )
+            # metric == thresholds: neutral, ignored (AD.java:127,130)
+
+        if run_count > 0:
+            state.update((run_count, matched, first_ts, last_end, sum_size, attacker))
+        elif state.exists:
+            state.remove()
+
+        yield pd.DataFrame(
+            out, columns=[f.name for f in OUTPUT_SCHEMA.fields]
+        )
+
+    return detect
+
+
+def detect_attack_runs_stream(
+    events: DataFrame,
+    *,
+    key_col: str,
+    time_col: str,
+    order_col: str,
+    metric_col: str,
+    low_threshold: float,
+    high_threshold: float,
+    min_run: int,
+    max_run: int,
+    window_seconds: float,
+    size_expr=None,
+    end_time_col: str | None = None,
+    attacker_col: str | None = None,
+    watermark: str = "0 seconds",
+    gc_timeout: bool = False,
+) -> DataFrame:
+    """Streaming twin of ``operators.detection.detect_attack_runs``.
+
+    ``watermark`` mirrors the reference's zero-lateness monotonous
+    watermark (AD.java:121-124); raise it to tolerate disorder.
+    """
+    from pyspark.sql import functions as F
+
+    size = size_expr if size_expr is not None else F.col(metric_col)
+    end_time = F.col(end_time_col) if end_time_col else F.col(time_col)
+    attacker = F.col(attacker_col) if attacker_col else F.col(order_col)
+
+    # watermark AFTER the projection so only _ts carries event-time
+    # metadata (aliasing a watermarked column twice would create two
+    # event-time columns and fail the stateful operator)
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("_key"),
+        F.col(time_col).alias("_ts"),
+        F.col(order_col).alias("_oid"),
+        F.col(metric_col).cast("double").alias("_metric"),
+        size.cast("double").alias("_size"),
+        end_time.alias("_end_ts"),
+        attacker.cast("string").alias("_attacker"),
+    ).withWatermark("_ts", watermark)
+    fn = make_detector_fn(
+        low_threshold=low_threshold,
+        high_threshold=high_threshold,
+        min_run=min_run,
+        max_run=max_run,
+        window_seconds=window_seconds,
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if gc_timeout
+        else GroupStateTimeout.NoTimeout
+    )
+    return prepared.groupBy("_key").applyInPandasWithState(
+        fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append", timeout
+    )
+
+
+def detect_fragmentation_flowlogs_stream(
+    events: DataFrame, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Reference-exact streaming specialization (Event schema, ip_dst key,
+    packets thresholds, bytes/packets fragment size — AD.java:126-167)."""
+    from pyspark.sql import functions as F
+
+    out = detect_attack_runs_stream(
+        events,
+        key_col="ip_dst",
+        time_col="event_time",
+        order_col="timestamp_start",
+        metric_col="packets",
+        low_threshold=10,
+        high_threshold=10,
+        min_run=10,
+        max_run=30,
+        window_seconds=60.0,
+        size_expr=F.col("bytes").cast("double") / F.col("packets"),
+        end_time_col="event_time_end",
+        attacker_col="ip_src",
+        watermark=watermark,
+    )
+    return out.withColumnRenamed("target_key", "target_ip")
