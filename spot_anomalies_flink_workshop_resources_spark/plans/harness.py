@@ -97,12 +97,37 @@ def cep_fragmentation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("target_key", F.col("target_key").cast("long"))
 
 
+def ml_ipinsights_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M3 end-to-end on harness data: train (user_id, event_type)
+    habit embeddings on the events table, score every distinct pair.
+    Non-SQL-expressible (iterative training) → rows-only driver check;
+    the seeded trainer makes row count and schema stable."""
+    from pyspark.sql import functions as F
+
+    from ..ml.ipinsights import IPInsightsModel
+
+    events = load_table(spark, sf_dir, "events")
+    pairs = events.select(
+        F.col("user_id").cast("string").alias("entity"),
+        F.col("event_type").alias("ip"),
+    )
+    model = IPInsightsModel.train(pairs, vector_dim=16, num_epochs=3, seed=42)
+    distinct_pairs = pairs.distinct()
+    scored = model.score_dataframe(spark, distinct_pairs)
+    return scored.select(
+        F.col("entity").cast("long").alias("user_id"),
+        F.col("ip").alias("event_type"),
+        F.col("anomaly_score"),
+    )
+
+
 def build_queries() -> dict[str, QueryFn]:
     from . import pipeline_ops, relational  # late import: keeps module load cheap
 
     out: dict[str, QueryFn] = {
         "cep_fragmentation": cep_fragmentation,
         "cep_fragmentation_stream": cep_fragmentation_stream,
+        "ml_ipinsights_score": ml_ipinsights_score,
     }
     out.update(relational.QUERIES)
     out.update(pipeline_ops.QUERIES)

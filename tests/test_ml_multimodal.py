@@ -1,0 +1,127 @@
+"""IPInsights-style scorer (M1-M3) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spot_anomalies_flink_workshop_resources_spark.ml.ipinsights import (
+    IPInsightsModel,
+    read_training_csv,
+    threshold_filter,
+    training_pairs_from_events,
+    write_training_csv,
+)
+from spot_anomalies_flink_workshop_resources_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    # 20 entities, each habitually paired with its own 3 IPs
+    pairs = [
+        (f"eni-{e:03d}", f"10.0.{e}.{i}") for e in range(20) for i in range(3)
+    ] * 30
+    df = spark.createDataFrame(pairs, ["entity", "ip"])
+    return IPInsightsModel.train(df, vector_dim=16, num_epochs=8, seed=1)
+
+
+def test_familiar_pairs_score_lower_than_probes(spark, model):
+    familiar = [(f"eni-{e:03d}", f"10.0.{e}.0") for e in range(20)]
+    probes = [(f"eni-{e:03d}", f"10.0.{(e + 7) % 20}.0") for e in range(20)]
+    df = spark.createDataFrame(familiar + probes, ["entity", "ip"])
+    scored = model.score_dataframe(spark, df).collect()
+    fam = [r.anomaly_score for r in scored[:20]]
+    prb = [r.anomaly_score for r in scored[20:]]
+    # ordering consistency (M3 contract): familiar < unfamiliar on average
+    # and the medians separate cleanly
+    assert sum(fam) / 20 < sum(prb) / 20
+    assert sorted(fam)[10] < sorted(prb)[10]
+
+
+def test_threshold_filter_and_unseen_neutrality(spark, model):
+    df = spark.createDataFrame(
+        [("eni-000", "10.0.0.0"), ("never-seen", "1.2.3.4")], ["entity", "ip"]
+    )
+    scored = model.score_dataframe(spark, df)
+    unseen = scored.where(F.col("entity") == "never-seen").collect()[0]
+    assert unseen.anomaly_score == 0.0  # cold start: no evidence
+    kept = threshold_filter(scored, threshold=1e9).count()
+    assert kept == 0
+
+
+def test_csv_contract_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("eni-095bb4db87156aa49", "10.0.3.60")] * 4, ["entity", "ip"]
+    )
+    path = str(tmp_path / "train_csv")
+    write_training_csv(df, path)
+    back = read_training_csv(spark, path)
+    assert back.columns == ["entity", "ip"]
+    assert back.count() == 4
+    # headerless: no header row leaked into data
+    assert back.where(F.col("entity") == "entity").count() == 0
+
+
+def test_training_pairs_query_filters_internal(spark):
+    rows = [
+        Row(writer_id="eni-1", ip_src="10.0.0.1", ip_dst="10.0.0.2"),
+        Row(writer_id="eni-2", ip_src="8.8.8.8", ip_dst="10.0.0.2"),
+        Row(writer_id="eni-3", ip_src="10.1.1.1", ip_dst="99.0.0.1"),
+    ]
+    out = training_pairs_from_events(spark.createDataFrame(rows)).collect()
+    assert [(r.entity, r.ip) for r in out] == [("eni-1", "10.0.0.1")]
+
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+JPG = b"\xff\xd8\xff\xe0" + b"\x00" * 20
+WAV = b"RIFF" + b"\x00" * 20
+
+
+def _media(spark):
+    rows = [
+        (0, "image", bytearray(PNG), (4, 4, None)),
+        (1, "image", bytearray(JPG), (8, 8, None)),
+        (2, "audio", bytearray(WAV), (None, None, 2500)),
+        (3, "unknown", bytearray(b"plain"), (None, None, None)),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_sniff_media_type(spark):
+    out = {r.media_id: r.sniffed_type for r in mm.sniff_media_type(_media(spark)).collect()}
+    assert out == {
+        0: "image/png",
+        1: "image/jpeg",
+        2: "audio/wav",
+        3: "application/octet-stream",
+    }
+
+
+def test_media_stats(spark):
+    out = mm.media_stats(_media(spark)).collect()
+    by_id = {r.media_id: r for r in out}
+    assert by_id[0].n_bytes == len(PNG)
+    assert len(by_id[0].content_md5) == 32
+
+
+def test_extract_features_shape_and_determinism(spark):
+    out = mm.extract_features(_media(spark)).collect()
+    by_id = {r.media_id: r.features for r in out}
+    assert all(len(v) == mm.FEATURE_DIM for v in by_id.values())
+    assert all(0.0 <= x <= 1.0 for v in by_id.values() for x in v)
+    # deterministic: same content -> same features across runs
+    again = {r.media_id: r.features for r in mm.extract_features(_media(spark)).collect()}
+    assert by_id == again
+    assert by_id[0] != by_id[1]
+
+
+def test_decode_image_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(PNG)
+
+
+def test_frame_sample_plan(spark):
+    df = _media(spark).where(F.col("media_id") == 2)  # duration 2500 ms
+    out = mm.frame_sample_plan(df, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in out] == [0, 1000, 2000]
