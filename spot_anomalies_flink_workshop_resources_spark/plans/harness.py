@@ -131,6 +131,9 @@ def build_queries() -> dict[str, QueryFn]:
     }
     out.update(relational.QUERIES)
     out.update(pipeline_ops.QUERIES)
+    from . import relational_sql
+
+    out.update(relational_sql.QUERIES)
     return out
 
 
@@ -143,4 +146,7 @@ def build_oracles() -> dict[str, str]:
     }
     out.update(relational.ORACLES)
     out.update(pipeline_ops.ORACLES)
+    from . import relational_sql
+
+    out.update(relational_sql.ORACLES)
     return out

@@ -1,0 +1,108 @@
+"""SQL-text query surface: the engine's ``spark.sql`` entry path.
+
+The reference's only SQL runs on Athena (notebook cell 7); our engine
+exposes the same capability through Catalyst. These queries are
+deliberately written as SQL strings over registered views (not the
+DataFrame API) to exercise the parser → analyzer → optimizer path,
+including rewrites the DataFrame API rarely triggers: correlated scalar
+subqueries, NOT EXISTS anti-joins, scalar subqueries in predicates, and
+ROLLUP grouping sets. Each string doubles as its own DuckDB oracle where
+dialects agree; where they differ, the oracle variant is given.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+
+# q2-style: cheapest part per type (correlated scalar subquery ->
+# Catalyst RewriteCorrelatedScalarSubquery + left-semi style plan)
+CHEAPEST_PART_SQL = """
+SELECT p_type, p_partkey, p_name, p_retailprice
+FROM part p
+WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+                       FROM part p2 WHERE p2.p_type = p.p_type)
+"""
+
+# q22-style: well-funded customers with no orders (scalar subquery in a
+# predicate + NOT EXISTS anti-join)
+IDLE_RICH_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+"""
+
+# q13-style: order-count distribution over a LEFT OUTER join
+ORDER_COUNT_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+# ROLLUP over the order hierarchy (grouping sets path). Spark and DuckDB
+# both emit NULL for rolled-up levels; counts/sums are exact ints.
+# Spark spells the string type STRING, DuckDB VARCHAR — one template,
+# substituted per dialect
+_ROLLUP_TEMPLATE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS {STR}) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+ORDERS_ROLLUP_SQL = _ROLLUP_TEMPLATE.format(STR="STRING")
+ORDERS_ROLLUP_ORACLE = _ROLLUP_TEMPLATE.format(STR="VARCHAR")
+
+# exact percentiles: Spark percentile() and DuckDB quantile_cont() both
+# use linear interpolation; values verified bit-equal on this data
+_SPARK_QUANTILES = """
+SELECT l_returnflag,
+       percentile(l_extendedprice, 0.5) AS median_price,
+       percentile(l_extendedprice, 0.95) AS p95_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+_DUCKDB_QUANTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def _sql_query(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+QUERIES = {
+    "sql_cheapest_part_per_type": _sql_query(CHEAPEST_PART_SQL),
+    "sql_idle_rich_customers": _sql_query(IDLE_RICH_CUSTOMERS_SQL),
+    "sql_order_count_distribution": _sql_query(ORDER_COUNT_DISTRIBUTION_SQL),
+    "sql_orders_rollup": _sql_query(ORDERS_ROLLUP_SQL),
+    "sql_price_quantiles": _sql_query(_SPARK_QUANTILES),
+}
+
+ORACLES = {
+    "sql_cheapest_part_per_type": CHEAPEST_PART_SQL,
+    "sql_idle_rich_customers": IDLE_RICH_CUSTOMERS_SQL,
+    "sql_order_count_distribution": ORDER_COUNT_DISTRIBUTION_SQL,
+    "sql_orders_rollup": ORDERS_ROLLUP_ORACLE,
+    "sql_price_quantiles": _DUCKDB_QUANTILES,
+}
