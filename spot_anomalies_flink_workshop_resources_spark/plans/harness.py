@@ -64,34 +64,14 @@ def cep_fragmentation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState detector over the same events table, checked
     against the SAME DuckDB oracle (batch↔streaming equivalence is the
     operator's contract — SURVEY.md §7.1)."""
-    import uuid
+    from pyspark.sql import functions as F
 
     from ..streaming.detector import detect_attack_runs_stream
 
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")  # source needs a dir
-        .load(sf_dir)
+    alerts = detect_attack_runs_stream(
+        _events_stream(spark, sf_dir), **FLAGSHIP_PARAMS
     )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        # same TIMESTAMP(NANOS) conversion as catalog.load_table
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    alerts = detect_attack_runs_stream(stream, **FLAGSHIP_PARAMS)
-    name = f"cep_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        alerts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    out = spark.table(name)
+    out = _run_to_completion(alerts, spark)
     # memory-sink key column is the stringified detector key; restore the
     # oracle's bigint type for schema parity
     return out.withColumn("target_key", F.col("target_key").cast("long"))
@@ -121,6 +101,97 @@ def ml_ipinsights_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def _run_to_completion(df: DataFrame, spark: SparkSession) -> DataFrame:
+    import uuid
+
+    name = f"stream_q_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window aggregation, watermark-finalized; oracle
+    is the lag/cumsum batch sessionization with the same finalization
+    filter (session_end <= max ts)."""
+    from ..streaming.windows import session_rollup_stream
+
+    return _run_to_completion(
+        session_rollup_stream(_events_stream(spark, sf_dir)), spark
+    )
+
+
+STREAM_SESSION_ORACLE = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+),
+rolled AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 1 HOUR AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events FROM rolled
+WHERE session_end <= (SELECT MAX(ts) FROM events)
+"""
+
+
+def stream_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window rollup (1-day windows per event_type)."""
+    from ..streaming.windows import tumbling_rollup_stream
+
+    return _run_to_completion(
+        tumbling_rollup_stream(_events_stream(spark, sf_dir)), spark
+    )
+
+
+STREAM_TUMBLING_ORACLE = """
+SELECT date_trunc('day', ts) AS window_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT MAX(ts) FROM events)
+"""
+
+
 def build_queries() -> dict[str, QueryFn]:
     from . import pipeline_ops, relational  # late import: keeps module load cheap
 
@@ -128,6 +199,8 @@ def build_queries() -> dict[str, QueryFn]:
         "cep_fragmentation": cep_fragmentation,
         "cep_fragmentation_stream": cep_fragmentation_stream,
         "ml_ipinsights_score": ml_ipinsights_score,
+        "stream_session_rollup": stream_session_rollup,
+        "stream_tumbling_rollup": stream_tumbling_rollup,
     }
     out.update(relational.QUERIES)
     out.update(pipeline_ops.QUERIES)
@@ -143,6 +216,8 @@ def build_oracles() -> dict[str, str]:
     out: dict[str, str] = {
         "cep_fragmentation": cep_fragmentation_oracle(),
         "cep_fragmentation_stream": cep_fragmentation_oracle(),
+        "stream_session_rollup": STREAM_SESSION_ORACLE,
+        "stream_tumbling_rollup": STREAM_TUMBLING_ORACLE,
     }
     out.update(relational.ORACLES)
     out.update(pipeline_ops.ORACLES)

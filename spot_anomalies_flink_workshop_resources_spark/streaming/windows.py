@@ -1,0 +1,70 @@
+"""Streaming windowed aggregations (watermark + session/tumbling windows).
+
+The reference's only stateful operator is the CEP pattern; a production
+replacement also needs the standard windowed-aggregation surface
+(SURVEY.md §2.6 W1/W6 watermark semantics apply). Both builders are
+append-mode with event-time watermarks, so only watermark-finalized
+windows emit:
+
+- session windows: a session closes when no event arrives within ``gap``
+  (Spark's session_window merges events; end = last event + gap);
+- tumbling windows: fixed-width buckets.
+
+Finalization contract (used by the DuckDB oracles in plans/harness):
+with zero-lateness watermark, the final watermark is max(ts), so exactly
+the windows with ``window_end <= max(ts)`` are emitted — the batch
+oracle filters the same way, making the streaming result value-hash
+checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def session_rollup_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    gap: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Per-key session aggregation: (key, session_start, session_end,
+    n_events), session_end = last event + gap."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(key_col, F.session_window(F.col(time_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def tumbling_rollup_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = "ts",
+    width: str = "1 day",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Tumbling-window rollup: (window_start, key, n_events, sum_value)."""
+    sum_value = (
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("string").cast("double")
+    )
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), width), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), sum_value.alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
