@@ -211,6 +211,33 @@ def test_full_pipeline_topology_wire_json(spark):
         assert isinstance(p["attack_start_time"], float)
 
 
+def test_archive_sink_roundtrip(spark):
+    """S6/S7: alerts stream → file archive sink → read back."""
+    import tempfile
+
+    from spot_anomalies_flink_workshop_resources_spark.streaming.pipeline import (
+        build_anomaly_pipeline,
+    )
+    from spot_anomalies_flink_workshop_resources_spark.streaming.sinks import (
+        archive_writer,
+    )
+
+    d = tempfile.mkdtemp(prefix="arch_src_")
+    with open(f"{d}/events.json", "w") as f:
+        for e in SCENARIO:
+            f.write(json.dumps(e) + "\n")
+    raw = spark.readStream.schema("value STRING").format("text").load(d)
+    wire = build_anomaly_pipeline(raw)
+    out_dir = tempfile.mkdtemp(prefix="arch_out_")
+    ckpt = tempfile.mkdtemp(prefix="arch_ckpt_")
+    q = archive_writer(wire, out_dir, ckpt, fmt="json").start()
+    q.processAllAvailable()
+    q.stop()
+    archived = spark.read.json(out_dir)
+    rows = [json.loads(r.value) for r in archived.collect()]
+    assert sorted(p["fragment_count"] for p in rows) == [12, 30]
+
+
 def test_streaming_run_split_across_batches(spark):
     # one burst split across 8 micro-batches: state must carry the run
     events = (
