@@ -82,9 +82,12 @@ def make_detector_fn(
     min_run: int,
     max_run: int,
     window_seconds: float,
+    vectorized: bool = True,
 ):
     """Build the applyInPandasWithState function for the given pattern
-    parameters (reference: 10/10/10-30/60 s — AD.java:126-132)."""
+    parameters (reference: 10/10/10-30/60 s — AD.java:126-132).
+    ``vectorized=False`` selects the scalar reference state machine."""
+    process = _process_batch_vectorized if vectorized else _process_batch_scalar
 
     def detect(
         key: tuple[Any, ...],
@@ -104,56 +107,191 @@ def make_detector_fn(
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["_ts", "_oid"], kind="mergesort")
 
-        out: list[tuple] = []
         key_str = str(key[0])
-        for ts, end_ts, metric, size, attk in zip(
-            batch["_ts"], batch["_end_ts"], batch["_metric"], batch["_size"],
-            batch["_attacker"],
-        ):
-            if pd.isna(metric) or pd.isna(ts):
-                continue
-            ts_s = ts.timestamp()
-            if metric < low_threshold:  # anomalous fragment (AD.java:127)
-                if run_count == 0:
-                    first_ts = ts_s
-                    attacker = str(attk)
-                run_count += 1
-                if run_count <= max_run:  # greedy cap: times(10,30)
-                    matched += 1
-                    last_end = end_ts.timestamp() if not pd.isna(end_ts) else ts_s
-                    sum_size += float(size)
-            elif metric > high_threshold:  # back-to-normal trigger (AD.java:130)
-                if run_count >= min_run and ts_s - first_ts <= window_seconds:
-                    avg_size = sum_size / matched
-                    avg_packets = float(metric)
-                    out.append(
-                        (
-                            key_str,
-                            first_ts,
-                            last_end,
-                            attacker,
-                            matched,
-                            avg_packets,
-                            avg_size,
-                            (avg_packets - avg_size) / avg_packets * 100.0,
-                        )
-                    )
-                # skipPastLastEvent: reset regardless of emit (AD.java:126)
-                run_count, matched, first_ts, last_end, sum_size, attacker = (
-                    EMPTY_STATE
-                )
-            # metric == thresholds: neutral, ignored (AD.java:127,130)
+        state_tuple = (run_count, matched, first_ts, last_end, sum_size, attacker)
+        out, state_tuple = process(
+            batch,
+            state_tuple,
+            key_str,
+            low_threshold,
+            high_threshold,
+            min_run,
+            max_run,
+            window_seconds,
+        )
+        run_count, matched, first_ts, last_end, sum_size, attacker = state_tuple
 
         if run_count > 0:
             state.update((run_count, matched, first_ts, last_end, sum_size, attacker))
         elif state.exists:
             state.remove()
 
-        yield pd.DataFrame(
-            out, columns=[f.name for f in OUTPUT_SCHEMA.fields]
-        )
+        yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
 
     return detect
+
+
+def _process_batch_scalar(
+    batch: pd.DataFrame,
+    state_tuple: tuple,
+    key_str: str,
+    low_threshold: float,
+    high_threshold: float,
+    min_run: int,
+    max_run: int,
+    window_seconds: float,
+) -> tuple[list[tuple], tuple]:
+    """Reference implementation: event-at-a-time state machine. Kept as
+    the ground truth the vectorized path is property-tested against."""
+    run_count, matched, first_ts, last_end, sum_size, attacker = state_tuple
+    out: list[tuple] = []
+    for ts, end_ts, metric, size, attk in zip(
+        batch["_ts"], batch["_end_ts"], batch["_metric"], batch["_size"],
+        batch["_attacker"],
+    ):
+        if pd.isna(metric) or pd.isna(ts):
+            continue
+        ts_s = ts.timestamp()
+        if metric < low_threshold:  # anomalous fragment (AD.java:127)
+            if run_count == 0:
+                first_ts = ts_s
+                attacker = str(attk)
+            run_count += 1
+            if run_count <= max_run:  # greedy cap: times(10,30)
+                matched += 1
+                last_end = end_ts.timestamp() if not pd.isna(end_ts) else ts_s
+                sum_size += float(size)
+        elif metric > high_threshold:  # back-to-normal trigger (AD.java:130)
+            if run_count >= min_run and ts_s - first_ts <= window_seconds:
+                avg_size = sum_size / matched
+                avg_packets = float(metric)
+                out.append(
+                    (
+                        key_str,
+                        first_ts,
+                        last_end,
+                        attacker,
+                        matched,
+                        avg_packets,
+                        avg_size,
+                        (avg_packets - avg_size) / avg_packets * 100.0,
+                    )
+                )
+            # skipPastLastEvent: reset regardless of emit (AD.java:126)
+            run_count, matched, first_ts, last_end, sum_size, attacker = EMPTY_STATE
+        # metric == thresholds: neutral, ignored (AD.java:127,130)
+    return out, (run_count, matched, first_ts, last_end, sum_size, attacker)
+
+
+def _process_batch_vectorized(
+    batch: pd.DataFrame,
+    state_tuple: tuple,
+    key_str: str,
+    low_threshold: float,
+    high_threshold: float,
+    min_run: int,
+    max_run: int,
+    window_seconds: float,
+) -> tuple[list[tuple], tuple]:
+    """NumPy segment-based equivalent of :func:`_process_batch_scalar`.
+
+    Trigger (high-metric) events are the only reset points, so the batch
+    splits into segments at trigger positions. Per-segment aggregates of
+    the anomalous events come from prefix sums (cumulative count/size and
+    k-th-anomalous-index lookups), giving O(n) vectorized work with no
+    Python per-event loop. Carry-in state from the previous batch fills
+    the head segment; carry-out state is computed from the tail segment.
+    Property-tested equal to the scalar reference on random sequences.
+    """
+    import numpy as np
+
+    run_count, matched, first_ts, last_end, sum_size, attacker = state_tuple
+
+    metric = batch["_metric"].to_numpy(dtype=float)
+    valid = ~(np.isnan(metric) | batch["_ts"].isna().to_numpy())
+    if not valid.all():
+        batch = batch.loc[valid]
+        metric = metric[valid]
+    n = len(batch)
+    if n == 0:
+        return [], state_tuple
+
+    ts = batch["_ts"].to_numpy("datetime64[us]").astype("int64") / 1e6
+    end_raw = batch["_end_ts"].to_numpy("datetime64[us]").astype("float64") / 1e6
+    end_s = np.where(np.isnan(end_raw), ts, end_raw)
+    size = np.nan_to_num(batch["_size"].to_numpy(dtype=float), nan=0.0)
+    attackers = batch["_attacker"].to_numpy(dtype=object)
+
+    is_a = metric < low_threshold
+    is_n = metric > high_threshold
+    a = is_a.astype(np.int64)
+
+    # prefix count over anomalous events (index i => count over [0, i])
+    cs_count = np.cumsum(a)
+    a_pos = np.flatnonzero(is_a)  # cs_count value k is at index a_pos[k-1]
+    trig = np.flatnonzero(is_n)
+
+    def seg_stats(lo_count: int, hi_count: int, budget: int, acc: float):
+        """Aggregates over anomalous events with cumulative-count in
+        (lo_count, hi_count], matched = first `budget` of them. The size
+        sum folds sequentially onto ``acc`` (<= max_run adds) so FP
+        rounding matches the scalar reference / batch oracle exactly —
+        a prefix-sum difference would drift in the last ulp."""
+        total = hi_count - lo_count
+        take = min(total, max(budget, 0))
+        if take <= 0:
+            return total, 0, 0.0, 0.0, acc, None
+        first_i = a_pos[lo_count]  # (lo_count+1)-th anomalous event
+        last_i = a_pos[lo_count + take - 1]
+        for v in size[a_pos[lo_count : lo_count + take]]:
+            acc += v
+        return total, take, ts[first_i], end_s[last_i], acc, attackers[first_i]
+
+    out: list[tuple] = []
+    prev_count = 0  # cumulative anomalous count consumed so far
+    for t in trig:
+        seg_hi = cs_count[t]  # anomalous events before this trigger
+        total, take, f_ts, l_end, acc, attk = seg_stats(
+            prev_count, seg_hi, max_run - matched, sum_size
+        )
+        if run_count == 0 and total > 0:
+            first_ts, attacker = f_ts, str(attk)
+        run_count += total
+        if take > 0:
+            matched += take
+            last_end = l_end
+            sum_size = acc
+        if run_count >= min_run and ts[t] - first_ts <= window_seconds:
+            avg_size = sum_size / matched
+            avg_packets = float(metric[t])
+            out.append(
+                (
+                    key_str,
+                    first_ts,
+                    last_end,
+                    attacker,
+                    matched,
+                    avg_packets,
+                    avg_size,
+                    (avg_packets - avg_size) / avg_packets * 100.0,
+                )
+            )
+        run_count, matched, first_ts, last_end, sum_size, attacker = EMPTY_STATE
+        prev_count = seg_hi
+
+    # tail segment after the last trigger -> carry-out state
+    total, take, f_ts, l_end, acc, attk = seg_stats(
+        prev_count, cs_count[-1] if n else 0, max_run - matched, sum_size
+    )
+    if total > 0:
+        if run_count == 0:
+            first_ts, attacker = f_ts, str(attk)
+        run_count += total
+        if take > 0:
+            matched += take
+            last_end = l_end
+            sum_size = acc
+    return out, (run_count, matched, first_ts, last_end, sum_size, attacker)
 
 
 def detect_attack_runs_stream(

@@ -1,0 +1,76 @@
+"""Property test: the vectorized batch processor is exactly equivalent to
+the scalar reference state machine, on random event sequences and random
+batch splits (carry-state across batches). Pure pandas — no Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spot_anomalies_flink_workshop_resources_spark.streaming.detector import (
+    EMPTY_STATE,
+    _process_batch_scalar,
+    _process_batch_vectorized,
+)
+
+PARAMS = dict(
+    key_str="k",
+    low_threshold=10.0,
+    high_threshold=10.0,
+    min_run=3,
+    max_run=6,
+    window_seconds=50.0,
+)
+
+
+def _frame(metrics, t0=0.0):
+    n = len(metrics)
+    ts = pd.to_datetime((np.arange(n) * 2.0 + t0) * 1e6, unit="us")
+    # sizes chosen to be FP-rounding-sensitive: a sum computed in a
+    # different association order would differ in the last ulp, so the
+    # equality assertion also pins summation order
+    sizes = np.array(metrics, dtype=float) * 1.1 + np.arange(n) * 0.0137
+    return pd.DataFrame(
+        {
+            "_ts": ts,
+            "_oid": np.arange(n),
+            "_metric": np.array(metrics, dtype=float),
+            "_size": sizes,
+            "_end_ts": ts + pd.Timedelta(milliseconds=10),
+            "_attacker": [f"a{i}" for i in range(n)],
+        }
+    )
+
+
+@given(
+    metrics=st.lists(
+        st.sampled_from([1.0, 5.0, 10.0, 15.0, 200.0]), min_size=0, max_size=120
+    ),
+    split=st.integers(min_value=0, max_value=120),
+)
+@settings(max_examples=300, deadline=None)
+def test_vectorized_equals_scalar(metrics, split):
+    split = min(split, len(metrics))
+    chunks = [metrics[:split], metrics[split:]]
+    s_state = v_state = EMPTY_STATE
+    s_out_all, v_out_all = [], []
+    offset = 0.0
+    for chunk in chunks:
+        df = _frame(chunk, t0=offset)
+        offset += len(chunk) * 2.0
+        s_out, s_state = _process_batch_scalar(df, s_state, **PARAMS)
+        v_out, v_state = _process_batch_vectorized(df, v_state, **PARAMS)
+        s_out_all += s_out
+        v_out_all += v_out
+    assert v_out_all == s_out_all
+    assert v_state == s_state
+
+
+def test_vectorized_handles_nan_rows():
+    df = _frame([1.0, 1.0, 1.0, 1.0, 200.0])
+    df.loc[2, "_metric"] = np.nan
+    s_out, s_state = _process_batch_scalar(df, EMPTY_STATE, **PARAMS)
+    v_out, v_state = _process_batch_vectorized(df, EMPTY_STATE, **PARAMS)
+    assert v_out == s_out and v_state == s_state
