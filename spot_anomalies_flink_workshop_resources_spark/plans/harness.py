@@ -192,6 +192,90 @@ HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT MAX(ts) FROM events)
 """
 
 
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join demo on events: each click gets the latest prior
+    purchase value for the same user. Oracle: DuckDB's native ASOF JOIN.
+    The right side is deduped per (user, ts) so tie-picking is
+    deterministic in both engines."""
+    from pyspark.sql import functions as F
+
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_purchase_value").alias("last_purchase_value"),
+    )
+
+
+ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, p.purchase_value AS last_purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL sketch). Sketches differ across
+    engines, so there is deliberately NO value oracle — the driver's
+    rows-only check covers shape; accuracy is asserted in unit tests
+    against the exact counts."""
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+    )
+
+
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix (explicit value list keeps
+    the output schema deterministic). Oracle: conditional aggregation."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+PIVOT_ORACLE = """
+SELECT user_id,
+       COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+       COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
+       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+       COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+       COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error
+FROM events
+GROUP BY user_id
+"""
+
+
 def build_queries() -> dict[str, QueryFn]:
     from . import pipeline_ops, relational  # late import: keeps module load cheap
 
@@ -201,6 +285,9 @@ def build_queries() -> dict[str, QueryFn]:
         "ml_ipinsights_score": ml_ipinsights_score,
         "stream_session_rollup": stream_session_rollup,
         "stream_tumbling_rollup": stream_tumbling_rollup,
+        "asof_click_purchase": asof_click_purchase,
+        "approx_distinct_parts": approx_distinct_parts,
+        "pivot_event_type_counts": pivot_event_type_counts,
     }
     out.update(relational.QUERIES)
     out.update(pipeline_ops.QUERIES)
@@ -218,6 +305,10 @@ def build_oracles() -> dict[str, str]:
         "cep_fragmentation_stream": cep_fragmentation_oracle(),
         "stream_session_rollup": STREAM_SESSION_ORACLE,
         "stream_tumbling_rollup": STREAM_TUMBLING_ORACLE,
+        "asof_click_purchase": ASOF_ORACLE,
+        "pivot_event_type_counts": PIVOT_ORACLE,
+        # approx_distinct_parts: intentionally no oracle (sketches differ
+        # across engines) -> rows-only check
     }
     out.update(relational.ORACLES)
     out.update(pipeline_ops.ORACLES)
