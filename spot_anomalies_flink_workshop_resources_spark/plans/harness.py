@@ -276,6 +276,42 @@ GROUP BY user_id
 """
 
 
+def events_daily_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient (two-phase salted) variant of events_daily_rollup —
+    must produce IDENTICAL results; checked against the same oracle.
+    countDistinct cannot ride the salt (not decomposable as-is), so the
+    distinct-user count recombines via a collected set size."""
+    from pyspark.sql import functions as F
+
+    from ..operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        "user_id",
+    )
+    out = salted_agg(
+        e,
+        ["day", "event_type"],
+        {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events").cast("long")),
+            "sum_value": (F.sum("v"), F.sum("sum_value")),
+            "users": (
+                F.collect_set("user_id"),
+                F.array_distinct(F.flatten(F.collect_list("users"))),
+            ),
+        },
+    )
+    return out.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("string").cast("double").alias("sum_value"),
+        F.size("users").cast("long").alias("active_users"),
+    )
+
+
 def build_queries() -> dict[str, QueryFn]:
     from . import pipeline_ops, relational  # late import: keeps module load cheap
 
@@ -288,6 +324,7 @@ def build_queries() -> dict[str, QueryFn]:
         "asof_click_purchase": asof_click_purchase,
         "approx_distinct_parts": approx_distinct_parts,
         "pivot_event_type_counts": pivot_event_type_counts,
+        "events_daily_rollup_salted": events_daily_rollup_salted,
     }
     out.update(relational.QUERIES)
     out.update(pipeline_ops.QUERIES)
@@ -307,6 +344,8 @@ def build_oracles() -> dict[str, str]:
         "stream_tumbling_rollup": STREAM_TUMBLING_ORACLE,
         "asof_click_purchase": ASOF_ORACLE,
         "pivot_event_type_counts": PIVOT_ORACLE,
+        # salted variant must equal the plain rollup: same oracle
+        "events_daily_rollup_salted": relational.EVENTS_DAILY_SQL,
         # approx_distinct_parts: intentionally no oracle (sketches differ
         # across engines) -> rows-only check
     }
