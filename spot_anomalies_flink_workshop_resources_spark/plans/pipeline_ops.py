@@ -55,6 +55,10 @@ def dedup_embedding(spark, sf_dir):
     return D.embedding_near_dup(_embs(spark, sf_dir), threshold=0.3)
 
 
+def dedup_components(spark, sf_dir):
+    return D.dup_components(_docs(spark, sf_dir), threshold=0.5, shingle_n=3)
+
+
 def simsearch_brute_force(spark, sf_dir):
     return S.brute_force_topk(_embs(spark, sf_dir))
 
@@ -73,6 +77,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_components": dedup_components,
     "simsearch_brute_force": simsearch_brute_force,
     "simsearch_ivf": simsearch_ivf,
 }
@@ -87,6 +92,7 @@ ORACLES = {
     "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3),
     "dedup_simhash": D.simhash_sql(),
     "dedup_embedding": D.embedding_near_dup_sql(threshold=0.3),
+    "dedup_components": D.dup_components_sql(threshold=0.5, shingle_n=3),
     "simsearch_brute_force": S.brute_force_topk_sql(),
     "simsearch_ivf": S.ivf_topk_sql(),
 }

@@ -63,6 +63,25 @@ def test_minhash_lsh_finds_identical_docs(spark):
     assert [(r.doc_a, r.doc_b, r.jaccard) for r in out] == [(0, 1, 1.0)]
 
 
+def test_dup_components_keep_decision(spark):
+    # docs 0,1,2 form one chained near-dup cluster (0~1, 1~2); 3 is alone
+    df = _docs(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon eta",  # ~0 (shares 3 shingles of 4)
+            "beta gamma delta epsilon eta theta",  # ~1, not directly ~0
+            "totally different words entirely here now",
+        ],
+    )
+    out = {r.doc_id: (r.component_rep, r.is_kept)
+           for r in dedup.dup_components(df, threshold=0.4).collect()}
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)  # transitively joined to 0's cluster
+    assert out[2][0] == 0 and out[2][1] is False
+    assert out[3] == (3, True)
+
+
 def test_simhash_identical_and_different(spark):
     df = _docs(spark, ["alpha beta gamma", "alpha beta gamma", "delta epsilon zeta"])
     out = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
