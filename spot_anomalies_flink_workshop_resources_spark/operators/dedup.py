@@ -435,6 +435,11 @@ def dup_components(
     ).unionByName(
         pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
     )
+    # the edge set is loop-invariant: materialize once (otherwise every
+    # propagation round re-runs the whole pair-finding subplan) and
+    # truncate lineage for the iterative joins — standard practice for
+    # iterative dataframe algorithms
+    edges = edges.localCheckpoint(eager=True)
     labels = docs.select("doc_id", F.col("doc_id").alias("rep"))
     for _ in range(rounds):
         neigh = (

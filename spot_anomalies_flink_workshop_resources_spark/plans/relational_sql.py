@@ -91,12 +91,28 @@ def _sql_query(sql: str):
     return run
 
 
+# NOT IN with a nullable subquery — the classic three-valued-logic trap:
+# if the subquery produced any NULL, NOT IN yields no rows at all. Both
+# engines implement the same ANSI semantics; the predicate guards nulls
+# explicitly the way production queries should.
+PARTS_NO_CHEAP_ORDER_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_partkey NOT IN (
+  SELECT l_partkey FROM lineitem
+  WHERE l_extendedprice < 2000.0 AND l_partkey IS NOT NULL
+)
+  AND p_retailprice > 915.0
+"""
+
+
 QUERIES = {
     "sql_cheapest_part_per_type": _sql_query(CHEAPEST_PART_SQL),
     "sql_idle_rich_customers": _sql_query(IDLE_RICH_CUSTOMERS_SQL),
     "sql_order_count_distribution": _sql_query(ORDER_COUNT_DISTRIBUTION_SQL),
     "sql_orders_rollup": _sql_query(ORDERS_ROLLUP_SQL),
     "sql_price_quantiles": _sql_query(_SPARK_QUANTILES),
+    "sql_parts_no_cheap_order": _sql_query(PARTS_NO_CHEAP_ORDER_SQL),
 }
 
 ORACLES = {
@@ -105,4 +121,5 @@ ORACLES = {
     "sql_order_count_distribution": ORDER_COUNT_DISTRIBUTION_SQL,
     "sql_orders_rollup": ORDERS_ROLLUP_ORACLE,
     "sql_price_quantiles": _DUCKDB_QUANTILES,
+    "sql_parts_no_cheap_order": PARTS_NO_CHEAP_ORDER_SQL,
 }

@@ -96,6 +96,28 @@ def test_parse_events_tolerant_timestamps(spark):
     assert out[3].timestamp_start is None and out[3].event_time is None
 
 
+def test_parse_events_garbage_input(spark):
+    """PERMISSIVE contract: malformed JSON / wrong shapes become null
+    rows rather than failures (JsonDeserializationSchema tolerance)."""
+    payloads = [
+        "not json at all",
+        "{broken",
+        "[1,2,3]",
+        '{"packets": "NaNish", "ip_dst": "10.0.0.1"}',
+        "",
+    ]
+    out = parse_events(
+        spark.createDataFrame([(p,) for p in payloads], ["value"])
+    ).collect()
+    assert len(out) == len(payloads)
+    # the one partially-valid record keeps its parseable fields
+    good = [r for r in out if r.ip_dst == "10.0.0.1"]
+    assert len(good) == 1 and good[0].packets is None
+    # the rest are all-null rows, never exceptions
+    for r in out:
+        assert r.event_time is None or r.ip_dst == "10.0.0.1"
+
+
 def test_parse_events_int_ports(spark):
     ev = _event("10.0.0.1", "1.1.1.1", 0, 5)
     ev["port_src"], ev["port_dst"] = 443, 8080  # ints, as producer lambda emits
