@@ -106,6 +106,21 @@ WHERE p_partkey NOT IN (
 """
 
 
+# CUBE over two dims (all four grouping sets)
+ORDERS_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+# EXCEPT set op: nations with customers but no well-capitalized supplier
+NATIONS_EXCEPT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 7000.0
+"""
+
+
 QUERIES = {
     "sql_cheapest_part_per_type": _sql_query(CHEAPEST_PART_SQL),
     "sql_idle_rich_customers": _sql_query(IDLE_RICH_CUSTOMERS_SQL),
@@ -113,6 +128,8 @@ QUERIES = {
     "sql_orders_rollup": _sql_query(ORDERS_ROLLUP_SQL),
     "sql_price_quantiles": _sql_query(_SPARK_QUANTILES),
     "sql_parts_no_cheap_order": _sql_query(PARTS_NO_CHEAP_ORDER_SQL),
+    "sql_orders_cube": _sql_query(ORDERS_CUBE_SQL),
+    "sql_nations_except": _sql_query(NATIONS_EXCEPT_SQL),
 }
 
 ORACLES = {
@@ -122,4 +139,6 @@ ORACLES = {
     "sql_orders_rollup": ORDERS_ROLLUP_ORACLE,
     "sql_price_quantiles": _DUCKDB_QUANTILES,
     "sql_parts_no_cheap_order": PARTS_NO_CHEAP_ORDER_SQL,
+    "sql_orders_cube": ORDERS_CUBE_SQL,
+    "sql_nations_except": NATIONS_EXCEPT_SQL,
 }
