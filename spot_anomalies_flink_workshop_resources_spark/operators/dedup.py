@@ -348,7 +348,8 @@ contrib AS (
   GROUP BY doc_id, b
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+         AS BIGINT) AS simhash
 FROM contrib
 GROUP BY doc_id
 """

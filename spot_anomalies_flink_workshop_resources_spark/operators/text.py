@@ -167,8 +167,8 @@ def token_rollup(docs: DataFrame) -> DataFrame:
 TOKEN_ROLLUP_SQL = f"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(len(regexp_extract_all(lower(text), '{BPE_RE}'))) AS total_bpe_tokens,
-       SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_words,
+       CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_RE}'))) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_words,
        CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_RE}'))) AS DOUBLE)
          / SUM(len(string_split_regex(trim(text), '\\s+'))) AS tokens_per_word
 FROM documents

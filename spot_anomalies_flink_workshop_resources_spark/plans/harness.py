@@ -266,11 +266,11 @@ def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_ORACLE = """
 SELECT user_id,
-       COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
-       COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
-       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-       COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
-       COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error
 FROM events
 GROUP BY user_id
 """

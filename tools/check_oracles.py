@@ -1,16 +1,25 @@
 """Self-check: run every queries() entry and its DuckDB oracle, compare.
 
 Mimics the driver's correctness gate: row count, column names, and
-order-insensitive value comparison. Exact equality is required for
-non-float cells; floats must match to ~1e-9 relative (the harness
-hash-compares, so the engine aims for bit-equality via exact decimal
-aggregation — this script reports max float deltas so drift is visible).
+order-insensitive value comparison **through Arrow on both sides** —
+`DataFrame.toArrow()` for Spark, `.arrow()` for DuckDB — so the cell
+types are the ones the driver hashes. In particular DuckDB's HUGEINT
+(integer SUM) materializes as decimal128(38,0) -> Decimal, which must
+NOT silently equal Spark's bigint -> int: a non-float type mismatch is
+a FAIL here exactly as it is a hash mismatch in the driver (round-1
+lesson: five oracles shipped "green" locally under float coercion and
+failed the driver).
+
+Floats must match to ~1e-9 relative (the harness hash-compares, so the
+engine aims for bit-equality via exact decimal aggregation — this
+script reports max float deltas so drift is visible).
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 import sys
 
@@ -22,48 +31,66 @@ from spot_anomalies_flink_workshop_resources_spark.catalog import TABLES
 from spot_anomalies_flink_workshop_resources_spark.session import build_session
 
 
+def _norm_cell(v):
+    # Spark's Arrow timestamps carry the session tz; DuckDB's are naive.
+    # Both engines agree on the instant, so compare tz-normalized naive.
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
 def normalize(rows, cols):
     out = []
     for row in rows:
         d = dict(zip(cols, row))
-        out.append(tuple(d[c] for c in sorted(cols)))
+        out.append(tuple(_norm_cell(d[c]) for c in sorted(cols)))
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+def _rows(arrow_table):
+    cols = arrow_table.column_names
+    data = [arrow_table.column(c).to_pylist() for c in cols]
+    return [tuple(col[i] for col in data) for i in range(arrow_table.num_rows)], cols
+
+
 def compare(name, spark_df, con, sql):
-    sdf = spark_df.toPandas()
-    odf = con.sql(sql).df()
-    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    stab = spark_df.toArrow()
+    otab = con.sql(sql).arrow()
+    sraw, scols_orig = _rows(stab)
+    oraw, ocols_orig = _rows(otab)
+    scols, ocols = sorted(scols_orig), sorted(ocols_orig)
     if scols != ocols:
         return f"FAIL {name}: columns spark={scols} oracle={ocols}"
-    if len(sdf) != len(odf):
-        return f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}"
-    srows = normalize(sdf.itertuples(index=False, name=None), list(sdf.columns))
-    orows = normalize(odf.itertuples(index=False, name=None), list(odf.columns))
+    if len(sraw) != len(oraw):
+        return f"FAIL {name}: rows spark={len(sraw)} oracle={len(oraw)}"
+    srows = normalize(sraw, scols_orig)
+    orows = normalize(oraw, ocols_orig)
     max_delta = 0.0
     for i, (sr, orr) in enumerate(zip(srows, orows)):
         for sv, ov in zip(sr, orr):
             if sv is None and ov is None:
                 continue
-            if isinstance(sv, float) or isinstance(ov, float):
-                if sv is None or ov is None:
-                    return f"FAIL {name}: row {i} null mismatch {sv!r} vs {ov!r}"
-                try:
-                    fv, fo = float(sv), float(ov)
-                except (TypeError, ValueError):
-                    return f"FAIL {name}: row {i} type mismatch {sv!r} vs {ov!r}"
-                if math.isnan(fv) and math.isnan(fo):
+            if sv is None or ov is None:
+                return f"FAIL {name}: row {i} null mismatch {sv!r} vs {ov!r}"
+            if isinstance(sv, float) and isinstance(ov, float):
+                if math.isnan(sv) and math.isnan(ov):
                     continue
-                delta = abs(fv - fo)
-                rel = delta / max(abs(fv), abs(fo), 1e-30)
+                delta = abs(sv - ov)
+                rel = delta / max(abs(sv), abs(ov), 1e-30)
                 max_delta = max(max_delta, rel)
-                if fv != fo and rel > 1e-9:
+                if sv != ov and rel > 1e-9:
                     return f"FAIL {name}: row {i} value {sv!r} vs {ov!r}"
             else:
-                if str(sv) != str(ov):
+                # Driver-strict: the Arrow cell type is part of the hash.
+                if type(sv) is not type(ov):
+                    return (
+                        f"FAIL {name}: row {i} type mismatch "
+                        f"{type(sv).__name__}({sv!r}) vs {type(ov).__name__}({ov!r})"
+                    )
+                if sv != ov and str(sv) != str(ov):
                     return f"FAIL {name}: row {i} value {sv!r} vs {ov!r}"
     exact = " exact" if max_delta == 0.0 else f" max_rel_delta={max_delta:.2e}"
-    return f"OK   {name}: {len(sdf)} rows{exact}"
+    return f"OK   {name}: {len(srows)} rows{exact}"
 
 
 def main():
