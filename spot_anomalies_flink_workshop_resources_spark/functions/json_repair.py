@@ -34,9 +34,13 @@ def repair_json_column(col: Column) -> Column:
     start = F.instr(no_fences, "{")
     # last '}' = length - position of first '}' in the reversed string + 1
     rev = F.reverse(no_fences)
-    end = F.length(no_fences) - F.instr(rev, "}") + 1
+    close_pos = F.instr(rev, "}")
+    end = F.length(no_fences) - close_pos + 1
     body = F.substring(no_fences, start, (end - start + F.lit(1)))
     escaped = F.regexp_replace(body, "\r\n|\n|\r", "\\\\n")
+    # close_pos > 0 matters: with no '}' at all, end = length+1 > start
+    # would pass the span check and emit a truncated non-JSON body where
+    # the Python twin returns None
     return F.when(
-        (start > 0) & (end > start), escaped
+        (start > 0) & (close_pos > 0) & (end > start), escaped
     ).otherwise(F.lit(None).cast("string"))

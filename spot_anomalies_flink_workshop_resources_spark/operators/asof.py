@@ -35,14 +35,31 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    right_order: str | None = None,
 ) -> DataFrame:
     """Full left row + ``asof_<col>`` columns from the most recent right
-    row (right_ts <= left_ts) per key; nulls where no prior right row."""
+    row (right_ts <= left_ts) per key; nulls where no prior right row.
+
+    ``right_order`` breaks ties among right rows sharing the same
+    (key, right_ts): the row with the GREATEST order value wins. When
+    omitted, the struct of ``value_cols`` is the tiebreaker — still
+    deterministic (greatest value tuple wins) but semantically arbitrary,
+    so callers with duplicate (key, ts) right rows should pass an
+    explicit order column. Without this the window ordered only by
+    (_t, _side) and ``last(ignorenulls=True)`` picked whichever
+    duplicate happened to sort last — plan-dependent output.
+    """
     left_cols = left.columns
+    tie = (
+        F.col(right_order)
+        if right_order is not None
+        else F.struct(*[F.col(c) for c in value_cols])
+    )
     rtag = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
+        tie.alias("_ro"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
@@ -53,6 +70,7 @@ def asof_join(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
+        F.lit(None).cast(rtag.schema["_ro"].dataType).alias("_ro"),
         *[
             F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
             for c in value_cols
@@ -61,7 +79,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side")
+        .orderBy("_t", "_side", F.col("_ro").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = rtag.unionByName(ltag).select(

@@ -138,7 +138,13 @@ def detect_attack_runs(
         F.count(F.lit(1)).alias("_run_len"),
         F.sum(F.when(matched, 1).otherwise(0)).cast("long").alias("_frag_count"),
         F.min("_ts").alias("_first_ts"),
-        F.max(F.when(matched, F.col("_end_ts"))).alias("_last_matched_end"),
+        # end time of the LAST matched event in (ts, oid) order — the
+        # reference takes last.getTsEnd() (AD.java:159), which differs
+        # from MAX(end_ts) when flow end times are non-monotone
+        # (overlapping flows); keeps batch == streaming scalar twin.
+        F.max_by("_end_ts", F.when(matched, F.struct("_ts", "_oid"))).alias(
+            "_last_matched_end"
+        ),
         F.avg(F.when(matched, F.col("_size"))).alias("_avg_size"),
         F.min_by("_attacker", F.struct("_ts", "_oid")).alias("_first_attacker"),
         F.min_by("_metric", F.struct("_ts", "_oid")).alias("_first_metric"),
@@ -255,7 +261,8 @@ per_run AS (
          COUNT(*) AS run_len,
          SUM(CASE WHEN rn <= {max_run} THEN 1 ELSE 0 END) AS frag_count,
          MIN(ts) AS first_ts,
-         MAX(CASE WHEN rn <= {max_run} THEN ts END) AS last_matched_ts,
+         ARG_MAX(ts, CASE WHEN rn <= {max_run} THEN rn END)
+           AS last_matched_ts,
          AVG(CASE WHEN rn <= {max_run} THEN size END) AS avg_size,
          ARG_MIN(oid, rn) AS first_oid,
          ARG_MIN(metric, rn) AS first_metric

@@ -217,8 +217,12 @@ def _process_batch_vectorized(
         return [], state_tuple
 
     ts = batch["_ts"].to_numpy("datetime64[us]").astype("int64") / 1e6
-    end_raw = batch["_end_ts"].to_numpy("datetime64[us]").astype("float64") / 1e6
-    end_s = np.where(np.isnan(end_raw), ts, end_raw)
+    # NaT does NOT become NaN under datetime64->float casts (it becomes
+    # int64-min/1e6 ~= -9.22e12), so mask nulls explicitly before the
+    # conversion — matches the scalar reference's pd.isna(end_ts) branch.
+    end_isnat = batch["_end_ts"].isna().to_numpy()
+    end_raw = batch["_end_ts"].to_numpy("datetime64[us]").astype("int64") / 1e6
+    end_s = np.where(end_isnat, ts, end_raw)
     size = np.nan_to_num(batch["_size"].to_numpy(dtype=float), nan=0.0)
     attackers = batch["_attacker"].to_numpy(dtype=object)
 

@@ -69,3 +69,31 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     )
     for r in rows:
         assert abs(r.approx - r.exact) / r.exact < 0.1  # HLL default ~2% rsd
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """Right rows sharing (key, ts): the greatest right_order value wins,
+    deterministically (regression: window ordered only by (_t, _side)
+    let last() pick an arbitrary duplicate)."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    right = spark.createDataFrame(
+        [("u1", t, 100.0, 1), ("u1", t, 999.0, 2), ("u1", t, 500.0, 0)],
+        "user string, ts timestamp, purchase_value double, seq int",
+    )
+    left = spark.createDataFrame(
+        [("u1", t + dt.timedelta(seconds=5))], "user string, ts timestamp"
+    )
+    for _ in range(3):
+        out = asof_join(
+            left, right, key="user", left_ts="ts", right_ts="ts",
+            value_cols=["purchase_value"], right_order="seq",
+        ).collect()
+        assert out[0].asof_purchase_value == 999.0  # seq=2 wins
+    # default tiebreaker: greatest value-struct → 999.0 as well
+    out = asof_join(
+        left, right, key="user", left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value"],
+    ).collect()
+    assert out[0].asof_purchase_value == 999.0

@@ -173,3 +173,20 @@ def test_generic_detector_on_events_table(spark, sf_dir):
         assert 2 <= r.fragment_count <= 5
         assert r.avg_packets > 20.0
         assert r.avg_fragment_size < 10.0
+
+
+def test_end_time_is_last_event_not_max(spark):
+    """Overlapping flows: a mid-run fragment whose flow END is later than
+    the last fragment's end. The reference reports last.getTsEnd()
+    (AD.java:159) — the LAST matched event's end in (ts, oid) order —
+    not MAX(end_ts) over matched events. Keeps batch == streaming twin."""
+    rows = _burst("10.0.0.5", "192.168.1.9", 0, 12)
+    # event at sec 2 belongs to a long-lived flow ending AFTER the run
+    long_flow = list(rows[4])
+    long_flow[3] = T0 + dt.timedelta(seconds=100)
+    rows[4] = tuple(long_flow)
+    rows.append(_ev("10.0.0.5", "1.2.3.4", 10, 200, 15000))
+    out = _detect(spark, rows)
+    assert len(out) == 1
+    expect_end = (T0 + dt.timedelta(seconds=11 * 0.5, milliseconds=10)).timestamp()
+    assert out[0].attack_end_time == pytest.approx(expect_end)

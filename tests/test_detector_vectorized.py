@@ -25,20 +25,25 @@ PARAMS = dict(
 )
 
 
-def _frame(metrics, t0=0.0):
+def _frame(metrics, t0=0.0, nat_every=0):
     n = len(metrics)
     ts = pd.to_datetime((np.arange(n) * 2.0 + t0) * 1e6, unit="us")
     # sizes chosen to be FP-rounding-sensitive: a sum computed in a
     # different association order would differ in the last ulp, so the
     # equality assertion also pins summation order
     sizes = np.array(metrics, dtype=float) * 1.1 + np.arange(n) * 0.0137
+    end_ts = pd.Series(ts + pd.Timedelta(milliseconds=10))
+    if nat_every:
+        # serde's tolerant parsing admits null timestamp_end — the
+        # vectorized path must fall back to ts exactly like the scalar one
+        end_ts[::nat_every] = pd.NaT
     return pd.DataFrame(
         {
             "_ts": ts,
             "_oid": np.arange(n),
             "_metric": np.array(metrics, dtype=float),
             "_size": sizes,
-            "_end_ts": ts + pd.Timedelta(milliseconds=10),
+            "_end_ts": end_ts,
             "_attacker": [f"a{i}" for i in range(n)],
         }
     )
@@ -49,16 +54,17 @@ def _frame(metrics, t0=0.0):
         st.sampled_from([1.0, 5.0, 10.0, 15.0, 200.0]), min_size=0, max_size=120
     ),
     split=st.integers(min_value=0, max_value=120),
+    nat_every=st.sampled_from([0, 1, 2, 3]),
 )
 @settings(max_examples=300, deadline=None)
-def test_vectorized_equals_scalar(metrics, split):
+def test_vectorized_equals_scalar(metrics, split, nat_every):
     split = min(split, len(metrics))
     chunks = [metrics[:split], metrics[split:]]
     s_state = v_state = EMPTY_STATE
     s_out_all, v_out_all = [], []
     offset = 0.0
     for chunk in chunks:
-        df = _frame(chunk, t0=offset)
+        df = _frame(chunk, t0=offset, nat_every=nat_every)
         offset += len(chunk) * 2.0
         s_out, s_state = _process_batch_scalar(df, s_state, **PARAMS)
         v_out, v_state = _process_batch_vectorized(df, v_state, **PARAMS)
@@ -74,3 +80,14 @@ def test_vectorized_handles_nan_rows():
     s_out, s_state = _process_batch_scalar(df, EMPTY_STATE, **PARAMS)
     v_out, v_state = _process_batch_vectorized(df, EMPTY_STATE, **PARAMS)
     assert v_out == s_out and v_state == s_state
+
+
+def test_vectorized_null_end_ts_falls_back_to_ts():
+    """Regression: NaT end_ts once became int64-min/1e6 (-9.22e12) in the
+    vectorized path instead of falling back to the event ts."""
+    df = _frame([1.0, 1.0, 1.0, 1.0, 200.0], nat_every=1)
+    s_out, s_state = _process_batch_scalar(df, EMPTY_STATE, **PARAMS)
+    v_out, v_state = _process_batch_vectorized(df, EMPTY_STATE, **PARAMS)
+    assert v_out == s_out and v_state == s_state
+    assert v_out, "expected an alert"
+    assert v_out[0][2] > 0, "attack_end_time must be the event ts, not int64-min"

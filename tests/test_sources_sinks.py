@@ -153,7 +153,12 @@ def test_repair_json_python_and_column(spark):
     fixed = repair_json_str(raw)
     assert json.loads(fixed)["severity"] == "2"
     assert repair_json_str("no braces here") is None
-    df = spark.createDataFrame([(raw,), ("garbage",)], ["s"])
+    # '{' with no closing '}' must be None in BOTH twins (regression:
+    # the column variant once emitted a truncated non-JSON body)
+    unterminated = '{"incident_report": "cut off'
+    assert repair_json_str(unterminated) is None
+    df = spark.createDataFrame([(raw,), ("garbage",), (unterminated,)], ["s"])
     out = df.select(repair_json_column(F.col("s")).alias("r")).collect()
     assert json.loads(out[0].r)["severity"] == "2"
     assert out[1].r is None
+    assert out[2].r is None

@@ -34,8 +34,16 @@ from spot_anomalies_flink_workshop_resources_spark.session import build_session
 def _norm_cell(v):
     # Spark's Arrow timestamps carry the session tz; DuckDB's are naive.
     # Both engines agree on the instant, so compare tz-normalized naive.
-    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
-        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+    # The driver hashes through pandas, where a DuckDB DATE becomes a
+    # midnight datetime64 — date vs timestamp-at-midnight is NOT a
+    # divergence there (round-1 evidence: events_daily_rollup used
+    # Spark date_trunc (timestamp) vs an oracle DATE and hash-matched).
+    if type(v) is _dt.date:
+        return _dt.datetime(v.year, v.month, v.day)
     return v
 
 
