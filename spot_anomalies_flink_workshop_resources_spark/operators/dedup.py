@@ -463,6 +463,101 @@ def dup_components(
     )
 
 
+def dup_components_converged(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Fixpoint variant of :func:`dup_components` — exact for ANY
+    component diameter, the production form at 100 TB where dup graphs
+    have long chains.
+
+    Each round does (a) neighbor-min propagation and (b) pointer
+    jumping (``rep := rep of rep``), so labels converge in
+    O(log diameter) rounds rather than O(diameter); a changed-label
+    count per round stops the loop at fixpoint. Every round's labels are
+    ``localCheckpoint``-ed: the convergence count is one cheap action on
+    a materialized frame, and lineage stays flat across iterations.
+    Iterative, hence no SQL oracle — the driver's rows-only check plus
+    unit tests (diameter-6 chain, two components, ring) cover it.
+    """
+    pairs = jaccard_pairs(docs, threshold=threshold, shingle_n=shingle_n)
+    return components_from_pairs(
+        docs.select("doc_id"),
+        pairs.select("doc_a", "doc_b"),
+        max_rounds=max_rounds,
+    )
+
+
+def components_from_pairs(
+    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components over an explicit undirected pair list.
+
+    ``nodes``: one column ``doc_id``; ``pairs``: columns
+    ``doc_a``/``doc_b``. See :func:`dup_components_converged` for the
+    algorithm; factored out so any near-dup pair source (jaccard,
+    minhash-LSH, simhash, embedding) can feed the same keep/drop
+    resolution, and so convergence is unit-testable on crafted graphs.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = nodes.select("doc_id", F.col("doc_id").alias("rep"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("d_id"), "rep"),
+                F.col("d") == F.col("d_id"),
+            )
+            .groupBy("s")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        stepped = labels.join(neigh, labels.doc_id == neigh.s, "left").select(
+            "doc_id",
+            F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))).alias(
+                "rep"
+            ),
+        )
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("doc_id").alias("j_id"), F.col("rep").alias("j_rep")
+                ),
+                F.col("a.rep") == F.col("j_id"),
+                "left",
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.least(
+                    F.col("a.rep"), F.coalesce(F.col("j_rep"), F.col("a.rep"))
+                ).alias("rep"),
+            )
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.join(
+                labels.select("doc_id", F.col("rep").alias("old_rep")), "doc_id"
+            )
+            .where(F.col("rep") != F.col("old_rep"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("rep").alias("component_rep"),
+        (F.col("doc_id") == F.col("rep")).alias("is_kept"),
+    )
+
+
 def dup_components_sql(
     threshold: float = 0.5, shingle_n: int = 3, rounds: int = 4
 ) -> str:

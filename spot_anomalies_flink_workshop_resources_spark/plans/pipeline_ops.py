@@ -59,6 +59,15 @@ def dedup_components(spark, sf_dir):
     return D.dup_components(_docs(spark, sf_dir), threshold=0.5, shingle_n=3)
 
 
+def dedup_components_converged(spark, sf_dir):
+    """Fixpoint connected components — exact for any diameter (the
+    production form; the bounded twin above stays SQL-expressible for
+    the value oracle). Iterative ⇒ rows-only driver check."""
+    return D.dup_components_converged(
+        _docs(spark, sf_dir), threshold=0.5, shingle_n=3
+    )
+
+
 def simsearch_brute_force(spark, sf_dir):
     return S.brute_force_topk(_embs(spark, sf_dir))
 
@@ -78,6 +87,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_components": dedup_components,
+    "dedup_components_converged": dedup_components_converged,
     "simsearch_brute_force": simsearch_brute_force,
     "simsearch_ivf": simsearch_ivf,
 }

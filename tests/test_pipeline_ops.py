@@ -162,3 +162,52 @@ def test_ivf_restricts_to_bucket(spark):
     out = simsearch.ivf_topk(df, n_queries=1, k=5, n_centroids=2).collect()
     # query 0 lives in the x-axis bucket: {0, 20, 21}; 30 must NOT appear
     assert sorted(r.neighbor_id for r in out) == [20, 21]
+
+
+def test_components_from_pairs_long_chain_converges(spark):
+    """Diameter-9 chain: bounded 4-round propagation provably cannot
+    label the far end (it moves labels <= 4 hops), the fixpoint variant
+    must. Also: ring, two components, isolated node."""
+    nodes = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["doc_a", "doc_b"]
+    )
+    out = {r.doc_id: r.component_rep
+           for r in dedup.components_from_pairs(nodes, chain).collect()}
+    assert out == {i: 0 for i in range(10)}
+
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], ["doc_a", "doc_b"]
+    )
+    out = {r.doc_id: r.component_rep
+           for r in dedup.components_from_pairs(nodes, ring).collect()}
+    assert out == {i: 0 for i in range(10)}
+
+    two = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (6, 7)], ["doc_a", "doc_b"]
+    )
+    out = {r.doc_id: r.component_rep
+           for r in dedup.components_from_pairs(nodes, two).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
+    kept = {r.doc_id for r in dedup.components_from_pairs(nodes, two).collect()
+            if r.is_kept}
+    assert kept == {0, 3, 4, 5, 8, 9}
+
+
+def test_dup_components_converged_on_document_chain(spark):
+    """End-to-end: documents whose jaccard graph is a long chain
+    (sliding 10-word windows, step 2: adjacent J=0.6, distance-2 J=1/3).
+    The bounded 4-round operator leaves the chain fragmented — the
+    documented reason the converged variant exists — while the fixpoint
+    variant resolves one component."""
+    words = [f"w{i:03d}" for i in range(40)]
+    texts = [" ".join(words[s : s + 10]) for s in range(0, 30, 2)]  # 15 docs
+    df = _docs(spark, texts)
+
+    conv = dedup.dup_components_converged(df, threshold=0.5)
+    reps = {r.component_rep for r in conv.collect()}
+    assert reps == {0}, f"chain must collapse to one component, got {reps}"
+
+    bounded = dedup.dup_components(df, threshold=0.5, rounds=4)
+    bounded_reps = {r.component_rep for r in bounded.collect()}
+    assert len(bounded_reps) > 1  # pins why the fixpoint variant exists
