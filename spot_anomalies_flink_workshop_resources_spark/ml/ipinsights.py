@@ -10,13 +10,19 @@ of 3.0 (test resources config.json:10-11).
 Engine equivalent — capability parity, not loss-curve parity
 (SURVEY.md §7.4.5):
 
-- ``IPInsightsModel.train``: negative-sampling embedding trainer in
-  NumPy. Positive pairs pull entity/ip vectors together (sigmoid dot
-  loss), sampled negatives push apart — the same objective family as the
-  SageMaker algorithm. Training pairs are collected to the driver (the
-  reference's training sets are endpoint-payload-sized); at cluster
-  scale the natural port is per-epoch distributed gradients over
-  mapInPandas, noted as the scale path.
+- ``IPInsightsModel.train``: negative-sampling embedding trainer.
+  Positive pairs pull entity/ip vectors together (sigmoid dot loss),
+  sampled negatives push apart — the same objective family as the
+  SageMaker algorithm. Training is DISTRIBUTED: the pair set never
+  reaches the driver. Per epoch, current parameters are broadcast and
+  each shard runs local minibatch SGD inside ``mapInPandas`` (Arrow
+  batches = minibatches), emitting per-index parameter deltas; the
+  driver averages deltas per index (classic parameter averaging /
+  federated-SGD shape). Driver memory is VOCAB-sized (reference scale:
+  20k entities x dim 128 ~ 10 MB — notebook cell 11), data-sized state
+  stays on executors. At vocabularies beyond driver RAM the next step
+  is hash-partitioned parameter blocks; noted, not needed at the
+  reference's scale.
 - ``score_dataframe``: broadcast the two embedding matrices, score with
   a vectorized pandas UDF (Arrow batches, pure NumPy dot products).
   anomaly_score = -(entity . ip): unfamiliar pairs score high
@@ -62,46 +68,131 @@ class IPInsightsModel:
         pairs: DataFrame,
         entity_col: str = "entity",
         ip_col: str = "ip",
+        num_shards: int | None = None,
         **hyper,
     ) -> "IPInsightsModel":
-        """Train on a 2-column pair DataFrame (M1)."""
+        """Train on a 2-column pair DataFrame (M1), distributed.
+
+        Pairs are index-encoded engine-side (broadcast joins against the
+        vocab frames), hash-repartitioned by entity into ``num_shards``
+        shards, and each epoch runs shard-local SGD via ``mapInPandas``
+        against the broadcast parameters. Only vocab-sized artifacts
+        (indexes, embeddings, per-shard deltas) ever reach the driver.
+        """
         hp = {**DEFAULTS, **hyper}
-        rows = pairs.select(
-            F.col(entity_col).cast("string"), F.col(ip_col).cast("string")
-        ).collect()
-        ents = sorted({r[0] for r in rows})
-        ips = sorted({r[1] for r in rows})
-        e_idx = {e: i for i, e in enumerate(ents)}
-        i_idx = {p: i for i, p in enumerate(ips)}
+        spark = pairs.sparkSession
+        sdf = pairs.select(
+            F.col(entity_col).cast("string").alias("entity"),
+            F.col(ip_col).cast("string").alias("ip"),
+        )
+        # vocab: distributed distinct; the index assignment is a
+        # vocab-sized single-partition window (20k rows, not 100 TB)
+        from pyspark.sql import Window
+
+        ents_df = (
+            sdf.select("entity")
+            .distinct()
+            .withColumn("ei", F.row_number().over(Window.orderBy("entity")) - 1)
+        )
+        ips_df = (
+            sdf.select("ip")
+            .distinct()
+            .withColumn("pi", F.row_number().over(Window.orderBy("ip")) - 1)
+        )
+        e_idx = {r["entity"]: r["ei"] for r in ents_df.collect()}
+        i_idx = {r["ip"]: r["pi"] for r in ips_df.collect()}
         rng = np.random.RandomState(hp["seed"])
         dim = hp["vector_dim"]
-        E = (rng.rand(len(ents), dim) - 0.5) / dim
-        P = (rng.rand(len(ips), dim) - 0.5) / dim
+        E = (rng.rand(len(e_idx), dim) - 0.5) / dim
+        P = (rng.rand(len(i_idx), dim) - 0.5) / dim
 
-        ei = np.array([e_idx[r[0]] for r in rows], dtype=np.int64)
-        pi = np.array([i_idx[r[1]] for r in rows], dtype=np.int64)
-        n = len(rows)
+        n_ips = len(i_idx)
         lr, k = hp["learning_rate"], hp["neg_sampling_rate"]
         bs = hp["mini_batch_size"]
+        seed = hp["seed"]
+        shards = num_shards or min(spark.sparkContext.defaultParallelism, 16)
 
-        for _epoch in range(hp["num_epochs"]):
-            order = rng.permutation(n)
-            for start in range(0, n, bs):
-                b = order[start : start + bs]
-                be, bp = ei[b], pi[b]
-                # positive step: pull together
-                ev, pv = E[be], P[bp]
-                g = 1.0 - _sigmoid(np.einsum("ij,ij->i", ev, pv))
-                E[be] += lr * g[:, None] * pv
-                P[bp] += lr * g[:, None] * ev
-                # negative step: push apart k random ips per pair
-                for _ in range(k):
-                    neg = rng.randint(0, len(ips), size=len(b))
-                    nv = P[neg]
-                    ev = E[be]
-                    gn = _sigmoid(np.einsum("ij,ij->i", ev, nv))
-                    E[be] -= lr * gn[:, None] * nv
-                    P[neg] -= lr * gn[:, None] * ev
+        indexed = (
+            sdf.join(F.broadcast(ents_df), "entity")
+            .join(F.broadcast(ips_df), "ip")
+            .select("ei", "pi")
+            .repartition(shards, "ei")  # co-locate an entity's pairs
+            .sortWithinPartitions("ei", "pi")  # deterministic shard order
+        )
+        indexed = indexed.localCheckpoint(eager=True)  # index once, not per epoch
+
+        sc = spark.sparkContext
+        for epoch in range(hp["num_epochs"]):
+            bc = sc.broadcast((E, P))
+
+            def run_shard(batches, _epoch=epoch, _bc=bc):
+                from pyspark import TaskContext
+
+                E0, P0 = _bc.value
+                El, Pl = E0.copy(), P0.copy()
+                pid = TaskContext.get().partitionId()
+                srng = np.random.RandomState(
+                    (seed * 1_000_003 + _epoch * 7919 + pid) % (2**31 - 1)
+                )
+                e_touch = np.zeros(len(El), dtype=bool)
+                p_touch = np.zeros(len(Pl), dtype=bool)
+                for pdf in batches:  # each Arrow batch: minibatch SGD
+                    ei_a = pdf["ei"].to_numpy(np.int64)
+                    pi_a = pdf["pi"].to_numpy(np.int64)
+                    for start in range(0, len(ei_a), bs):
+                        be, bp = ei_a[start : start + bs], pi_a[start : start + bs]
+                        ev, pv = El[be], Pl[bp]
+                        g = 1.0 - _sigmoid(np.einsum("ij,ij->i", ev, pv))
+                        El[be] += lr * g[:, None] * pv
+                        Pl[bp] += lr * g[:, None] * ev
+                        e_touch[be] = True
+                        p_touch[bp] = True
+                        for _ in range(k):
+                            neg = srng.randint(0, n_ips, size=len(be))
+                            nv = Pl[neg]
+                            ev = El[be]
+                            gn = _sigmoid(np.einsum("ij,ij->i", ev, nv))
+                            El[be] -= lr * gn[:, None] * nv
+                            Pl[neg] -= lr * gn[:, None] * ev
+                            p_touch[neg] = True
+                out = []
+                for kind, (loc, base, touch) in enumerate(
+                    [(El, E0, e_touch), (Pl, P0, p_touch)]
+                ):
+                    idxs = np.flatnonzero(touch)
+                    if len(idxs):
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "kind": np.full(len(idxs), kind, dtype=np.int32),
+                                    "idx": idxs,
+                                    "delta": list(loc[idxs] - base[idxs]),
+                                }
+                            )
+                        )
+                if out:
+                    yield from out
+
+            # per-shard deltas are vocab-sized; averaging them per index
+            # is the parameter-averaging merge
+            delta_rows = indexed.mapInPandas(
+                run_shard, "kind int, idx long, delta array<double>"
+            ).collect()
+            bc.unpersist()
+            sums: dict[tuple[int, int], np.ndarray] = {}
+            counts: dict[tuple[int, int], int] = {}
+            for r in delta_rows:
+                key = (r["kind"], r["idx"])
+                v = np.asarray(r["delta"])
+                if key in sums:
+                    sums[key] += v
+                    counts[key] += 1
+                else:
+                    sums[key] = v.copy()
+                    counts[key] = 1
+            for (kind, idx), s in sums.items():
+                tgt = E if kind == 0 else P
+                tgt[idx] += s / counts[(kind, idx)]
         return cls(e_idx, i_idx, E, P)
 
     def score_pairs(self, entities: np.ndarray, ips: np.ndarray) -> np.ndarray:

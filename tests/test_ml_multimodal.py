@@ -125,3 +125,24 @@ def test_frame_sample_plan(spark):
     df = _media(spark).where(F.col("media_id") == 2)  # duration 2500 ms
     out = mm.frame_sample_plan(df, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in out] == [0, 1000, 2000]
+
+
+def test_training_is_sharded_and_discriminates_at_any_shard_count(spark):
+    """Distributed trainer: parameter-averaged shard SGD must preserve
+    the familiar-vs-probe separation regardless of shard count (1 shard
+    == classic sequential SGD; 8 shards == fully parallel)."""
+    pairs = [
+        (f"eni-{e:03d}", f"10.0.{e}.{i}") for e in range(20) for i in range(3)
+    ] * 30
+    df = spark.createDataFrame(pairs, ["entity", "ip"])
+    for shards in (1, 8):
+        m = IPInsightsModel.train(
+            df, vector_dim=16, num_epochs=8, seed=1, num_shards=shards
+        )
+        familiar = [(f"eni-{e:03d}", f"10.0.{e}.0") for e in range(20)]
+        probes = [(f"eni-{e:03d}", f"10.0.{(e + 7) % 20}.0") for e in range(20)]
+        sdf = spark.createDataFrame(familiar + probes, ["entity", "ip"])
+        scored = m.score_dataframe(spark, sdf).collect()
+        fam = [r.anomaly_score for r in scored[:20]]
+        prb = [r.anomaly_score for r in scored[20:]]
+        assert sum(fam) / 20 < sum(prb) / 20, f"shards={shards}"
