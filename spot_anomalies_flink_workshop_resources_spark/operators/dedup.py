@@ -123,16 +123,40 @@ def jaccard_pairs(
     threshold: float = 0.5,
     df_cap: int | None = None,
     shingle_n: int = 3,
+    log_skew: bool = False,
 ) -> DataFrame:
     """N-gram-shingle Jaccard near-duplicate pairs via inverted-index join.
 
-    jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|); emitted for pairs ≥ threshold.
-    ``df_cap`` drops shingles with document frequency above the cap before
-    the join (skew/scale control; None = no pruning, exact result).
+    jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|); emitted for pairs ≥
+    threshold. ``df_cap`` drops shingles with document frequency
+    above the cap before the join — the skew/scale control: ONE
+    ultra-common shingle of df d contributes d² candidate pairs, so an
+    uncapped hot token is quadratic at corpus scale. A cap above the
+    corpus max-df is a no-op (exact result); the flagship harness call
+    uses 64 vs measured max df 7 (sf0.01) / 25 (sf0.1), so its oracle
+    stays hash-exact with the guard armed. ``log_skew`` emits the
+    posting-list profile (max/p99 df, shingles dropped) — one extra
+    vocab-sized aggregation job.
     """
     toks = _shingles(docs, shingle_n)
     if df_cap is not None:
         freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        if log_skew:
+            import logging
+
+            s = freq.agg(
+                F.max("df").alias("max_df"),
+                F.expr("CAST(percentile(df, 0.99) AS DOUBLE)").alias("p99_df"),
+                F.sum(F.when(F.col("df") > df_cap, 1).otherwise(0)).alias(
+                    "n_dropped"
+                ),
+                F.count(F.lit(1)).alias("n_shingles"),
+            ).collect()[0]
+            logging.getLogger(__name__).info(
+                "jaccard_pairs posting lists: max_df=%s p99_df=%s "
+                "dropped=%s/%s at df_cap=%s",
+                s["max_df"], s["p99_df"], s["n_dropped"], s["n_shingles"], df_cap,
+            )
         toks = toks.join(freq.where(F.col("df") <= df_cap), "tok")
     counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = toks.alias("a")
@@ -407,6 +431,94 @@ JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {dot.format(x='a', y='b')}
         / (sqrt({dot.format(x='a', y='a')}) * sqrt({dot.format(x='b', y='b')}))
       >= {threshold}
+"""
+
+
+def embedding_near_dup_ivf(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by IVF bucket — the scale path.
+
+    Label blocking (``embedding_near_dup``) depends on a trusted,
+    bounded label column; this variant derives the block from the data:
+    every vector is assigned to its nearest seed centroid (same
+    deterministic assignment as ``simsearch.ivf_topk``) and pairwise
+    comparison happens only within a bucket — O(N²/k) instead of
+    unbounded label blocks. Near-identical vectors land in the same
+    bucket with high probability (they agree on nearest-centroid unless
+    they straddle a Voronoi boundary — the standard IVF recall trade;
+    production raises recall by probing 2-3 nearest centroids).
+
+    Default τ=0.95 is the realistic near-dup bar; the harness query
+    passes the synthetic-data τ. Oracle: same bucketing in DuckDB SQL —
+    dot products fold left-to-right in both engines, bit-identical.
+    """
+    from .simsearch import _dot, _with_norm
+
+    e = _with_norm(embeddings)
+    cent = e.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos_c = _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm"))
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
+    assigned = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "emb", "norm", "cent_id", cos_c.alias("c_cos"))
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .drop("rn", "c_cos")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cent_id").alias("centroid_id"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_ivf_sql(
+    threshold: float = 0.95, n_centroids: int = 16, dim: int = 64
+) -> str:
+    from .simsearch import _cos_sql
+
+    return f"""
+WITH assign_scored AS (
+  SELECT e.vec_id, c.vec_id AS cent_id,
+         {_cos_sql('e', 'c', dim)} AS c_cos
+  FROM embeddings e
+  JOIN embeddings c ON c.vec_id < {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY c_cos DESC, cent_id ASC) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+)
+SELECT aa.vec_id AS vec_a, bb.vec_id AS vec_b,
+       aa.cent_id AS centroid_id,
+       {_cos_sql('a', 'b', dim)} AS cosine
+FROM assigned aa
+JOIN assigned bb ON aa.cent_id = bb.cent_id AND aa.vec_id < bb.vec_id
+JOIN embeddings a ON a.vec_id = aa.vec_id
+JOIN embeddings b ON b.vec_id = bb.vec_id
+WHERE {_cos_sql('a', 'b', dim)} >= {threshold}
 """
 
 

@@ -312,6 +312,70 @@ def events_daily_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ocsf_nested_endpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCSF-style nested-struct data model + dot-path query (SURVEY §1.2
+    P6 — the notebook's commented OCSF variant reads
+    ``src_endpoint.instance_uid`` / ``src_endpoint.ip``, NB cell 7).
+
+    Events are lifted into a two-level OCSF endpoint struct
+    (src_endpoint.os.type nests a second level), then filtered and
+    projected purely through dot paths — the engine capability being
+    demonstrated; Catalyst prunes the struct to the accessed fields.
+    Oracle: DuckDB struct_pack + identical dot paths.
+    """
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    ocsf = e.select(
+        "event_id",
+        F.struct(
+            F.concat(
+                F.lit("eni-"), F.lpad(F.col("user_id").cast("string"), 5, "0")
+            ).alias("instance_uid"),
+            F.concat(
+                F.when(F.col("event_id") % 3 == 0, F.lit("10.")).otherwise(
+                    F.lit("192.168.")
+                ),
+                (F.col("user_id") % 200).cast("string"),
+                F.lit("."),
+                (F.col("event_id") % 250).cast("string"),
+            ).alias("ip"),
+            (F.col("event_id") % 65536).cast("long").alias("port"),
+            F.struct(F.col("event_type").alias("type")).alias("os"),
+        ).alias("src_endpoint"),
+    )
+    return ocsf.where(F.col("src_endpoint.ip").startswith("10.")).select(
+        "event_id",
+        F.col("src_endpoint.instance_uid").alias("instance_uid"),
+        F.col("src_endpoint.ip").alias("ip"),
+        F.col("src_endpoint.port").alias("port"),
+        F.col("src_endpoint.os.type").alias("os_type"),
+    )
+
+
+OCSF_NESTED_ORACLE = """
+WITH ocsf AS (
+  SELECT event_id,
+         struct_pack(
+           instance_uid := 'eni-' || lpad(CAST(user_id AS VARCHAR), 5, '0'),
+           ip := (CASE WHEN event_id % 3 = 0 THEN '10.' ELSE '192.168.' END)
+                 || CAST(user_id % 200 AS VARCHAR) || '.'
+                 || CAST(event_id % 250 AS VARCHAR),
+           port := CAST(event_id % 65536 AS BIGINT),
+           os := struct_pack(type := event_type)
+         ) AS src_endpoint
+  FROM events
+)
+SELECT event_id,
+       src_endpoint.instance_uid AS instance_uid,
+       src_endpoint.ip AS ip,
+       src_endpoint.port AS port,
+       src_endpoint.os.type AS os_type
+FROM ocsf
+WHERE src_endpoint.ip LIKE '10.%'
+"""
+
+
 def build_queries() -> dict[str, QueryFn]:
     from . import pipeline_ops, relational  # late import: keeps module load cheap
 
@@ -325,6 +389,7 @@ def build_queries() -> dict[str, QueryFn]:
         "approx_distinct_parts": approx_distinct_parts,
         "pivot_event_type_counts": pivot_event_type_counts,
         "events_daily_rollup_salted": events_daily_rollup_salted,
+        "ocsf_nested_endpoints": ocsf_nested_endpoints,
     }
     out.update(relational.QUERIES)
     out.update(pipeline_ops.QUERIES)
@@ -344,6 +409,7 @@ def build_oracles() -> dict[str, str]:
         "stream_tumbling_rollup": STREAM_TUMBLING_ORACLE,
         "asof_click_purchase": ASOF_ORACLE,
         "pivot_event_type_counts": PIVOT_ORACLE,
+        "ocsf_nested_endpoints": OCSF_NESTED_ORACLE,
         # salted variant must equal the plain rollup: same oracle
         "events_daily_rollup_salted": relational.EVENTS_DAILY_SQL,
         # approx_distinct_parts: intentionally no oracle (sketches differ

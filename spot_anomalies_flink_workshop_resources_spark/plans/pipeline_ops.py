@@ -40,7 +40,13 @@ def dedup_exact(spark, sf_dir):
 
 
 def dedup_jaccard(spark, sf_dir):
-    return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, shingle_n=3)
+    # df_cap=64 > measured corpus max df (7 at sf0.01, 25 at sf0.1):
+    # exact result with the quadratic-hot-token guard armed; the skew
+    # profile is logged so a cap that starts pruning is visible
+    return D.jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.5, shingle_n=3, df_cap=64,
+        log_skew=True,
+    )
 
 
 def dedup_minhash_lsh(spark, sf_dir):
@@ -53,6 +59,14 @@ def dedup_simhash(spark, sf_dir):
 
 def dedup_embedding(spark, sf_dir):
     return D.embedding_near_dup(_embs(spark, sf_dir), threshold=0.3)
+
+
+def dedup_embedding_ivf(spark, sf_dir):
+    # τ=0.3 fits the synthetic embeddings (within-label cosine ≈0.45);
+    # the operator's default is the realistic 0.95
+    return D.embedding_near_dup_ivf(
+        _embs(spark, sf_dir), threshold=0.3, n_centroids=16
+    )
 
 
 def dedup_components(spark, sf_dir):
@@ -86,6 +100,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_ivf": dedup_embedding_ivf,
     "dedup_components": dedup_components,
     "dedup_components_converged": dedup_components_converged,
     "simsearch_brute_force": simsearch_brute_force,
@@ -102,6 +117,9 @@ ORACLES = {
     "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3),
     "dedup_simhash": D.simhash_sql(),
     "dedup_embedding": D.embedding_near_dup_sql(threshold=0.3),
+    "dedup_embedding_ivf": D.embedding_near_dup_ivf_sql(
+        threshold=0.3, n_centroids=16
+    ),
     "dedup_components": D.dup_components_sql(threshold=0.5, shingle_n=3),
     "simsearch_brute_force": S.brute_force_topk_sql(),
     "simsearch_ivf": S.ivf_topk_sql(),

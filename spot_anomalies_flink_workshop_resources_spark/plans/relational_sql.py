@@ -82,6 +82,22 @@ FROM lineitem
 GROUP BY l_returnflag
 """
 
+# Scale path for the exact-percentile query above: percentile() buffers
+# every group value (ObjectHashAggregate) — memory grows with group
+# size, which spills/OOMs at 100 TB. approx_percentile uses a
+# KLL/GK-style bounded sketch: fixed memory per group, mergeable
+# map-side, one shuffle of sketch bytes. Sketches are engine-specific
+# ⇒ no cross-engine value oracle (rows-only driver check); accuracy vs
+# the exact query is unit-tested (tests/test_scale_patterns.py).
+_SPARK_QUANTILES_APPROX = """
+SELECT l_returnflag,
+       approx_percentile(l_extendedprice, 0.5, 10000) AS median_price,
+       approx_percentile(l_extendedprice, 0.95, 10000) AS p95_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
 
 def _sql_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,6 +143,7 @@ QUERIES = {
     "sql_order_count_distribution": _sql_query(ORDER_COUNT_DISTRIBUTION_SQL),
     "sql_orders_rollup": _sql_query(ORDERS_ROLLUP_SQL),
     "sql_price_quantiles": _sql_query(_SPARK_QUANTILES),
+    "sql_price_quantiles_approx": _sql_query(_SPARK_QUANTILES_APPROX),
     "sql_parts_no_cheap_order": _sql_query(PARTS_NO_CHEAP_ORDER_SQL),
     "sql_orders_cube": _sql_query(ORDERS_CUBE_SQL),
     "sql_nations_except": _sql_query(NATIONS_EXCEPT_SQL),

@@ -76,3 +76,75 @@ def test_salted_agg_equals_plain(spark, sf_dir):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The approx_percentile production twin must stay within sketch
+    tolerance of the exact percentile query (and of DuckDB's
+    approx_quantile spirit): relative error well under 1% at
+    accuracy=10000."""
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational_sql import (
+        QUERIES,
+    )
+
+    exact = {
+        r.l_returnflag: r
+        for r in QUERIES["sql_price_quantiles"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: r
+        for r in QUERIES["sql_price_quantiles_approx"](spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert a.n_rows == e.n_rows
+        for col in ("median_price", "p95_price"):
+            rel = abs(getattr(a, col) - getattr(e, col)) / abs(getattr(e, col))
+            assert rel < 0.01, f"{flag}.{col}: rel err {rel}"
+
+
+def test_nested_struct_parquet_dot_paths_and_pruning(spark, tmp_path):
+    """Real nested StructType fixture on disk: dot-path projection and
+    filter work through two struct levels, and the parquet scan's
+    ReadSchema is pruned to the accessed subfields only (nested-schema
+    pruning — at 100 TB reading 2 of 40 endpoint fields is the
+    difference between a narrow and a full-width scan)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ocsf")
+    src = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.struct(
+            F.concat(F.lit("eni-"), F.col("id").cast("string")).alias(
+                "instance_uid"
+            ),
+            F.concat(
+                F.when(F.col("id") % 2 == 0, F.lit("10.0.0.")).otherwise(
+                    F.lit("192.168.0.")
+                ),
+                F.col("id").cast("string"),
+            ).alias("ip"),
+            (F.col("id") % 65536).alias("port"),
+            F.struct(F.lit("linux").alias("type")).alias("os"),
+        ).alias("src_endpoint"),
+    )
+    src.write.mode("overwrite").parquet(path)
+
+    df = spark.read.parquet(path)
+    out = df.where(F.col("src_endpoint.ip").startswith("10.")).select(
+        "event_id",
+        F.col("src_endpoint.instance_uid").alias("instance_uid"),
+        F.col("src_endpoint.os.type").alias("os_type"),
+    )
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r.os_type == "linux" for r in rows)
+    assert {r.instance_uid for r in rows} == {f"eni-{i}" for i in range(0, 100, 2)}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    # pruned: accessed fields present, untouched 'port' absent
+    assert "instance_uid" in read_schema[0]
+    assert "port" not in read_schema[0]
