@@ -272,3 +272,58 @@ def test_streaming_run_split_across_batches(spark):
     stream = _run_stream(spark, events, "stream_split", files=8)
     assert len(batch) == 1 and batch[0].fragment_count == 20
     assert _rows_key(stream) == _rows_key(batch)
+
+
+def test_kafka_shaped_binary_source_contract(spark):
+    """The connector-less twin of the Kafka→detector→Kafka roundtrip
+    (AD.java:116-181): a stream with the EXACT schema the Kafka source
+    delivers — binary key/value plus topic/partition/offset/timestamp
+    metadata — must flow through build_anomaly_pipeline unmodified
+    (parse_events casts binary payloads), and the output must satisfy
+    the epoch-seconds wire contract. The live-broker path stays gated:
+    no spark-sql-kafka jar, broker, or network exists in this sandbox."""
+    import tempfile
+
+    from spot_anomalies_flink_workshop_resources_spark.streaming.pipeline import (
+        build_anomaly_pipeline,
+    )
+
+    d = tempfile.mkdtemp(prefix="kafka_shape_")
+    with open(f"{d}/events.json", "w") as f:
+        for e in SCENARIO:
+            f.write(json.dumps(e) + "\n")
+    text = spark.readStream.schema("value STRING").format("text").load(d)
+    # reshape to the kafka connector's fixed output schema
+    kafka_shaped = text.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("flow-events").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.lit(0).cast("long").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
+    )
+    wire = build_anomaly_pipeline(kafka_shaped)
+    q = (
+        wire.writeStream.format("memory")
+        .queryName("kafka_shape_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    payloads = [
+        json.loads(r.value)
+        for r in spark.sql("SELECT * FROM kafka_shape_out").collect()
+    ]
+    assert sorted(p["fragment_count"] for p in payloads) == [12, 30]
+    for p in payloads:
+        # wire contract: epoch-second decimal timestamps, reference keys
+        assert isinstance(p["attack_start_time"], float)
+        assert isinstance(p["attack_end_time"], float)
+        assert p["attack_start_time"] > 1.7e9
+        assert set(p) >= {
+            "target_ip", "attack_start_time", "attack_end_time",
+            "attacker_id", "fragment_count", "avg_packets",
+            "avg_fragment_size", "size_reduction_percent",
+        }
