@@ -74,6 +74,12 @@ STATE_SCHEMA = StructType(
 
 EMPTY_STATE = (0, 0, 0.0, 0.0, 0.0, "")
 
+# processing-time mode appends the wall-clock instant the open run's
+# first event was processed
+STATE_SCHEMA_PROC = StructType(
+    STATE_SCHEMA.fields + [StructField("first_proc", DoubleType())]
+)
+
 
 def make_detector_fn(
     *,
@@ -83,11 +89,34 @@ def make_detector_fn(
     max_run: int,
     window_seconds: float,
     vectorized: bool = True,
+    time_mode: str = "event",
+    clock=None,
 ):
     """Build the applyInPandasWithState function for the given pattern
     parameters (reference: 10/10/10-30/60 s — AD.java:126-132).
-    ``vectorized=False`` selects the scalar reference state machine."""
+    ``vectorized=False`` selects the scalar reference state machine.
+
+    ``time_mode``: ``"event"`` (default — deterministic, replayable)
+    measures ``within()`` in event time; ``"processing"`` mirrors the
+    reference exactly (AD.java:137 ``withinType.PROCESSING_TIME``): a
+    partial match older than ``window_seconds`` of WALL CLOCK is pruned
+    before the batch is applied — Flink's NFA within-pruning at
+    micro-batch granularity (events inside one micro-batch share one
+    processing instant, the only granularity micro-batching offers).
+    ``clock`` injects a time source for deterministic tests
+    (default ``time.time``).
+    """
+    if time_mode not in ("event", "processing"):
+        raise ValueError(f"time_mode must be event|processing, got {time_mode!r}")
     process = _process_batch_vectorized if vectorized else _process_batch_scalar
+    proc_mode = time_mode == "processing"
+    # in processing mode the event-time within() check is disabled; the
+    # wall-clock pruning below enforces the window instead
+    eff_window = float("inf") if proc_mode else window_seconds
+    if clock is None:
+        import time as _time
+
+        clock = _time.time
 
     def detect(
         key: tuple[Any, ...],
@@ -100,15 +129,27 @@ def make_detector_fn(
             yield pd.DataFrame(columns=[f.name for f in OUTPUT_SCHEMA.fields])
             return
 
-        run_count, matched, first_ts, last_end, sum_size, attacker = (
-            state.get if state.exists else EMPTY_STATE
-        )
+        now = float(clock()) if proc_mode else 0.0
+        first_proc = now
+        if proc_mode:
+            if state.exists:
+                *core, first_proc = state.get
+                state_tuple = tuple(core)
+            else:
+                state_tuple = EMPTY_STATE
+            if state_tuple[0] > 0 and now - first_proc > window_seconds:
+                # the carried partial match exceeded the processing-time
+                # window: prune it (skipPastLastEvent on expiry)
+                state_tuple = EMPTY_STATE
+            carry_active = state_tuple[0] > 0
+            carry_first_ts = state_tuple[2]
+        else:
+            state_tuple = state.get if state.exists else EMPTY_STATE
 
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["_ts", "_oid"], kind="mergesort")
 
         key_str = str(key[0])
-        state_tuple = (run_count, matched, first_ts, last_end, sum_size, attacker)
         out, state_tuple = process(
             batch,
             state_tuple,
@@ -117,12 +158,18 @@ def make_detector_fn(
             high_threshold,
             min_run,
             max_run,
-            window_seconds,
+            eff_window,
         )
-        run_count, matched, first_ts, last_end, sum_size, attacker = state_tuple
 
-        if run_count > 0:
-            state.update((run_count, matched, first_ts, last_end, sum_size, attacker))
+        if state_tuple[0] > 0:
+            if proc_mode:
+                # continued carry-in run keeps its original first-seen
+                # instant (same first event ⇒ same first_ts); a run
+                # opened in this batch starts its window now
+                keep = carry_active and state_tuple[2] == carry_first_ts
+                state.update(state_tuple + (first_proc if keep else now,))
+            else:
+                state.update(state_tuple)
         elif state.exists:
             state.remove()
 
@@ -315,11 +362,17 @@ def detect_attack_runs_stream(
     attacker_col: str | None = None,
     watermark: str = "0 seconds",
     gc_timeout: bool = False,
+    time_mode: str = "event",
+    clock=None,
 ) -> DataFrame:
     """Streaming twin of ``operators.detection.detect_attack_runs``.
 
     ``watermark`` mirrors the reference's zero-lateness monotonous
     watermark (AD.java:121-124); raise it to tolerate disorder.
+    ``time_mode="processing"`` selects the reference's processing-time
+    ``within()`` (AD.java:137) — see :func:`make_detector_fn`; the
+    event-time default is the documented deterministic deviation
+    (SURVEY §7.4.2).
     """
     from pyspark.sql import functions as F
 
@@ -345,22 +398,30 @@ def detect_attack_runs_stream(
         min_run=min_run,
         max_run=max_run,
         window_seconds=window_seconds,
+        time_mode=time_mode,
+        clock=clock,
     )
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if gc_timeout
         else GroupStateTimeout.NoTimeout
     )
+    state_schema = STATE_SCHEMA_PROC if time_mode == "processing" else STATE_SCHEMA
     return prepared.groupBy("_key").applyInPandasWithState(
-        fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append", timeout
+        fn, OUTPUT_SCHEMA, state_schema, "append", timeout
     )
 
 
 def detect_fragmentation_flowlogs_stream(
-    events: DataFrame, watermark: str = "0 seconds"
+    events: DataFrame,
+    watermark: str = "0 seconds",
+    time_mode: str = "event",
+    clock=None,
 ) -> DataFrame:
     """Reference-exact streaming specialization (Event schema, ip_dst key,
-    packets thresholds, bytes/packets fragment size — AD.java:126-167)."""
+    packets thresholds, bytes/packets fragment size — AD.java:126-167).
+    ``time_mode="processing"`` reproduces the reference's wall-clock
+    within() (AD.java:137)."""
     from pyspark.sql import functions as F
 
     out = detect_attack_runs_stream(
@@ -378,5 +439,7 @@ def detect_fragmentation_flowlogs_stream(
         end_time_col="event_time_end",
         attacker_col="ip_src",
         watermark=watermark,
+        time_mode=time_mode,
+        clock=clock,
     )
     return out.withColumnRenamed("target_key", "target_ip")

@@ -91,3 +91,82 @@ def test_vectorized_null_end_ts_falls_back_to_ts():
     assert v_out == s_out and v_state == s_state
     assert v_out, "expected an alert"
     assert v_out[0][2] > 0, "attack_end_time must be the event ts, not int64-min"
+
+
+class _FakeState:
+    """Minimal GroupState stand-in — make_detector_fn's product is plain
+    Python, so processing-time semantics are testable without Spark."""
+
+    def __init__(self):
+        self._val = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = tuple(v)
+
+    def remove(self):
+        self._val = None
+
+
+def _run_proc_batches(batches, clock_values, window_seconds=50.0):
+    from spot_anomalies_flink_workshop_resources_spark.streaming.detector import (
+        make_detector_fn,
+    )
+
+    clock_iter = iter(clock_values)
+    fn = make_detector_fn(
+        low_threshold=10.0, high_threshold=10.0, min_run=3, max_run=6,
+        window_seconds=window_seconds, time_mode="processing",
+        clock=lambda: next(clock_iter),
+    )
+    state = _FakeState()
+    outs = []
+    for df in batches:
+        outs += list(fn(("k",), iter([df]), state))
+    return pd.concat(outs, ignore_index=True), state
+
+
+def test_processing_time_within_prunes_stale_partial():
+    """A partial match older than the wall-clock window is pruned before
+    the next batch applies (AD.java:137 processing-time within)."""
+    b1 = _frame([1.0, 1.0], t0=0.0)           # partial run, 2 anomalous
+    b2 = _frame([1.0, 200.0], t0=4.0)         # +1 anomalous, then trigger
+    # fresh case: second batch 10 s later -> run survives, 3 >= min_run
+    out, _ = _run_proc_batches([b1, b2], clock_values=[1000.0, 1010.0])
+    assert len(out) == 1 and out.loc[0, "fragment_count"] == 3
+    # stale case: second batch 60 s later -> partial pruned, only 1
+    # anomalous event remains before the trigger -> no alert
+    out, _ = _run_proc_batches([b1, b2], clock_values=[1000.0, 1060.0])
+    assert len(out) == 0
+
+
+def test_processing_time_event_gaps_do_not_expire():
+    """Processing time ignores event-time gaps: events 10 days apart in
+    event time still match if processed within the wall-clock window
+    (the exact semantics the event-time default deviates from)."""
+    b1 = _frame([1.0, 1.0], t0=0.0)
+    b2 = _frame([1.0, 200.0], t0=86400.0 * 10)
+    out, _ = _run_proc_batches([b1, b2], clock_values=[1000.0, 1001.0])
+    assert len(out) == 1 and out.loc[0, "fragment_count"] == 3
+
+
+def test_processing_time_window_restarts_for_new_run():
+    """After a trigger resets the run, a NEW run's window starts at its
+    own first-seen instant, not the old run's."""
+    b1 = _frame([1.0, 1.0, 1.0, 200.0], t0=0.0)      # complete run, alert
+    b2 = _frame([1.0, 1.0], t0=10.0)                 # new partial
+    b3 = _frame([1.0, 200.0], t0=20.0)               # completes new run
+    out, _ = _run_proc_batches(
+        [b1, b2, b3], clock_values=[1000.0, 2000.0, 2010.0]
+    )
+    # both runs alert: first inside batch 1; second spans b2+b3 within
+    # 10 s of wall clock even though 1000 s passed since batch 1
+    assert list(out["fragment_count"]) == [3, 3]

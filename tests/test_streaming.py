@@ -327,3 +327,33 @@ def test_kafka_shaped_binary_source_contract(spark):
             "attacker_id", "fragment_count", "avg_packets",
             "avg_fragment_size", "size_reduction_percent",
         }
+
+
+def test_processing_time_mode_runs_in_spark(spark):
+    """Smoke: time_mode='processing' executes through a real
+    applyInPandasWithState query (STATE_SCHEMA_PROC wiring). All SCENARIO
+    events are processed in one wall-clock instant, so the
+    'window-exceeded' burst (84 s of EVENT time) now legitimately alerts
+    — the precise semantic difference between the reference's
+    processing-time within() and the event-time default."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="proctime_")
+    with open(f"{d}/events.json", "w") as f:
+        for e in SCENARIO:
+            f.write(json.dumps(e) + "\n")
+    raw = spark.readStream.schema("value STRING").format("text").load(d)
+    events = parse_events(raw)
+    alerts = detect_fragmentation_flowlogs_stream(events, time_mode="processing")
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("proctime_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM proctime_out").collect()
+    # event-time mode yields [12, 30]; processing time adds the 15-event
+    # burst whose event-time span exceeded 60 s but was ingested at once
+    assert sorted(r.fragment_count for r in rows) == [12, 15, 30]
