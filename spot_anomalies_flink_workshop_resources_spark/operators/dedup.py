@@ -144,6 +144,9 @@ def jaccard_pairs(
         if log_skew:
             import logging
 
+            # materialize the vocab-sized freq once so the telemetry agg
+            # and the pruning join share one shingle pass
+            freq = freq.localCheckpoint(eager=True)
             s = freq.agg(
                 F.max("df").alias("max_df"),
                 F.expr("CAST(percentile(df, 0.99) AS DOUBLE)").alias("p99_df"),
@@ -630,11 +633,14 @@ def components_from_pairs(
             .groupBy("s")
             .agg(F.min("rep").alias("nrep"))
         )
+        # old_rep rides along so the convergence check is a filter on the
+        # checkpointed frame, not an extra join against the prior labels
         stepped = labels.join(neigh, labels.doc_id == neigh.s, "left").select(
             "doc_id",
             F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))).alias(
                 "rep"
             ),
+            F.col("rep").alias("old_rep"),
         )
         jumped = (
             stepped.alias("a")
@@ -650,17 +656,12 @@ def components_from_pairs(
                 F.least(
                     F.col("a.rep"), F.coalesce(F.col("j_rep"), F.col("a.rep"))
                 ).alias("rep"),
+                F.col("a.old_rep").alias("old_rep"),
             )
         )
         jumped = jumped.localCheckpoint(eager=True)
-        changed = (
-            jumped.join(
-                labels.select("doc_id", F.col("rep").alias("old_rep")), "doc_id"
-            )
-            .where(F.col("rep") != F.col("old_rep"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.where(F.col("rep") != F.col("old_rep")).count()
+        labels = jumped.select("doc_id", "rep")
         if changed == 0:
             break
     return labels.select(
