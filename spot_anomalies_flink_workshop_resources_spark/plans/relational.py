@@ -587,12 +587,168 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size <= 10)
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q7-like: two-nation trade volume by ship year — 6-way join where BOTH
+# sides of a nation pair must match (disjunctive join predicate), then a
+# three-key rollup. Dims broadcast; one fact shuffle.
+# ---------------------------------------------------------------------------
+
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1_name, n2_name = "NATION_3", "NATION_7"
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    volume = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
+    pair_ok = (
+        (F.col("supp_nation") == n1_name) & (F.col("cust_nation") == n2_name)
+    ) | ((F.col("supp_nation") == n2_name) & (F.col("cust_nation") == n1_name))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_d2d(F.sum(volume)).alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# q8-like: market share — a conditional-numerator ratio of two decimal
+# sums per year (share of NATION_3 suppliers in REGION_1 customers'
+# spend). Ratio computed in double AFTER exact decimal sums.
+# ---------------------------------------------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    volume = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
+    target = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (_d2d(F.sum(target)) / _d2d(F.sum(volume))).alias("mkt_share"),
+            _d2d(F.sum(volume)).alias("total_volume"),
+        )
+    )
+
+
+Q8_SQL = """
+SELECT o_year,
+       CAST(CAST(SUM(target) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share,
+       CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS total_volume
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+         CASE WHEN sn.n_name = 'NATION_3'
+              THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (1 - CAST(l_discount AS DECIMAL(18,4)))
+              ELSE CAST(0 AS DECIMAL(18,4)) END AS target
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'EUROPE'
+)
+GROUP BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame: trailing-hour moving aggregate per user — the
+# frame is defined by a VALUE range over event time (peers included),
+# not a row count; exact decimal sum keeps it oracle-hashable.
+# ---------------------------------------------------------------------------
+
+def events_hourly_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        epoch.alias("ts_epoch"),
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        (_d2d(F.sum(_dec(F.col("value"))).over(w)) / F.count(F.lit(1)).over(w)).alias(
+            "avg_value_trailing_hour"
+        ),
+    )
+
+
+EVENTS_MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       EXTRACT(EPOCH FROM ts) AS ts_epoch,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_hour,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE)
+         / COUNT(*) OVER w AS avg_value_trailing_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY EXTRACT(EPOCH FROM ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier": q5_local_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_nation_trade": q7_nation_trade,
+    "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
     "q12_priority_classes": q12_priority_classes,
     "q14_promo_share": q14_promo_share,
@@ -604,6 +760,7 @@ QUERIES = {
     "active_nation_keys": active_nation_keys,
     "events_daily_rollup": events_daily_rollup,
     "events_sessionization": events_sessionization,
+    "events_hourly_moving_avg": events_hourly_moving_avg,
 }
 
 ORACLES = {
@@ -612,6 +769,8 @@ ORACLES = {
     "q4_order_priority": Q4_SQL,
     "q5_local_supplier": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
+    "q7_nation_trade": Q7_SQL,
+    "q8_market_share": Q8_SQL,
     "q10_returned_items": Q10_SQL,
     "q12_priority_classes": Q12_SQL,
     "q14_promo_share": Q14_SQL,
@@ -623,4 +782,5 @@ ORACLES = {
     "active_nation_keys": ACTIVE_NATIONS_SQL,
     "events_daily_rollup": EVENTS_DAILY_SQL,
     "events_sessionization": EVENTS_SESSIONS_SQL,
+    "events_hourly_moving_avg": EVENTS_MOVING_AVG_SQL,
 }
