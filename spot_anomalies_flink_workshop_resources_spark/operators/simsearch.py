@@ -98,24 +98,113 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    max_iters: int = 5,
+    tol: float = 1e-6,
+):
+    """Distributed spherical (cosine) k-means — the production centroid
+    step for the IVF index (Lloyd's iterations).
+
+    Scale shape mirrors the IPInsights trainer: per iteration the k×dim
+    centroid matrix is broadcast, every partition computes cosine
+    assignments and per-cluster partial sums/counts in one NumPy pass
+    inside ``mapInPandas``, and only k×partitions partial rows return to
+    the driver for the combine — no N×k shuffle, no posexplode of the
+    vector column, data never leaves the executors. Empty clusters keep
+    their previous centroid. Stops early when the max centroid shift
+    (L2) drops below ``tol``.
+
+    Returns a (n_centroids, dim) NumPy array ordered by centroid id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    seeds = (
+        e.where(F.col("vec_id") < n_centroids).orderBy("vec_id").collect()
+    )
+    C = np.stack([np.asarray(r["emb"]) for r in seeds])
+    spark = embeddings.sparkSession
+    sc = spark.sparkContext
+    kk = n_centroids
+    for _ in range(max_iters):
+        bc = sc.broadcast(C)
+
+        def partial(batches, _bc=bc):
+            Cl = _bc.value
+            cn = np.linalg.norm(Cl, axis=1)
+            sums = np.zeros_like(Cl)
+            cnts = np.zeros(kk)
+            for pdf in batches:
+                X = np.stack(pdf["emb"].to_numpy())
+                xn = np.linalg.norm(X, axis=1)
+                cos = (X @ Cl.T) / (xn[:, None] * cn[None, :])
+                a = cos.argmax(axis=1)
+                np.add.at(sums, a, X)
+                cnts += np.bincount(a, minlength=kk)
+            yield pd.DataFrame(
+                {"cid": np.arange(kk), "vsum": list(sums), "cnt": cnts}
+            )
+
+        rows = e.mapInPandas(
+            partial, "cid int, vsum array<double>, cnt double"
+        ).collect()
+        bc.unpersist()
+        sums = np.zeros_like(C)
+        cnts = np.zeros(kk)
+        for r in rows:
+            sums[r["cid"]] += np.asarray(r["vsum"])
+            cnts[r["cid"]] += r["cnt"]
+        newC = np.where(cnts[:, None] > 0, sums / np.maximum(cnts, 1)[:, None], C)
+        shift = float(np.abs(newC - C).max())
+        C = newC
+        if shift < tol:
+            break
+    return C
+
+
+def centroids_frame(spark, C) -> DataFrame:
+    """(k, dim) centroid matrix -> (cent_id, c_emb, c_norm) DataFrame."""
+    import math
+
+    rows = [
+        (i, [float(x) for x in C[i]], math.sqrt(float((C[i] * C[i]).sum())))
+        for i in range(len(C))
+    ]
+    return spark.createDataFrame(
+        rows, "cent_id long, c_emb array<double>, c_norm double"
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 8,
     k: int = 5,
     n_centroids: int = 16,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
-    Centroids are the vectors with vec_id < n_centroids (deterministic
-    seeding — a production build would k-means these; the index/search
-    plumbing is identical). Every vector joins its nearest centroid's
-    inverted list; a query scans only its own list.
+    Default centroids are the vectors with vec_id < n_centroids
+    (deterministic seeding, SQL-oracle-expressible); pass
+    ``centroids_frame(spark, kmeans_centroids(...))`` for the trained
+    production index — same plumbing, better-balanced buckets. Every
+    vector joins its nearest centroid's inverted list; a query scans
+    only its own list.
     """
     e = _with_norm(embeddings)
-    cent = e.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("emb").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
+    cent = (
+        centroids
+        if centroids is not None
+        else e.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
     )
     cos_c = _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm"))
     wa = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))

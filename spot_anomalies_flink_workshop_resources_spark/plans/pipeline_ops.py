@@ -90,6 +90,15 @@ def simsearch_ivf(spark, sf_dir):
     return S.ivf_topk(_embs(spark, sf_dir))
 
 
+def simsearch_ivf_kmeans(spark, sf_dir):
+    """IVF with TRAINED spherical-k-means centroids — the production
+    index build. Iterative (Lloyd's) ⇒ rows-only driver check; recall
+    quality vs seed centroids is unit-tested."""
+    embs = _embs(spark, sf_dir)
+    C = S.kmeans_centroids(embs, n_centroids=16, max_iters=5)
+    return S.ivf_topk(embs, centroids=S.centroids_frame(spark, C))
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": lang_id,
@@ -105,6 +114,7 @@ QUERIES = {
     "dedup_components_converged": dedup_components_converged,
     "simsearch_brute_force": simsearch_brute_force,
     "simsearch_ivf": simsearch_ivf,
+    "simsearch_ivf_kmeans": simsearch_ivf_kmeans,
 }
 
 ORACLES = {

@@ -211,3 +211,46 @@ def test_dup_components_converged_on_document_chain(spark):
     bounded = dedup.dup_components(df, threshold=0.5, rounds=4)
     bounded_reps = {r.component_rep for r in bounded.collect()}
     assert len(bounded_reps) > 1  # pins why the fixpoint variant exists
+
+
+def test_kmeans_centroids_recover_blobs(spark):
+    """Spherical k-means on three well-separated direction blobs must
+    place one centroid per blob (assignment purity 100%), and IVF search
+    with trained centroids must bucket each blob together."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.operators import simsearch
+
+    rng = np.random.RandomState(7)
+    dirs = np.eye(3)  # three orthogonal blob directions in dim 3... use dim 8
+    base = np.zeros((3, 8))
+    base[0, 0] = base[1, 3] = base[2, 6] = 1.0
+    rows = []
+    for i in range(90):
+        b = i % 3
+        v = base[b] + rng.normal(0, 0.05, 8)
+        rows.append(Row(vec_id=i, label=f"b{b}", embedding=[float(x) for x in v]))
+    embs = spark.createDataFrame(rows)
+
+    C = simsearch.kmeans_centroids(embs, n_centroids=3, max_iters=10)
+    assert C.shape == (3, 8)
+    # each blob's base direction must be closest to exactly one centroid
+    cn = np.linalg.norm(C, axis=1)
+    owners = set()
+    for b in range(3):
+        cos = (base[b] @ C.T) / (np.linalg.norm(base[b]) * cn)
+        owners.add(int(cos.argmax()))
+        assert cos.max() > 0.95, f"blob {b}: centroid not aligned ({cos.max()})"
+    assert owners == {0, 1, 2}
+
+    # trained-centroid IVF: neighbors of a query come from its own blob
+    out = simsearch.ivf_topk(
+        embs, n_queries=3, k=5,
+        centroids=simsearch.centroids_frame(spark, C),
+    ).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r.neighbor_id % 3 == r.query_id % 3, (
+            f"query {r.query_id} pulled neighbor {r.neighbor_id} from another blob"
+        )
