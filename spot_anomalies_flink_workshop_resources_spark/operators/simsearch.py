@@ -186,6 +186,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     centroids: DataFrame | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
@@ -194,7 +195,9 @@ def ivf_topk(
     ``centroids_frame(spark, kmeans_centroids(...))`` for the trained
     production index — same plumbing, better-balanced buckets. Every
     vector joins its nearest centroid's inverted list; a query scans
-    only its own list.
+    its ``n_probes`` nearest centroids' lists (multi-probe: the
+    standard recall knob for vectors near Voronoi boundaries — scanned
+    work scales linearly with probes, still O(N·p/c) total).
     """
     e = _with_norm(embeddings)
     cent = (
@@ -208,14 +211,17 @@ def ivf_topk(
     )
     cos_c = _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm"))
     wa = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
-    assigned = (
+    scored = (
         e.join(F.broadcast(cent))
         .select("vec_id", "emb", "norm", "cent_id", cos_c.alias("c_cos"))
         .withColumn("rn", F.row_number().over(wa))
-        .where(F.col("rn") == 1)
-        .drop("rn", "c_cos")
     )
-    q = assigned.where(F.col("vec_id") < n_queries).select(
+    # index side: every vector lives in exactly ONE bucket (rn=1), so
+    # multi-probe queries can never see a neighbor twice
+    assigned = scored.where(F.col("rn") == 1).drop("rn", "c_cos")
+    q = scored.where(
+        (F.col("rn") <= n_probes) & (F.col("vec_id") < n_queries)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("norm").alias("q_norm"),
@@ -242,27 +248,30 @@ def ivf_topk(
 
 
 def ivf_topk_sql(
-    n_queries: int = 8, k: int = 5, n_centroids: int = 16, dim: int = DIM
+    n_queries: int = 8, k: int = 5, n_centroids: int = 16, dim: int = DIM,
+    n_probes: int = 1,
 ) -> str:
     return f"""
 WITH assign_scored AS (
   SELECT e.vec_id, c.vec_id AS cent_id,
-         {_cos_sql('e', 'c', dim)} AS c_cos
+         {_cos_sql('e', 'c', dim)} AS c_cos,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_cos_sql('e', 'c', dim)} DESC,
+                                     c.vec_id ASC) AS rn
   FROM embeddings e
   JOIN embeddings c ON c.vec_id < {n_centroids}
 ),
 assigned AS (
-  SELECT vec_id, cent_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY c_cos DESC, cent_id ASC) AS rn
-    FROM assign_scored
-  ) WHERE rn = 1
+  SELECT vec_id, cent_id FROM assign_scored WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, cent_id FROM assign_scored WHERE rn <= {n_probes}
 ),
 scored AS (
   SELECT qa.vec_id AS query_id, ea.cent_id AS centroid_id,
          ea.vec_id AS neighbor_id,
          {_cos_sql('q', 'e', dim)} AS cosine
-  FROM assigned qa
+  FROM probes qa
   JOIN embeddings q ON q.vec_id = qa.vec_id
   JOIN assigned ea ON ea.cent_id = qa.cent_id AND ea.vec_id <> qa.vec_id
   JOIN embeddings e ON e.vec_id = ea.vec_id

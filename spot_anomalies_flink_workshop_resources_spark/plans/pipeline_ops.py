@@ -90,6 +90,12 @@ def simsearch_ivf(spark, sf_dir):
     return S.ivf_topk(_embs(spark, sf_dir))
 
 
+def simsearch_ivf_probe2(spark, sf_dir):
+    """Multi-probe IVF (2 nearest centroids per query): the recall knob
+    for Voronoi-boundary queries, still oracle-expressible."""
+    return S.ivf_topk(_embs(spark, sf_dir), n_probes=2)
+
+
 def simsearch_ivf_kmeans(spark, sf_dir):
     """IVF with TRAINED spherical-k-means centroids — the production
     index build. Iterative (Lloyd's) ⇒ rows-only driver check; recall
@@ -114,6 +120,7 @@ QUERIES = {
     "dedup_components_converged": dedup_components_converged,
     "simsearch_brute_force": simsearch_brute_force,
     "simsearch_ivf": simsearch_ivf,
+    "simsearch_ivf_probe2": simsearch_ivf_probe2,
     "simsearch_ivf_kmeans": simsearch_ivf_kmeans,
 }
 
@@ -133,4 +140,5 @@ ORACLES = {
     "dedup_components": D.dup_components_sql(threshold=0.5, shingle_n=3),
     "simsearch_brute_force": S.brute_force_topk_sql(),
     "simsearch_ivf": S.ivf_topk_sql(),
+    "simsearch_ivf_probe2": S.ivf_topk_sql(n_probes=2),
 }

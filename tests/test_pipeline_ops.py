@@ -254,3 +254,27 @@ def test_kmeans_centroids_recover_blobs(spark):
         assert r.neighbor_id % 3 == r.query_id % 3, (
             f"query {r.query_id} pulled neighbor {r.neighbor_id} from another blob"
         )
+
+
+def test_multi_probe_ivf_recall_monotone(spark, sf_dir):
+    """Recall vs brute force must be monotone in n_probes, and probing
+    all centroids must recover brute-force results exactly."""
+    from spot_anomalies_flink_workshop_resources_spark.catalog import load_table
+    from spot_anomalies_flink_workshop_resources_spark.operators import simsearch
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in simsearch.brute_force_topk(embs).collect()
+    }
+
+    def recall(p):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in simsearch.ivf_topk(embs, n_probes=p).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2, r_all = recall(1), recall(2), recall(16)
+    assert r1 <= r2 <= r_all
+    assert r_all == 1.0, f"probing every bucket must be exact (got {r_all})"
