@@ -136,6 +136,14 @@ EXCEPT
 SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 7000.0
 """
 
+# INTERSECT set op (the distinct-semantics twin of EXCEPT): nations with
+# BOTH customers and a well-capitalized supplier
+NATIONS_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 7000.0
+"""
+
 
 QUERIES = {
     "sql_cheapest_part_per_type": _sql_query(CHEAPEST_PART_SQL),
@@ -147,6 +155,7 @@ QUERIES = {
     "sql_parts_no_cheap_order": _sql_query(PARTS_NO_CHEAP_ORDER_SQL),
     "sql_orders_cube": _sql_query(ORDERS_CUBE_SQL),
     "sql_nations_except": _sql_query(NATIONS_EXCEPT_SQL),
+    "sql_nations_intersect": _sql_query(NATIONS_INTERSECT_SQL),
 }
 
 ORACLES = {
@@ -158,4 +167,5 @@ ORACLES = {
     "sql_parts_no_cheap_order": PARTS_NO_CHEAP_ORDER_SQL,
     "sql_orders_cube": ORDERS_CUBE_SQL,
     "sql_nations_except": NATIONS_EXCEPT_SQL,
+    "sql_nations_intersect": NATIONS_INTERSECT_SQL,
 }

@@ -63,3 +63,63 @@ def test_streaming_dedup_by_key(spark):
     assert out.count() == 50
     assert out.select("event_id").distinct().count() == 50
     assert {r.payload for r in out.collect()} == {f"p{i}" for i in range(50)}
+
+
+def test_stream_stream_interval_join(spark):
+    """Stream-stream inner join with an event-time interval condition:
+    each click joins purchases of the same user within [click_ts,
+    click_ts + 10 min]. Watermarks on both sides bound the join state —
+    the Structured Streaming primitive the reference's Flink job would
+    express as an interval join."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def iso(sec):
+        return (t0 + dt.timedelta(seconds=sec)).strftime("%Y-%m-%dT%H:%M:%S")
+
+    clicks = _write_jsonl(
+        [
+            {"user": "u1", "click_ts": iso(0)},
+            {"user": "u1", "click_ts": iso(1200)},  # no purchase within 10 min
+            {"user": "u2", "click_ts": iso(30)},
+        ]
+    )
+    purchases = _write_jsonl(
+        [
+            {"user": "u1", "purchase_ts": iso(300), "amount": 10.0},
+            {"user": "u2", "purchase_ts": iso(500), "amount": 20.0},
+            {"user": "u2", "purchase_ts": iso(5000), "amount": 99.0},  # too late
+        ]
+    )
+    c = (
+        spark.readStream.schema("user STRING, click_ts STRING").json(clicks)
+        .withColumn("click_ts", F.to_timestamp("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    p = (
+        spark.readStream.schema(
+            "user STRING, purchase_ts STRING, amount DOUBLE"
+        ).json(purchases)
+        .withColumn("purchase_ts", F.to_timestamp("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = c.alias("c").join(
+        p.alias("p"),
+        F.expr(
+            """c.user = p.user AND
+               p.purchase_ts >= c.click_ts AND
+               p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTES"""
+        ),
+    ).select(F.col("c.user").alias("user"), "amount")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssij_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT user, amount FROM ssij_out").collect()
+    got = sorted((r.user, r.amount) for r in rows)
+    assert got == [("u1", 10.0), ("u2", 20.0)]
