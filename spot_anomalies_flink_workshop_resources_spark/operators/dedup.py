@@ -213,10 +213,15 @@ def minhash_lsh_pairs(
     a bucket → verified with TRUE token-set Jaccard ≥ threshold.
 
     Sub-quadratic: only bucket-colliding pairs reach the verify join.
+    The shingle index is materialized ONCE (``localCheckpoint``) and
+    reused by the signature build, the per-doc counts, and both sides of
+    the verify join — otherwise Catalyst re-derives the shingling
+    subplan four times. At 100 TB swap the in-memory checkpoint for
+    ``persist(StorageLevel.DISK_ONLY)`` or a written-out index table.
     """
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
-    toks = _shingles(docs, shingle_n)
+    toks = _shingles(docs, shingle_n).localCheckpoint(eager=True)
     hashed = toks.withColumn("h", _hex32("tok"))
     # all signature positions as min-aggregates of ONE groupBy — no seed
     # explode (16x less shuffle volume than the naive seeded layout)
@@ -257,7 +262,7 @@ def minhash_lsh_pairs(
     )
 
     counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta, tb = _shingles(docs, shingle_n).alias("ta"), _shingles(docs, shingle_n).alias("tb")
+    ta, tb = toks.alias("ta"), toks.alias("tb")
     common = (
         cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
         .join(
