@@ -290,3 +290,192 @@ WHERE phase = 'A' AND next_phase = 'N' AND run_len >= {min_run}
   AND EXTRACT(EPOCH FROM next_first_ts) - EXTRACT(EPOCH FROM first_ts)
       <= {window_seconds}
 """
+
+
+def detect_attack_runs_skew_split(
+    df: DataFrame,
+    *,
+    key_col: str,
+    time_col: str,
+    order_col: str,
+    metric_col: str,
+    low_threshold: float,
+    high_threshold: float,
+    min_run: int,
+    max_run: int,
+    window_seconds: float,
+    size_expr=None,
+    end_time_col: str | None = None,
+    attacker_col: str | None = None,
+    bucket_seconds: float = 3600.0,
+) -> DataFrame:
+    """Hot-key-safe twin of :func:`detect_attack_runs` (same output, any
+    input): the per-key event history is split into coarse time buckets
+    so one hot key's events spread over many tasks, then runs spanning
+    bucket boundaries are stitched with O(1)-bounded carry state.
+
+    Why this is exact: after the FIRST trigger inside a bucket the state
+    machine has reset, so everything from that point on is
+    carry-independent — those alerts and the post-last-trigger carry-out
+    state (6 scalars) are computed locally per (key, bucket). Only the
+    HEAD segment (anomalous events before the first trigger) interacts
+    with carry-in, and its effect is capped by ``max_run``: run length
+    adds ``head_total``, while matched aggregates touch at most the
+    first ``max_run`` head events. Each bucket therefore exports one
+    bounded summary row (counts, first-event info, ≤``max_run`` sizes
+    and end-times, carry-out scalars) and the per-key stitch walks
+    B ≈ span/bucket_seconds tiny rows — the skew mitigation promised in
+    SCALE.md for the detection family (salting cannot apply: order
+    matters within a key).
+
+    Equivalence to the one-shot operator is pinned by randomized and
+    boundary-crafted tests (tests/test_detection.py).
+    """
+    import numpy as np  # noqa: F401  (imported for parity with detector deps)
+    import pandas as pd
+
+    from ..streaming.detector import EMPTY_STATE, _process_batch_scalar
+
+    size_expr = size_expr if size_expr is not None else F.col(metric_col)
+    end_time = F.col(end_time_col) if end_time_col else F.col(time_col)
+    attacker = F.col(attacker_col) if attacker_col else F.col(order_col)
+    key, ts, oid, metric = (
+        F.col(key_col), F.col(time_col), F.col(order_col), F.col(metric_col),
+    )
+    classified = df.where(
+        ((metric < low_threshold) | (metric > high_threshold))
+        & metric.isNotNull() & ts.isNotNull()
+    ).select(
+        key.cast("string").alias("_key"),
+        ts.alias("_ts"),
+        oid.alias("_oid"),
+        metric.cast("double").alias("_metric"),
+        size_expr.cast("double").alias("_size"),
+        end_time.alias("_end_ts"),
+        attacker.cast("string").alias("_attacker"),
+        F.floor(ts.cast("double") / F.lit(float(bucket_seconds))).alias("_bucket"),
+    )
+
+    summary_schema = (
+        "kind string, _key string, _bucket long, "
+        "a_start double, a_end double, a_attacker string, a_count long, "
+        "a_packets double, a_size double, a_reduction double, "
+        "h_total long, h_first_ts double, h_attacker string, "
+        "h_sizes array<double>, h_ends array<double>, "
+        "has_trig boolean, trig_ts double, trig_metric double, "
+        "t_run long, t_matched long, t_first double, t_end double, "
+        "t_sum double, t_attacker string"
+    )
+    cols = [c.strip().split(" ")[0] for c in summary_schema.split(",")]
+
+    def _row(**kw):
+        base = {c: None for c in cols}
+        base.update(kw)
+        return base
+
+    def phase_a(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ts", "_oid"], kind="mergesort")
+        k = pdf["_key"].iloc[0]
+        b = int(pdf["_bucket"].iloc[0])
+        is_n = (pdf["_metric"] > high_threshold).to_numpy()
+        rows = []
+        first_n = int(is_n.argmax()) if is_n.any() else len(pdf)
+        head = pdf.iloc[:first_n]
+        ts_s = head["_ts"].map(lambda t: t.timestamp())
+        end_isnat = head["_end_ts"].isna()
+        end_s = [
+            (t.timestamp() if not nat else tt)
+            for t, nat, tt in zip(head["_end_ts"], end_isnat, ts_s)
+        ]
+        h_total = len(head)
+        cap = min(h_total, max_run)
+        summary = _row(
+            kind="s", _key=k, _bucket=b,
+            h_total=h_total,
+            h_first_ts=float(ts_s.iloc[0]) if h_total else 0.0,
+            h_attacker=str(head["_attacker"].iloc[0]) if h_total else "",
+            h_sizes=[float(x) for x in head["_size"].iloc[:cap]],
+            h_ends=[float(x) for x in end_s[:cap]],
+            has_trig=bool(is_n.any()),
+            trig_ts=float(pdf["_ts"].iloc[first_n].timestamp()) if is_n.any() else 0.0,
+            trig_metric=float(pdf["_metric"].iloc[first_n]) if is_n.any() else 0.0,
+        )
+        if is_n.any():
+            local = pdf.iloc[first_n + 1 :]
+            out, state = _process_batch_scalar(
+                local, EMPTY_STATE, k, low_threshold, high_threshold,
+                min_run, max_run, window_seconds,
+            )
+            run, matched, first_ts, last_end, ssum, attk = state
+            summary.update(
+                t_run=int(run), t_matched=int(matched), t_first=float(first_ts),
+                t_end=float(last_end), t_sum=float(ssum), t_attacker=str(attk),
+            )
+            for a in out:
+                rows.append(_row(
+                    kind="a", _key=k, _bucket=b,
+                    a_start=a[1], a_end=a[2], a_attacker=a[3], a_count=int(a[4]),
+                    a_packets=a[5], a_size=a[6], a_reduction=a[7],
+                ))
+        rows.append(summary)
+        return pd.DataFrame(rows, columns=cols)
+
+    summaries = classified.groupBy("_key", "_bucket").applyInPandas(
+        phase_a, summary_schema
+    )
+    # tiny per-key frames (B rows) — but keep it lazy/unioned in one plan
+    summaries = summaries.localCheckpoint(eager=False)
+    local_alerts = summaries.where(F.col("kind") == "a")
+
+    def phase_b(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_bucket", kind="mergesort")
+        k = pdf["_key"].iloc[0]
+        run, matched, first_ts, last_end, ssum, attk = EMPTY_STATE
+        rows = []
+        for r in pdf.to_dict("records"):  # itertuples mangles _-prefixed names
+            if r["h_total"] > 0:
+                if run == 0:
+                    first_ts, attk = r["h_first_ts"], r["h_attacker"]
+                budget = max_run - matched
+                take = min(int(r["h_total"]), max(budget, 0), len(r["h_sizes"]))
+                for i in range(take):
+                    ssum += r["h_sizes"][i]
+                if take > 0:
+                    matched += take
+                    last_end = r["h_ends"][take - 1]
+                run += int(r["h_total"])
+            if r["has_trig"]:
+                if run >= min_run and r["trig_ts"] - first_ts <= window_seconds:
+                    avg_size = ssum / matched
+                    ap = float(r["trig_metric"])
+                    rows.append(_row(
+                        kind="a", _key=k, _bucket=int(r["_bucket"]),
+                        a_start=first_ts, a_end=last_end, a_attacker=attk,
+                        a_count=int(matched), a_packets=ap, a_size=avg_size,
+                        a_reduction=(ap - avg_size) / ap * 100.0,
+                    ))
+                run, matched, first_ts, last_end, ssum, attk = (
+                    int(r["t_run"]), int(r["t_matched"]), r["t_first"],
+                    r["t_end"], r["t_sum"], r["t_attacker"],
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    stitched = (
+        summaries.where(F.col("kind") == "s")
+        .groupBy("_key")
+        .applyInPandas(phase_b, summary_schema)
+    )
+    # pandas state handling uses a string key; restore the caller's key
+    # type so output matches detect_attack_runs exactly
+    key_type = df.schema[key_col].dataType
+    out_cols = [
+        F.col("_key").cast(key_type).alias("target_key"),
+        F.col("a_start").alias("attack_start_time"),
+        F.col("a_end").alias("attack_end_time"),
+        F.col("a_attacker").alias("attacker_id"),
+        F.col("a_count").alias("fragment_count"),
+        F.col("a_packets").alias("avg_packets"),
+        F.col("a_size").alias("avg_fragment_size"),
+        F.col("a_reduction").alias("size_reduction_percent"),
+    ]
+    return local_alerts.select(out_cols).unionByName(stitched.select(out_cols))

@@ -59,6 +59,17 @@ def cep_fragmentation_oracle() -> str:
     )
 
 
+def cep_fragmentation_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe twin of the flagship: time-bucket split + bounded
+    carry stitch (detect_attack_runs_skew_split) — must hash-match the
+    SAME oracle as the one-shot operator, with daily buckets forcing
+    real cross-bucket stitching on this dataset."""
+    events = load_table(spark, sf_dir, "events")
+    return detection.detect_attack_runs_skew_split(
+        events, **FLAGSHIP_PARAMS, bucket_seconds=86400.0
+    )
+
+
 def cep_fragmentation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the flagship, run to completion: the stateful
     applyInPandasWithState detector over the same events table, checked
@@ -381,6 +392,7 @@ def build_queries() -> dict[str, QueryFn]:
 
     out: dict[str, QueryFn] = {
         "cep_fragmentation": cep_fragmentation,
+        "cep_fragmentation_skew": cep_fragmentation_skew,
         "cep_fragmentation_stream": cep_fragmentation_stream,
         "ml_ipinsights_score": ml_ipinsights_score,
         "stream_session_rollup": stream_session_rollup,
@@ -404,6 +416,7 @@ def build_oracles() -> dict[str, str]:
 
     out: dict[str, str] = {
         "cep_fragmentation": cep_fragmentation_oracle(),
+        "cep_fragmentation_skew": cep_fragmentation_oracle(),
         "cep_fragmentation_stream": cep_fragmentation_oracle(),
         "stream_session_rollup": STREAM_SESSION_ORACLE,
         "stream_tumbling_rollup": STREAM_TUMBLING_ORACLE,

@@ -190,3 +190,90 @@ def test_end_time_is_last_event_not_max(spark):
     assert len(out) == 1
     expect_end = (T0 + dt.timedelta(seconds=11 * 0.5, milliseconds=10)).timestamp()
     assert out[0].attack_end_time == pytest.approx(expect_end)
+
+
+def _skew_params():
+    return dict(
+        key_col="k", time_col="t", order_col="oid", metric_col="m",
+        low_threshold=10.0, high_threshold=20.0, min_run=3, max_run=6,
+        window_seconds=300.0,
+    )
+
+
+def _mk_events(spark, seqs):
+    """seqs: {key: [(sec, metric), ...]} -> DataFrame(k,t,oid,m)."""
+    rows = []
+    for k, evs in seqs.items():
+        for i, (sec, m) in enumerate(evs):
+            rows.append((k, T0 + dt.timedelta(seconds=sec), i, float(m)))
+    return spark.createDataFrame(rows, "k string, t timestamp, oid long, m double")
+
+
+def _alerts_key(rows):
+    return sorted(
+        (r.target_key, round(r.attack_start_time, 6), round(r.attack_end_time, 6),
+         r.attacker_id, r.fragment_count, round(r.avg_packets, 9),
+         round(r.avg_fragment_size, 9), round(r.size_reduction_percent, 9))
+        for r in rows
+    )
+
+
+def _assert_equiv(spark, seqs, bucket_seconds):
+    from spot_anomalies_flink_workshop_resources_spark.operators.detection import (
+        detect_attack_runs_skew_split,
+    )
+
+    df = _mk_events(spark, seqs)
+    base = detect_attack_runs(df, **_skew_params()).collect()
+    split = detect_attack_runs_skew_split(
+        df, **_skew_params(), bucket_seconds=bucket_seconds
+    ).collect()
+    assert _alerts_key(split) == _alerts_key(base), (
+        f"bucket_seconds={bucket_seconds}: {_alerts_key(split)} "
+        f"!= {_alerts_key(base)}"
+    )
+    return base
+
+
+def test_skew_split_boundary_cases(spark):
+    """Crafted boundary shapes: run crossing two buckets; an all-anomalous
+    middle bucket (pure carry-through); trigger as a bucket's first event
+    (empty head + carried run); saturated run (> max_run) across buckets."""
+    seqs = {
+        # run starts in bucket 0 (0-9s), trigger in bucket 1 (10-19s)
+        "cross": [(8, 1), (9, 1), (11, 1), (12, 100)],
+        # buckets: [A A] [A A] [A trigger] — middle bucket pure
+        "pure_mid": [(8, 1), (9, 1), (12, 1), (13, 1), (21, 1), (23, 100)],
+        # trigger is the first event of bucket 1; run entirely in bucket 0
+        "empty_head": [(5, 1), (6, 1), (7, 1), (10, 100)],
+        # 9 anomalous events over 3 buckets: matched caps at max_run=6
+        "saturated": [(s, 1) for s in (1, 2, 3, 11, 12, 13, 21, 22, 23)]
+        + [(25, 100)],
+        # no trigger ever: no alert
+        "never": [(1, 1), (2, 1), (3, 1)],
+        # window exceeded across buckets (span > 300 s)
+        "stale": [(0, 1), (150, 1), (301, 1), (320, 100)],
+    }
+    base = _assert_equiv(spark, seqs, bucket_seconds=10.0)
+    by_key = {r.target_key: r for r in base}
+    assert set(by_key) == {"cross", "pure_mid", "empty_head", "saturated"}
+    assert by_key["saturated"].fragment_count == 6  # capped at max_run
+
+
+def test_skew_split_randomized_equivalence(spark):
+    """Random metric sequences over several keys, compared at three
+    bucket granularities (including 1 s: nearly every event its own
+    bucket — maximal stitching)."""
+    import random
+
+    rng = random.Random(42)
+    choices = [1.0, 5.0, 15.0, 100.0, 200.0]
+    seqs = {
+        f"k{i}": [
+            (s * rng.uniform(0.5, 3.0), rng.choice(choices))
+            for s in range(rng.randint(10, 60))
+        ]
+        for i in range(6)
+    }
+    for bucket_seconds in (1.0, 17.0, 1e6):
+        _assert_equiv(spark, seqs, bucket_seconds)
