@@ -364,6 +364,56 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
+def simhash_packed(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Bit-packed Arrow twin of :func:`simhash` — identical output, no
+    (doc, bit) explode.
+
+    The JVM variant pays a ×``bits`` row explode through the shuffle to
+    stay in built-in expressions; this one computes each document's
+    fingerprint in a single NumPy pass inside ``mapInPandas``
+    (tokenize → md5 → unpack hash bits into a ±1 matrix → column sum →
+    pack), so shuffle volume drops from N·bits rows to zero (the op is
+    fully narrow). Same tokenizer regex and the same first-32-md5-bits
+    hash, so it hash-matches the SAME DuckDB oracle as ``simhash``.
+    Choose per workload: JVM explode when Python workers are the scarce
+    resource, packed when shuffle is (SCALE.md trade).
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    token_re = re.compile(TOKEN_RE)
+
+    def pack(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = token_re.findall(str(text).lower())
+                hs = np.array(
+                    [
+                        int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                        for t in toks
+                    ],
+                    dtype=np.int64,
+                )
+                if len(hs):
+                    # (n_tokens, bits) of ±1, column-summed then packed
+                    bit_mat = ((hs[:, None] >> np.arange(bits)) & 1) * 2 - 1
+                    s = bit_mat.sum(axis=0)
+                    fp = int(((s > 0).astype(np.int64) << np.arange(bits)).sum())
+                else:
+                    fp = 0
+                ids.append(doc_id)
+                hashes.append(fp)
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        pack, "doc_id long, simhash long"
+    )
+
+
 def simhash_sql(bits: int = 32) -> str:
     return f"""
 WITH toks AS (

@@ -57,6 +57,12 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
 
+def dedup_simhash_packed(spark, sf_dir):
+    """Arrow bit-packed twin — must hash-match the SAME oracle as the
+    JVM explode variant (zero-shuffle alternative, SCALE.md trade)."""
+    return D.simhash_packed(_docs(spark, sf_dir))
+
+
 def dedup_embedding(spark, sf_dir):
     return D.embedding_near_dup(_embs(spark, sf_dir), threshold=0.3)
 
@@ -114,6 +120,7 @@ QUERIES = {
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_packed": dedup_simhash_packed,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_ivf": dedup_embedding_ivf,
     "dedup_components": dedup_components,
@@ -133,6 +140,7 @@ ORACLES = {
     "dedup_jaccard": D.jaccard_pairs_sql(threshold=0.5, shingle_n=3),
     "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3),
     "dedup_simhash": D.simhash_sql(),
+    "dedup_simhash_packed": D.simhash_sql(),
     "dedup_embedding": D.embedding_near_dup_sql(threshold=0.3),
     "dedup_embedding_ivf": D.embedding_near_dup_ivf_sql(
         threshold=0.3, n_centroids=16
