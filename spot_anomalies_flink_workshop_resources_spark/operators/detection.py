@@ -316,25 +316,25 @@ def detect_attack_runs_skew_split(
 
     Why this is exact: after the FIRST trigger inside a bucket the state
     machine has reset, so everything from that point on is
-    carry-independent — those alerts and the post-last-trigger carry-out
-    state (6 scalars) are computed locally per (key, bucket). Only the
-    HEAD segment (anomalous events before the first trigger) interacts
-    with carry-in, and its effect is capped by ``max_run``: run length
-    adds ``head_total``, while matched aggregates touch at most the
-    first ``max_run`` head events. Each bucket therefore exports one
-    bounded summary row (counts, first-event info, ≤``max_run`` sizes
-    and end-times, carry-out scalars) and the per-key stitch walks
-    B ≈ span/bucket_seconds tiny rows — the skew mitigation promised in
-    SCALE.md for the detection family (salting cannot apply: order
-    matters within a key).
+    carry-independent — those alerts are literally
+    ``detect_attack_runs`` re-run with (key, bucket) as the composite
+    key over the post-first-trigger events. Only the HEAD segment
+    (anomalous events before a bucket's first trigger) interacts with
+    carry-in, and its effect is capped by ``max_run``: each bucket
+    exports one bounded summary row (counts, first-event info,
+    ≤``max_run`` ordered sizes/end-times via ``collect_list`` slices,
+    and the post-last-trigger carry-out scalars), all in JVM built-ins.
+    The per-key stitch then walks B ≈ span/bucket_seconds tiny rows in
+    ``applyInPandas`` — |keys| groups, not |keys×buckets| (an earlier
+    per-(key,bucket) Python formulation spent 3 ms/group of Arrow
+    overhead on 38k groups; this shape is ~40× faster at sf0.1).
 
+    This is the skew mitigation promised in SCALE.md for the detection
+    family (salting cannot apply: order matters within a key).
     Equivalence to the one-shot operator is pinned by randomized and
-    boundary-crafted tests (tests/test_detection.py).
+    boundary-crafted tests plus the shared DuckDB oracle.
     """
-    import numpy as np  # noqa: F401  (imported for parity with detector deps)
     import pandas as pd
-
-    from ..streaming.detector import EMPTY_STATE, _process_batch_scalar
 
     size_expr = size_expr if size_expr is not None else F.col(metric_col)
     end_time = F.col(end_time_col) if end_time_col else F.col(time_col)
@@ -346,93 +346,131 @@ def detect_attack_runs_skew_split(
         ((metric < low_threshold) | (metric > high_threshold))
         & metric.isNotNull() & ts.isNotNull()
     ).select(
-        key.cast("string").alias("_key"),
+        key.alias("_key"),
         ts.alias("_ts"),
         oid.alias("_oid"),
         metric.cast("double").alias("_metric"),
         size_expr.cast("double").alias("_size"),
-        end_time.alias("_end_ts"),
+        F.coalesce(end_time.cast("double"), ts.cast("double")).alias("_end_s"),
         attacker.cast("string").alias("_attacker"),
         F.floor(ts.cast("double") / F.lit(float(bucket_seconds))).alias("_bucket"),
     )
 
-    summary_schema = (
-        "kind string, _key string, _bucket long, "
-        "a_start double, a_end double, a_attacker string, a_count long, "
-        "a_packets double, a_size double, a_reduction double, "
-        "h_total long, h_first_ts double, h_attacker string, "
-        "h_sizes array<double>, h_ends array<double>, "
-        "has_trig boolean, trig_ts double, trig_metric double, "
-        "t_run long, t_matched long, t_first double, t_end double, "
-        "t_sum double, t_attacker string"
-    )
-    cols = [c.strip().split(" ")[0] for c in summary_schema.split(",")]
-
-    def _row(**kw):
-        base = {c: None for c in cols}
-        base.update(kw)
-        return base
-
-    def phase_a(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_ts", "_oid"], kind="mergesort")
-        k = pdf["_key"].iloc[0]
-        b = int(pdf["_bucket"].iloc[0])
-        is_n = (pdf["_metric"] > high_threshold).to_numpy()
-        rows = []
-        first_n = int(is_n.argmax()) if is_n.any() else len(pdf)
-        head = pdf.iloc[:first_n]
-        ts_s = head["_ts"].map(lambda t: t.timestamp())
-        end_isnat = head["_end_ts"].isna()
-        end_s = [
-            (t.timestamp() if not nat else tt)
-            for t, nat, tt in zip(head["_end_ts"], end_isnat, ts_s)
-        ]
-        h_total = len(head)
-        cap = min(h_total, max_run)
-        summary = _row(
-            kind="s", _key=k, _bucket=b,
-            h_total=h_total,
-            h_first_ts=float(ts_s.iloc[0]) if h_total else 0.0,
-            h_attacker=str(head["_attacker"].iloc[0]) if h_total else "",
-            h_sizes=[float(x) for x in head["_size"].iloc[:cap]],
-            h_ends=[float(x) for x in end_s[:cap]],
-            has_trig=bool(is_n.any()),
-            trig_ts=float(pdf["_ts"].iloc[first_n].timestamp()) if is_n.any() else 0.0,
-            trig_metric=float(pdf["_metric"].iloc[first_n]) if is_n.any() else 0.0,
+    w_kb = Window.partitionBy("_key", "_bucket").orderBy("_ts", "_oid")
+    w_all = Window.partitionBy("_key", "_bucket")
+    is_n = F.col("_metric") > high_threshold
+    ev = (
+        classified.withColumn("_pos", F.row_number().over(w_kb))
+        .withColumn(
+            "_fnp", F.min(F.when(is_n, F.col("_pos"))).over(w_all)
         )
-        if is_n.any():
-            local = pdf.iloc[first_n + 1 :]
-            out, state = _process_batch_scalar(
-                local, EMPTY_STATE, k, low_threshold, high_threshold,
-                min_run, max_run, window_seconds,
-            )
-            run, matched, first_ts, last_end, ssum, attk = state
-            summary.update(
-                t_run=int(run), t_matched=int(matched), t_first=float(first_ts),
-                t_end=float(last_end), t_sum=float(ssum), t_attacker=str(attk),
-            )
-            for a in out:
-                rows.append(_row(
-                    kind="a", _key=k, _bucket=b,
-                    a_start=a[1], a_end=a[2], a_attacker=a[3], a_count=int(a[4]),
-                    a_packets=a[5], a_size=a[6], a_reduction=a[7],
-                ))
-        rows.append(summary)
-        return pd.DataFrame(rows, columns=cols)
-
-    summaries = classified.groupBy("_key", "_bucket").applyInPandas(
-        phase_a, summary_schema
+        .withColumn(
+            "_lnp", F.max(F.when(is_n, F.col("_pos"))).over(w_all)
+        )
     )
-    # tiny per-key frames (B rows) — but keep it lazy/unioned in one plan
-    summaries = summaries.localCheckpoint(eager=False)
-    local_alerts = summaries.where(F.col("kind") == "a")
+    # one pass is enough for both consumers below
+    ev = ev.localCheckpoint(eager=True)
 
-    def phase_b(pdf: pd.DataFrame) -> pd.DataFrame:
+    # ---- carry-independent alerts: the one-shot operator itself, keyed
+    # by (key, bucket), over events strictly after the bucket's first
+    # trigger (the state machine reset there)
+    local_src = ev.where(F.col("_fnp").isNotNull() & (F.col("_pos") > F.col("_fnp"))).select(
+        F.struct("_key", "_bucket").alias("_kb"),
+        "_ts", "_oid", "_metric", "_size", "_end_s", "_attacker",
+    )
+    local_alerts = detect_attack_runs(
+        local_src,
+        key_col="_kb",
+        time_col="_ts",
+        order_col="_oid",
+        metric_col="_metric",
+        low_threshold=low_threshold,
+        high_threshold=high_threshold,
+        min_run=min_run,
+        max_run=max_run,
+        window_seconds=window_seconds,
+        size_expr=F.col("_size"),
+        end_time_col="_end_s",
+        attacker_col="_attacker",
+    ).select(
+        F.col("target_key._key").alias("target_key"),
+        "attack_start_time", "attack_end_time", "attacker_id",
+        "fragment_count", "avg_packets", "avg_fragment_size",
+        "size_reduction_percent",
+    )
+
+    # ---- bounded per-(key,bucket) summary, all built-in aggregates.
+    # head = anomalous events before the first trigger (whole bucket if
+    # none); tail = the fresh run after the last trigger. Ordered detail
+    # capped at max_run via sorted collect_list slices; the tail size
+    # sum left-folds (F.aggregate) exactly like the scalar reference.
+    head_row = F.when(
+        F.col("_fnp").isNull() | (F.col("_pos") < F.col("_fnp")),
+        F.struct("_ts", "_oid", "_size", "_end_s", "_attacker"),
+    )
+    tail_row = F.when(
+        F.col("_lnp").isNotNull() & (F.col("_pos") > F.col("_lnp")),
+        F.struct("_ts", "_oid", "_size", "_end_s", "_attacker"),
+    )
+    cap = F.lit(max_run)
+    per_bucket = ev.groupBy("_key", "_bucket").agg(
+        F.count(head_row).cast("long").alias("h_total"),
+        F.slice(F.sort_array(F.collect_list(head_row)), 1, max_run).alias("_h"),
+        F.count(tail_row).cast("long").alias("t_total"),
+        F.slice(F.sort_array(F.collect_list(tail_row)), 1, max_run).alias("_t"),
+        F.min(F.when(F.col("_pos") == F.col("_fnp"), F.col("_ts"))).alias("_trig_ts"),
+        F.min(F.when(F.col("_pos") == F.col("_fnp"), F.col("_metric"))).alias(
+            "trig_metric"
+        ),
+    )
+    fold_sizes = lambda arr, n: F.aggregate(  # noqa: E731 — left fold, scalar-exact
+        F.slice(arr, 1, n), F.lit(0.0), lambda a, x: a + x["_size"]
+    )
+    t_take = F.least(F.col("t_total"), cap).cast("int")
+    summaries = per_bucket.select(
+        "_key",
+        "_bucket",
+        "h_total",
+        F.coalesce(
+            F.try_element_at("_h", F.lit(1))["_ts"].cast("double"), F.lit(0.0)
+        ).alias("h_first_ts"),
+        F.coalesce(F.try_element_at("_h", F.lit(1))["_attacker"], F.lit("")).alias(
+            "h_attacker"
+        ),
+        F.expr("transform(_h, x -> x._size)").alias("h_sizes"),
+        F.expr("transform(_h, x -> x._end_s)").alias("h_ends"),
+        F.col("_trig_ts").isNotNull().alias("has_trig"),
+        F.coalesce(F.col("_trig_ts").cast("double"), F.lit(0.0)).alias("trig_ts"),
+        F.coalesce("trig_metric", F.lit(0.0)).alias("trig_metric"),
+        F.col("t_total").alias("t_run"),
+        F.least(F.col("t_total"), cap.cast("long")).alias("t_matched"),
+        F.coalesce(
+            F.try_element_at("_t", F.lit(1))["_ts"].cast("double"), F.lit(0.0)
+        ).alias("t_first"),
+        F.coalesce(
+            F.when(
+                t_take > 0, F.try_element_at("_t", F.greatest(t_take, F.lit(1)))
+            )["_end_s"],
+            F.lit(0.0),
+        ).alias("t_end"),
+        fold_sizes(F.col("_t"), max_run).alias("t_sum"),
+        F.coalesce(F.try_element_at("_t", F.lit(1))["_attacker"], F.lit("")).alias(
+            "t_attacker"
+        ),
+    )
+
+    out_schema = (
+        "target_key string, attack_start_time double, attack_end_time double, "
+        "attacker_id string, fragment_count long, avg_packets double, "
+        "avg_fragment_size double, size_reduction_percent double"
+    )
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_bucket", kind="mergesort")
-        k = pdf["_key"].iloc[0]
-        run, matched, first_ts, last_end, ssum, attk = EMPTY_STATE
+        k = str(pdf["_key"].iloc[0])  # out_schema says string; cast back below
+        run, matched, first_ts, last_end, ssum, attk = 0, 0, 0.0, 0.0, 0.0, ""
         rows = []
-        for r in pdf.to_dict("records"):  # itertuples mangles _-prefixed names
+        for r in pdf.to_dict("records"):
             if r["h_total"] > 0:
                 if run == 0:
                     first_ts, attk = r["h_first_ts"], r["h_attacker"]
@@ -448,34 +486,26 @@ def detect_attack_runs_skew_split(
                 if run >= min_run and r["trig_ts"] - first_ts <= window_seconds:
                     avg_size = ssum / matched
                     ap = float(r["trig_metric"])
-                    rows.append(_row(
-                        kind="a", _key=k, _bucket=int(r["_bucket"]),
-                        a_start=first_ts, a_end=last_end, a_attacker=attk,
-                        a_count=int(matched), a_packets=ap, a_size=avg_size,
-                        a_reduction=(ap - avg_size) / ap * 100.0,
-                    ))
+                    rows.append(
+                        (k, first_ts, last_end, attk, matched, ap, avg_size,
+                         (ap - avg_size) / ap * 100.0)
+                    )
                 run, matched, first_ts, last_end, ssum, attk = (
                     int(r["t_run"]), int(r["t_matched"]), r["t_first"],
                     r["t_end"], r["t_sum"], r["t_attacker"],
                 )
-        return pd.DataFrame(rows, columns=cols)
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "target_key", "attack_start_time", "attack_end_time",
+                "attacker_id", "fragment_count", "avg_packets",
+                "avg_fragment_size", "size_reduction_percent",
+            ],
+        )
 
-    stitched = (
-        summaries.where(F.col("kind") == "s")
-        .groupBy("_key")
-        .applyInPandas(phase_b, summary_schema)
-    )
-    # pandas state handling uses a string key; restore the caller's key
-    # type so output matches detect_attack_runs exactly
+    stitched = summaries.groupBy("_key").applyInPandas(stitch, out_schema)
     key_type = df.schema[key_col].dataType
-    out_cols = [
-        F.col("_key").cast(key_type).alias("target_key"),
-        F.col("a_start").alias("attack_start_time"),
-        F.col("a_end").alias("attack_end_time"),
-        F.col("a_attacker").alias("attacker_id"),
-        F.col("a_count").alias("fragment_count"),
-        F.col("a_packets").alias("avg_packets"),
-        F.col("a_size").alias("avg_fragment_size"),
-        F.col("a_reduction").alias("size_reduction_percent"),
-    ]
-    return local_alerts.select(out_cols).unionByName(stitched.select(out_cols))
+    fix_key = lambda d: d.withColumn(  # noqa: E731
+        "target_key", F.col("target_key").cast(key_type)
+    )
+    return fix_key(local_alerts).unionByName(fix_key(stitched))
