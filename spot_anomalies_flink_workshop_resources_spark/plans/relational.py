@@ -702,6 +702,165 @@ GROUP BY o_year
 
 
 # ---------------------------------------------------------------------------
+# q9-like: product-type profit by supplier nation and order year — a
+# contains-LIKE part filter plus a 5-way join. Part/supplier/nation are
+# dims (broadcast); the only shuffle is lineitem⨝orders + final agg.
+# ---------------------------------------------------------------------------
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    profit = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_d2d(F.sum(profit)).alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15-like: top supplier by quarterly revenue — an aggregated "view"
+# consumed twice (argmax via scalar subquery). The rev frame is tiny
+# (one row per supplier) so both the max and the supplier dim broadcast;
+# revenue equality is safe because both engines derive the double through
+# the same exact-decimal path.
+# ---------------------------------------------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
+    rev = l.groupBy("l_suppkey").agg(_d2d(F.sum(revenue)).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17-like: small-quantity revenue — correlated per-part average. Spark
+# phrasing: semi-restrict lineitem to the brand's parts FIRST (broadcast),
+# then a per-part window average over the restricted rows — no full-table
+# aggregate, no self-join, one shuffle on l_partkey.
+# ---------------------------------------------------------------------------
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = _d2d(F.sum(_dec(F.col("l_quantity"))).over(w)) / F.count(
+        F.lit(1)
+    ).over(w)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .withColumn("avg_qty", avg_qty)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (_d2d(F.sum(_dec(F.col("l_extendedprice")))) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH cand AS (
+  SELECT l_extendedprice, l_quantity,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                  OVER (PARTITION BY l_partkey) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         / 7.0 AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM cand
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Navigation + distribution window functions: lag/lead/ntile/percent_rank
+# over a per-user event timeline. The (ts, event_id) order key is unique,
+# so every function is deterministic; percent_rank's (rank-1)/(n-1) is a
+# double both engines compute identically.
+# ---------------------------------------------------------------------------
+
+def events_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("time_pct_rank"),
+    )
+
+
+EVENTS_LEAD_LAG_SQL = """
+SELECT event_id, user_id, value,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS time_pct_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Time-RANGE window frame: trailing-hour moving aggregate per user — the
 # frame is defined by a VALUE range over event time (peers included),
 # not a row count; exact decimal sum keeps it oracle-hashable.
@@ -749,12 +908,16 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_nation_trade": q7_nation_trade,
     "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
     "q10_returned_items": q10_returned_items,
     "q12_priority_classes": q12_priority_classes,
     "q14_promo_share": q14_promo_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "top_orders_per_customer": top_orders_per_customer,
+    "events_lead_lag": events_lead_lag,
     "top_expensive_lineitems": top_expensive_lineitems,
     "distinct_parts_per_flag": distinct_parts_per_flag,
     "active_nation_keys": active_nation_keys,
@@ -771,12 +934,16 @@ ORACLES = {
     "q6_forecast_revenue": Q6_SQL,
     "q7_nation_trade": Q7_SQL,
     "q8_market_share": Q8_SQL,
+    "q9_product_profit": Q9_SQL,
     "q10_returned_items": Q10_SQL,
     "q12_priority_classes": Q12_SQL,
     "q14_promo_share": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity": Q17_SQL,
     "q18_large_orders": Q18_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
     "top_orders_per_customer": TOP_ORDERS_SQL,
+    "events_lead_lag": EVENTS_LEAD_LAG_SQL,
     "top_expensive_lineitems": TOP_LINEITEMS_SQL,
     "distinct_parts_per_flag": DISTINCT_PARTS_SQL,
     "active_nation_keys": ACTIVE_NATIONS_SQL,

@@ -144,6 +144,32 @@ INTERSECT
 SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 7000.0
 """
 
+# q11-style: parts whose revenue exceeds a fixed fraction of TOTAL revenue
+# — an aggregate filtered against an uncorrelated scalar subquery over the
+# same fact table. Catalyst plans the subquery as an independent
+# one-row aggregate broadcast into the filter; the fact scans share the
+# exchange under AQE. The threshold multiply happens in double on both
+# engines after the exact-decimal sum (IEEE-identical). STRING/VARCHAR is
+# the one dialect split — one template, substituted per engine.
+_PART_REVENUE_SHARE_TEMPLATE = """
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS {STR}) AS DOUBLE)
+           AS part_rev
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_rev
+FROM pr
+WHERE part_rev > (
+  SELECT 0.0008 * CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS {STR})
+                    AS DOUBLE)
+  FROM lineitem
+)
+"""
+PART_REVENUE_SHARE_SQL = _PART_REVENUE_SHARE_TEMPLATE.format(STR="STRING")
+PART_REVENUE_SHARE_ORACLE = _PART_REVENUE_SHARE_TEMPLATE.format(STR="VARCHAR")
+
 
 QUERIES = {
     "sql_cheapest_part_per_type": _sql_query(CHEAPEST_PART_SQL),
@@ -156,6 +182,7 @@ QUERIES = {
     "sql_orders_cube": _sql_query(ORDERS_CUBE_SQL),
     "sql_nations_except": _sql_query(NATIONS_EXCEPT_SQL),
     "sql_nations_intersect": _sql_query(NATIONS_INTERSECT_SQL),
+    "sql_part_revenue_share": _sql_query(PART_REVENUE_SHARE_SQL),
 }
 
 ORACLES = {
@@ -168,4 +195,5 @@ ORACLES = {
     "sql_orders_cube": ORDERS_CUBE_SQL,
     "sql_nations_except": NATIONS_EXCEPT_SQL,
     "sql_nations_intersect": NATIONS_INTERSECT_SQL,
+    "sql_part_revenue_share": PART_REVENUE_SHARE_ORACLE,
 }
