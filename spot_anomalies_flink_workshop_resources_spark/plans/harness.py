@@ -203,6 +203,60 @@ HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT MAX(ts) FROM events)
 """
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run to completion: each click joins
+    same-user purchases within the following hour. Two independent
+    file-source streams over the same events table, watermarked on both
+    sides; inner-join semantics make the finalized result equal the
+    batch interval join, which is the oracle."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.joins import interval_join_stream
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = interval_join_stream(
+        clicks, purchases, key="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="1 hour",
+    )
+    return _run_to_completion(
+        joined.select(
+            "click_id", "user_id", "click_ts",
+            "purchase_id", "purchase_ts", "purchase_value",
+        ),
+        spark,
+    )
+
+
+STREAM_INTERVAL_JOIN_ORACLE = """
+SELECT c.event_id AS click_id, c.user_id AS user_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join demo on events: each click gets the latest prior
     purchase value for the same user. Oracle: DuckDB's native ASOF JOIN.
@@ -397,6 +451,7 @@ def build_queries() -> dict[str, QueryFn]:
         "ml_ipinsights_score": ml_ipinsights_score,
         "stream_session_rollup": stream_session_rollup,
         "stream_tumbling_rollup": stream_tumbling_rollup,
+        "stream_interval_join": stream_interval_join,
         "asof_click_purchase": asof_click_purchase,
         "approx_distinct_parts": approx_distinct_parts,
         "pivot_event_type_counts": pivot_event_type_counts,
@@ -420,6 +475,7 @@ def build_oracles() -> dict[str, str]:
         "cep_fragmentation_stream": cep_fragmentation_oracle(),
         "stream_session_rollup": STREAM_SESSION_ORACLE,
         "stream_tumbling_rollup": STREAM_TUMBLING_ORACLE,
+        "stream_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
         "asof_click_purchase": ASOF_ORACLE,
         "pivot_event_type_counts": PIVOT_ORACLE,
         "ocsf_nested_endpoints": OCSF_NESTED_ORACLE,

@@ -92,26 +92,24 @@ def test_stream_stream_interval_join(spark):
             {"user": "u2", "purchase_ts": iso(5000), "amount": 99.0},  # too late
         ]
     )
+    from spot_anomalies_flink_workshop_resources_spark.streaming.joins import (
+        interval_join_stream,
+    )
+
     c = (
         spark.readStream.schema("user STRING, click_ts STRING").json(clicks)
         .withColumn("click_ts", F.to_timestamp("click_ts"))
-        .withWatermark("click_ts", "1 hour")
     )
     p = (
         spark.readStream.schema(
             "user STRING, purchase_ts STRING, amount DOUBLE"
         ).json(purchases)
         .withColumn("purchase_ts", F.to_timestamp("purchase_ts"))
-        .withWatermark("purchase_ts", "1 hour")
     )
-    joined = c.alias("c").join(
-        p.alias("p"),
-        F.expr(
-            """c.user = p.user AND
-               p.purchase_ts >= c.click_ts AND
-               p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTES"""
-        ),
-    ).select(F.col("c.user").alias("user"), "amount")
+    joined = interval_join_stream(
+        c, p, key="user", left_ts="click_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="10 minutes", watermark="1 hour",
+    ).select("user", "amount")
     q = (
         joined.writeStream.format("memory")
         .queryName("ssij_out")
