@@ -465,12 +465,17 @@ def detect_attack_runs_skew_split(
         "avg_fragment_size double, size_reduction_percent double"
     )
 
-    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_bucket", kind="mergesort")
-        k = str(pdf["_key"].iloc[0])  # out_schema says string; cast back below
+    out_cols = [
+        "target_key", "attack_start_time", "attack_end_time",
+        "attacker_id", "fragment_count", "avg_packets",
+        "avg_fragment_size", "size_reduction_percent",
+    ]
+
+    def stitch_one(k: str, recs: list[dict]) -> list[tuple]:
+        # recs are (key, bucket)-sorted summary rows for ONE key
         run, matched, first_ts, last_end, ssum, attk = 0, 0, 0.0, 0.0, 0.0, ""
         rows = []
-        for r in pdf.to_dict("records"):
+        for r in recs:
             if r["h_total"] > 0:
                 if run == 0:
                     first_ts, attk = r["h_first_ts"], r["h_attacker"]
@@ -494,16 +499,46 @@ def detect_attack_runs_skew_split(
                     int(r["t_run"]), int(r["t_matched"]), r["t_first"],
                     r["t_end"], r["t_sum"], r["t_attacker"],
                 )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "target_key", "attack_start_time", "attack_end_time",
-                "attacker_id", "fragment_count", "avg_packets",
-                "avg_fragment_size", "size_reduction_percent",
-            ],
-        )
+        return rows
 
-    stitched = summaries.groupBy("_key").applyInPandas(stitch, out_schema)
+    def stitch_partition(batches):
+        # ONE Arrow exchange per partition instead of one per key:
+        # applyInPandas pays ~3-5 ms of Arrow/pandas setup per GROUP,
+        # which at |keys| groups dominated the whole operator (measured
+        # 7.9 s of a 10 s run at sf0.1 with an empty stitch body). Rows
+        # arrive (key, bucket)-sorted within the partition; Arrow batch
+        # boundaries may split a key, so the trailing (possibly
+        # incomplete) key's rows are carried into the next batch.
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_key = pdf["_key"].iloc[-1]
+            tail_mask = pdf["_key"] == last_key
+            pending = pdf[tail_mask]
+            body = pdf[~tail_mask]
+            if len(body):
+                out = _stitch_frame(body)
+                if len(out):
+                    yield out
+        if pending is not None and len(pending):
+            out = _stitch_frame(pending)
+            if len(out):
+                yield out
+
+    def _stitch_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows: list[tuple] = []
+        for k, recs in pdf.groupby("_key", sort=False):
+            rows.extend(stitch_one(str(k), recs.to_dict("records")))
+        return pd.DataFrame(rows, columns=out_cols)
+
+    stitched = (
+        summaries.repartition("_key")
+        .sortWithinPartitions("_key", "_bucket")
+        .mapInPandas(stitch_partition, out_schema)
+    )
     key_type = df.schema[key_col].dataType
     fix_key = lambda d: d.withColumn(  # noqa: E731
         "target_key", F.col("target_key").cast(key_type)
