@@ -138,7 +138,12 @@ def jaccard_pairs(
     posting-list profile (max/p99 df, shingles dropped) — one extra
     vocab-sized aggregation job.
     """
-    toks = _shingles(docs, shingle_n)
+    # The (doc_id, shingle) index feeds counts + BOTH sides of the
+    # self-join (and the df prune when capped): materialize it once so
+    # the regexp/transform/explode shingling pass runs once, not 3-4×
+    # (measured 2.2× end-to-end at sf0.1) — same index-reuse pattern as
+    # minhash_lsh_pairs.
+    toks = _shingles(docs, shingle_n).localCheckpoint(eager=True)
     if df_cap is not None:
         freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
         if log_skew:
