@@ -52,9 +52,26 @@ def load_tables(
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+_REGISTERED: dict[str, str] = {}  # applicationId -> sf_dir
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> None:
-    """Register each table as a temp view for spark.sql access."""
+    """Register each table as a temp view for spark.sql access.
+
+    Registration is cached per (session, sf_dir): ``spark.read.parquet``
+    reads footers for schema inference, so re-registering all 10 tables
+    costs ~1 s — pure overhead when every ``spark.sql`` query path calls
+    this. Re-registering a DIFFERENT sf_dir (or a partial ``names``
+    subset after a full registration) replaces the views as before.
+    """
+    app = spark.sparkContext.applicationId
+    if _REGISTERED.get(app) == sf_dir and names == TABLES:
+        return
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    if names == TABLES:
+        _REGISTERED[app] = sf_dir
+    else:
+        _REGISTERED.pop(app, None)
