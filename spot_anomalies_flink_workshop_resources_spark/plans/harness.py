@@ -128,18 +128,37 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _run_to_completion(df: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_completion(
+    df: DataFrame, spark: SparkSession, shuffle_partitions: int = 8
+) -> DataFrame:
+    """Run an append-mode stream over the bounded harness source and
+    return the memory-sink table.
+
+    ``shuffle_partitions`` pins the STREAMING state partitioning for the
+    lifetime of the query (Structured Streaming reads the conf at query
+    start): state-store instances = stores/operator × partitions, and
+    their open/commit overhead dominates small harness runs (measured
+    11.5 s → 3.1 s on the stream-stream join at sf0.1 going 32 → 8).
+    Size this to keyed-state volume — at production scale it is RAISED,
+    independently of the batch shuffle width. The session conf is
+    restored afterwards so batch queries keep their width.
+    """
     import uuid
 
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"stream_q_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
