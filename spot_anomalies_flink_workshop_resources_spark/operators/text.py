@@ -101,6 +101,43 @@ FROM documents
 """
 
 
+def corpus_prep_sql(min_quality: float = 0.5) -> str:
+    """Oracle for the composed corpus-prep pipeline (see
+    plans/pipeline_ops.corpus_prep): quality gate -> exact-dedup keep
+    -> per-(source, lang) rollup. The quality expression is the SAME
+    rational blend as TEXT_STATS_SQL, so the gate decisions match the
+    Spark side bit-for-bit; the rollup avoids double summation (MIN/MAX
+    of quality only) so no decimal staging is needed."""
+    quality = (
+        f"({_hits_sql('lower(text)', STOPWORDS['en'])}"
+        f"   / greatest(len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 1)) * 0.4"
+        f" + (len(regexp_extract_all(lower(text), '[a-z]'))"
+        f"    / greatest(length(text), 1)) * 0.3"
+        f" + (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END)"
+        f"   * 0.3"
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text, lang, source,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
+         {quality} AS quality_score
+  FROM documents
+),
+good AS (SELECT * FROM scored WHERE quality_score >= {min_quality}),
+keeps AS (
+  SELECT MIN(doc_id) AS doc_id FROM good GROUP BY md5(lower(trim(text)))
+)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(quality_score) AS min_quality,
+       MAX(quality_score) AS max_quality
+FROM good
+WHERE doc_id IN (SELECT doc_id FROM keeps)
+GROUP BY source, lang
+"""
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """N-gram (stopword-hit) language ID heuristic.
 

@@ -39,6 +39,27 @@ def dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
 
+def corpus_prep(spark, sf_dir):
+    """Composed training-corpus prep — the shape a real pipeline runs as
+    ONE declarative plan (Catalyst fuses the stages; the text scan feeds
+    both the scorer and the dedup key without a second read): quality
+    gate (text_stats blend >= 0.5) -> exact-dedup keep (min doc_id per
+    content hash, left-semi) -> per-(source, lang) corpus accounting."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    stats = T.text_stats(docs).select("doc_id", "n_tokens", "quality_score")
+    good = docs.join(stats, "doc_id").where(F.col("quality_score") >= 0.5)
+    keeps = D.exact_dedup(good).select(F.col("keep_id").alias("doc_id"))
+    kept = good.join(keeps, "doc_id", "left_semi")
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("quality_score").alias("min_quality"),
+        F.max("quality_score").alias("max_quality"),
+    )
+
+
 def dedup_jaccard(spark, sf_dir):
     # df_cap=64 > measured corpus max df (7 at sf0.01, 25 at sf0.1):
     # exact result with the quadratic-hot-token guard armed; the skew
@@ -117,6 +138,7 @@ QUERIES = {
     "text_token_rollup": token_rollup,
     "text_doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
+    "corpus_prep": corpus_prep,
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -137,6 +159,7 @@ ORACLES = {
     "text_token_rollup": T.TOKEN_ROLLUP_SQL,
     "text_doc_fingerprint": T.DOC_FINGERPRINT_SQL,
     "dedup_exact": D.EXACT_DEDUP_SQL,
+    "corpus_prep": T.corpus_prep_sql(min_quality=0.5),
     "dedup_jaccard": D.jaccard_pairs_sql(threshold=0.5, shingle_n=3),
     "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3),
     "dedup_simhash": D.simhash_sql(),
