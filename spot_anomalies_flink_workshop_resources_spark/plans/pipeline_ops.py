@@ -60,6 +60,56 @@ def corpus_prep(spark, sf_dir):
     )
 
 
+def corpus_split(spark, sf_dir):
+    """Deterministic train/valid/test split (80/10/10) by content-stable
+    md5 bucket of doc_id — reshuffling or re-reading the corpus never
+    moves a document between splits, the property that keeps eval sets
+    uncontaminated across pipeline re-runs. Narrow map + one
+    3-group rollup; no shuffle beyond the final agg. md5 is the one
+    hash both engines share bit-for-bit (Spark murmur3 has no DuckDB
+    twin), so the assignment itself is oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "source")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+CORPUS_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT CASE
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 100 < 80 THEN 'train'
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 100 < 90 THEN 'valid'
+           ELSE 'test'
+         END AS split,
+         n_chars, source
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM assigned
+GROUP BY split
+"""
+
+
 def dedup_jaccard(spark, sf_dir):
     # df_cap=64 > measured corpus max df (7 at sf0.01, 25 at sf0.1):
     # exact result with the quadratic-hot-token guard armed; the skew
@@ -139,6 +189,7 @@ QUERIES = {
     "text_doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
     "corpus_prep": corpus_prep,
+    "corpus_split": corpus_split,
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -160,6 +211,7 @@ ORACLES = {
     "text_doc_fingerprint": T.DOC_FINGERPRINT_SQL,
     "dedup_exact": D.EXACT_DEDUP_SQL,
     "corpus_prep": T.corpus_prep_sql(min_quality=0.5),
+    "corpus_split": CORPUS_SPLIT_SQL,
     "dedup_jaccard": D.jaccard_pairs_sql(threshold=0.5, shingle_n=3),
     "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3),
     "dedup_simhash": D.simhash_sql(),
