@@ -278,3 +278,67 @@ def test_multi_probe_ivf_recall_monotone(spark, sf_dir):
     r1, r2, r_all = recall(1), recall(2), recall(16)
     assert r1 <= r2 <= r_all
     assert r_all == 1.0, f"probing every bucket must be exact (got {r_all})"
+
+
+def test_corpus_split_stable_and_exhaustive(spark):
+    """The md5-bucket split must (a) assign every doc, (b) give the same
+    assignment on a re-shuffled re-read — the contamination guard the
+    operator exists for."""
+    from pyspark.sql import functions as F
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.pipeline_ops import (
+        corpus_split,
+    )
+
+    df = _docs(spark, [f"document number {i} text body" for i in range(200)])
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    split_col = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    a = {r.doc_id: r.s for r in df.select("doc_id", split_col.alias("s")).collect()}
+    b = {
+        r.doc_id: r.s
+        for r in df.repartition(7)
+        .select("doc_id", split_col.alias("s"))
+        .collect()
+    }
+    assert a == b, "split assignment moved under repartitioning"
+    assert len(a) == 200
+    counts = {s: list(a.values()).count(s) for s in ("train", "valid", "test")}
+    assert counts["train"] > counts["valid"] > 0 and counts["test"] > 0
+
+
+def test_corpus_prep_gates_and_dedups(spark):
+    """corpus_prep drops low-quality docs and exact duplicates before
+    the rollup: a duplicated good doc counts once; junk counts zero."""
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans import pipeline_ops
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "rests in the shade of a tall tree while the dog watches the road "
+        "for a long while and they both enjoy the quiet afternoon sun"
+    )
+    rows = [
+        Row(doc_id=0, text=good, lang="en", source="s0", n_chars=len(good)),
+        Row(doc_id=1, text=good, lang="en", source="s0", n_chars=len(good)),
+        Row(doc_id=2, text="@@@@ ####", lang="en", source="s0", n_chars=9),
+    ]
+    df = spark.createDataFrame(rows)
+
+    import spot_anomalies_flink_workshop_resources_spark.plans.pipeline_ops as po
+
+    orig = po._docs
+    po._docs = lambda spark, sf_dir: df
+    try:
+        out = pipeline_ops.corpus_prep(spark, "ignored").collect()
+    finally:
+        po._docs = orig
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source, r.lang, r.n_docs) == ("s0", "en", 1)
