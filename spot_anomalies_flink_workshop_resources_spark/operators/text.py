@@ -48,13 +48,13 @@ def _hits_sql(col: str, words: str) -> str:
     return f"len(regexp_extract_all({col}, '\\b({words})\\b'))"
 
 
-def text_stats(docs: DataFrame) -> DataFrame:
-    """Per-document token/quality metrics.
-
-    quality_score is a rational-arithmetic blend of three signals (each
-    in [0,1]): stopword ratio (fluency), alpha ratio (cleanliness), and
-    a length band (too-short/too-long penalty). Weights 0.4/0.3/0.3.
-    """
+def stat_cols() -> dict:
+    """The per-document metric EXPRESSIONS behind text_stats, exposed so
+    composed pipelines (corpus_prep) can evaluate them inline on the
+    document scan instead of joining back to a text_stats frame — the
+    stats are narrow column functions, so materializing them as a
+    separate frame and re-joining would add a corpus-wide shuffle for
+    nothing."""
     lower = F.lower(F.col("text"))
     n_tokens = F.size(F.regexp_extract_all(lower, F.lit(TOKEN_RE), F.lit(0)))
     n_words = F.size(F.split(F.trim(F.col("text")), "\\s+"))
@@ -69,17 +69,34 @@ def text_stats(docs: DataFrame) -> DataFrame:
         F.lit(0.0)
     )
     quality = stop_ratio * 0.4 + alpha_ratio * 0.3 + len_band * 0.3
+    return {
+        "n_tokens": n_tokens,
+        "n_words": n_words,
+        "n_punct": n_punct,
+        "n_stopwords": n_stop,
+        "avg_word_len": n_chars / F.greatest(n_words, F.lit(1)),
+        "quality_score": quality,
+    }
 
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token/quality metrics.
+
+    quality_score is a rational-arithmetic blend of three signals (each
+    in [0,1]): stopword ratio (fluency), alpha ratio (cleanliness), and
+    a length band (too-short/too-long penalty). Weights 0.4/0.3/0.3.
+    """
+    c = stat_cols()
     # counts cast to long: DuckDB len()/COUNT return BIGINT, Spark size()
     # returns int — keep result schemas identical for the driver's check
     return docs.select(
         "doc_id",
-        n_tokens.cast("long").alias("n_tokens"),
-        n_words.cast("long").alias("n_words"),
-        n_punct.cast("long").alias("n_punct"),
-        n_stop.cast("long").alias("n_stopwords"),
-        (n_chars / F.greatest(n_words, F.lit(1))).alias("avg_word_len"),
-        quality.alias("quality_score"),
+        c["n_tokens"].cast("long").alias("n_tokens"),
+        c["n_words"].cast("long").alias("n_words"),
+        c["n_punct"].cast("long").alias("n_punct"),
+        c["n_stopwords"].cast("long").alias("n_stopwords"),
+        c["avg_word_len"].alias("avg_word_len"),
+        c["quality_score"].alias("quality_score"),
     )
 
 

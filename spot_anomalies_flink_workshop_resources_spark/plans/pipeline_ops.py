@@ -48,8 +48,15 @@ def corpus_prep(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
-    stats = T.text_stats(docs).select("doc_id", "n_tokens", "quality_score")
-    good = docs.join(stats, "doc_id").where(F.col("quality_score") >= 0.5)
+    c = T.stat_cols()  # inline expressions: no stats-frame self-join
+    good = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        c["n_tokens"].cast("long").alias("n_tokens"),
+        c["quality_score"].alias("quality_score"),
+    ).where(F.col("quality_score") >= 0.5)
     keeps = D.exact_dedup(good).select(F.col("keep_id").alias("doc_id"))
     kept = good.join(keeps, "doc_id", "left_semi")
     return kept.groupBy("source", "lang").agg(
