@@ -117,6 +117,48 @@ GROUP BY split
 """
 
 
+def corpus_top_terms(spark, sf_dir):
+    """Corpus vocabulary profile: top-50 tokens by document frequency
+    (distinct docs containing the token), with total occurrences.
+    Explode → two-level agg → top-k: the df agg shuffles on token
+    (vocab-sized keys), and the top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Deterministic tiebreak on the token string keeps the LIMIT stable
+    in both engines."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{T.TOKEN_RE}', 0)")
+        ).alias("tok"),
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("n_occurrences"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+CORPUS_TOP_TERMS_SQL = f"""
+SELECT tok,
+       COUNT(DISTINCT doc_id) AS doc_freq,
+       COUNT(*) AS n_occurrences
+FROM (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS tok
+  FROM documents
+)
+GROUP BY tok
+ORDER BY doc_freq DESC, n_occurrences DESC, tok ASC
+LIMIT 50
+"""
+
+
 def dedup_jaccard(spark, sf_dir):
     # df_cap=64 > measured corpus max df (7 at sf0.01, 25 at sf0.1):
     # exact result with the quadratic-hot-token guard armed; the skew
@@ -197,6 +239,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "corpus_prep": corpus_prep,
     "corpus_split": corpus_split,
+    "corpus_top_terms": corpus_top_terms,
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -219,6 +262,7 @@ ORACLES = {
     "dedup_exact": D.EXACT_DEDUP_SQL,
     "corpus_prep": T.corpus_prep_sql(min_quality=0.5),
     "corpus_split": CORPUS_SPLIT_SQL,
+    "corpus_top_terms": CORPUS_TOP_TERMS_SQL,
     "dedup_jaccard": D.jaccard_pairs_sql(threshold=0.5, shingle_n=3),
     "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3),
     "dedup_simhash": D.simhash_sql(),
