@@ -276,6 +276,36 @@ FROM events c JOIN events p
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join, the enrichment shape the reference's
+    consumer Lambda does per record (lambda_handler table lookups):
+    each streaming event picks up its customer's static attributes. The
+    static side broadcasts (no state store, no shuffle of the stream);
+    stateless ⇒ append-mode rows equal the batch join, which is the
+    oracle."""
+    from pyspark.sql import functions as F
+
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_acctbal"
+    )
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .join(F.broadcast(customers), "user_id")
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            "c_mktsegment", "c_acctbal",
+        )
+    )
+    return _run_to_completion(enriched, spark)
+
+
+STREAM_STATIC_ENRICH_ORACLE = """
+SELECT event_id, e.user_id AS user_id, event_type, value,
+       c_mktsegment, c_acctbal
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join demo on events: each click gets the latest prior
     purchase value for the same user. Oracle: DuckDB's native ASOF JOIN.
@@ -471,6 +501,7 @@ def build_queries() -> dict[str, QueryFn]:
         "stream_session_rollup": stream_session_rollup,
         "stream_tumbling_rollup": stream_tumbling_rollup,
         "stream_interval_join": stream_interval_join,
+        "stream_static_enrich": stream_static_enrich,
         "asof_click_purchase": asof_click_purchase,
         "approx_distinct_parts": approx_distinct_parts,
         "pivot_event_type_counts": pivot_event_type_counts,
@@ -495,6 +526,7 @@ def build_oracles() -> dict[str, str]:
         "stream_session_rollup": STREAM_SESSION_ORACLE,
         "stream_tumbling_rollup": STREAM_TUMBLING_ORACLE,
         "stream_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
+        "stream_static_enrich": STREAM_STATIC_ENRICH_ORACLE,
         "asof_click_purchase": ASOF_ORACLE,
         "pivot_event_type_counts": PIVOT_ORACLE,
         "ocsf_nested_endpoints": OCSF_NESTED_ORACLE,
