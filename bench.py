@@ -33,9 +33,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = harness.build_queries()
-    # warmup: JVM + codegen + parquet footer caches
-    warm = queries.get("q1_pricing_summary") or next(iter(queries.values()))
-    run_query(spark, warm, sf_dir)
+    # warmup at the smallest sf: JVM codegen (q1), Python worker pool +
+    # Arrow serde (simhash_packed), and streaming/state-store machinery
+    # (cep stream) — otherwise whichever query sorts first absorbs those
+    # one-time costs and the per-query numbers misattribute them
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for wname in (
+        "q1_pricing_summary",
+        "dedup_simhash_packed",
+        "cep_fragmentation_stream",
+    ):
+        if wname in queries:
+            run_query(spark, queries[wname], warm_dir)
 
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
