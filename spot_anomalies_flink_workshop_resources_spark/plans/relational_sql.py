@@ -170,6 +170,64 @@ WHERE part_rev > (
 PART_REVENUE_SHARE_SQL = _PART_REVENUE_SHARE_TEMPLATE.format(STR="STRING")
 PART_REVENUE_SHARE_ORACLE = _PART_REVENUE_SHARE_TEMPLATE.format(STR="VARCHAR")
 
+# String-function surface: tokenize part names (split+explode), group by
+# word, edit-distance against a fixed probe. levenshtein() is the same
+# integer DP in both engines; split on a literal space and COUNT are
+# dialect-identical. One dialect split: Spark's split() takes a regex,
+# DuckDB's string_split a literal — same result for ' '.
+_PART_WORDS_TEMPLATE = """
+SELECT word,
+       COUNT(*) AS n_parts,
+       CAST(levenshtein(word, 'widget') AS BIGINT) AS dist_widget
+FROM (SELECT {SPLIT} AS word FROM part)
+GROUP BY word
+"""
+PART_WORDS_SQL = _PART_WORDS_TEMPLATE.format(
+    SPLIT="explode(split(p_name, ' '))"
+)
+PART_WORDS_ORACLE = _PART_WORDS_TEMPLATE.format(
+    SPLIT="unnest(string_split(p_name, ' '))"
+)
+
+# Closed-form per-group OLS (n_chars ~ n_tokens per source) from pure
+# INTEGER sums — the sufficient statistics (n, Σx, Σy, Σxy, Σx²) are
+# exact int64 on both engines (token counts ~5e2, docs ~5e3 per group:
+# far from overflow), so slope/intercept computed from them in double
+# are bit-identical with no decimal staging. This is the "aggregate
+# the sufficient statistics, finish the math on the reduced row" shape
+# that replaces per-group model fits at scale — one shuffle, no UDF.
+_REGRESSION_TEMPLATE = """
+WITH feats AS (
+  SELECT source,
+         CAST({NTOK} AS BIGINT) AS x,
+         CAST(length(text) AS BIGINT) AS y
+  FROM documents
+),
+stats AS (
+  SELECT source,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM feats GROUP BY source
+)
+SELECT source, n AS n_docs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM stats
+"""
+REGRESSION_SQL = _REGRESSION_TEMPLATE.format(
+    NTOK="size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+)
+REGRESSION_ORACLE = _REGRESSION_TEMPLATE.format(
+    NTOK="len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+)
+
 
 QUERIES = {
     "sql_cheapest_part_per_type": _sql_query(CHEAPEST_PART_SQL),
@@ -183,6 +241,8 @@ QUERIES = {
     "sql_nations_except": _sql_query(NATIONS_EXCEPT_SQL),
     "sql_nations_intersect": _sql_query(NATIONS_INTERSECT_SQL),
     "sql_part_revenue_share": _sql_query(PART_REVENUE_SHARE_SQL),
+    "sql_part_words": _sql_query(PART_WORDS_SQL),
+    "sql_regression_by_source": _sql_query(REGRESSION_SQL),
 }
 
 ORACLES = {
@@ -196,4 +256,6 @@ ORACLES = {
     "sql_nations_except": NATIONS_EXCEPT_SQL,
     "sql_nations_intersect": NATIONS_INTERSECT_SQL,
     "sql_part_revenue_share": PART_REVENUE_SHARE_ORACLE,
+    "sql_part_words": PART_WORDS_ORACLE,
+    "sql_regression_by_source": REGRESSION_ORACLE,
 }
