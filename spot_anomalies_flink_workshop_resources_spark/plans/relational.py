@@ -702,6 +702,42 @@ GROUP BY o_year
 
 
 # ---------------------------------------------------------------------------
+# JSON column surface: events.props carries a JSON payload; the engine
+# path is from_json with an explicit schema (typed struct, codegen'd
+# Jackson parse — the same shape serde.py uses for the Kafka value
+# contract), then ordinary typed aggregation. Oracle: DuckDB
+# json_extract_string + cast.
+# ---------------------------------------------------------------------------
+
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") >= 50, 1)).alias("n_high"),
+        )
+    )
+
+
+EVENTS_PROPS_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                  THEN 1 END) AS n_high
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # q9-like: product-type profit by supplier nation and order year — a
 # contains-LIKE part filter plus a 5-way join. Part/supplier/nation are
 # dims (broadcast); the only shuffle is lineitem⨝orders + final agg.
@@ -924,6 +960,7 @@ QUERIES = {
     "events_daily_rollup": events_daily_rollup,
     "events_sessionization": events_sessionization,
     "events_hourly_moving_avg": events_hourly_moving_avg,
+    "events_props_json": events_props_json,
 }
 
 ORACLES = {
@@ -950,4 +987,5 @@ ORACLES = {
     "events_daily_rollup": EVENTS_DAILY_SQL,
     "events_sessionization": EVENTS_SESSIONS_SQL,
     "events_hourly_moving_avg": EVENTS_MOVING_AVG_SQL,
+    "events_props_json": EVENTS_PROPS_JSON_SQL,
 }
