@@ -148,3 +148,45 @@ def test_nested_struct_parquet_dot_paths_and_pruning(spark, tmp_path):
     # pruned: accessed fields present, untouched 'port' absent
     assert "instance_uid" in read_schema[0]
     assert "port" not in read_schema[0]
+
+
+def test_flagship_plan_invariants(spark, sf_dir):
+    """Plan-quality regressions fail loudly: these invariants are the
+    scale story (SCALE.md), so a code change that silently breaks them
+    — a dim that stops broadcasting, a filter that stops reaching the
+    scan, a second exchange in the detection plan — must fail CI, not
+    wait for a 100 TB incident."""
+    from spot_anomalies_flink_workshop_resources_spark.plans import harness
+
+    def plan(name):
+        df = harness.build_queries()[name](spark, sf_dir)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # q5: star join — every dim broadcast, no sort-merge joins
+    p = plan("q5_local_supplier")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 5
+
+    # q6: both predicates reach the parquet scan
+    p = plan("q6_forecast_revenue")
+    assert "PushedFilters: [" in p
+    assert "l_shipdate" in p.split("PushedFilters")[1][:400]
+
+    # detection: classify predicate pushed; exactly ONE exchange
+    p = plan("cep_fragmentation")
+    pushed = p.split("PushedFilters")[1][:200]
+    assert "LessThan(value" in pushed and "GreaterThan(value" in pushed
+    assert p.count("Exchange") // 2 == 1, "detection plan must have ONE shuffle"
+
+    # top-k compiles to TakeOrderedAndProject (no global sort)
+    p = plan("top_expensive_lineitems")
+    assert "TakeOrderedAndProject" in p
+
+    # corpus_prep: stats are inline — only the dedup-keep exchange pair,
+    # no stats-frame self-join
+    p = plan("corpus_prep")
+    assert "SortMergeJoin" not in p
