@@ -80,3 +80,83 @@ def test_partitioned_parquet_write_and_partition_pruning(spark, sf_dir, tmp_path
 
     expected = events.where(F.col("event_type") == "click").count()
     assert df.count() == expected
+
+
+def test_stateful_detector_state_survives_restart(spark, tmp_path):
+    """The CEP detector's per-key run state lives in the checkpointed
+    state store: a run STARTED before a stop must complete — and alert —
+    after a restart that only delivers the run's tail. This is the
+    engine-side twin of a Flink checkpoint/restore of the CEP NFA
+    state."""
+    import datetime as dt
+
+    from spot_anomalies_flink_workshop_resources_spark.streaming.detector import (
+        detect_attack_runs_stream,
+    )
+
+    src = tmp_path / "in"
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, value):
+        return {
+            "event_id": i,
+            "ts": (t0 + dt.timedelta(seconds=i)).strftime("%Y-%m-%dT%H:%M:%S"),
+            "user_id": 7,
+            "value": value,
+        }
+
+    def write_batch(name, rows, mtime):
+        p = src / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "event_id LONG, ts STRING, user_id LONG, value DOUBLE"
+            )
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        alerts = detect_attack_runs_stream(
+            stream,
+            key_col="user_id",
+            time_col="ts",
+            order_col="event_id",
+            metric_col="value",
+            low_threshold=10.0,
+            high_threshold=20.0,
+            min_run=2,
+            max_run=5,
+            window_seconds=3600.0,
+        )
+        q = (
+            alerts.writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # first process: three anomalous events open a run — no trigger yet
+    write_batch("a.json", [ev(0, 5.0), ev(1, 6.0), ev(2, 7.0)], mtime=100)
+    run_once()
+
+    # restart: two more anomalous + the closing trigger
+    write_batch("b.json", [ev(3, 8.0), ev(4, 9.0), ev(5, 99.0)], mtime=200)
+    run_once()
+
+    alerts = spark.read.json(out).collect()
+    assert len(alerts) == 1, f"expected exactly one alert, got {alerts}"
+    a = alerts[0]
+    assert a.target_key == "7"
+    # all five anomalous events matched: state crossed the restart
+    assert a.fragment_count == 5
+    assert a.avg_packets == 99.0
