@@ -606,6 +606,17 @@ def dup_components(
     Output: (doc_id, component_rep, is_kept).
     """
     pairs = jaccard_pairs(docs, threshold=threshold, shingle_n=shingle_n)
+    return bounded_components_from_pairs(docs, pairs, rounds=rounds)
+
+
+def bounded_components_from_pairs(
+    docs: DataFrame, pairs: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Bounded min-label propagation over an explicit (doc_a, doc_b)
+    pair frame — the SQL-expressible keep/drop resolver shared by every
+    near-dup pair source (jaccard, minhash-LSH); exact for component
+    diameter < rounds. See :func:`dup_components` for semantics and
+    :func:`components_from_pairs` for the fixpoint production form."""
     edges = pairs.select(
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     ).unionByName(
@@ -732,9 +743,19 @@ def components_from_pairs(
 
 
 def dup_components_sql(
-    threshold: float = 0.5, shingle_n: int = 3, rounds: int = 4
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    rounds: int = 4,
+    pairs_inner: str | None = None,
 ) -> str:
-    inner = jaccard_pairs_sql(threshold=threshold, shingle_n=shingle_n).strip()
+    """Oracle for the bounded components resolver. ``pairs_inner``
+    swaps the pair source (default: jaccard; pass
+    ``minhash_lsh_pairs_sql(...)`` for the LSH-fed pipeline)."""
+    inner = (
+        pairs_inner
+        if pairs_inner is not None
+        else jaccard_pairs_sql(threshold=threshold, shingle_n=shingle_n)
+    ).strip()
     steps = []
     prev = "l0"
     for i in range(1, rounds + 1):

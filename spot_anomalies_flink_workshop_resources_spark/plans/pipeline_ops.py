@@ -199,6 +199,18 @@ def dedup_components(spark, sf_dir):
     return D.dup_components(_docs(spark, sf_dir), threshold=0.5, shingle_n=3)
 
 
+def dedup_pipeline_lsh(spark, sf_dir):
+    """END-TO-END sub-quadratic dedup pipeline, the shape a 100 TB
+    corpus actually runs: MinHash signatures -> LSH band buckets ->
+    verified candidate pairs -> bounded component resolution -> keep/
+    drop per document. Every stage is the already-oracle-checked
+    operator; the composition is itself oracle-checked (same SQL stages
+    composed as CTEs)."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5, shingle_n=3)
+    return D.bounded_components_from_pairs(docs, pairs)
+
+
 def dedup_components_converged(spark, sf_dir):
     """Fixpoint connected components — exact for any diameter (the
     production form; the bounded twin above stays SQL-expressible for
@@ -247,6 +259,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_ivf": dedup_embedding_ivf,
     "dedup_components": dedup_components,
+    "dedup_pipeline_lsh": dedup_pipeline_lsh,
     "dedup_components_converged": dedup_components_converged,
     "simsearch_brute_force": simsearch_brute_force,
     "simsearch_ivf": simsearch_ivf,
@@ -272,6 +285,9 @@ ORACLES = {
         threshold=0.3, n_centroids=16
     ),
     "dedup_components": D.dup_components_sql(threshold=0.5, shingle_n=3),
+    "dedup_pipeline_lsh": D.dup_components_sql(
+        pairs_inner=D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3)
+    ),
     "simsearch_brute_force": S.brute_force_topk_sql(),
     "simsearch_ivf": S.ivf_topk_sql(),
     "simsearch_ivf_probe2": S.ivf_topk_sql(n_probes=2),
