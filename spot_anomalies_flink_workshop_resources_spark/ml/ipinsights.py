@@ -16,13 +16,15 @@ Engine equivalent — capability parity, not loss-curve parity
   SageMaker algorithm. Training is DISTRIBUTED: the pair set never
   reaches the driver. Per epoch, current parameters are broadcast and
   each shard runs local minibatch SGD inside ``mapInPandas`` (Arrow
-  batches = minibatches), emitting per-index parameter deltas; the
-  driver averages deltas per index (classic parameter averaging /
-  federated-SGD shape). Driver memory is VOCAB-sized (reference scale:
-  20k entities x dim 128 ~ 10 MB — notebook cell 11), data-sized state
-  stays on executors. At vocabularies beyond driver RAM the next step
-  is hash-partitioned parameter blocks; noted, not needed at the
-  reference's scale.
+  batches = minibatches), emitting per-index parameter deltas; deltas
+  shuffle on (kind, idx) — hash-partitioned parameter blocks — and are
+  averaged per block with built-in array folds (classic parameter
+  averaging / federated-SGD shape), so the driver receives only the
+  final vocab-sized averaged rows. Driver memory is VOCAB-sized
+  (reference scale: 20k entities x dim 128 ~ 10 MB — notebook cell
+  11), data-sized state stays on executors. Beyond driver RAM the
+  remaining step is sharding the parameter BROADCAST itself (the merge
+  is already block-partitioned).
 - ``score_dataframe``: broadcast the two embedding matrices, score with
   a vectorized pandas UDF (Arrow batches, pure NumPy dot products).
   anomaly_score = -(entity . ip): unfamiliar pairs score high
@@ -173,26 +175,31 @@ class IPInsightsModel:
                 if out:
                     yield from out
 
-            # per-shard deltas are vocab-sized; averaging them per index
-            # is the parameter-averaging merge
-            delta_rows = indexed.mapInPandas(
+            # parameter-averaging merge, DISTRIBUTED: per-shard deltas
+            # shuffle on (kind, idx) — the hash-partitioned parameter
+            # blocks — and each block averages its shard contributions
+            # with built-in array folds; the driver receives only the
+            # final vocab-sized averaged rows (shards× less traffic than
+            # collecting raw deltas, and no driver-side merge loop)
+            deltas = indexed.mapInPandas(
                 run_shard, "kind int, idx long, delta array<double>"
-            ).collect()
+            )
+            merged = (
+                deltas.groupBy("kind", "idx")
+                .agg(
+                    F.aggregate(
+                        F.collect_list("delta"),
+                        F.expr(f"array_repeat(CAST(0.0 AS DOUBLE), {dim})"),
+                        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                    ).alias("s"),
+                    F.count(F.lit(1)).alias("c"),
+                )
+                .select("kind", "idx", F.expr("transform(s, v -> v / c)").alias("d"))
+            )
+            for r in merged.collect():
+                tgt = E if r["kind"] == 0 else P
+                tgt[r["idx"]] += np.asarray(r["d"])
             bc.unpersist()
-            sums: dict[tuple[int, int], np.ndarray] = {}
-            counts: dict[tuple[int, int], int] = {}
-            for r in delta_rows:
-                key = (r["kind"], r["idx"])
-                v = np.asarray(r["delta"])
-                if key in sums:
-                    sums[key] += v
-                    counts[key] += 1
-                else:
-                    sums[key] = v.copy()
-                    counts[key] = 1
-            for (kind, idx), s in sums.items():
-                tgt = E if kind == 0 else P
-                tgt[idx] += s / counts[(kind, idx)]
         return cls(e_idx, i_idx, E, P)
 
     def score_pairs(self, entities: np.ndarray, ips: np.ndarray) -> np.ndarray:
