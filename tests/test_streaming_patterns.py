@@ -121,3 +121,42 @@ def test_stream_stream_interval_join(spark):
     rows = spark.sql("SELECT user, amount FROM ssij_out").collect()
     got = sorted((r.user, r.amount) for r in rows)
     assert got == [("u1", 10.0), ("u2", 20.0)]
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """dropDuplicatesWithinWatermark: the PRODUCTION streaming-dedup
+    form — plain dropDuplicates keeps every key's fingerprint forever
+    (unbounded state on an unbounded stream), the watermark-scoped
+    variant evicts dedup state once the watermark passes, so state is
+    O(rate × delay). Duplicates inside the watermark window must still
+    collapse to one row."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        {
+            "event_id": i,
+            "ts": (t0 + dt.timedelta(seconds=i)).strftime("%Y-%m-%dT%H:%M:%S"),
+            "payload": f"p{i}",
+        }
+        for i in range(30)
+    ]
+    d = _write_jsonl(rows + rows)  # at-least-once redelivery
+    stream = (
+        spark.readStream.schema("event_id LONG, ts STRING, payload STRING")
+        .json(d)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "10 minutes")
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT event_id FROM dedup_wm_out").collect()
+    ids = [r.event_id for r in out]
+    assert len(ids) == 30 and len(set(ids)) == 30
