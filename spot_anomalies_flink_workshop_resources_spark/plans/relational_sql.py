@@ -170,6 +170,33 @@ WHERE part_rev > (
 PART_REVENUE_SHARE_SQL = _PART_REVENUE_SHARE_TEMPLATE.format(STR="STRING")
 PART_REVENUE_SHARE_ORACLE = _PART_REVENUE_SHARE_TEMPLATE.format(STR="VARCHAR")
 
+# Explicit GROUPING SETS with the GROUPING() marker function — the
+# general grouping-sets surface beyond ROLLUP/CUBE sugar; GROUPING()
+# disambiguates a rolled-up NULL from a data NULL (both engines emit
+# the same markers).
+ORDERS_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+# LATERAL correlated subquery with ORDER BY + LIMIT: per-nation top-2
+# customers by balance. Exercises the correlated-rewrite machinery
+# (DomainJoin in Catalyst) rather than a window function; deterministic
+# tiebreak on c_custkey keeps the LIMIT stable in both engines.
+NATION_TOP_CUSTOMERS_SQL = """
+SELECT n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+) t
+"""
+
 # String-function surface: tokenize part names (split+explode), group by
 # word, edit-distance against a fixed probe. levenshtein() is the same
 # integer DP in both engines; split on a literal space and COUNT are
@@ -243,6 +270,8 @@ QUERIES = {
     "sql_part_revenue_share": _sql_query(PART_REVENUE_SHARE_SQL),
     "sql_part_words": _sql_query(PART_WORDS_SQL),
     "sql_regression_by_source": _sql_query(REGRESSION_SQL),
+    "sql_orders_grouping_sets": _sql_query(ORDERS_GROUPING_SETS_SQL),
+    "sql_nation_top_customers": _sql_query(NATION_TOP_CUSTOMERS_SQL),
 }
 
 ORACLES = {
@@ -258,4 +287,6 @@ ORACLES = {
     "sql_part_revenue_share": PART_REVENUE_SHARE_ORACLE,
     "sql_part_words": PART_WORDS_ORACLE,
     "sql_regression_by_source": REGRESSION_ORACLE,
+    "sql_orders_grouping_sets": ORDERS_GROUPING_SETS_SQL,
+    "sql_nation_top_customers": NATION_TOP_CUSTOMERS_SQL,
 }
