@@ -220,6 +220,113 @@ def dedup_components_converged(spark, sf_dir):
     )
 
 
+def _media(spark, sf_dir):
+    """Deterministic binary media column synthesized from documents:
+    each doc's text bytes behind a real container magic (PNG/JPEG/RIFF/
+    mp4 ftyp by doc_id%4). The testdata ships no binary column; this
+    derivation is engine-reproducible in DuckDB (blob literal ||
+    encode(text)), so the multimodal plumbing gets a value oracle."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    magics = [
+        bytes([0x89, 0x50, 0x4E, 0x47]),
+        bytes([0xFF, 0xD8, 0xFF, 0xE0]),
+        bytes([0x52, 0x49, 0x46, 0x46]),
+        bytes([0x00, 0x00, 0x00, 0x18]),
+    ]
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(magics[0]))
+        .when(F.col("doc_id") % 4 == 1, F.lit(magics[1]))
+        .when(F.col("doc_id") % 4 == 2, F.lit(magics[2]))
+        .otherwise(F.lit(magics[3]))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(magic, F.encode(F.col("text"), "UTF-8")).alias("content"),
+    )
+
+
+def multimodal_media_profile(spark, sf_dir):
+    """Multimodal rollup through the REAL plumbing operators: magic-byte
+    container sniffing (sniff_media_type, pure JVM expressions) +
+    opaque-content accounting (media_stats) -> per-container totals.
+    The digest is md5-of-hex so both engines hash the identical string
+    (DuckDB's md5 does not accept BLOB)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import multimodal as M
+
+    media = M.media_stats(M.sniff_media_type(_media(spark, sf_dir)))
+    return (
+        media.withColumn("hex_digest", F.md5(F.hex(F.col("content"))))
+        .groupBy("sniffed_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.countDistinct("hex_digest").alias("n_distinct"),
+        )
+    )
+
+
+MULTIMODAL_PROFILE_SQL = r"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         (CASE doc_id % 4
+            WHEN 0 THEN '\x89\x50\x4E\x47'::BLOB
+            WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+            WHEN 2 THEN '\x52\x49\x46\x46'::BLOB
+            ELSE '\x00\x00\x00\x18'::BLOB END) || encode(text) AS content
+  FROM documents
+),
+sniffed AS (
+  SELECT media_id, content,
+         CASE
+           WHEN substr(hex(content), 1, 8) = '89504E47' THEN 'image/png'
+           WHEN substr(hex(content), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+           WHEN substr(hex(content), 1, 8) = '52494646' THEN 'audio/wav'
+           WHEN substr(hex(content), 1, 8) IN ('00000018', '00000020')
+             THEN 'video/mp4'
+           ELSE 'application/octet-stream'
+         END AS sniffed_type
+  FROM media
+)
+SELECT sniffed_type, COUNT(*) AS n_media,
+       CAST(SUM(octet_length(content)) AS BIGINT) AS total_bytes,
+       COUNT(DISTINCT md5(hex(content))) AS n_distinct
+FROM sniffed
+GROUP BY sniffed_type
+"""
+
+
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction + frame-sample explode over the
+    synthesized media — the full mapInPandas pipeline under the
+    driver's rows-only check (the md5-seeded stand-in features are
+    Python-side by design: the decode stage they stub has no SQL
+    twin)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import multimodal as M
+
+    media = _media(spark, sf_dir).withColumn(
+        "meta",
+        F.struct(
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+            ((F.col("media_id") % 5 + 1) * 1000).cast("long").alias(
+                "duration_ms"
+            ),
+        ),
+    )
+    feats = M.extract_features(media, dim=8)
+    sampled = M.frame_sample_plan(feats, every_ms=1000)
+    return sampled.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.size(F.first("features")).cast("long").alias("feature_dim"),
+    )
+
+
 def simsearch_brute_force(spark, sf_dir):
     return S.brute_force_topk(_embs(spark, sf_dir))
 
@@ -261,6 +368,8 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dedup_pipeline_lsh": dedup_pipeline_lsh,
     "dedup_components_converged": dedup_components_converged,
+    "multimodal_media_profile": multimodal_media_profile,
+    "multimodal_features": multimodal_features,
     "simsearch_brute_force": simsearch_brute_force,
     "simsearch_ivf": simsearch_ivf,
     "simsearch_ivf_probe2": simsearch_ivf_probe2,
@@ -288,6 +397,9 @@ ORACLES = {
     "dedup_pipeline_lsh": D.dup_components_sql(
         pairs_inner=D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3)
     ),
+    "multimodal_media_profile": MULTIMODAL_PROFILE_SQL,
+    # multimodal_features: intentionally rows-only (the stubbed decode
+    # stage's md5-seeded stand-in features live in Python)
     "simsearch_brute_force": S.brute_force_topk_sql(),
     "simsearch_ivf": S.ivf_topk_sql(),
     "simsearch_ivf_probe2": S.ivf_topk_sql(n_probes=2),
