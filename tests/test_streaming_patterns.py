@@ -160,3 +160,80 @@ def test_streaming_dedup_within_watermark(spark):
     out = spark.sql("SELECT event_id FROM dedup_wm_out").collect()
     ids = [r.event_id for r in out]
     assert len(ids) == 30 and len(set(ids)) == 30
+
+
+def test_interval_join_randomized_equals_batch(spark):
+    """Randomized (seeded) equivalence: the streaming interval join must
+    emit exactly the batch join's matches on arbitrary key/time layouts
+    — the same batch↔streaming contract the detector is held to."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(20240813)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(side):
+        out = []
+        for i in range(120):
+            out.append(
+                {
+                    "k": f"u{rng.randint(0, 9)}",
+                    f"{side}_ts": (
+                        t0 + dt.timedelta(seconds=rng.randint(0, 3600))
+                    ).strftime("%Y-%m-%dT%H:%M:%S"),
+                    f"{side}_id": i,
+                }
+            )
+        return out
+
+    left_rows, right_rows = rows("l"), rows("r")
+    ld, rd = _write_jsonl(left_rows), _write_jsonl(right_rows)
+
+    l_schema = "k STRING, l_ts STRING, l_id LONG"
+    r_schema = "k STRING, r_ts STRING, r_id LONG"
+    ls = (
+        spark.readStream.schema(l_schema).json(ld)
+        .withColumn("l_ts", F.to_timestamp("l_ts"))
+    )
+    rs = (
+        spark.readStream.schema(r_schema).json(rd)
+        .withColumn("r_ts", F.to_timestamp("r_ts"))
+    )
+    from spot_anomalies_flink_workshop_resources_spark.streaming.joins import (
+        interval_join_stream,
+    )
+
+    joined = interval_join_stream(
+        ls, rs, key="k", left_ts="l_ts", right_ts="r_ts",
+        lower="0 seconds", upper="5 minutes",
+    ).select("l_id", "r_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssij_rand")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.l_id, r.r_id) for r in spark.sql("SELECT * FROM ssij_rand").collect()}
+
+    lb = spark.read.schema(l_schema).json(ld).withColumn(
+        "l_ts", F.to_timestamp("l_ts")
+    )
+    rb = spark.read.schema(r_schema).json(rd).withColumn(
+        "r_ts", F.to_timestamp("r_ts")
+    )
+    want = {
+        (r.l_id, r.r_id)
+        for r in lb.alias("l")
+        .join(
+            rb.alias("r"),
+            F.expr(
+                "l.k = r.k AND r.r_ts >= l.l_ts "
+                "AND r.r_ts <= l.l_ts + INTERVAL 5 MINUTES"
+            ),
+        )
+        .select("l_id", "r_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
