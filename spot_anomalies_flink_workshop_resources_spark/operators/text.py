@@ -118,6 +118,59 @@ FROM documents
 """
 
 
+def char_ngram_profile(docs: DataFrame, n: int = 3, top_k: int = 5) -> DataFrame:
+    """Per-language character n-gram profile: the statistical signature
+    real language identifiers are built from (the stopword-hit lang_id
+    above is the lightweight cousin). Explode every char n-gram,
+    count per (lang, gram), rank within language — the rank window has
+    a deterministic (count desc, gram asc) order so top_k is stable in
+    both engines. Scale shape: the explode is narrow (rows × length),
+    the count shuffles on (lang, gram) — vocab-sized keys — and the
+    rank window partitions by the tiny lang key."""
+    from pyspark.sql import Window
+
+    lower = F.lower(F.col("text"))
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(lower(text)) - {n - 1}, 0)),"
+                f" i -> substring(lower(text), i, {n}))"
+            )
+        ).alias("gram"),
+    )
+    counted = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= top_k)
+        .select("lang", "gram", "n", "rk")
+    )
+
+
+def char_ngram_profile_sql(n: int = 3, top_k: int = 5) -> str:
+    return f"""
+WITH grams AS (
+  SELECT lang,
+         unnest(list_transform(
+           generate_series(1, greatest(length(lower(text)) - {n - 1}, 0)),
+           i -> substr(lower(text), i, {n}))) AS gram
+  FROM documents
+),
+counted AS (
+  SELECT lang, gram, COUNT(*) AS n FROM grams GROUP BY lang, gram
+),
+ranked AS (
+  SELECT lang, gram, n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n DESC, gram ASC) AS rk
+  FROM counted
+)
+SELECT lang, gram, n, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {top_k}
+"""
+
+
 def corpus_prep_sql(min_quality: float = 0.5) -> str:
     """Oracle for the composed corpus-prep pipeline (see
     plans/pipeline_ops.corpus_prep): quality gate -> exact-dedup keep

@@ -35,6 +35,10 @@ def doc_fingerprint(spark, sf_dir):
     return T.doc_fingerprint(_docs(spark, sf_dir))
 
 
+def text_ngram_profile(spark, sf_dir):
+    return T.char_ngram_profile(_docs(spark, sf_dir))
+
+
 def dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
@@ -355,6 +359,7 @@ QUERIES = {
     "text_lang_id": lang_id,
     "text_token_rollup": token_rollup,
     "text_doc_fingerprint": doc_fingerprint,
+    "text_ngram_profile": text_ngram_profile,
     "dedup_exact": dedup_exact,
     "corpus_prep": corpus_prep,
     "corpus_split": corpus_split,
@@ -381,6 +386,7 @@ ORACLES = {
     "text_lang_id": T.LANG_ID_SQL,
     "text_token_rollup": T.TOKEN_ROLLUP_SQL,
     "text_doc_fingerprint": T.DOC_FINGERPRINT_SQL,
+    "text_ngram_profile": T.char_ngram_profile_sql(),
     "dedup_exact": D.EXACT_DEDUP_SQL,
     "corpus_prep": T.corpus_prep_sql(min_quality=0.5),
     "corpus_split": CORPUS_SPLIT_SQL,
