@@ -131,7 +131,10 @@ def _run_proc_batches(batches, clock_values, window_seconds=50.0):
     outs = []
     for df in batches:
         outs += list(fn(("k",), iter([df]), state))
-    return pd.concat(outs, ignore_index=True), state
+    non_empty = [o for o in outs if len(o)]
+    if non_empty:
+        return pd.concat(non_empty, ignore_index=True), state
+    return (outs[0].iloc[0:0] if outs else pd.DataFrame()), state
 
 
 def test_processing_time_within_prunes_stale_partial():
