@@ -1,7 +1,13 @@
 """Benchmark harness: runs the registered queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {family: subtotal_sec}, "n_queries": N, "sf": ...}.
+
+The driver captures only the tail of stdout, so the printed line must
+stay small (round 2's 76-entry per-query dict overflowed it and the
+official bench record was lost). Per-query timings therefore go to
+BENCH_DETAIL.json next to this file; the printed line carries the total
+plus per-family subtotals (~300 bytes).
 
 Each query executes fully via the noop sink (no driver collect cost); a
 warmup pass primes the JVM/codegen so timings reflect steady-state plans.
@@ -51,20 +57,69 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
         timings[name] = round(run_query(spark, fn, sf_dir), 4)
+        # iterative/dedup queries leave localCheckpoint blocks cached;
+        # clear them so the next query's timing isn't contaminated by
+        # eviction pressure (VERDICT r2 #9: 15 s vs 2.7 s run-order skew)
+        _clear_cached_state(spark)
 
     total = round(sum(timings.values()), 4)
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        families[_family(name)] = round(families.get(_family(name), 0.0) + sec, 4)
+
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "total_sec": total,
+                "families": families,
+                "queries": timings,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": families,
+                "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
+
+
+_FAMILY_PREFIXES = (
+    "cep", "stream", "ml", "asof", "pivot", "ocsf", "events", "text",
+    "corpus", "dedup", "multimodal", "simsearch", "sql", "approx",
+)
+
+
+def _family(name: str) -> str:
+    if name.startswith("q") and name[1:2].isdigit():
+        return "tpch"
+    for p in _FAMILY_PREFIXES:
+        if name.startswith(p + "_") or name == p:
+            return p
+    return "other"
+
+
+def _clear_cached_state(spark) -> None:
+    """Drop cached RDD blocks (localCheckpoints from iterative queries)
+    so bench timings are order-independent."""
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+    spark.catalog.clearCache()
 
 
 if __name__ == "__main__":

