@@ -52,7 +52,16 @@ def load_tables(
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
-_REGISTERED: dict[str, str] = {}  # applicationId -> sf_dir
+# Keyed on the SparkSession OBJECT, not applicationId: temp views are
+# per-session, and spark.newSession() shares the applicationId with its
+# parent — an app-keyed cache would skip registration for the new
+# session and its spark.sql calls would miss the views (ADVICE r2). The
+# WeakKeyDictionary lets closed sessions be collected.
+import weakref
+
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_views(
@@ -66,12 +75,11 @@ def register_views(
     this. Re-registering a DIFFERENT sf_dir (or a partial ``names``
     subset after a full registration) replaces the views as before.
     """
-    app = spark.sparkContext.applicationId
-    if _REGISTERED.get(app) == sf_dir and names == TABLES:
+    if _REGISTERED.get(spark) == sf_dir and names == TABLES:
         return
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     if names == TABLES:
-        _REGISTERED[app] = sf_dir
+        _REGISTERED[spark] = sf_dir
     else:
-        _REGISTERED.pop(app, None)
+        _REGISTERED.pop(spark, None)

@@ -185,14 +185,33 @@ def jaccard_pairs(
     )
 
 
-def jaccard_pairs_sql(threshold: float = 0.5, shingle_n: int = 3) -> str:
+def jaccard_pairs_sql(
+    threshold: float = 0.5, shingle_n: int = 3, df_cap: int | None = None
+) -> str:
+    """Oracle twin of :func:`jaccard_pairs`. ``df_cap`` must mirror the
+    Spark call: when the cap is armed, hot shingles (document frequency
+    > cap) are pruned BEFORE counts and the intersection join on both
+    sides, so oracle equality holds even on corpora where the cap
+    actually fires (ADVICE r2: an uncapped oracle silently diverges the
+    moment a shingle's df crosses the cap)."""
+    capped = (
+        f""",
+capped AS (
+  SELECT t.doc_id, t.tok FROM toks t
+  JOIN (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= {df_cap}) f
+    ON t.tok = f.tok
+)"""
+        if df_cap is not None
+        else ""
+    )
+    src = "capped" if df_cap is not None else "toks"
     return f"""
 WITH toks AS ({_shingles_sql(shingle_n)}
-),
-counts AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+){capped},
+counts AS (SELECT doc_id, COUNT(*) AS n FROM {src} GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,

@@ -101,7 +101,14 @@ def detect_attack_runs(
         F.col(metric_col),
     )
 
-    classified = df.where((metric < low_threshold) | (metric > high_threshold)).select(
+    # null event times are dropped (as in the skew-split twin): an
+    # event-time detector cannot order them, and the reference null-guards
+    # the event-time extraction the same way (Event.java:59-61). Keeping
+    # the filter identical in both twins preserves their "same output,
+    # any input" equivalence contract (ADVICE r2).
+    classified = df.where(
+        ((metric < low_threshold) | (metric > high_threshold)) & ts.isNotNull()
+    ).select(
         key.alias("_key"),
         ts.alias("_ts"),
         oid.alias("_oid"),
@@ -238,7 +245,8 @@ WITH classified AS (
          CAST({metric_col} AS DOUBLE) AS size,
          CASE WHEN {metric_col} < {low_threshold} THEN 'A' ELSE 'N' END AS phase
   FROM {table}
-  WHERE {metric_col} < {low_threshold} OR {metric_col} > {high_threshold}
+  WHERE ({metric_col} < {low_threshold} OR {metric_col} > {high_threshold})
+    AND {time_col} IS NOT NULL
 ),
 lagged AS (
   SELECT *, LAG(phase) OVER (PARTITION BY k ORDER BY ts, oid) AS prev_phase

@@ -129,13 +129,19 @@ def char_ngram_profile(docs: DataFrame, n: int = 3, top_k: int = 5) -> DataFrame
     rank window partitions by the tiny lang key."""
     from pyspark.sql import Window
 
-    lower = F.lower(F.col("text"))
+    # Guard short texts: for length < n, Spark's sequence(1, 0) defaults
+    # to a DESCENDING step and yields [1, 0] — two spurious partial grams
+    # per short doc — while DuckDB's generate_series(1, 0) is empty. The
+    # CASE makes the Spark side emit no grams for sub-n docs, matching
+    # the oracle.
     grams = docs.select(
         "lang",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(length(lower(text)) - {n - 1}, 0)),"
-                f" i -> substring(lower(text), i, {n}))"
+                f"CASE WHEN length(lower(text)) >= {n} THEN "
+                f"transform(sequence(1, length(lower(text)) - {n - 1}),"
+                f" i -> substring(lower(text), i, {n})) "
+                f"ELSE array() END"
             )
         ).alias("gram"),
     )

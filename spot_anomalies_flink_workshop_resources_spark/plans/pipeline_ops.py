@@ -391,7 +391,9 @@ ORACLES = {
     "corpus_prep": T.corpus_prep_sql(min_quality=0.5),
     "corpus_split": CORPUS_SPLIT_SQL,
     "corpus_top_terms": CORPUS_TOP_TERMS_SQL,
-    "dedup_jaccard": D.jaccard_pairs_sql(threshold=0.5, shingle_n=3),
+    # df_cap mirrors the Spark call so oracle equality survives corpora
+    # where the hot-shingle prune actually fires (ADVICE r2)
+    "dedup_jaccard": D.jaccard_pairs_sql(threshold=0.5, shingle_n=3, df_cap=64),
     "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3),
     "dedup_simhash": D.simhash_sql(),
     "dedup_simhash_packed": D.simhash_sql(),

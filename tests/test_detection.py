@@ -260,6 +260,36 @@ def test_skew_split_boundary_cases(spark):
     assert by_key["saturated"].fragment_count == 6  # capped at max_run
 
 
+def test_null_ts_and_metric_rows_dropped_identically(spark):
+    """Null event times (and null metrics) are dropped by BOTH the
+    one-shot operator and the skew-split twin — the 'same output, any
+    input' contract must hold on dirty inputs too (ADVICE r2: the twin
+    filtered null ts, the base did not)."""
+    rows = [
+        ("k", T0 + dt.timedelta(seconds=s), i, float(m))
+        for i, (s, m) in enumerate([(1, 1), (2, 1), (3, 1), (4, 100)])
+    ]
+    dirty = rows + [("k", None, 99, 1.0), ("k", T0, 98, None)]
+    df = spark.createDataFrame(
+        dirty, "k string, t timestamp, oid long, m double"
+    )
+    clean = spark.createDataFrame(
+        rows, "k string, t timestamp, oid long, m double"
+    )
+    from spot_anomalies_flink_workshop_resources_spark.operators.detection import (
+        detect_attack_runs_skew_split,
+    )
+
+    base_dirty = detect_attack_runs(df, **_skew_params()).collect()
+    base_clean = detect_attack_runs(clean, **_skew_params()).collect()
+    split_dirty = detect_attack_runs_skew_split(
+        df, **_skew_params(), bucket_seconds=2.0
+    ).collect()
+    assert _alerts_key(base_dirty) == _alerts_key(base_clean)
+    assert _alerts_key(split_dirty) == _alerts_key(base_clean)
+    assert len(base_clean) == 1
+
+
 def test_skew_split_randomized_equivalence(spark):
     """Random metric sequences over several keys, compared at three
     bucket granularities (including 1 s: nearly every event its own

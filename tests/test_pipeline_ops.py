@@ -113,6 +113,17 @@ def test_text_stats_counts(spark):
     assert 0.0 <= r.quality_score <= 1.0
 
 
+def test_char_ngram_profile_short_texts_emit_no_grams(spark):
+    # Texts shorter than n must contribute NOTHING: Spark's
+    # sequence(1, 0) defaults to a descending step ([1, 0]) and, without
+    # the CASE guard, short docs emit two spurious partial grams each
+    # (ADVICE r2). DuckDB's generate_series(1, 0) is empty, so the guard
+    # is what keeps the two engines identical.
+    df = _docs(spark, ["ab", "", "x", "abc"])
+    rows = text.char_ngram_profile(df, n=3, top_k=5).collect()
+    assert [(r.gram, r.n) for r in rows] == [("abc", 1)]
+
+
 def test_lang_id_prefers_hit_majority(spark):
     df = _docs(
         spark,
