@@ -461,6 +461,101 @@ GROUP BY doc_id
 """
 
 
+def simhash_pairs(
+    fingerprints: DataFrame,
+    bands: int = 4,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from SimHash fingerprints: bit-band
+    bucketing + exact popcount verify — the stage that turns the
+    fingerprint column into actionable dup pairs (round-2 gap: the
+    SimHash family dead-ended at fingerprints).
+
+    The ``bits``-bit fingerprint is split into ``bands`` equal bit
+    bands; two documents are candidates iff they agree exactly on at
+    least one band. By pigeonhole, any pair within hamming distance
+    ``bands - 1`` MUST share an untouched band, so with the defaults
+    (4 bands, max_hamming 3) recall is exactly 1.0 — the banded plan is
+    sub-quadratic AND lossless for the radius it verifies. Candidates
+    are then verified with ``bit_count(a XOR b) <= max_hamming`` (one
+    JVM instruction per pair).
+
+    Scale shape mirrors minhash LSH: the band explode is ×``bands``
+    narrow rows, the candidate self-join shuffles on (band, band_val)
+    buckets (hot buckets = genuinely-similar clusters), and the verify
+    join touches only candidates. Input: (doc_id, simhash) from
+    :func:`simhash` or :func:`simhash_packed`.
+
+    Output: (doc_a, doc_b, hamming), feedable to
+    :func:`bounded_components_from_pairs` / :func:`components_from_pairs`.
+    """
+    assert bits % bands == 0
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = fingerprints.select("doc_id", "simhash")
+    stack_args = ", ".join(
+        f"{b}, shiftright(simhash, {b * width}) & {mask}" for b in range(bands)
+    )
+    banded = fp.selectExpr(
+        "doc_id", f"stack({bands}, {stack_args}) AS (band, band_val)"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_sql(
+    bands: int = 4, bits: int = 32, max_hamming: int = 3
+) -> str:
+    """Oracle twin of :func:`simhash_pairs` over :func:`simhash`'s
+    fingerprints — same banded stages as CTEs (DuckDB: xor + bit_count,
+    both bigint-exact)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {b * width}) & {mask} AS band_val "
+        f"FROM fp"
+        for b in range(bands)
+    )
+    return f"""
+WITH fp AS ({simhash_sql(bits)}
+),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+FROM cand
+JOIN fp fa ON fa.doc_id = doc_a
+JOIN fp fb ON fb.doc_id = doc_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
+"""
+
+
 def embedding_near_dup(
     embeddings: DataFrame, threshold: float = 0.3
 ) -> DataFrame:

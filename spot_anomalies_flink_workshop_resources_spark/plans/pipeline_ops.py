@@ -187,6 +187,21 @@ def dedup_simhash_packed(spark, sf_dir):
     return D.simhash_packed(_docs(spark, sf_dir))
 
 
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash fingerprints -> bit-band candidate buckets -> popcount
+    verify: the pairing stage the round-2 SimHash family was missing
+    (fingerprints now feed keep/drop like every other dedup source).
+    Lossless for the default radius (4 bands / hamming <= 3)."""
+    return D.simhash_pairs(D.simhash(_docs(spark, sf_dir)))
+
+
+def dedup_simhash_components(spark, sf_dir):
+    """Keep/drop resolution over simhash pairs — same bounded component
+    resolver as the jaccard/LSH pipelines, new pair source."""
+    docs = _docs(spark, sf_dir)
+    return D.bounded_components_from_pairs(docs, D.simhash_pairs(D.simhash(docs)))
+
+
 def dedup_embedding(spark, sf_dir):
     return D.embedding_near_dup(_embs(spark, sf_dir), threshold=0.3)
 
@@ -368,6 +383,8 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_packed": dedup_simhash_packed,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_simhash_components": dedup_simhash_components,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_ivf": dedup_embedding_ivf,
     "dedup_components": dedup_components,
@@ -397,6 +414,10 @@ ORACLES = {
     "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3),
     "dedup_simhash": D.simhash_sql(),
     "dedup_simhash_packed": D.simhash_sql(),
+    "dedup_simhash_pairs": D.simhash_pairs_sql(),
+    "dedup_simhash_components": D.dup_components_sql(
+        pairs_inner=D.simhash_pairs_sql()
+    ),
     "dedup_embedding": D.embedding_near_dup_sql(threshold=0.3),
     "dedup_embedding_ivf": D.embedding_near_dup_ivf_sql(
         threshold=0.3, n_centroids=16

@@ -90,6 +90,41 @@ def test_simhash_identical_and_different(spark):
     assert 0 <= out[0] < 2**32
 
 
+def test_simhash_pairs_banding_and_popcount(spark):
+    # Crafted fingerprints: hamming(0,1)=3 with the differing bits spread
+    # over three DIFFERENT 8-bit bands — the pigeonhole case where only
+    # the untouched 4th band catches the pair; hamming(0,2)=4 exceeds the
+    # radius even though docs 0 and 2 share two exact bands.
+    fp = spark.createDataFrame(
+        [
+            (0, 0),
+            (1, (1 << 0) | (1 << 8) | (1 << 16)),
+            (2, (1 << 0) | (1 << 1) | (1 << 2) | (1 << 3)),
+            (3, 0x0F0F0F0F),
+        ],
+        "doc_id long, simhash long",
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_pairs(fp, bands=4, bits=32, max_hamming=3).collect()
+    }
+    # only (0,1) is within radius 3; (0,2) is at 4, (1,2) at 5, (0,3) at 16
+    assert out == {(0, 1): 3}
+
+
+def test_simhash_pairs_from_texts_identical_docs(spark):
+    df = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",
+            "completely different words entirely here now",
+        ],
+    )
+    pairs = dedup.simhash_pairs(dedup.simhash(df)).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(0, 1, 0)]
+
+
 def test_embedding_near_dup_cosine(spark):
     rows = [
         Row(vec_id=0, embedding=[1.0, 0.0], label=1),
