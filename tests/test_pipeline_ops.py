@@ -259,6 +259,79 @@ def test_dup_components_converged_on_document_chain(spark):
     assert len(bounded_reps) > 1  # pins why the fixpoint variant exists
 
 
+def test_argmax_assignment_matches_window_form(spark, sf_dir):
+    """The zero-shuffle broadcast-argmax assignment must bucket every
+    vector exactly like the join+window form the SQL oracles mirror
+    (same nearest centroid, ties to the lower cent_id)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spot_anomalies_flink_workshop_resources_spark.catalog import load_table
+    from spot_anomalies_flink_workshop_resources_spark.operators.simsearch import (
+        _dot,
+        _with_norm,
+        assign_buckets_argmax,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    e = _with_norm(embs)
+    cent = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos_c = _dot(F.col("emb"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm"))
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
+    window_assign = {
+        r.vec_id: r.cent_id
+        for r in e.join(F.broadcast(cent))
+        .select("vec_id", "cent_id", cos_c.alias("c_cos"))
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    seeds = e.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    C = np.stack([np.asarray(r["emb"]) for r in seeds])
+    argmax_assign = {
+        r.vec_id: r.cent_id
+        for r in assign_buckets_argmax(embs, C, n_probes=1).collect()
+    }
+    assert argmax_assign == window_assign
+
+
+def test_trained_ivf_plan_has_no_vecid_exchange(spark, sf_dir):
+    """Plan invariant (VERDICT r2 #3): the trained/production IVF path
+    must not shuffle N×k scored rows through a vec_id window — the
+    assignment is a narrow mapInPandas pass. The seeded oracle twin
+    keeps the window exchange by design."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spot_anomalies_flink_workshop_resources_spark.catalog import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    seeds = embs.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    C = np.stack([np.asarray(r["embedding"], dtype=float) for r in seeds])
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # formatted mode prints the exchange's partitioning on an Arguments
+    # line: "Arguments: hashpartitioning(vec_id#..., ...)"
+    assert "hashpartitioning(vec_id" not in plan(
+        simsearch.ivf_topk(embs, centroid_matrix=C)
+    )
+    assert "hashpartitioning(vec_id" in plan(simsearch.ivf_topk(embs))
+    assert "hashpartitioning(vec_id" not in plan(
+        dedup.embedding_near_dup_ivf_trained(embs, threshold=0.3, max_iters=1)
+    )
+
+
 def test_kmeans_centroids_recover_blobs(spark):
     """Spherical k-means on three well-separated direction blobs must
     place one centroid per blob (assignment purity 100%), and IVF search
