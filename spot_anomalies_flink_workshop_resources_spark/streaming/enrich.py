@@ -100,21 +100,23 @@ def alert_consumer_foreach_batch(
     sleep = sleep or _time.sleep
 
     def _tail(batch: DataFrame, epoch_id: int) -> None:
-        rows = format_alert_prompt(batch).collect()
-        for row in rows:
-            raw = sinks.with_retries(
-                lambda p=row.prompt: llm_client(p),
-                max_attempts=max_attempts,
-                sleep=sleep,
-            )
-            report = parse_report(raw)
-            if report is None:
-                continue
-            try:
-                sev = int(str(report.get("severity", "0")))
-            except ValueError:
-                sev = 0
-            if sev >= min_severity:
-                notify(report)
+        # ≤1000-record chunks, mirroring the reference's event-source
+        # batch cap (code_stack.py:432-434) — never one whole collect
+        for rows in sinks.iter_record_chunks(format_alert_prompt(batch)):
+            for row in rows:
+                raw = sinks.with_retries(
+                    lambda p=row.prompt: llm_client(p),
+                    max_attempts=max_attempts,
+                    sleep=sleep,
+                )
+                report = parse_report(raw)
+                if report is None:
+                    continue
+                try:
+                    sev = int(str(report.get("severity", "0")))
+                except ValueError:
+                    sev = 0
+                if sev >= min_severity:
+                    notify(report)
 
     return _tail

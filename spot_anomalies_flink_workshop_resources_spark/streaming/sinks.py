@@ -49,6 +49,32 @@ def with_retries(
     raise last  # type: ignore[misc]
 
 
+# The reference's consumer is invoked with at most 1000 records per
+# batch (MSK event source mapping: batch_size=1000, max window 60 s —
+# code/code_stack.py:432-434). The engine tails mirror that cap.
+MAX_CONSUMER_BATCH = 1000
+
+
+def iter_record_chunks(df: DataFrame, max_records: int = MAX_CONSUMER_BATCH):
+    """W7 batch-cap parity: stream a micro-batch to the driver in
+    chunks of at most ``max_records`` rows.
+
+    ``toLocalIterator`` holds at most one partition in driver memory at
+    a time, so an oversized alert batch is chunked like the reference's
+    ≤1000-record consumer invocations instead of being silently
+    collected whole. Alerts are low-volume by construction, but the cap
+    is what makes that an invariant rather than an assumption.
+    """
+    chunk: list = []
+    for row in df.toLocalIterator():
+        chunk.append(row)
+        if len(chunk) >= max_records:
+            yield chunk
+            chunk = []
+    if chunk:
+        yield chunk
+
+
 def severity_gate(batch: DataFrame, min_severity: int = 2) -> DataFrame:
     """W9: notify only for severity >= 2 (mcp_server/server.py:20,
     action_group.py:141). Severity arrives as a string field."""
@@ -67,11 +93,11 @@ def notification_foreach_batch(
     Lambda consumer (per-record HTTP with backoff)."""
 
     def _tail(batch: DataFrame, epoch_id: int) -> None:
-        rows = severity_gate(batch, min_severity).collect()
-        for row in rows:
-            rec = row.asDict()
-            with_retries(
-                lambda r=rec: notify(r), max_attempts=max_attempts, sleep=sleep
-            )
+        for rows in iter_record_chunks(severity_gate(batch, min_severity)):
+            for row in rows:
+                rec = row.asDict()
+                with_retries(
+                    lambda r=rec: notify(r), max_attempts=max_attempts, sleep=sleep
+                )
 
     return _tail

@@ -68,6 +68,33 @@ def test_alert_consumer_tail_end_to_end(spark):
     assert sent[0]["ip_address"] == "10.0.0.5"
 
 
+def test_oversized_batch_is_chunked_not_collected(spark):
+    """W7 batch-cap parity (code_stack.py:432-434): an alert batch
+    larger than the 1000-record consumer cap is processed in ≤1000-row
+    chunks — every record still handled exactly once."""
+    from spot_anomalies_flink_workshop_resources_spark.streaming import sinks
+
+    n = 2500
+    df = spark.range(n).selectExpr(
+        "CAST(id AS STRING) AS ip_address", "'3' AS severity"
+    )
+    chunks = list(sinks.iter_record_chunks(df, max_records=1000))
+    sizes = [len(c) for c in chunks]
+    assert all(s <= 1000 for s in sizes)
+    assert sum(sizes) == n
+    assert len(chunks) >= 3
+    seen = sorted(int(r.ip_address) for c in chunks for r in c)
+    assert seen == list(range(n))
+
+    sent: list[str] = []
+    tail = sinks.notification_foreach_batch(
+        lambda rec: sent.append(rec["ip_address"]), min_severity=2,
+        sleep=lambda s: None,
+    )
+    tail(df, epoch_id=0)
+    assert len(sent) == n and len(set(sent)) == n
+
+
 def test_alert_consumer_severity_gate_blocks(spark):
     df = spark.createDataFrame([ALERT])
     sent = []
