@@ -46,7 +46,8 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bigger Arrow batches amortize per-batch Python/serde setup in
         # every pandas-UDF/mapInPandas stage; measured +22% detector
-        # throughput (20k -> 24.5k ev/s) over the 10k default. All
+        # throughput over the 10k default (absolute ev/s figures live in
+        # SCALE.md § Measured streaming throughput). All
         # chunk-boundary semantics are chunking-invariant by
         # construction (detector concats per-group batches; the stitch
         # carries partial keys across batches) and property-tested.
