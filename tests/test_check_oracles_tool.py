@@ -47,3 +47,26 @@ def test_value_mismatch_still_fails(spark):
         "SELECT k, CAST(SUM(x) AS BIGINT) AS s FROM t GROUP BY k",
     )
     assert msg.startswith("FAIL"), msg
+
+
+def test_coverage_doc_counts_match_registry():
+    """COVERAGE.md's headline counts must track the registry — the
+    round-2 doc drifted (claimed 68 oracles, registry had 70). The doc
+    states '<Q> queries, <O> oracle-backed, <R> rows-only'; this pins
+    all three to build_queries()/build_oracles()."""
+    import re
+
+    from spot_anomalies_flink_workshop_resources_spark.plans import harness
+
+    q, o = harness.build_queries(), harness.build_oracles()
+    assert set(o) <= set(q), "oracle without a registered query"
+    text = open("/root/repo/COVERAGE.md").read()
+    m = re.search(
+        r"\*\*(\d+) queries, (\d+) oracle-backed, (\d+) rows-only", text
+    )
+    assert m, "COVERAGE.md counts line missing"
+    assert (int(m[1]), int(m[2]), int(m[3])) == (
+        len(q),
+        len(o),
+        len(q) - len(o),
+    ), "COVERAGE.md counts drifted from the registry"
