@@ -133,17 +133,17 @@ def char_ngram_profile(docs: DataFrame, n: int = 3, top_k: int = 5) -> DataFrame
     # to a DESCENDING step and yields [1, 0] — two spurious partial grams
     # per short doc — while DuckDB's generate_series(1, 0) is empty. The
     # CASE makes the Spark side emit no grams for sub-n docs, matching
-    # the oracle.
-    grams = docs.select(
-        "lang",
-        F.explode(
-            F.expr(
-                f"CASE WHEN length(lower(text)) >= {n} THEN "
-                f"transform(sequence(1, length(lower(text)) - {n - 1}),"
-                f" i -> substring(lower(text), i, {n})) "
-                f"ELSE array() END"
-            )
-        ).alias("gram"),
+    # the oracle. lower(text) is projected ONCE ("lt") — inside the
+    # transform lambda it would be re-lowered per gram position.
+    grams = (
+        docs.selectExpr("lang", "lower(text) AS lt")
+        .selectExpr(
+            "lang",
+            f"explode(CASE WHEN length(lt) >= {n} THEN "
+            f"transform(sequence(1, length(lt) - {n - 1}),"
+            f" i -> substring(lt, i, {n})) "
+            f"ELSE array() END) AS gram",
+        )
     )
     counted = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))

@@ -191,15 +191,22 @@ def dedup_simhash_pairs(spark, sf_dir):
     """SimHash fingerprints -> bit-band candidate buckets -> popcount
     verify: the pairing stage the round-2 SimHash family was missing
     (fingerprints now feed keep/drop like every other dedup source).
-    Lossless for the default radius (4 bands / hamming <= 3)."""
-    return D.simhash_pairs(D.simhash(_docs(spark, sf_dir)))
+    Lossless for the default radius (4 bands / hamming <= 3).
+
+    Fingerprints come from the zero-shuffle packed twin — bit-identical
+    to the JVM explode variant (both hash-match the same oracle), and
+    ~40% cheaper, so the composed pipeline takes the faster source while
+    the oracle SQL mirrors the explode formulation."""
+    return D.simhash_pairs(D.simhash_packed(_docs(spark, sf_dir)))
 
 
 def dedup_simhash_components(spark, sf_dir):
     """Keep/drop resolution over simhash pairs — same bounded component
     resolver as the jaccard/LSH pipelines, new pair source."""
     docs = _docs(spark, sf_dir)
-    return D.bounded_components_from_pairs(docs, D.simhash_pairs(D.simhash(docs)))
+    return D.bounded_components_from_pairs(
+        docs, D.simhash_pairs(D.simhash_packed(docs))
+    )
 
 
 def dedup_embedding(spark, sf_dir):
