@@ -501,6 +501,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new or semantics-changed this round (round 3) --
     "dedup_simhash_pairs",
     "dedup_simhash_components",
+    "sql_supplier_waits",
+    "sql_part_supplier_counts",
+    "sql_widget_suppliers",
     "simsearch_ivf_kmeans",
     "dedup_embedding_ivf_trained",
     "text_ngram_profile",      # short-text guard changed results (ADVICE r2)

@@ -256,6 +256,64 @@ REGRESSION_ORACLE = _REGRESSION_TEMPLATE.format(
 )
 
 
+# q21-shape: suppliers whose LATE line (ship > order date + 60 days) is
+# the ONLY late line of a multi-supplier finished order. Exercises the
+# two hardest subquery rewrites together: a correlated EXISTS with an
+# inequality on the same fact table (self-correlation, l2 <> l1) and a
+# correlated NOT EXISTS whose predicate references TWO outer tables
+# (l1's orderkey AND o's orderdate) — Catalyst plans left-semi +
+# left-anti joins with compound correlated conditions. The testdata has
+# no commit/receipt dates, so "late" is defined against o_orderdate
+# (TPC-H q21 proper uses l_receiptdate > l_commitdate).
+SUPPLIER_WAITS_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_name LIKE 'NATION_1%'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+# q16-shape: distinct-supplier counts per part type, excluding
+# blacklisted suppliers via NOT IN (lineitem stands in for partsupp —
+# the testdata ships no partsupp table). COUNT(DISTINCT) over a join +
+# a negated uncorrelated subquery in one block.
+PART_SUPPLIER_COUNTS_SQL = """
+SELECT p_type, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_type <> 'STANDARD'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0.0)
+GROUP BY p_type
+"""
+
+# q20-shape: nested IN chain with an aggregate HAVING — suppliers who
+# moved > 400 units of widget-family parts. IN (... IN (...) GROUP BY
+# HAVING) forces the semi-join-over-aggregate rewrite path.
+WIDGET_SUPPLIERS_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE '%widget%')
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > 400.0
+)
+"""
+
+
 QUERIES = {
     "sql_cheapest_part_per_type": _sql_query(CHEAPEST_PART_SQL),
     "sql_idle_rich_customers": _sql_query(IDLE_RICH_CUSTOMERS_SQL),
@@ -272,6 +330,9 @@ QUERIES = {
     "sql_regression_by_source": _sql_query(REGRESSION_SQL),
     "sql_orders_grouping_sets": _sql_query(ORDERS_GROUPING_SETS_SQL),
     "sql_nation_top_customers": _sql_query(NATION_TOP_CUSTOMERS_SQL),
+    "sql_supplier_waits": _sql_query(SUPPLIER_WAITS_SQL),
+    "sql_part_supplier_counts": _sql_query(PART_SUPPLIER_COUNTS_SQL),
+    "sql_widget_suppliers": _sql_query(WIDGET_SUPPLIERS_SQL),
 }
 
 ORACLES = {
@@ -289,4 +350,7 @@ ORACLES = {
     "sql_regression_by_source": REGRESSION_ORACLE,
     "sql_orders_grouping_sets": ORDERS_GROUPING_SETS_SQL,
     "sql_nation_top_customers": NATION_TOP_CUSTOMERS_SQL,
+    "sql_supplier_waits": SUPPLIER_WAITS_SQL,
+    "sql_part_supplier_counts": PART_SUPPLIER_COUNTS_SQL,
+    "sql_widget_suppliers": WIDGET_SUPPLIERS_SQL,
 }
