@@ -276,6 +276,38 @@ FROM events c JOIN events p
 """
 
 
+def batch_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_interval_join through the BUCKETIZED
+    equi-join plan (operators.asof.interval_join_bucketed): joining on
+    (user, time-bucket) bounds a hot user's work by overlapping-bucket
+    pairs instead of |clicks|x|purchases| — checked against the SAME
+    plain interval-join oracle as the streaming form."""
+    from pyspark.sql import functions as F
+
+    from ..operators.asof import interval_join_bucketed
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return interval_join_bucketed(
+        clicks, purchases, key="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        lower_seconds=0.0, upper_seconds=3600.0,
+    ).select(
+        "click_id", "user_id", "click_ts",
+        "purchase_id", "purchase_ts", "purchase_value",
+    )
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast join, the enrichment shape the reference's
     consumer Lambda does per record (lambda_handler table lookups):
@@ -504,6 +536,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_supplier_waits",
     "sql_part_supplier_counts",
     "sql_widget_suppliers",
+    "batch_interval_join_bucketed",
     "simsearch_ivf_kmeans",
     "dedup_embedding_ivf_trained",
     "text_ngram_profile",      # short-text guard changed results (ADVICE r2)
@@ -550,6 +583,7 @@ def build_queries() -> dict[str, QueryFn]:
         "stream_session_rollup": stream_session_rollup,
         "stream_tumbling_rollup": stream_tumbling_rollup,
         "stream_interval_join": stream_interval_join,
+        "batch_interval_join_bucketed": batch_interval_join_bucketed,
         "stream_static_enrich": stream_static_enrich,
         "asof_click_purchase": asof_click_purchase,
         "approx_distinct_parts": approx_distinct_parts,
@@ -583,6 +617,8 @@ def build_oracles() -> dict[str, str]:
         "stream_session_rollup": STREAM_SESSION_ORACLE,
         "stream_tumbling_rollup": STREAM_TUMBLING_ORACLE,
         "stream_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
+        # bucketized batch twin: identical semantics, same oracle
+        "batch_interval_join_bucketed": STREAM_INTERVAL_JOIN_ORACLE,
         "stream_static_enrich": STREAM_STATIC_ENRICH_ORACLE,
         "asof_click_purchase": ASOF_ORACLE,
         "pivot_event_type_counts": PIVOT_ORACLE,

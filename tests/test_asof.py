@@ -97,3 +97,61 @@ def test_asof_duplicate_right_ts_deterministic(spark):
         value_cols=["purchase_value"],
     ).collect()
     assert out[0].asof_purchase_value == 999.0
+
+
+def test_interval_join_bucketed_equals_naive_and_bounds(spark):
+    """Bucketized interval join == naive theta-join on random data, and
+    inclusive bounds hold exactly at the window edges and across bucket
+    boundaries."""
+    import random
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.asof import (
+        interval_join_bucketed,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rng = random.Random(11)
+    lrows = [
+        (f"u{rng.randint(0, 5)}", i, t0 + dt.timedelta(seconds=rng.randint(0, 7200)))
+        for i in range(120)
+    ]
+    rrows = [
+        (f"u{rng.randint(0, 5)}", 1000 + i,
+         t0 + dt.timedelta(seconds=rng.randint(0, 7200)), float(i))
+        for i in range(150)
+    ]
+    # exact edge cases: right at left_ts (lower bound, inclusive), right
+    # at left_ts + upper (upper bound, inclusive), right 1s past it, and
+    # a pair whose window straddles a bucket boundary
+    edge_l = t0 + dt.timedelta(seconds=3000)
+    lrows += [("edge", 500, edge_l)]
+    rrows += [
+        ("edge", 2000, edge_l, 1.0),
+        ("edge", 2001, edge_l + dt.timedelta(seconds=900), 2.0),
+        ("edge", 2002, edge_l + dt.timedelta(seconds=901), 3.0),
+    ]
+    left = spark.createDataFrame(lrows, "user_id string, click_id long, click_ts timestamp")
+    right = spark.createDataFrame(
+        rrows, "user_id string, purchase_id long, purchase_ts timestamp, v double"
+    )
+
+    def key_set(df):
+        return {(r.click_id, r.purchase_id) for r in df.collect()}
+
+    naive = left.alias("a").join(
+        right.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.purchase_ts") >= F.col("a.click_ts"))
+        & (F.col("b.purchase_ts") <= F.col("a.click_ts") + F.expr("INTERVAL 900 SECONDS")),
+    ).select("a.click_id", "b.purchase_id")
+
+    for bucket in (900.0, 450.0, 37.0):
+        got = interval_join_bucketed(
+            left, right, key="user_id",
+            left_ts="click_ts", right_ts="purchase_ts",
+            lower_seconds=0.0, upper_seconds=900.0, bucket_seconds=bucket,
+        )
+        assert key_set(got) == key_set(naive), f"bucket={bucket}"
+    pairs = key_set(naive)
+    assert (500, 2000) in pairs and (500, 2001) in pairs
+    assert (500, 2002) not in pairs
