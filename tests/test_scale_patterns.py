@@ -190,3 +190,15 @@ def test_flagship_plan_invariants(spark, sf_dir):
     # no stats-frame self-join
     p = plan("corpus_prep")
     assert "SortMergeJoin" not in p
+
+    # bucketized interval join: an EQUI join on (key, bucket) — never a
+    # nested-loop/cartesian fallback (the failure mode of naive
+    # range-predicate joins)
+    p = plan("batch_interval_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+    # q21 shape: the correlated EXISTS / NOT EXISTS must rewrite to
+    # semi/anti joins, not a per-row subquery
+    p = plan("sql_supplier_waits")
+    assert "LeftSemi" in p and "LeftAnti" in p
