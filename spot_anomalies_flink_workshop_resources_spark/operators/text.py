@@ -336,3 +336,110 @@ FROM (SELECT doc_id, text,
              list_transform(string_split(lower(text), ''), c -> ascii(c)) AS cs
       FROM documents)
 """
+
+
+def top_terms_sketch(
+    docs: DataFrame, k: int = 50, capacity: int = 4096
+) -> DataFrame:
+    """EXACT top-k corpus terms via Misra-Gries candidates + a verify
+    pass — the scale path for the vocabulary profile
+    (pipeline_ops.corpus_top_terms), same output, same oracle.
+
+    The direct form shuffles the FULL vocabulary — every (token,
+    doc_freq) group — to rank k rows. Here each partition builds a
+    Misra-Gries summary (``capacity`` counters, one narrow Arrow pass)
+    over its distinct (doc, token) pairs. Pigeonhole over partition
+    summaries gives the classic guarantee: any token whose GLOBAL pair
+    count exceeds N/capacity survives in at least one partition summary,
+    so the union of summaries is a provably complete candidate set for
+    the top k whenever the k-th doc-frequency > N/capacity — verified at
+    runtime, failing loudly with the capacity to raise. Exact
+    doc_freq/n_occurrences are then computed ONLY for candidates via a
+    broadcast join: the wide shuffle carries |candidates| groups instead
+    of |vocab|. Sketchy inside, exact outside — which is why the DuckDB
+    value oracle still applies.
+    """
+    import pandas as pd
+
+    toks_distinct = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+            )
+        ).alias("tok"),
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        n = 0
+        evictions = 0
+        for pdf in batches:
+            for t in pdf["tok"]:
+                n += 1
+                c = counters.get(t)
+                if c is not None:
+                    counters[t] = c + 1
+                elif len(counters) < capacity:
+                    counters[t] = 1
+                else:
+                    evictions += 1
+                    for kk in list(counters):
+                        if counters[kk] == 1:
+                            del counters[kk]
+                        else:
+                            counters[kk] -= 1
+        yield pd.DataFrame(
+            {
+                "tok": list(counters) + [None],
+                "n_pairs": [0] * len(counters) + [n],
+                "n_evictions": [0] * len(counters) + [evictions],
+            }
+        )
+
+    summary_rows = (
+        toks_distinct.select("tok")
+        .mapInPandas(mg, "tok string, n_pairs long, n_evictions long")
+        .collect()
+    )
+    candidates = [r["tok"] for r in summary_rows if r["tok"] is not None]
+    n_total = sum(r["n_pairs"] for r in summary_rows)
+    n_evictions = sum(r["n_evictions"] for r in summary_rows)
+    spark = docs.sparkSession
+    cand_df = spark.createDataFrame([(t,) for t in candidates], "tok string")
+
+    toks_all = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("tok"),
+    )
+    exact = (
+        toks_all.join(F.broadcast(cand_df), "tok")
+        .groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("n_occurrences"), F.asc("tok"))
+        .limit(k)
+    )
+    # completeness guard. Two provably-complete cases: (a) no partition
+    # ever evicted a counter, so the candidate set IS the vocabulary;
+    # (b) a full k rows came back and the k-th doc_freq clears the MG
+    # threshold N/capacity — every non-candidate token has global pair
+    # count <= N/capacity (pigeonhole over partition summaries), so
+    # nothing missed can outrank the k-th. Anything else is ambiguous:
+    # fail loudly rather than return a silently truncated ranking.
+    head = exact.take(k)
+    complete = n_evictions == 0 or (
+        len(head) == k and head[-1]["doc_freq"] * capacity > n_total
+    )
+    if not complete:
+        kth = head[-1]["doc_freq"] if head else 0
+        raise ValueError(
+            f"top_terms_sketch: cannot certify completeness (evictions="
+            f"{n_evictions}, k-th doc_freq {kth} vs N/capacity = "
+            f"{n_total}/{capacity}); raise capacity"
+        )
+    return exact

@@ -537,6 +537,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_part_supplier_counts",
     "sql_widget_suppliers",
     "batch_interval_join_bucketed",
+    "corpus_top_terms_sketch",
     "simsearch_ivf_kmeans",
     "dedup_embedding_ivf_trained",
     "text_ngram_profile",      # short-text guard changed results (ADVICE r2)

@@ -163,6 +163,15 @@ LIMIT 50
 """
 
 
+def corpus_top_terms_sketch(spark, sf_dir):
+    """Scale twin of corpus_top_terms: Misra-Gries candidate summaries
+    per partition + an exact verify pass over candidates only — the
+    wide shuffle carries |candidates| groups instead of |vocab|, with a
+    runtime-certified completeness guarantee. Exact output ⇒ SAME
+    oracle as the direct form."""
+    return T.top_terms_sketch(_docs(spark, sf_dir), k=50)
+
+
 def dedup_jaccard(spark, sf_dir):
     # df_cap=64 > measured corpus max df (7 at sf0.01, 25 at sf0.1):
     # exact result with the quadratic-hot-token guard armed; the skew
@@ -398,6 +407,7 @@ QUERIES = {
     "corpus_prep": corpus_prep,
     "corpus_split": corpus_split,
     "corpus_top_terms": corpus_top_terms,
+    "corpus_top_terms_sketch": corpus_top_terms_sketch,
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -428,6 +438,8 @@ ORACLES = {
     "corpus_prep": T.corpus_prep_sql(min_quality=0.5),
     "corpus_split": CORPUS_SPLIT_SQL,
     "corpus_top_terms": CORPUS_TOP_TERMS_SQL,
+    # sketch-candidates + exact-verify twin: exact output, same oracle
+    "corpus_top_terms_sketch": CORPUS_TOP_TERMS_SQL,
     # df_cap mirrors the Spark call so oracle equality survives corpora
     # where the hot-shingle prune actually fires (ADVICE r2)
     "dedup_jaccard": D.jaccard_pairs_sql(threshold=0.5, shingle_n=3, df_cap=64),

@@ -399,6 +399,25 @@ def test_multi_probe_ivf_recall_monotone(spark, sf_dir):
     assert r_all == 1.0, f"probing every bucket must be exact (got {r_all})"
 
 
+def test_top_terms_sketch_exact_and_guarded(spark, sf_dir):
+    """Sketch-candidates + verify top-k equals the direct aggregation on
+    real corpus data; an undersized capacity raises instead of returning
+    a silently truncated ranking."""
+    from spot_anomalies_flink_workshop_resources_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    from spot_anomalies_flink_workshop_resources_spark.plans.pipeline_ops import (
+        corpus_top_terms,
+    )
+
+    want = [tuple(r) for r in corpus_top_terms(spark, sf_dir).collect()]
+    got = [tuple(r) for r in text.top_terms_sketch(docs, k=50).collect()]
+    assert got == want
+
+    with pytest.raises(ValueError, match="cannot certify completeness"):
+        text.top_terms_sketch(docs, k=50, capacity=2)
+
+
 def test_corpus_split_stable_and_exhaustive(spark):
     """The md5-bucket split must (a) assign every doc, (b) give the same
     assignment on a re-shuffled re-read — the contamination guard the
