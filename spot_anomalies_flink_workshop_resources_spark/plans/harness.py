@@ -308,6 +308,27 @@ def batch_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication run to completion: dropDuplicates
+    on (user_id, event_type) over the event stream, projected to the
+    key columns so which physical row survives is immaterial — the
+    finalized append output equals batch DISTINCT, which is the oracle.
+    (The unbounded-stream form, dropDuplicatesWithinWatermark with
+    state eviction, stays unit-tested — its kept-row timing is
+    watermark-dependent and has no deterministic batch twin.)"""
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    return _run_to_completion(dedup, spark)
+
+
+STREAM_DISTINCT_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast join, the enrichment shape the reference's
     consumer Lambda does per record (lambda_handler table lookups):
@@ -538,6 +559,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_widget_suppliers",
     "batch_interval_join_bucketed",
     "corpus_top_terms_sketch",
+    "stream_distinct_pairs",
     "simsearch_ivf_kmeans",
     "dedup_embedding_ivf_trained",
     "text_ngram_profile",      # short-text guard changed results (ADVICE r2)
@@ -585,6 +607,7 @@ def build_queries() -> dict[str, QueryFn]:
         "stream_tumbling_rollup": stream_tumbling_rollup,
         "stream_interval_join": stream_interval_join,
         "batch_interval_join_bucketed": batch_interval_join_bucketed,
+        "stream_distinct_pairs": stream_distinct_pairs,
         "stream_static_enrich": stream_static_enrich,
         "asof_click_purchase": asof_click_purchase,
         "approx_distinct_parts": approx_distinct_parts,
@@ -620,6 +643,7 @@ def build_oracles() -> dict[str, str]:
         "stream_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
         # bucketized batch twin: identical semantics, same oracle
         "batch_interval_join_bucketed": STREAM_INTERVAL_JOIN_ORACLE,
+        "stream_distinct_pairs": STREAM_DISTINCT_ORACLE,
         "stream_static_enrich": STREAM_STATIC_ENRICH_ORACLE,
         "asof_click_purchase": ASOF_ORACLE,
         "pivot_event_type_counts": PIVOT_ORACLE,
