@@ -155,3 +155,40 @@ def test_interval_join_bucketed_equals_naive_and_bounds(spark):
     pairs = key_set(naive)
     assert (500, 2000) in pairs and (500, 2001) in pairs
     assert (500, 2002) not in pairs
+
+
+def test_interval_join_bucketed_negative_lower_bound(spark):
+    """Windows reaching BACKWARD in time (lower < 0) — purchases up to
+    15 min before each click — bucket arithmetic must handle negative
+    offsets and buckets straddling zero."""
+    import random
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.asof import (
+        interval_join_bucketed,
+    )
+
+    t0 = dt.datetime(1970, 1, 1, 0, 10)  # near epoch: negative (ts+lower)
+    rng = random.Random(5)
+    left = spark.createDataFrame(
+        [("u", i, t0 + dt.timedelta(seconds=rng.randint(0, 3600)))
+         for i in range(60)],
+        "user_id string, click_id long, click_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", 1000 + i, t0 + dt.timedelta(seconds=rng.randint(0, 3600)))
+         for i in range(60)],
+        "user_id string, purchase_id long, purchase_ts timestamp",
+    )
+    naive = left.alias("a").join(
+        right.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.purchase_ts") >= F.col("a.click_ts") - F.expr("INTERVAL 900 SECONDS"))
+        & (F.col("b.purchase_ts") <= F.col("a.click_ts")),
+    ).select("a.click_id", "b.purchase_id")
+    got = interval_join_bucketed(
+        left, right, key="user_id", left_ts="click_ts", right_ts="purchase_ts",
+        lower_seconds=-900.0, upper_seconds=0.0, bucket_seconds=450.0,
+    )
+    assert {(r.click_id, r.purchase_id) for r in got.collect()} == {
+        (r.click_id, r.purchase_id) for r in naive.collect()
+    }

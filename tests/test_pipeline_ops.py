@@ -480,3 +480,33 @@ def test_corpus_prep_gates_and_dedups(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.source, r.lang, r.n_docs) == ("s0", "en", 1)
+
+
+def test_simhash_pairs_recall_guarantee_randomized(spark):
+    """Pigeonhole recall: on random 32-bit fingerprints, the banded
+    candidate join must find EVERY pair within hamming radius
+    bands - 1 = 3 — compare against brute-force popcount."""
+    import random
+
+    rng = random.Random(99)
+    fps = [(i, rng.getrandbits(32)) for i in range(80)]
+    # plant near-dups at exact radii 1, 2, 3 off existing fingerprints
+    base = fps[7][1]
+    fps += [
+        (1000, base ^ (1 << 31)),
+        (1001, base ^ (1 << 3) ^ (1 << 17)),
+        (1002, base ^ (1 << 0) ^ (1 << 8) ^ (1 << 16)),
+    ]
+    brute = {
+        (a, b): bin(fa ^ fb).count("1")
+        for (a, fa) in fps
+        for (b, fb) in fps
+        if a < b and bin(fa ^ fb).count("1") <= 3
+    }
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_pairs(df, bands=4, bits=32, max_hamming=3).collect()
+    }
+    assert got == brute
+    assert {(7, 1000), (7, 1001), (7, 1002)} <= set(got)
