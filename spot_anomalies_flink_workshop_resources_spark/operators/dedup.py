@@ -704,6 +704,7 @@ def embedding_near_dup_ivf_trained(
     threshold: float = 0.95,
     n_centroids: int = 16,
     max_iters: int = 5,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Production form of :func:`embedding_near_dup_ivf`: trained
     spherical-k-means centroids + the zero-shuffle broadcast-argmax
@@ -713,25 +714,76 @@ def embedding_near_dup_ivf_trained(
     vs the seeded/window twin (kept as the SQL-oracle form): buckets are
     data-balanced (trained centroids) and the assignment stage exchanges
     NOTHING instead of shuffling N×k scored rows through a vec_id
-    window. Iterative training ⇒ rows-only driver check; the bucketing
-    equivalence of argmax-vs-window assignment is unit-tested.
+    window. ``n_probes`` is the recall knob for near-dups straddling a
+    Voronoi boundary: each vector's ``n_probes`` nearest buckets all
+    act as candidate blocks, a pair is a candidate when EITHER side
+    probes the other's index bucket, and candidates dedupe before the
+    cosine verify — candidate work scales ~linearly with probes, still
+    O(N²·p/k). Iterative training ⇒ rows-only driver check; bucketing
+    equivalence and probe-recall are unit-tested.
     """
     from .simsearch import _dot, assign_buckets_argmax, kmeans_centroids
 
     C = kmeans_centroids(embeddings, n_centroids=n_centroids, max_iters=max_iters)
-    assigned = assign_buckets_argmax(embeddings, C, n_probes=1)
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm"))
-    return (
-        a.join(
-            b,
-            (F.col("a.cent_id") == F.col("b.cent_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    assigned = assign_buckets_argmax(embeddings, C, n_probes=max(n_probes, 1))
+    index = assigned.where(F.col("rn") == 1)
+    if n_probes <= 1:
+        a, b = index.alias("a"), index.alias("b")
+        cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
+            F.col("a.norm") * F.col("b.norm")
+        )
+        return (
+            a.join(
+                b,
+                (F.col("a.cent_id") == F.col("b.cent_id"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.cent_id").alias("centroid_id"),
+                cos.alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+    # multi-probe: candidate pairs from (probe bucket == index bucket) in
+    # either direction, deduped, then one verify join per side for the
+    # vectors (the index frame is the deduped per-vector source)
+    probes = assigned.select("vec_id", "cent_id")
+    idx_b = index.select(
+        F.col("vec_id").alias("_iv"), F.col("cent_id").alias("_ic")
+    )
+    cand = (
+        probes.join(
+            idx_b,
+            (F.col("cent_id") == F.col("_ic"))
+            & (F.col("vec_id") != F.col("_iv")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.cent_id").alias("centroid_id"),
+            F.least("vec_id", "_iv").alias("vec_a"),
+            F.greatest("vec_id", "_iv").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = index.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("_ea"),
+        F.col("norm").alias("_na"),
+        F.col("cent_id").alias("_ca"),
+    )
+    vb = index.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("_eb"),
+        F.col("norm").alias("_nb"),
+    )
+    cos = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("_ca").alias("centroid_id"),
             cos.alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)

@@ -510,3 +510,32 @@ def test_simhash_pairs_recall_guarantee_randomized(spark):
     }
     assert got == brute
     assert {(7, 1000), (7, 1001), (7, 1002)} <= set(got)
+
+
+def test_trained_near_dup_multiprobe_recovers_boundary_pair(spark):
+    """A near-identical pair straddling a Voronoi boundary lands in two
+    different buckets and is invisible to single-probe blocking; with
+    n_probes=2 each side also probes its second-nearest bucket and the
+    pair is recovered. Probe-2 results must be a superset of probe-1."""
+    rows = []
+    # two tight clusters along the axes; vec 0 / vec 1 double as k-means
+    # seed starts (vec_id < n_centroids)
+    for i in range(10):
+        rows.append((i * 2, [1.0, 0.02 * i], 0))        # x cluster (even)
+        rows.append((i * 2 + 1, [0.02 * i, 1.0], 0))    # y cluster (odd)
+    rows += [(100, [1.0, 0.999], 0), (101, [0.999, 1.0], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+    def pairs(n_probes):
+        return {
+            (r.vec_a, r.vec_b)
+            for r in dedup.embedding_near_dup_ivf_trained(
+                df, threshold=0.999, n_centroids=2, max_iters=3,
+                n_probes=n_probes,
+            ).collect()
+        }
+
+    p1, p2 = pairs(1), pairs(2)
+    assert (100, 101) not in p1
+    assert (100, 101) in p2
+    assert p1 <= p2
