@@ -560,6 +560,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "batch_interval_join_bucketed",
     "corpus_top_terms_sketch",
     "stream_distinct_pairs",
+    "simsearch_pq",
     "simsearch_ivf_kmeans",
     "dedup_embedding_ivf_trained",
     "text_ngram_profile",      # short-text guard changed results (ADVICE r2)

@@ -397,6 +397,18 @@ def simsearch_ivf_kmeans(spark, sf_dir):
     return S.ivf_topk(embs, centroid_matrix=C)
 
 
+def simsearch_pq(spark, sf_dir):
+    """Product-quantization ANN: sample-trained per-subspace codebooks
+    (the standard 16-subspace x 8-bit config: 16 bytes/vector, 32x
+    compression over float64), distributed narrow encode, ADC top-k via
+    broadcast lookup tables. Approximate ⇒ rows-only driver check;
+    recall vs brute force and its monotonicity in codebook size are
+    unit-tested."""
+    embs = _embs(spark, sf_dir)
+    B = S.pq_train(embs, m=16, n_codes=256)
+    return S.pq_topk(embs, B)
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": lang_id,
@@ -426,6 +438,7 @@ QUERIES = {
     "simsearch_ivf": simsearch_ivf,
     "simsearch_ivf_probe2": simsearch_ivf_probe2,
     "simsearch_ivf_kmeans": simsearch_ivf_kmeans,
+    "simsearch_pq": simsearch_pq,
 }
 
 ORACLES = {

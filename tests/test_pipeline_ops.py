@@ -539,3 +539,31 @@ def test_trained_near_dup_multiprobe_recovers_boundary_pair(spark):
     assert (100, 101) not in p1
     assert (100, 101) in p2
     assert p1 <= p2
+
+
+def test_pq_recall_and_codebook_monotonicity(spark, sf_dir):
+    """PQ ADC top-5 vs exact brute force on the embeddings table: the
+    harness config (16 subspaces x 256 codes) clears a recall floor,
+    and finer quantization (32 subspaces) improves it — the accuracy/
+    compression dial working as designed."""
+    from collections import defaultdict
+
+    from spot_anomalies_flink_workshop_resources_spark.catalog import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    bf = defaultdict(set)
+    for r in simsearch.brute_force_topk(embs, n_queries=8, k=5).collect():
+        bf[r.query_id].add(r.neighbor_id)
+
+    def recall(m, n_codes):
+        B = simsearch.pq_train(embs, m=m, n_codes=n_codes)
+        got = defaultdict(set)
+        for r in simsearch.pq_topk(embs, B, n_queries=8, k=5).collect():
+            got[r.query_id].add(r.neighbor_id)
+        return sum(len(got[q] & bf[q]) / len(bf[q]) for q in bf) / len(bf)
+
+    r16 = recall(16, 256)
+    r32 = recall(32, 256)
+    assert r16 >= 0.5, r16
+    assert r32 >= r16, (r32, r16)
+    assert r32 >= 0.8, r32
