@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import col_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -132,15 +134,20 @@ def interval_join_bucketed(
     """
     if bucket_seconds is None:
         bucket_seconds = max(upper_seconds - lower_seconds, 1.0)
-    lsec = F.col(left_ts).cast("double")
-    rsec = F.col(right_ts).cast("double")
+    # type-agnostic epoch seconds (TIMESTAMP, TIMESTAMP_NTZ, or numeric)
+    lsec = col_seconds(left, left_ts)
+    rsec = col_seconds(right, right_ts)
     lo = F.floor((lsec + lower_seconds) / bucket_seconds).cast("long")
     hi = F.floor((lsec + upper_seconds) / bucket_seconds).cast("long")
     l = left.withColumn("_b", F.explode(F.sequence(lo, hi)))
     r = right.withColumn("_b", F.floor(rsec / bucket_seconds).cast("long"))
     a, b = l.alias("a"), r.alias("b")
-    ats = F.col(f"a.{left_ts}").cast("double")
-    bts = F.col(f"b.{right_ts}").cast("double")
+    _lts_is_ts = dict(left.dtypes)[left_ts].startswith("timestamp")
+    _rts_is_ts = dict(right.dtypes)[right_ts].startswith("timestamp")
+    ats = F.col(f"a.{left_ts}")
+    ats = ats.cast("timestamp").cast("double") if _lts_is_ts else ats.cast("double")
+    bts = F.col(f"b.{right_ts}")
+    bts = bts.cast("timestamp").cast("double") if _rts_is_ts else bts.cast("double")
     joined = a.join(
         b,
         (F.col(f"a.{key}") == F.col(f"b.{key}"))

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import col_seconds
+
 
 def detect_attack_runs(
     df: DataFrame,
@@ -94,7 +96,6 @@ def detect_attack_runs(
         (AD.java:157-166).
     """
     size_expr = size_expr if size_expr is not None else F.col(metric_col)
-    end_time = F.col(end_time_col) if end_time_col else F.col(time_col)
     attacker = F.col(attacker_col) if attacker_col else F.col(order_col)
 
     # key_col may be a composite (list of columns): windows then
@@ -116,15 +117,25 @@ def detect_attack_runs(
     # the event-time extraction the same way (Event.java:59-61). Keeping
     # the filter identical in both twins preserves their "same output,
     # any input" equivalence contract (ADVICE r2).
+    #
+    # Event times convert to fractional epoch seconds HERE (type-agnostic:
+    # TIMESTAMP, TIMESTAMP_NTZ, or already-numeric — the skew twin feeds
+    # pre-converted doubles): ordering by the double is identical to
+    # ordering by the timestamp, and no later stage needs a timestamp cast
+    # (TIMESTAMP_NTZ cannot cast to DOUBLE at all).
+    ts_sec = col_seconds(df, time_col)
+    end_sec = (
+        col_seconds(df, end_time_col) if end_time_col else ts_sec
+    )
     classified = df.where(
         ((metric < low_threshold) | (metric > high_threshold)) & ts.isNotNull()
     ).select(
         *[F.col(n).alias(a) for n, a in zip(key_names, key_aliases)],
-        ts.alias("_ts"),
+        ts_sec.alias("_ts"),
         oid.alias("_oid"),
         metric.alias("_metric"),
         size_expr.cast("double").alias("_size"),
-        end_time.alias("_end_ts"),
+        end_sec.alias("_end_ts"),
         attacker.cast("string").alias("_attacker"),
         F.when(metric < low_threshold, F.lit("A")).otherwise(F.lit("N")).alias("_phase"),
     )
@@ -174,9 +185,9 @@ def detect_attack_runs(
         .withColumn("_next_first_metric", F.lead("_first_metric").over(wr))
     )
 
-    # timestamp→double cast yields fractional epoch seconds
+    # _first_ts/_next_first_ts are already fractional epoch seconds
     window_ok = (
-        F.col("_next_first_ts").cast("double") - F.col("_first_ts").cast("double")
+        F.col("_next_first_ts") - F.col("_first_ts")
     ) <= F.lit(float(window_seconds))
 
     avg_packets = F.col("_next_first_metric").cast("double")
@@ -196,8 +207,8 @@ def detect_attack_runs(
         )
         .select(
             target_key.alias("target_key"),
-            F.col("_first_ts").cast("double").alias("attack_start_time"),
-            F.col("_last_matched_end").cast("double").alias("attack_end_time"),
+            F.col("_first_ts").alias("attack_start_time"),
+            F.col("_last_matched_end").alias("attack_end_time"),
             F.col("_first_attacker").alias("attacker_id"),
             F.col("_frag_count").alias("fragment_count"),
             avg_packets.alias("avg_packets"),
@@ -362,23 +373,27 @@ def detect_attack_runs_skew_split(
     import pandas as pd
 
     size_expr = size_expr if size_expr is not None else F.col(metric_col)
-    end_time = F.col(end_time_col) if end_time_col else F.col(time_col)
     attacker = F.col(attacker_col) if attacker_col else F.col(order_col)
     key, ts, oid, metric = (
         F.col(key_col), F.col(time_col), F.col(order_col), F.col(metric_col),
     )
+    # epoch-seconds conversion up front (type-agnostic, see
+    # detect_attack_runs): _ts is a double from here on, so bucketing,
+    # the sub-detection, and the stitch all avoid timestamp casts
+    ts_sec = col_seconds(df, time_col)
+    end_sec = col_seconds(df, end_time_col) if end_time_col else ts_sec
     classified = df.where(
         ((metric < low_threshold) | (metric > high_threshold))
         & metric.isNotNull() & ts.isNotNull()
     ).select(
         key.alias("_key"),
-        ts.alias("_ts"),
+        ts_sec.alias("_ts"),
         oid.alias("_oid"),
         metric.cast("double").alias("_metric"),
         size_expr.cast("double").alias("_size"),
-        F.coalesce(end_time.cast("double"), ts.cast("double")).alias("_end_s"),
+        F.coalesce(end_sec, ts_sec).alias("_end_s"),
         attacker.cast("string").alias("_attacker"),
-        F.floor(ts.cast("double") / F.lit(float(bucket_seconds))).alias("_bucket"),
+        F.floor(ts_sec / F.lit(float(bucket_seconds))).alias("_bucket"),
     )
 
     w_kb = Window.partitionBy("_key", "_bucket").orderBy("_ts", "_oid")

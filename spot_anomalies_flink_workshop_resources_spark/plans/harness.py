@@ -128,6 +128,24 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _events_ts_is_ntz(spark: SparkSession, sf_dir: str) -> bool:
+    from pyspark.sql.types import TimestampNTZType
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return isinstance(schema["ts"].dataType, TimestampNTZType)
+
+
+def _restore_source_ts(df: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming plans force tz-aware TIMESTAMP event time (watermarks
+    reject NTZ); when the SOURCE parquet carries NTZ, emitted timestamps
+    are cast back so the stream query's output schema matches what the
+    batch reader — and the DuckDB oracle — produce. Value-preserving
+    under the engine's UTC session tz."""
+    from ..functions.timeutil import cast_timestamps_ntz
+
+    return cast_timestamps_ntz(df, when=_events_ts_is_ntz(spark, sf_dir))
+
+
 def _run_to_completion(
     df: DataFrame, spark: SparkSession, shuffle_partitions: int = 8
 ) -> DataFrame:
@@ -168,9 +186,10 @@ def stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (session_end <= max ts)."""
     from ..streaming.windows import session_rollup_stream
 
-    return _run_to_completion(
+    out = _run_to_completion(
         session_rollup_stream(_events_stream(spark, sf_dir)), spark
     )
+    return _restore_source_ts(out, spark, sf_dir)
 
 
 STREAM_SESSION_ORACLE = """
@@ -204,9 +223,10 @@ def stream_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window rollup (1-day windows per event_type)."""
     from ..streaming.windows import tumbling_rollup_stream
 
-    return _run_to_completion(
+    out = _run_to_completion(
         tumbling_rollup_stream(_events_stream(spark, sf_dir)), spark
     )
+    return _restore_source_ts(out, spark, sf_dir)
 
 
 STREAM_TUMBLING_ORACLE = """
@@ -256,13 +276,14 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="click_ts", right_ts="purchase_ts",
         lower="0 seconds", upper="1 hour",
     )
-    return _run_to_completion(
+    out = _run_to_completion(
         joined.select(
             "click_id", "user_id", "click_ts",
             "purchase_id", "purchase_ts", "purchase_value",
         ),
         spark,
     )
+    return _restore_source_ts(out, spark, sf_dir)
 
 
 STREAM_INTERVAL_JOIN_ORACLE = """

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.timeutil import ts_seconds
 
 
 def _dec(col, scale: int = 4):
@@ -395,7 +396,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    ts_sec = ts_seconds(F.col("ts"))  # NTZ-safe epoch
+    gap = ts_sec - F.lag(ts_sec).over(w)
     sessions = (
         e.withColumn(
             "new_session",
@@ -906,7 +908,7 @@ def events_hourly_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    epoch = F.col("ts").cast("double")
+    epoch = ts_seconds(F.col("ts"))  # NTZ-safe epoch
     w = (
         Window.partitionBy("user_id")
         .orderBy(epoch)

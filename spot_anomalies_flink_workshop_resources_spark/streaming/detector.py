@@ -38,6 +38,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.timeutil import watermarkable
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -382,14 +384,17 @@ def detect_attack_runs_stream(
 
     # watermark AFTER the projection so only _ts carries event-time
     # metadata (aliasing a watermarked column twice would create two
-    # event-time columns and fail the stateful operator)
+    # event-time columns and fail the stateful operator). Event-time
+    # columns cast through TIMESTAMP: watermarks reject TIMESTAMP_NTZ
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and the cast is an identity
+    # for already-tz-aware input under the engine's UTC session tz.
     prepared = events.select(
         F.col(key_col).cast("string").alias("_key"),
-        F.col(time_col).alias("_ts"),
+        watermarkable(F.col(time_col)).alias("_ts"),
         F.col(order_col).alias("_oid"),
         F.col(metric_col).cast("double").alias("_metric"),
         size.cast("double").alias("_size"),
-        end_time.alias("_end_ts"),
+        watermarkable(end_time).alias("_end_ts"),
         attacker.cast("string").alias("_attacker"),
     ).withWatermark("_ts", watermark)
     fn = make_detector_fn(

@@ -97,13 +97,15 @@ def detect_attack_runs_tws(
     end_time = F.col(end_time_col) if end_time_col else F.col(time_col)
     attacker = F.col(attacker_col) if attacker_col else F.col(order_col)
 
+    from ..functions.timeutil import watermarkable
+
     prepared = events.select(
         F.col(key_col).cast("string").alias("_key"),
-        F.col(time_col).alias("_ts"),
+        watermarkable(F.col(time_col)).alias("_ts"),
         F.col(order_col).alias("_oid"),
         F.col(metric_col).cast("double").alias("_metric"),
         size.cast("double").alias("_size"),
-        end_time.alias("_end_ts"),
+        watermarkable(end_time).alias("_end_ts"),
         attacker.cast("string").alias("_attacker"),
     ).withWatermark("_ts", watermark)
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import watermarkable
+
 
 def interval_join_stream(
     left: DataFrame,
@@ -39,6 +41,9 @@ def interval_join_stream(
     Both inputs must carry distinct column names apart from ``key``;
     the output keeps all columns of both sides.
     """
+    # watermarks require TIMESTAMP (not NTZ); identity cast otherwise
+    left = left.withColumn(left_ts, watermarkable(F.col(left_ts)))
+    right = right.withColumn(right_ts, watermarkable(F.col(right_ts)))
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import watermarkable
+
 
 def session_rollup_stream(
     events: DataFrame,
@@ -32,6 +34,7 @@ def session_rollup_stream(
 ) -> DataFrame:
     """Per-key session aggregation: (key, session_start, session_end,
     n_events), session_end = last event + gap."""
+    events = events.withColumn(time_col, watermarkable(F.col(time_col)))
     return (
         events.withWatermark(time_col, watermark)
         .groupBy(key_col, F.session_window(F.col(time_col), gap))
@@ -56,6 +59,7 @@ def tumbling_rollup_stream(
     sum_value = (
         F.sum(F.col("value").cast("decimal(18,4)")).cast("string").cast("double")
     )
+    events = events.withColumn(time_col, watermarkable(F.col(time_col)))
     return (
         events.withWatermark(time_col, watermark)
         .groupBy(F.window(F.col(time_col), width), F.col(key_col))
