@@ -573,6 +573,10 @@ WHERE src_endpoint.ip LIKE '10.%'
 # locally each round via tools/check_oracles.py — see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new or semantics-changed this round (round 3) --
+    "text_repetition_stats",
+    "text_pii_redact",
+    "corpus_sample_stratified",
+    "corpus_mixture_weights",
     "dedup_simhash_pairs",
     "dedup_simhash_components",
     "sql_supplier_waits",

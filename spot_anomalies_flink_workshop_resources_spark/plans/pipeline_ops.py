@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators import dedup as D
+from ..operators import quality as Q
 from ..operators import simsearch as S
 from ..operators import text as T
 
@@ -409,7 +410,31 @@ def simsearch_pq(spark, sf_dir):
     return S.pq_topk(embs, B)
 
 
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition metrics + keep flag (operators.quality)."""
+    return Q.repetition_stats(_docs(spark, sf_dir))
+
+
+def text_pii_redact(spark, sf_dir):
+    """Email/IPv4 redaction with counts + redacted-text md5 digest."""
+    return Q.pii_redact(_docs(spark, sf_dir))
+
+
+def corpus_sample_stratified(spark, sf_dir):
+    """Per-language Bernoulli sample on a replayable md5 coin."""
+    return Q.stratified_sample(_docs(spark, sf_dir))
+
+
+def corpus_mixture_weights(spark, sf_dir):
+    """Per-language sqrt-temperature mixture weights."""
+    return Q.mixture_weights(_docs(spark, sf_dir))
+
+
 QUERIES = {
+    "text_repetition_stats": text_repetition_stats,
+    "text_pii_redact": text_pii_redact,
+    "corpus_sample_stratified": corpus_sample_stratified,
+    "corpus_mixture_weights": corpus_mixture_weights,
     "text_stats": text_stats,
     "text_lang_id": lang_id,
     "text_token_rollup": token_rollup,
@@ -442,6 +467,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_repetition_stats": Q.REPETITION_STATS_SQL,
+    "text_pii_redact": Q.PII_REDACT_SQL,
+    "corpus_sample_stratified": Q.stratified_sample_sql(),
+    "corpus_mixture_weights": Q.MIXTURE_WEIGHTS_SQL,
     "text_stats": T.TEXT_STATS_SQL,
     "text_lang_id": T.LANG_ID_SQL,
     "text_token_rollup": T.TOKEN_ROLLUP_SQL,

@@ -1,0 +1,117 @@
+"""Unit tests for operators/quality.py (repetition, PII, sampling,
+mixture weights) on crafted fixtures with hand-computed expectations.
+The cross-engine value equality is covered by the DuckDB oracles
+(text_repetition_stats / text_pii_redact / corpus_sample_stratified /
+corpus_mixture_weights); these tests pin the SEMANTICS."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spot_anomalies_flink_workshop_resources_spark.operators import quality as Q
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, "s0", len(t)) for i, (t, lang) in enumerate(rows)],
+        DOCS_SCHEMA,
+    )
+
+
+def test_repetition_stats_hand_computed(spark):
+    docs = _docs(spark, [("a b a c a b", "en"), ("x y z", "en"), ("w", "en")])
+    got = {r.doc_id: r for r in Q.repetition_stats(docs).collect()}
+
+    r0 = got[0]  # words a,b,a,c,a,b -> distinct a,b,c
+    assert r0.n_words == 6
+    assert r0.frac_unique_words == pytest.approx(3 / 6)
+    # dup words: a(3 occ x 1 char) + b(2 x 1) = 5 of 6 word chars
+    assert r0.dup_word_chars_frac == pytest.approx(5 / 6)
+    # grams: 'a b','b a','a c','c a','a b' -> 'a b' twice: 6 of 15 chars
+    assert r0.dup_2gram_chars_frac == pytest.approx(6 / 15)
+
+    r1 = got[1]  # all unique
+    assert r1.frac_unique_words == 1.0
+    assert r1.dup_word_chars_frac == 0.0
+    assert r1.dup_2gram_chars_frac == 0.0
+    assert r1.keep_doc is True
+
+    r2 = got[2]  # single word: no 2-grams, guard path
+    assert r2.n_words == 1
+    assert r2.dup_2gram_chars_frac == 0.0
+
+
+def test_repetition_keep_flag_rejects_degenerate_doc(spark):
+    degenerate = " ".join(["spam"] * 50)
+    docs = _docs(spark, [(degenerate, "en")])
+    row = Q.repetition_stats(docs).first()
+    assert row.frac_unique_words == pytest.approx(1 / 50)
+    assert row.dup_word_chars_frac == 1.0
+    assert row.keep_doc is False
+
+
+def test_pii_redact_counts_and_digest_change(spark):
+    docs = _docs(
+        spark,
+        [
+            ("reach me at bob@corp.example.com or 10.1.2.3 ok", "en"),
+            ("clean text only", "en"),
+        ],
+    )
+    got = {r.doc_id: r for r in Q.pii_redact(docs).collect()}
+    # doc 0: its own email+ip PLUS the synthetic seed (doc_id % 7 == 0)
+    assert got[0].n_emails == 2
+    assert got[0].n_ips == 2
+    # doc 1: clean, no seed
+    assert got[1].n_emails == 0
+    assert got[1].n_ips == 0
+    # redaction changed the text for doc 0 only
+    raw_md5 = {
+        r.doc_id: r.m
+        for r in docs.select("doc_id", F.md5("text").alias("m")).collect()
+    }
+    assert got[0].redacted_md5 != raw_md5[0]
+    assert got[1].redacted_md5 == raw_md5[1]
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    rows = [(f"doc {i} text", ["en", "zh"][i % 2]) for i in range(400)]
+    docs = _docs(spark, rows)
+    rates = {"en": 0.3, "zh": 1.0}
+    s1 = Q.stratified_sample(docs, rates)
+    s2 = Q.stratified_sample(docs.repartition(7), rates)
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    ids2 = sorted(r.doc_id for r in s2.collect())
+    assert ids1 == ids2  # membership survives reshuffles
+    by_lang = {
+        r.lang: r.n
+        for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["zh"] == 200  # rate 1.0 keeps everything
+    assert 20 <= by_lang.get("en", 0) <= 100  # ~60 expected at rate 0.3
+
+
+def test_mixture_weights_sum_to_one_and_flatten(spark):
+    docs = _docs(
+        spark,
+        [("one two three four five six seven eight", "en")] * 8
+        + [("uno dos", "es")] * 2,
+    )
+    rows = {r.lang: r for r in Q.mixture_weights(docs).collect()}
+    assert rows["en"].n_docs == 8 and rows["es"].n_docs == 2
+    total_share = sum(r.token_share for r in rows.values())
+    total_weight = sum(r.mix_weight for r in rows.values())
+    assert total_share == pytest.approx(1.0)
+    assert total_weight == pytest.approx(1.0)
+    # sqrt temperature flattens: head loses share, tail gains
+    assert rows["en"].mix_weight < rows["en"].token_share
+    assert rows["es"].mix_weight > rows["es"].token_share
+
+
+def test_mixture_weights_rejects_non_sqrt_alpha(spark):
+    docs = _docs(spark, [("a", "en")])
+    with pytest.raises(ValueError):
+        Q.mixture_weights(docs, alpha=0.7)
