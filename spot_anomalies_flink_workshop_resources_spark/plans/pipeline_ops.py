@@ -12,6 +12,18 @@ from ..operators import simsearch as S
 from ..operators import text as T
 
 
+def _pack_sequences_oracle() -> str:
+    from ..operators.packing import pack_sequences_sql
+
+    return pack_sequences_sql()
+
+
+def _decontaminate_oracle() -> str:
+    from ..operators.contamination import decontaminate_sql
+
+    return decontaminate_sql()
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
@@ -410,6 +422,21 @@ def simsearch_pq(spark, sf_dir):
     return S.pq_topk(embs, B)
 
 
+def corpus_pack_sequences(spark, sf_dir):
+    """Distributed-prefix-sum shuffle rank + token-budget sequence bins
+    (operators.packing); oracle is the single-window global form."""
+    from ..operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+def corpus_decontaminate(spark, sf_dir):
+    """Test-split shingle overlap vs the train split (operators.contamination)."""
+    from ..operators.contamination import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir))
+
+
 def text_repetition_stats(spark, sf_dir):
     """Gopher-style repetition metrics + keep flag (operators.quality)."""
     return Q.repetition_stats(_docs(spark, sf_dir))
@@ -431,6 +458,8 @@ def corpus_mixture_weights(spark, sf_dir):
 
 
 QUERIES = {
+    "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_decontaminate": corpus_decontaminate,
     "text_repetition_stats": text_repetition_stats,
     "text_pii_redact": text_pii_redact,
     "corpus_sample_stratified": corpus_sample_stratified,
@@ -467,6 +496,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_pack_sequences": _pack_sequences_oracle(),
+    "corpus_decontaminate": _decontaminate_oracle(),
     "text_repetition_stats": Q.REPETITION_STATS_SQL,
     "text_pii_redact": Q.PII_REDACT_SQL,
     "corpus_sample_stratified": Q.stratified_sample_sql(),
