@@ -573,6 +573,8 @@ WHERE src_endpoint.ip LIKE '10.%'
 # locally each round via tools/check_oracles.py — see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new or semantics-changed this round (round 3) --
+    "corpus_bpe_pairs",
+    "corpus_bpe_merges",
     "corpus_pack_sequences",
     "corpus_decontaminate",
     "text_repetition_stats",

@@ -18,6 +18,12 @@ def _pack_sequences_oracle() -> str:
     return pack_sequences_sql()
 
 
+def _bpe_pairs_oracle() -> str:
+    from ..operators.bpe import bpe_pair_counts_sql
+
+    return bpe_pair_counts_sql()
+
+
 def _decontaminate_oracle() -> str:
     from ..operators.contamination import decontaminate_sql
 
@@ -422,6 +428,23 @@ def simsearch_pq(spark, sf_dir):
     return S.pq_topk(embs, B)
 
 
+def corpus_bpe_pairs(spark, sf_dir):
+    """One BPE round's pair statistics (operators.bpe), oracle-backed."""
+    from ..operators.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir))
+
+
+def corpus_bpe_merges(spark, sf_dir):
+    """Iterative BPE merge learning — rows-only by design (driver-looped
+    argmax + rewrite rounds are not single-statement SQL); the merge
+    table is deterministic (count-desc, lexicographic tiebreak), and
+    the single-round pair statistics carry the value oracle above."""
+    from ..operators.bpe import learn_merges
+
+    return learn_merges(_docs(spark, sf_dir), n_merges=12)
+
+
 def corpus_pack_sequences(spark, sf_dir):
     """Distributed-prefix-sum shuffle rank + token-budget sequence bins
     (operators.packing); oracle is the single-window global form."""
@@ -458,6 +481,8 @@ def corpus_mixture_weights(spark, sf_dir):
 
 
 QUERIES = {
+    "corpus_bpe_pairs": corpus_bpe_pairs,
+    "corpus_bpe_merges": corpus_bpe_merges,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_decontaminate": corpus_decontaminate,
     "text_repetition_stats": text_repetition_stats,
@@ -496,6 +521,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_bpe_pairs": _bpe_pairs_oracle(),
+    # corpus_bpe_merges: rows-only (see its registration docstring)
     "corpus_pack_sequences": _pack_sequences_oracle(),
     "corpus_decontaminate": _decontaminate_oracle(),
     "text_repetition_stats": Q.REPETITION_STATS_SQL,
