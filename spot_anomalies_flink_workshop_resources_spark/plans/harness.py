@@ -297,6 +297,86 @@ FROM events c JOIN events p
 """
 
 
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join run to completion:
+    matched click/purchase pairs emit as both sides arrive; an
+    unmatched click emits once with nulls when the GLOBAL watermark
+    (min of the two sides' max event times — Spark's default
+    multipleWatermarkPolicy) passes the end of its one-hour window.
+    The oracle encodes exactly that finalization contract: null rows
+    only for clicks with click_ts + 1h < least(max click_ts,
+    max purchase_ts); trailing unmatched clicks stay in state and do
+    not emit."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.joins import interval_join_stream_left
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = interval_join_stream_left(
+        clicks, purchases, key="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="1 hour",
+    )
+    out = _run_to_completion(
+        joined.select(
+            "click_id", "user_id", "click_ts",
+            "purchase_id", "purchase_ts", "purchase_value",
+        ),
+        spark,
+    )
+    return _restore_source_ts(out, spark, sf_dir)
+
+
+STREAM_INTERVAL_JOIN_LEFT_ORACLE = """
+WITH wm AS (
+  SELECT LEAST(
+    (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')) AS mx
+),
+matched AS (
+  SELECT c.event_id AS click_id, c.user_id AS user_id, c.ts AS click_ts,
+         p.event_id AS purchase_id, p.ts AS purchase_ts,
+         p.value AS purchase_value
+  FROM events c JOIN events p
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click' AND p.event_type = 'purchase'
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+),
+unmatched AS (
+  SELECT c.event_id AS click_id, c.user_id AS user_id, c.ts AS click_ts,
+         CAST(NULL AS BIGINT) AS purchase_id,
+         CAST(NULL AS TIMESTAMP) AS purchase_ts,
+         CAST(NULL AS DOUBLE) AS purchase_value
+  FROM events c, wm
+  WHERE c.event_type = 'click'
+    AND c.ts + INTERVAL 1 HOUR < wm.mx
+    AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+
 def batch_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of stream_interval_join through the BUCKETIZED
     equi-join plan (operators.asof.interval_join_bucketed): joining on
@@ -573,6 +653,7 @@ WHERE src_endpoint.ip LIKE '10.%'
 # locally each round via tools/check_oracles.py — see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new or semantics-changed this round (round 3) --
+    "stream_interval_join_left",
     "corpus_bpe_pairs",
     "corpus_bpe_merges",
     "corpus_pack_sequences",
@@ -636,6 +717,7 @@ def build_queries() -> dict[str, QueryFn]:
         "stream_session_rollup": stream_session_rollup,
         "stream_tumbling_rollup": stream_tumbling_rollup,
         "stream_interval_join": stream_interval_join,
+        "stream_interval_join_left": stream_interval_join_left,
         "batch_interval_join_bucketed": batch_interval_join_bucketed,
         "stream_distinct_pairs": stream_distinct_pairs,
         "stream_static_enrich": stream_static_enrich,
@@ -671,6 +753,7 @@ def build_oracles() -> dict[str, str]:
         "stream_session_rollup": STREAM_SESSION_ORACLE,
         "stream_tumbling_rollup": STREAM_TUMBLING_ORACLE,
         "stream_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
+        "stream_interval_join_left": STREAM_INTERVAL_JOIN_LEFT_ORACLE,
         # bucketized batch twin: identical semantics, same oracle
         "batch_interval_join_bucketed": STREAM_INTERVAL_JOIN_ORACLE,
         "stream_distinct_pairs": STREAM_DISTINCT_ORACLE,

@@ -52,3 +52,39 @@ def interval_join_stream(
         & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + INTERVAL {upper}"))
     )
     return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
+
+
+def interval_join_stream_left(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """LEFT OUTER interval join: like :func:`interval_join_stream`, but
+    a left row with no in-range right row eventually emits once with
+    nulls — WHEN the watermark passes the end of its join window (the
+    engine can only then prove no future match exists; this is the
+    state-eviction moment, so outer state stays bounded exactly like
+    the inner join's).
+
+    Finalization contract for bounded runs (what the harness oracle
+    encodes): matched pairs emit as both sides arrive, regardless of
+    position; null rows emit only for left rows whose window CLOSED
+    strictly before the final watermark (left_ts + upper < max event
+    time seen) — trailing unmatched rows near the end of input remain
+    in state and do not emit. The same max(ts)-based filter the
+    session-window oracle uses, applied to outer-null rows."""
+    left = left.withColumn(left_ts, watermarkable(F.col(left_ts)))
+    right = right.withColumn(right_ts, watermarkable(F.col(right_ts)))
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} + INTERVAL {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "leftOuter").drop(F.col(f"r.{key}"))

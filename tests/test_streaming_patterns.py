@@ -123,6 +123,69 @@ def test_stream_stream_interval_join(spark):
     assert got == [("u1", 10.0), ("u2", 20.0)]
 
 
+def test_stream_stream_interval_join_left_outer(spark):
+    """LEFT OUTER variant: matched rows equal the inner join; an
+    unmatched click emits nulls only once the global watermark (min of
+    both sides' max event times) passes its window end — the u1 click
+    at t=1200 has no purchase in [1200, 1800] and 1200+600 < min(max
+    click 1200, max purchase 5000) is FALSE, so it stays in state; the
+    u2 click at t=2000 (window end 2600 < 5000? but click watermark is
+    2000 -> min=2000, 2600 > 2000) also waits; a click far in the past
+    DOES emit."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def iso(sec):
+        return (t0 + dt.timedelta(seconds=sec)).strftime("%Y-%m-%dT%H:%M:%S")
+
+    clicks = _write_jsonl(
+        [
+            {"user": "u1", "click_ts": iso(0)},      # matched
+            {"user": "u3", "click_ts": iso(10)},     # unmatched, window long closed
+            {"user": "u2", "click_ts": iso(7000)},   # trailing click (max)
+        ]
+    )
+    purchases = _write_jsonl(
+        [
+            {"user": "u1", "purchase_ts": iso(300), "amount": 10.0},
+            {"user": "u2", "purchase_ts": iso(9000), "amount": 99.0},  # out of range
+        ]
+    )
+    from spot_anomalies_flink_workshop_resources_spark.streaming.joins import (
+        interval_join_stream_left,
+    )
+
+    c = (
+        spark.readStream.schema("user STRING, click_ts STRING").json(clicks)
+        .withColumn("click_ts", F.to_timestamp("click_ts"))
+    )
+    p = (
+        spark.readStream.schema(
+            "user STRING, purchase_ts STRING, amount DOUBLE"
+        ).json(purchases)
+        .withColumn("purchase_ts", F.to_timestamp("purchase_ts"))
+    )
+    joined = interval_join_stream_left(
+        c, p, key="user", left_ts="click_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="10 minutes", watermark="0 seconds",
+    ).select("user", "amount")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssij_left_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT user, amount FROM ssij_left_out").collect()
+    got = sorted((r.user, r.amount) for r in rows)
+    # global watermark = min(max click 7000, max purchase 9000) = 7000:
+    # u3's window [10, 610] closed -> null row emits; u2's trailing
+    # click window end 7600 >= 7000 -> still in state, no row
+    assert got == [("u1", 10.0), ("u3", None)]
+
+
 def test_streaming_dedup_within_watermark(spark):
     """dropDuplicatesWithinWatermark: the PRODUCTION streaming-dedup
     form — plain dropDuplicates keeps every key's fingerprint forever
