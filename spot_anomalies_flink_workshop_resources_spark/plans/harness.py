@@ -654,6 +654,7 @@ WHERE src_endpoint.ip LIKE '10.%'
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new or semantics-changed this round (round 3) --
     "stream_interval_join_left",
+    "events_zorder_layout",
     "corpus_bpe_pairs",
     "corpus_bpe_merges",
     "corpus_pack_sequences",

@@ -938,6 +938,22 @@ WINDOW w AS (PARTITION BY user_id ORDER BY EXTRACT(EPOCH FROM ts)
 
 
 
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, event day) — the
+    lakehouse OPTIMIZE/ZORDER layout primitive as an engine operator
+    (operators.zorder); the range-bucket column is what a
+    repartitionByRange layout write would partition on."""
+    from ..operators.zorder import zorder_events
+
+    return zorder_events(load_table(spark, sf_dir, "events"))
+
+
+def _events_zorder_sql() -> str:
+    from ..operators.zorder import zorder_events_sql
+
+    return zorder_events_sql()
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -963,9 +979,11 @@ QUERIES = {
     "events_sessionization": events_sessionization,
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "events_props_json": events_props_json,
+    "events_zorder_layout": events_zorder_layout,
 }
 
 ORACLES = {
+    "events_zorder_layout": _events_zorder_sql(),
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q4_order_priority": Q4_SQL,
