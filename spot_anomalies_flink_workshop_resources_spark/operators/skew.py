@@ -47,3 +47,84 @@ def salted_agg(
     return partial.groupBy(*group_cols).agg(
         *[final.alias(name) for name, (_, final) in aggs.items()]
     )
+
+
+def skew_profile(
+    df: DataFrame, key_cols: Sequence[str], top_k: int = 10
+) -> DataFrame:
+    """Heavy-hitter profile of a grouping key: the diagnostic a pipeline
+    runs BEFORE choosing between plain, salted, or split execution for
+    a key (the telemetry twin of ``salted_agg`` and the skew-split
+    detector).
+
+    Output: one row per top-k key by row count — rank, the key rendered
+    as a string, its count, share of all rows, cumulative share, plus
+    the constant n_keys/n_rows context columns.
+
+    Plan shape: one hash agg on the key (the thing being profiled —
+    unavoidable and exactly as skewed as the key itself, but count
+    partials combine map-side so the reducer sees one partial per
+    upstream partition, not the raw rows), a TakeOrdered top-k (no
+    global sort shuffle), a tiny totals aggregate broadcast in, and a
+    cum-share window over the k collected rows only.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = (
+        df.select(key.alias("key_value"))
+        .groupBy("key_value")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+    )
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), F.col("key_value").asc())
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.col("n_rows").desc(), F.col("key_value").asc())
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    share = F.col("n_rows").cast("double") / F.col("total_rows")
+    return top.select(
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        "key_value",
+        "n_rows",
+        share.alias("share"),
+        (F.sum("n_rows").over(w_cum).cast("double") / F.col("total_rows")).alias(
+            "cum_share"
+        ),
+        "n_keys",
+        "total_rows",
+    )
+
+
+def skew_profile_sql(
+    table: str, key_cols: Sequence[str], top_k: int = 10
+) -> str:
+    key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in key_cols)
+    return f"""
+WITH counts AS (
+  SELECT {key} AS key_value, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM {table} GROUP BY 1
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n_rows) AS BIGINT) AS total_rows
+  FROM counts
+),
+top AS (
+  SELECT key_value, n_rows FROM counts
+  ORDER BY n_rows DESC, key_value LIMIT {top_k}
+)
+SELECT CAST(ROW_NUMBER() OVER o AS BIGINT) AS rank,
+       key_value, n_rows,
+       CAST(n_rows AS DOUBLE) / total_rows AS share,
+       CAST(SUM(n_rows) OVER (o ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / total_rows AS cum_share,
+       n_keys, total_rows
+FROM top, totals
+WINDOW o AS (ORDER BY n_rows DESC, key_value)
+"""

@@ -655,6 +655,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new or semantics-changed this round (round 3) --
     "stream_interval_join_left",
     "events_zorder_layout",
+    "events_skew_profile",
     "corpus_bpe_pairs",
     "corpus_bpe_merges",
     "corpus_pack_sequences",

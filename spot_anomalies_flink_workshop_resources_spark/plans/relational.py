@@ -954,6 +954,21 @@ def _events_zorder_sql() -> str:
     return zorder_events_sql()
 
 
+def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of the events grouping key (user_id) — the
+    diagnostic run before choosing plain vs salted vs split execution
+    (operators.skew.skew_profile)."""
+    from ..operators.skew import skew_profile
+
+    return skew_profile(load_table(spark, sf_dir, "events"), ["user_id"])
+
+
+def _events_skew_profile_sql() -> str:
+    from ..operators.skew import skew_profile_sql
+
+    return skew_profile_sql("events", ["user_id"])
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -980,10 +995,12 @@ QUERIES = {
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "events_props_json": events_props_json,
     "events_zorder_layout": events_zorder_layout,
+    "events_skew_profile": events_skew_profile,
 }
 
 ORACLES = {
     "events_zorder_layout": _events_zorder_sql(),
+    "events_skew_profile": _events_skew_profile_sql(),
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q4_order_priority": Q4_SQL,
