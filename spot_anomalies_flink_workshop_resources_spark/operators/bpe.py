@@ -129,14 +129,120 @@ def _sym_pairs(syms):
     ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
 
 
+def _select_batch(
+    rows, max_batch: int, truncated: bool
+) -> list[tuple[str, str, int]]:
+    """Pick a batch of merges from one round's snapshot pair counts
+    (``rows`` sorted by count desc, l asc, r asc) that is provably
+    equivalent to applying them one serial BPE round at a time.
+
+    Exactness argument (why batched == serial, bit-for-bit, including
+    the recorded pair_count column):
+
+    - Accepted pairs must have pairwise-disjoint ``{l, r, l+r}`` string
+      sets. Disjoint merges cannot change each other's occurrence
+      counts, and the combined single-pass fold equals the serial
+      composition of per-rule folds (at each position at most one rule
+      can match, and a merged output string never equals another
+      rule's symbol — the ``l+r`` membership guards both directions,
+      including an earlier-round symbol named exactly ``l+r``).
+    - Scanning STOPS at the first conflicting pair (it is not skipped):
+      every pair that could be created or boosted by an accepted merge
+      (``(x, ab)`` / ``(ab, y)``) has a snapshot witness (``(x, a)`` /
+      ``(b, y)``) that shares a symbol, hence ranks at-or-after the
+      stop point, bounding all new-pair counts by the stop count.
+      Accepted pairs are then trimmed to those STRICTLY above that
+      bound, so no new pair can outrank (or tie) a later batch member.
+    - A self-pair ``(a,a)`` is the one case with no independent
+      witness: its own runs spawn ``(aa,a)`` / ``(aa,aa)`` with counts
+      <= floor(c/2). After accepting one, later accepts must exceed
+      that bound too.
+    - The first accepted pair is always kept: serial round 1 picks the
+      global max unconditionally.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    touched: set[str] = set()
+    stop_cap: int | None = None
+    self_cap = 0
+    i, n = 0, len(rows)
+    while i < n:
+        row = rows[i]
+        if row.c < 2:
+            # everything from here counts <2: new pairs bounded below
+            # the merge floor, no cap needed
+            break
+        syms = {row.l, row.r, row.l + row.r}
+        if (syms & touched) or (accepted and row.c <= self_cap):
+            stop_cap = row.c
+            break
+        accepted.append((row.l, row.r, row.c))
+        touched |= syms
+        if row.l == row.r:
+            self_cap = max(self_cap, row.c // 2)
+        i += 1
+        if len(accepted) >= max_batch:
+            # unscanned pairs (or their new-pair offspring) may tie a
+            # late batch member — bound by the next rank's count
+            if i < n:
+                stop_cap = rows[i].c
+            elif truncated:
+                stop_cap = rows[-1].c
+            break
+    else:
+        # ran off the collected prefix: if the frame was truncated,
+        # unseen pairs may rank just below — bound by the last count
+        if truncated and rows:
+            stop_cap = rows[-1].c
+    if stop_cap is not None and accepted:
+        keep = [accepted[0]]
+        keep.extend(p for p in accepted[1:] if p[2] > stop_cap)
+        accepted = keep
+    return accepted
+
+
+def _fold_rules(syms, rules: list[tuple[str, str, str]]):
+    """One greedy-leftmost pass applying every (l, r, merged) rule:
+    append, except when the incoming symbol is some rule's ``r`` and
+    the last emitted symbol is that rule's ``l`` — then the pair
+    collapses. try_element_at(-1) is NULL on the empty array, so the
+    first symbol always appends. Rules are symbol-disjoint (enforced by
+    ``_select_batch``), so at most one rule can match per position and
+    the combined pass equals the serial composition."""
+
+    def step(out, x):
+        branch = None
+        for a, b, ab in rules:
+            cond = (F.try_element_at(out, F.lit(-1)) == a) & (x == b)
+            collapse = F.concat(
+                F.slice(out, 1, F.size(out) - 1), F.array(F.lit(ab))
+            )
+            branch = (
+                F.when(cond, collapse)
+                if branch is None
+                else branch.when(cond, collapse)
+            )
+        return branch.otherwise(F.concat(out, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
 def learn_merges(
     docs: DataFrame,
     n_merges: int = 16,
     checkpoint_every: int = 4,
+    max_batch: int = 8,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
     (merge_rank, left, right, merged, pair_count). Stops early when no
-    pair occurs at least twice."""
+    pair occurs at least twice.
+
+    Each round applies up to ``max_batch`` non-interfering merges in
+    one pass (selection rule in ``_select_batch`` — provably identical
+    output to ``max_batch=1`` serial training), collapsing the
+    one-Spark-job-per-merge scheduling cost that would make a real
+    32k-merge vocabulary run scheduler-bound. Pass ``stats`` to receive
+    ``{"rounds": r}`` for instrumentation."""
     spark = docs.sparkSession
     vocab = (
         _vocab(docs)
@@ -144,39 +250,37 @@ def learn_merges(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple] = []
-    for r in range(n_merges):
-        top = (
+    rounds = 0
+    # collect enough of the head that a full batch plus its stop
+    # witness is usually inside the prefix
+    collect_cap = 4 * max_batch + 8
+    while len(merges) < n_merges:
+        rows = (
             vocab.select("n", F.explode(_sym_pairs(F.col("syms"))).alias("p"))
             .groupBy("p.l", "p.r")
             .agg(F.sum("n").cast("long").alias("c"))
             .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
-            .first()
+            .limit(collect_cap)
+            .collect()
         )
-        if top is None or top.c < 2:
+        rounds += 1
+        if not rows or rows[0].c < 2:
             break
-        a, b, ab = top.l, top.r, top.l + top.r
-        merges.append((r + 1, a, b, ab, top.c))
-
-        def fold(syms, _a=a, _b=b, _ab=ab):
-            # greedy leftmost rewrite: append, except when the incoming
-            # symbol is _b and the last emitted symbol is _a — then the
-            # pair collapses. try_element_at(-1) is NULL on the empty
-            # array, so the first symbol always appends.
-            return F.aggregate(
-                syms,
-                F.array().cast("array<string>"),
-                lambda out, x: F.when(
-                    (F.try_element_at(out, F.lit(-1)) == _a) & (x == _b),
-                    F.concat(
-                        F.slice(out, 1, F.size(out) - 1), F.array(F.lit(_ab))
-                    ),
-                ).otherwise(F.concat(out, F.array(x))),
-            )
-
-        vocab = vocab.select(fold(F.col("syms")).alias("syms"), "n")
-        if (r + 1) % checkpoint_every == 0:
+        batch = _select_batch(
+            rows,
+            min(max_batch, n_merges - len(merges)),
+            truncated=len(rows) == collect_cap,
+        )
+        rules = []
+        for a, b, c in batch:
+            merges.append((len(merges) + 1, a, b, a + b, c))
+            rules.append((a, b, a + b))
+        vocab = vocab.select(_fold_rules(F.col("syms"), rules).alias("syms"), "n")
+        if rounds % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
 
+    if stats is not None:
+        stats["rounds"] = rounds
     return _merge_table(spark, merges)
 
 
