@@ -870,8 +870,9 @@ def dup_components_converged(
     count per round stops the loop at fixpoint. Every round's labels are
     ``localCheckpoint``-ed: the convergence count is one cheap action on
     a materialized frame, and lineage stays flat across iterations.
-    Iterative, hence no SQL oracle — the driver's rows-only check plus
-    unit tests (diameter-6 chain, two components, ring) cover it.
+    Value-oracled by :func:`dup_components_converged_sql` (min label at
+    fixpoint == min reachable doc_id, a DuckDB recursive CTE), plus
+    unit tests (diameter-6 chain, two components, ring).
     """
     pairs = jaccard_pairs(docs, threshold=threshold, shingle_n=shingle_n)
     return components_from_pairs(
@@ -945,6 +946,45 @@ def components_from_pairs(
         F.col("rep").alias("component_rep"),
         (F.col("doc_id") == F.col("rep")).alias("is_kept"),
     )
+
+
+def dup_components_converged_sql(
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    pairs_inner: str | None = None,
+) -> str:
+    """Oracle for the FIXPOINT components resolver
+    (:func:`dup_components_converged`): min-label propagation run to
+    convergence assigns each node the minimum doc_id among all nodes
+    reachable from it, which DuckDB expresses directly as a recursive
+    reachability CTE (UNION dedups visited (src, dst) pairs, so the
+    recursion terminates on cyclic graphs). The oracle enumerates
+    O(Σ component_size²) reachability rows — fine at oracle scale,
+    and exactly the point: the Spark side runs the O(log diameter)
+    pointer-jumping form instead."""
+    inner = (
+        pairs_inner
+        if pairs_inner is not None
+        else jaccard_pairs_sql(threshold=threshold, shingle_n=shingle_n)
+    ).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({inner}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.d AS dst
+  FROM reach r JOIN edges e ON e.s = r.dst
+)
+SELECT src AS doc_id, MIN(dst) AS component_rep, src = MIN(dst) AS is_kept
+FROM reach
+GROUP BY src
+"""
 
 
 def dup_components_sql(

@@ -277,8 +277,8 @@ def dedup_pipeline_lsh(spark, sf_dir):
 
 def dedup_components_converged(spark, sf_dir):
     """Fixpoint connected components — exact for any diameter (the
-    production form; the bounded twin above stays SQL-expressible for
-    the value oracle). Iterative ⇒ rows-only driver check."""
+    production form). Value-oracled via DuckDB WITH RECURSIVE
+    reachability (min label at fixpoint == min reachable doc_id)."""
     return D.dup_components_converged(
         _docs(spark, sf_dir), threshold=0.5, shingle_n=3
     )
@@ -557,6 +557,11 @@ ORACLES = {
     # dedup_embedding_ivf_trained: rows-only (iterative k-means training;
     # the seeded window variant above carries the value oracle)
     "dedup_components": D.dup_components_sql(threshold=0.5, shingle_n=3),
+    # fixpoint twin: min-label-to-convergence == min reachable doc_id,
+    # a DuckDB recursive CTE (r3 #4: was rows-only)
+    "dedup_components_converged": D.dup_components_converged_sql(
+        threshold=0.5, shingle_n=3
+    ),
     "dedup_pipeline_lsh": D.dup_components_sql(
         pairs_inner=D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3)
     ),
