@@ -49,6 +49,76 @@ def morton_interleave_sql(x: str, y: str, bits: int = DEFAULT_BITS) -> str:
     return " | ".join(parts)
 
 
+NORM_BITS = 8  # per-dim resolution of the balanced (range-normalized) key
+
+
+def zorder_events_balanced(events: DataFrame) -> DataFrame:
+    """Range-normalized Z-order key over (user_id, event day) — the
+    production layout form (what Delta's OPTIMIZE ZORDER BY computes
+    via range binning): each dimension is first mapped onto an
+    equal-width 2^NORM_BITS bucket grid between its min and max, THEN
+    interleaved, so both dimensions contribute equally-significant bits
+    regardless of their raw ranges. Without this, a dimension with more
+    varying bits (here user_id, 8 bits vs the month's 5 day bits)
+    dominates the key's high positions and the other dimension prunes
+    poorly (measured: a day predicate hit 16/24 files unbalanced vs
+    6/24 balanced — `tests/test_zorder.py`).
+
+    Bucketing uses pure integer arithmetic ((v - lo) * 2^bits integer-
+    divided by (hi - lo + 1)) so Spark and the DuckDB oracle cannot
+    disagree on a boundary; the min/max bounds come from one broadcast
+    aggregate (one extra corpus pass, same as any range layout write).
+
+    Output: (event_id, user_id, day_num, zval); the layout write is
+    ``repartitionByRange(n, "zval").sortWithinPartitions("zval")``.
+    """
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("double") / F.lit(86400.0)
+    ).cast("long")
+    dims = events.select("event_id", "user_id", day.alias("day_num"))
+    bounds = dims.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("day_num").alias("dlo"),
+        F.max("day_num").alias("dhi"),
+    )
+    n = 1 << NORM_BITS
+    joined = dims.crossJoin(F.broadcast(bounds))
+    x = F.expr(f"((user_id - ulo) * {n}) div (uhi - ulo + 1)")
+    y = F.expr(f"((day_num - dlo) * {n}) div (dhi - dlo + 1)")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "day_num",
+        morton_interleave(x, y, NORM_BITS).alias("zval"),
+    )
+
+
+def zorder_events_balanced_sql() -> str:
+    n = 1 << NORM_BITS
+    interleave = morton_interleave_sql("x", "y", NORM_BITS)
+    return f"""
+WITH dims AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(EXTRACT(EPOCH FROM ts) / 86400.0) AS BIGINT) AS day_num
+  FROM events
+),
+bounds AS (
+  SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+         MIN(day_num) AS dlo, MAX(day_num) AS dhi
+  FROM dims
+),
+norm AS (
+  SELECT event_id, user_id, day_num,
+         ((user_id - ulo) * {n}) // (uhi - ulo + 1) AS x,
+         ((day_num - dlo) * {n}) // (dhi - dlo + 1) AS y
+  FROM dims, bounds
+)
+SELECT event_id, user_id, day_num, CAST({interleave} AS BIGINT) AS zval
+FROM norm
+"""
+
+
 def zorder_events(events: DataFrame, n_buckets: int = 64) -> DataFrame:
     """Z-order key for the events table over (user_id, event day):
     per-event z-value plus the range bucket a ``repartitionByRange``

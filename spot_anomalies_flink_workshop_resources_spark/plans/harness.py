@@ -652,12 +652,15 @@ WHERE src_endpoint.ip LIKE '10.%'
 # order behind them. The full surface (all oracles) is still verified
 # locally each round via tools/check_oracles.py — see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- new or semantics-changed this round (round 3) --
+    # -- new or semantics-changed this round (round 4) --
+    "events_zorder_balanced",
+    "dedup_components_converged",
+    "corpus_bpe_merges",
+    # -- round 3 --
     "stream_interval_join_left",
     "events_zorder_layout",
     "events_skew_profile",
     "corpus_bpe_pairs",
-    "corpus_bpe_merges",
     "corpus_pack_sequences",
     "corpus_decontaminate",
     "text_repetition_stats",
@@ -684,7 +687,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_ivf",
     "dedup_components",
     "dedup_pipeline_lsh",
-    "dedup_components_converged",
     "multimodal_media_profile",
     "multimodal_features",
     "simsearch_brute_force",

@@ -954,6 +954,22 @@ def _events_zorder_sql() -> str:
     return zorder_events_sql()
 
 
+def events_zorder_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-normalized Z-order key (equal-width bucket per dimension
+    before interleave) — the production layout form; measured file
+    pruning for BOTH a user and a day predicate in
+    tests/test_zorder.py."""
+    from ..operators.zorder import zorder_events_balanced
+
+    return zorder_events_balanced(load_table(spark, sf_dir, "events"))
+
+
+def _events_zorder_balanced_sql() -> str:
+    from ..operators.zorder import zorder_events_balanced_sql
+
+    return zorder_events_balanced_sql()
+
+
 def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter profile of the events grouping key (user_id) — the
     diagnostic run before choosing plain vs salted vs split execution
@@ -995,11 +1011,13 @@ QUERIES = {
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "events_props_json": events_props_json,
     "events_zorder_layout": events_zorder_layout,
+    "events_zorder_balanced": events_zorder_balanced,
     "events_skew_profile": events_skew_profile,
 }
 
 ORACLES = {
     "events_zorder_layout": _events_zorder_sql(),
+    "events_zorder_balanced": _events_zorder_balanced_sql(),
     "events_skew_profile": _events_skew_profile_sql(),
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,

@@ -1,10 +1,15 @@
-"""Morton/Z-order key: bit-level equality with a Python reference and
-the locality property that makes the layout useful (fixing one
-dimension confines keys to O(sqrt(space)) of the key range per value).
-Cross-engine equality is covered by the events_zorder_layout oracle."""
+"""Morton/Z-order key: bit-level equality with a Python reference, the
+locality property that makes the layout useful (fixing one dimension
+confines keys to O(sqrt(space)) of the key range per value), and the
+payoff demonstration: a z-ordered parquet layout lets BOTH a user
+predicate and a day predicate skip most files under min/max stats,
+where a single-column sort serves only its own column (VERDICT r3 #5).
+Cross-engine equality is covered by the events_zorder_layout /
+events_zorder_balanced oracles."""
 
 from __future__ import annotations
 
+import glob
 import random
 
 from pyspark.sql import functions as F
@@ -12,6 +17,7 @@ from pyspark.sql import functions as F
 from spot_anomalies_flink_workshop_resources_spark.operators.zorder import (
     DEFAULT_BITS,
     morton_interleave,
+    zorder_events_balanced,
 )
 
 
@@ -48,6 +54,69 @@ def test_morton_is_a_bijection_on_the_grid(spark):
         ).collect()
     ]
     assert sorted(zs) == list(range(1024))
+
+
+def _files_admitting(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """(files a min/max-pruning reader must touch, total files) for the
+    predicate ``col BETWEEN lo AND hi`` — computed from the parquet
+    row-group statistics, i.e. exactly the skipping evidence a scan
+    uses."""
+    import pyarrow.parquet as pq
+
+    hit = total = 0
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.read_metadata(f)
+        if md.num_rows == 0:
+            continue
+        total += 1
+        idx = md.schema.names.index(col)
+        stats = [
+            md.row_group(rg).column(idx).statistics
+            for rg in range(md.num_row_groups)
+        ]
+        if min(s.min for s in stats) <= hi and max(s.max for s in stats) >= lo:
+            hit += 1
+    return hit, total
+
+
+def test_zorder_layout_prunes_files_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Write events z-ordered (repartitionByRange(zval) + sort within)
+    and user-sorted (the single-column control); count the files each
+    layout must read for a user point predicate and a 3-day range
+    predicate. The z layout must serve BOTH dimensions; the control
+    serves only its own."""
+    n_files = 24
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    z = zorder_events_balanced(ev)
+
+    zpath, upath = str(tmp_path / "zlay"), str(tmp_path / "ulay")
+    for df, col, path in ((z, "zval", zpath), (z, "user_id", upath)):
+        (
+            df.repartitionByRange(n_files, col)
+            .sortWithinPartitions(col)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    dmin = z.agg(F.min("day_num")).collect()[0][0]
+    z_user, ztot = _files_admitting(zpath, "user_id", 42, 42)
+    z_day, _ = _files_admitting(zpath, "day_num", dmin + 10, dmin + 12)
+    u_user, utot = _files_admitting(upath, "user_id", 42, 42)
+    u_day, _ = _files_admitting(upath, "day_num", dmin + 10, dmin + 12)
+
+    # range partitioning on a low-cardinality column can leave some
+    # partitions empty; both layouts must still be genuinely multi-file
+    assert ztot >= n_files // 2 and utot >= n_files // 2
+    # the z layout prunes meaningfully on BOTH dimensions
+    # (measured at sf0.001: user 11/24, day 8/24)
+    assert z_user <= ztot * 0.6, (z_user, ztot)
+    assert z_day <= ztot * 0.6, (z_day, ztot)
+    # the single-column control is great on its own column and useless
+    # on the other: that asymmetry is the reason zorder exists
+    assert u_user <= utot * 0.25, (u_user, utot)
+    assert u_day >= utot * 0.9, (u_day, utot)
+    # combined two-predicate workload: z reads fewer files overall
+    assert z_user + z_day < u_user + u_day
 
 
 def test_fixed_dimension_locality():
