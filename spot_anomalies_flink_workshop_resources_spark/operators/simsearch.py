@@ -443,6 +443,155 @@ def pq_encode(embeddings: DataFrame, codebooks) -> DataFrame:
     return e.mapInPandas(encode, "vec_id long, codes array<long>")
 
 
+def pq_encode_with_buckets(
+    embeddings: DataFrame, codebooks, centroid_matrix
+) -> DataFrame:
+    """PQ-encode AND IVF-assign every vector in ONE narrow mapInPandas
+    pass (both the codebooks and the coarse centroid matrix ride the
+    same broadcast): the inverted-list index of a composed IVF-PQ ANN.
+    Zero shuffle; output (vec_id, cent_id, codes) is the narrow frame a
+    layout write would range-partition by cent_id."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    B = np.asarray(codebooks)
+    C = np.asarray(centroid_matrix, dtype=np.float64)
+    bc = spark.sparkContext.broadcast((B, C, np.linalg.norm(C, axis=1)))
+
+    def encode(batches):
+        Bl, Cl, Cn = bc.value
+        m, n_codes, sub = Bl.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X0 = np.stack(pdf["emb"].to_numpy())
+            xn = np.linalg.norm(X0, axis=1)
+            cos = (X0 @ Cl.T) / (
+                np.where(xn == 0, 1.0, xn)[:, None] * Cn[None, :]
+            )
+            cent = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+            X = _unit_rows(X0)
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d = ((Xj[:, None, :] - Bl[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cent_id": cent.astype("int64"),
+                    "codes": list(codes),
+                }
+            )
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return e.mapInPandas(encode, "vec_id long, cent_id long, codes array<long>")
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    codebooks=None,
+    centroid_matrix=None,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probes: int = 2,
+) -> DataFrame:
+    """Composed IVF-PQ approximate top-k — the standard production ANN
+    form (VERDICT r3 #6): coarse IVF probing bounds WHICH vectors are
+    scored (``n_probes`` inverted lists per query instead of the whole
+    corpus), PQ-ADC bounds HOW each is scored (m byte-code lookups
+    instead of a dim-length dot product). vs ``pq_topk``'s scan-all-ADC
+    this cuts scored candidates to ~n_probes/n_centroids of the corpus;
+    vs ``ivf_topk`` it compresses the scanned lists 32-64x.
+
+    Plan shape: one narrow encode+assign pass over the corpus
+    (:func:`pq_encode_with_buckets`), then one mapInPandas over the
+    code frame where each query ADC-scores ONLY rows in its probed
+    buckets (probe sets + LUTs broadcast; per-query output is its
+    probed-list candidates, not N); final per-query rank is the only
+    exchange, carrying candidate rows ~N·p/c. Approximate by
+    construction ⇒ rows-only driver check; recall floor + probe
+    monotonicity unit-tested against brute force.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    if centroid_matrix is None:
+        centroid_matrix = kmeans_centroids(embeddings, n_centroids=n_centroids)
+    if codebooks is None:
+        codebooks = pq_train(embeddings)
+    B = np.asarray(codebooks)
+    C = np.asarray(centroid_matrix, dtype=np.float64)
+    m, n_codes, sub = B.shape
+    p = min(n_probes, len(C))
+
+    q_rows = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    Q0 = np.stack([np.asarray(r["emb"]) for r in q_rows])
+    # probe sets: same stable-argsort cosine ordering as the index pass
+    qn = np.linalg.norm(Q0, axis=1)
+    cn = np.linalg.norm(C, axis=1)
+    q_cos = (Q0 @ C.T) / (np.where(qn == 0, 1.0, qn)[:, None] * cn[None, :])
+    probes = np.argsort(-q_cos, axis=1, kind="stable")[:, :p]
+    # ADC lookup tables over the L2-normalized queries
+    Q = _unit_rows(Q0)
+    lut = np.empty((len(Q), m, n_codes))
+    for j in range(m):
+        Qj = Q[:, j * sub : (j + 1) * sub]
+        lut[:, j, :] = ((Qj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+    bc = spark.sparkContext.broadcast((q_ids, probes, lut))
+
+    def score(batches):
+        ids, P, L = bc.value
+        jj = np.arange(m)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())
+            cents = pdf["cent_id"].to_numpy()
+            vids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for qi, qid in enumerate(ids):
+                mask = np.isin(cents, P[qi])
+                if not mask.any():
+                    continue
+                cm = codes[mask]
+                d = L[qi][jj, cm].sum(axis=1)
+                out_q.append(np.full(len(cm), qid))
+                out_n.append(vids[mask])
+                out_d.append(d)
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_dist": np.concatenate(out_d),
+                }
+            )
+
+    index = pq_encode_with_buckets(embeddings, B, C)
+    scored = index.mapInPandas(
+        score, "query_id long, neighbor_id long, adc_dist double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     codebooks,

@@ -656,6 +656,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_zorder_balanced",
     "dedup_components_converged",
     "corpus_bpe_merges",
+    "simsearch_ivfpq",
     # -- round 3 --
     "stream_interval_join_left",
     "events_zorder_layout",

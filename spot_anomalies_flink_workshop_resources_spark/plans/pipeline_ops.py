@@ -428,6 +428,19 @@ def simsearch_pq(spark, sf_dir):
     return S.pq_topk(embs, B)
 
 
+def simsearch_ivfpq(spark, sf_dir):
+    """Composed IVF-PQ ANN (VERDICT r3 #6): trained coarse centroids
+    bound WHICH vectors each query scores (2 probed inverted lists of
+    16), PQ codes bound HOW (16 byte-lookups per candidate). One narrow
+    encode+assign pass builds the index; scoring touches only probed
+    lists. Iterative training + approximate ⇒ rows-only driver check;
+    recall floor and probe monotonicity unit-tested vs brute force."""
+    embs = _embs(spark, sf_dir)
+    C = S.kmeans_centroids(embs, n_centroids=16, max_iters=5)
+    B = S.pq_train(embs, m=16, n_codes=256)
+    return S.ivfpq_topk(embs, codebooks=B, centroid_matrix=C, n_probes=2)
+
+
 def corpus_bpe_pairs(spark, sf_dir):
     """One BPE round's pair statistics (operators.bpe), oracle-backed."""
     from ..operators.bpe import bpe_pair_counts
@@ -518,6 +531,7 @@ QUERIES = {
     "simsearch_ivf_probe2": simsearch_ivf_probe2,
     "simsearch_ivf_kmeans": simsearch_ivf_kmeans,
     "simsearch_pq": simsearch_pq,
+    "simsearch_ivfpq": simsearch_ivfpq,
 }
 
 ORACLES = {

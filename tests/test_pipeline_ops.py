@@ -567,3 +567,45 @@ def test_pq_recall_and_codebook_monotonicity(spark, sf_dir):
     assert r16 >= 0.5, r16
     assert r32 >= r16, (r32, r16)
     assert r32 >= 0.8, r32
+
+
+def test_ivfpq_recall_floor_and_probe_monotonicity(spark, sf_dir):
+    """Composed IVF-PQ vs exact brute force: probing more inverted
+    lists must not lose recall (nested candidate sets under a fixed ADC
+    scorer, deterministic data), probing every list must equal pure PQ
+    (the coarse stage adds no error of its own at full fan-out), and
+    the harness config (2/16 probes) clears a recall floor."""
+    from collections import defaultdict
+
+    from spot_anomalies_flink_workshop_resources_spark.catalog import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    bf = defaultdict(set)
+    for r in simsearch.brute_force_topk(embs, n_queries=8, k=5).collect():
+        bf[r.query_id].add(r.neighbor_id)
+    C = simsearch.kmeans_centroids(embs, n_centroids=16, max_iters=5)
+    B = simsearch.pq_train(embs, m=16, n_codes=256)
+
+    def harvest(df):
+        got = defaultdict(set)
+        for r in df.collect():
+            got[r.query_id].add(r.neighbor_id)
+        return got
+
+    def recall(got):
+        return sum(len(got[q] & bf[q]) / len(bf[q]) for q in bf) / len(bf)
+
+    by_probe = {
+        p: harvest(
+            simsearch.ivfpq_topk(
+                embs, codebooks=B, centroid_matrix=C, n_probes=p
+            )
+        )
+        for p in (1, 2, 16)
+    }
+    r1, r2, r_all = (recall(by_probe[p]) for p in (1, 2, 16))
+    assert r1 <= r2 <= r_all, (r1, r2, r_all)
+    assert r2 >= 0.4, r2
+    # full fan-out == scan-all PQ: the composition degrades to pq_topk
+    pq = harvest(simsearch.pq_topk(embs, B, n_queries=8, k=5))
+    assert by_probe[16] == pq
