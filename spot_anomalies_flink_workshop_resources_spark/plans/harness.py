@@ -657,6 +657,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_components_converged",
     "corpus_bpe_merges",
     "simsearch_ivfpq",
+    "corpus_decontaminate_bloom",
     # -- round 3 --
     "stream_interval_join_left",
     "events_zorder_layout",

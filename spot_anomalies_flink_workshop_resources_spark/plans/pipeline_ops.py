@@ -473,6 +473,16 @@ def corpus_decontaminate(spark, sf_dir):
     return decontaminate(_docs(spark, sf_dir))
 
 
+def corpus_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination — identical output to
+    corpus_decontaminate (bloom negatives are definite; only
+    bloom-positive shingles pay the exact join), so it shares the same
+    oracle. Unit-tested: join input drops >10x on the harness corpus."""
+    from ..operators.contamination import decontaminate_bloom
+
+    return decontaminate_bloom(_docs(spark, sf_dir))
+
+
 def text_repetition_stats(spark, sf_dir):
     """Gopher-style repetition metrics + keep flag (operators.quality)."""
     return Q.repetition_stats(_docs(spark, sf_dir))
@@ -498,6 +508,7 @@ QUERIES = {
     "corpus_bpe_merges": corpus_bpe_merges,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
     "text_repetition_stats": text_repetition_stats,
     "text_pii_redact": text_pii_redact,
     "corpus_sample_stratified": corpus_sample_stratified,
@@ -539,6 +550,8 @@ ORACLES = {
     # corpus_bpe_merges: rows-only (see its registration docstring)
     "corpus_pack_sequences": _pack_sequences_oracle(),
     "corpus_decontaminate": _decontaminate_oracle(),
+    # bloom prefilter only thins the join input — same oracle
+    "corpus_decontaminate_bloom": _decontaminate_oracle(),
     "text_repetition_stats": Q.REPETITION_STATS_SQL,
     "text_pii_redact": Q.PII_REDACT_SQL,
     "corpus_sample_stratified": Q.stratified_sample_sql(),

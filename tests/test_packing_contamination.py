@@ -97,6 +97,86 @@ def test_decontaminate_copy_flagged_disjoint_clean(spark):
     assert got[clean].is_contaminated is False
 
 
+def test_decontaminate_bloom_identical_and_prunes(spark, sf_dir):
+    """The bloom-prefiltered form must return the bit-identical result
+    on the real harness corpus (bloom negatives are definite — only the
+    join INPUT shrinks), and the prune must actually bite: >10x fewer
+    test shingles reach the exact join than the unfiltered form sends."""
+    from pyspark.sql import functions as F
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.contamination import (
+        _shingles,
+        _split_expr,
+        bloom_build,
+        bloom_mark,
+        decontaminate_bloom,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = sorted(tuple(r) for r in decontaminate(docs).collect())
+    got = sorted(tuple(r) for r in decontaminate_bloom(docs).collect())
+    assert got == want
+
+    # measure what the prefilter prunes: every true hit must survive
+    # (no false negatives) and nearly every true miss must be dropped
+    # (the harness corpus overlaps ~50%, so the interesting number is
+    # the false-positive rate on the miss side, not the gross ratio)
+    sh = _shingles(docs, 3).withColumn("_split", _split_expr(F.col("doc_id")))
+    train_toks = sh.where(F.col("_split") == "train").select("tok").distinct()
+    test_sh = sh.where(F.col("_split") == "test").select("doc_id", "tok")
+    bloom = bloom_build(train_toks)
+    marked = bloom_mark(test_sh, bloom)
+    total = marked.count()
+    survivors = marked.where(F.col("bloom_maybe")).count()
+    true_hits = test_sh.join(train_toks, "tok", "semi").count()
+    assert total > 1000, total
+    assert survivors >= true_hits  # no false negatives
+    misses = total - true_hits
+    false_pos = survivors - true_hits
+    assert false_pos <= max(5, 0.02 * misses), (false_pos, misses)
+
+
+def test_decontaminate_bloom_join_input_drops_10x_on_novel_corpus(spark):
+    """On a corpus whose test split is mostly novel text — the shape a
+    real pre-release decontamination run has — the bloom cuts the exact
+    join's input >10x."""
+    from pyspark.sql import functions as F
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.contamination import (
+        _shingles,
+        _split_expr,
+        bloom_build,
+        bloom_mark,
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    train_ids = [i for i in range(400) if _split_of(i) == "train"]
+    test_ids = [i for i in range(400) if _split_of(i) == "test"]
+    docs_map = {}
+    for j, i in enumerate(train_ids[:20]):
+        docs_map[i] = " ".join(f"tr{j}w{k}" for k in range(30))
+    for j, i in enumerate(test_ids[:16]):
+        # one contaminated doc, the rest novel vocabulary
+        if j == 0:
+            docs_map[i] = docs_map[train_ids[0]]
+        else:
+            docs_map[i] = " ".join(f"te{j}w{k}" for k in range(30))
+    docs = spark.createDataFrame(_doc_rows(docs_map), DOCS_SCHEMA)
+
+    want = sorted(tuple(r) for r in decontaminate(docs).collect())
+    got = sorted(tuple(r) for r in decontaminate_bloom(docs).collect())
+    assert got == want
+
+    sh = _shingles(docs, 3).withColumn("_split", _split_expr(F.col("doc_id")))
+    train_toks = sh.where(F.col("_split") == "train").select("tok").distinct()
+    test_sh = sh.where(F.col("_split") == "test").select("doc_id", "tok")
+    marked = bloom_mark(test_sh, bloom_build(train_toks))
+    total = marked.count()
+    survivors = marked.where(F.col("bloom_maybe")).count()
+    assert survivors * 10 < total, (survivors, total)
+
+
 def test_decontaminate_partial_overlap_fraction(spark):
     train_ids = [i for i in range(200) if _split_of(i) == "train"]
     test_ids = [i for i in range(200) if _split_of(i) == "test"]
