@@ -88,3 +88,69 @@ def interval_join_stream_left(
         & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + INTERVAL {upper}"))
     )
     return l.join(r, cond, "leftOuter").drop(F.col(f"r.{key}"))
+
+
+def interval_join_stream_right(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """RIGHT OUTER interval join: a right row with no in-range left row
+    eventually emits once with nulls — when the watermark passes the
+    LATEST left event time that could still match it (``right_ts -
+    lower``; matching lefts live in ``[right_ts - upper, right_ts -
+    lower]`` and future rows sit above the watermark).
+
+    Finalization contract for bounded runs (the oracle's filter):
+    null rows only for right rows with ``right_ts - lower`` strictly
+    below the final global watermark (min of the two sides' max event
+    times); trailing unmatched right rows stay in state."""
+    left = left.withColumn(left_ts, watermarkable(F.col(left_ts)))
+    right = right.withColumn(right_ts, watermarkable(F.col(right_ts)))
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} + INTERVAL {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "rightOuter").drop(F.col(f"l.{key}"))
+
+
+def interval_join_stream_full(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """FULL OUTER interval join — both outer contracts at once: an
+    unmatched left row null-emits when the watermark passes its window
+    end (``left_ts + upper``), an unmatched right row when it passes
+    ``right_ts - lower``. The key column is coalesced across sides so
+    unmatched rows from either side carry it."""
+    left = left.withColumn(left_ts, watermarkable(F.col(left_ts)))
+    right = right.withColumn(right_ts, watermarkable(F.col(right_ts)))
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} + INTERVAL {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + INTERVAL {upper}"))
+    )
+    j = l.join(r, cond, "fullOuter")
+    lcols = [c for c in left.columns if c != key]
+    rcols = [c for c in right.columns if c != key]
+    return j.select(
+        F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key),
+        *[F.col(f"l.{c}") for c in lcols],
+        *[F.col(f"r.{c}") for c in rcols],
+    )

@@ -186,6 +186,180 @@ def test_stream_stream_interval_join_left_outer(spark):
     assert got == [("u1", 10.0), ("u3", None)]
 
 
+def test_stream_stream_interval_join_full_outer(spark):
+    """FULL OUTER variant: matched rows equal the inner join; an
+    unmatched click null-emits once the global watermark passes its
+    window end; an unmatched purchase null-emits once the watermark
+    passes its own event time (lower=0: the latest click that could
+    match it)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def iso(sec):
+        return (t0 + dt.timedelta(seconds=sec)).strftime("%Y-%m-%dT%H:%M:%S")
+
+    clicks = _write_jsonl(
+        [
+            {"user": "u1", "click_ts": iso(0)},     # matched
+            {"user": "u3", "click_ts": iso(10)},    # unmatched, closed
+            {"user": "u2", "click_ts": iso(7000)},  # trailing, stays
+        ]
+    )
+    purchases = _write_jsonl(
+        [
+            {"user": "u1", "purchase_ts": iso(300), "amount": 10.0},
+            {"user": "u4", "purchase_ts": iso(100), "amount": 55.0},  # no click
+            {"user": "u2", "purchase_ts": iso(9000), "amount": 99.0},  # trailing
+        ]
+    )
+    from spot_anomalies_flink_workshop_resources_spark.streaming.joins import (
+        interval_join_stream_full,
+    )
+
+    c = (
+        spark.readStream.schema("user STRING, click_ts STRING").json(clicks)
+        .withColumn("click_ts", F.to_timestamp("click_ts"))
+    )
+    p = (
+        spark.readStream.schema(
+            "user STRING, purchase_ts STRING, amount DOUBLE"
+        ).json(purchases)
+        .withColumn("purchase_ts", F.to_timestamp("purchase_ts"))
+    )
+    joined = interval_join_stream_full(
+        c, p, key="user", left_ts="click_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="10 minutes", watermark="0 seconds",
+    ).select("user", "click_ts", "amount")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssij_full_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT user, click_ts, amount FROM ssij_full_out").collect()
+    got = sorted((r.user, r.click_ts is not None, r.amount) for r in rows)
+    # watermark = min(max click 7000, max purchase 9000) = 7000:
+    # u1 matched; u3's click window [10,610] closed -> left-null row;
+    # u4's purchase at 100 < 7000 -> right-null row (no click side);
+    # u2's trailing click (7600 >= 7000) and purchase (9000 >= 7000)
+    # both stay in state
+    assert got == [("u1", True, 10.0), ("u3", True, None), ("u4", False, 55.0)]
+
+
+def test_stream_stream_interval_join_right_outer(spark):
+    """RIGHT OUTER variant: unmatched purchases null-emit once the
+    watermark passes their event time; trailing purchases stay."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def iso(sec):
+        return (t0 + dt.timedelta(seconds=sec)).strftime("%Y-%m-%dT%H:%M:%S")
+
+    clicks = _write_jsonl(
+        [
+            {"user": "u1", "click_ts": iso(0)},
+            {"user": "u9", "click_ts": iso(8000)},  # pushes click max high
+        ]
+    )
+    purchases = _write_jsonl(
+        [
+            {"user": "u1", "purchase_ts": iso(300), "amount": 10.0},  # matched
+            {"user": "u4", "purchase_ts": iso(100), "amount": 55.0},  # unmatched
+            {"user": "u5", "purchase_ts": iso(9000), "amount": 99.0},  # trailing
+        ]
+    )
+    from spot_anomalies_flink_workshop_resources_spark.streaming.joins import (
+        interval_join_stream_right,
+    )
+
+    c = (
+        spark.readStream.schema("user STRING, click_ts STRING").json(clicks)
+        .withColumn("click_ts", F.to_timestamp("click_ts"))
+    )
+    p = (
+        spark.readStream.schema(
+            "user STRING, purchase_ts STRING, amount DOUBLE"
+        ).json(purchases)
+        .withColumn("purchase_ts", F.to_timestamp("purchase_ts"))
+    )
+    joined = interval_join_stream_right(
+        c, p, key="user", left_ts="click_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="10 minutes", watermark="0 seconds",
+    ).select("user", "click_ts", "amount")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssij_right_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT user, click_ts, amount FROM ssij_right_out").collect()
+    got = sorted((r.user, r.click_ts is not None, r.amount) for r in rows)
+    # watermark = min(8000, 9000) = 8000: u1 matched; u4's purchase at
+    # 100 < 8000 -> null row; u5's trailing purchase (9000 >= 8000) stays
+    assert got == [("u1", True, 10.0), ("u4", False, 55.0)]
+
+
+def test_left_outer_null_emission_boundary_exact_watermark(spark):
+    """ADVICE r3 boundary pin: a click whose window end EXACTLY equals
+    the final global watermark must NOT null-emit (the oracle's strict
+    '<' matches Spark's eviction predicate, which requires the
+    watermark to move strictly past the window end)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def iso(sec):
+        return (t0 + dt.timedelta(seconds=sec)).strftime("%Y-%m-%dT%H:%M:%S")
+
+    # u1's click window [0, 600]; max click 600 and max purchase 600
+    # make the final watermark exactly 600 == window end
+    clicks = _write_jsonl(
+        [
+            {"user": "u1", "click_ts": iso(0)},
+            {"user": "u2", "click_ts": iso(600)},
+        ]
+    )
+    purchases = _write_jsonl(
+        [{"user": "u9", "purchase_ts": iso(600), "amount": 1.0}]
+    )
+    from spot_anomalies_flink_workshop_resources_spark.streaming.joins import (
+        interval_join_stream_left,
+    )
+
+    c = (
+        spark.readStream.schema("user STRING, click_ts STRING").json(clicks)
+        .withColumn("click_ts", F.to_timestamp("click_ts"))
+    )
+    p = (
+        spark.readStream.schema(
+            "user STRING, purchase_ts STRING, amount DOUBLE"
+        ).json(purchases)
+        .withColumn("purchase_ts", F.to_timestamp("purchase_ts"))
+    )
+    joined = interval_join_stream_left(
+        c, p, key="user", left_ts="click_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="10 minutes", watermark="0 seconds",
+    ).select("user", "amount")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssij_boundary_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT user FROM ssij_boundary_out").collect()
+    # u1's window end (600) == watermark (600): strict '<' fails, no
+    # null row for anyone (u2's window is wide open)
+    assert rows == []
+
+
 def test_streaming_dedup_within_watermark(spark):
     """dropDuplicatesWithinWatermark: the PRODUCTION streaming-dedup
     form — plain dropDuplicates keeps every key's fingerprint forever
