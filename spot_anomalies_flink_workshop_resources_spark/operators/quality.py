@@ -320,8 +320,13 @@ def mixture_weights(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
     """Per-language temperature-scaled mixture weights:
     w(lang) = share^alpha / sum(share^alpha), share = token share.
 
-    alpha=0.5 is computed as sqrt (IEEE-correctly-rounded, so exact
-    across engines); other alphas would need pow and lose bit-equality.
+    alpha=0.5 is computed as sqrt (IEEE-correctly-rounded, unlike pow,
+    so the per-row terms match across engines bit-for-bit). The
+    normalizing SUM ... OVER () accumulates doubles in an order the
+    engine chooses, so the final weights are tolerance-equal (~1e-16
+    relative on the handful-of-languages frame), not guaranteed
+    bit-identical — in practice both engines have agreed exactly on
+    every harness run (ADVICE r3 softened this claim).
     """
     if alpha != 0.5:
         raise ValueError("only alpha=0.5 (sqrt) is cross-engine exact")

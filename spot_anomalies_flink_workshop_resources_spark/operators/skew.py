@@ -68,7 +68,16 @@ def skew_profile(
     global sort shuffle), a tiny totals aggregate broadcast in, and a
     cum-share window over the k collected rows only.
     """
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    # NULL key columns render as '<null>' on BOTH engines: concat_ws
+    # silently maps NULL to '' in Spark while DuckDB's || propagates
+    # NULL — coalescing first keeps the grouping identical (ADVICE r3)
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+            for c in key_cols
+        ],
+    )
     counts = (
         df.select(key.alias("key_value"))
         .groupBy("key_value")
@@ -104,7 +113,9 @@ def skew_profile(
 def skew_profile_sql(
     table: str, key_cols: Sequence[str], top_k: int = 10
 ) -> str:
-    key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in key_cols)
+    key = " || '|' || ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), '<null>')" for c in key_cols
+    )
     return f"""
 WITH counts AS (
   SELECT {key} AS key_value, CAST(COUNT(*) AS BIGINT) AS n_rows

@@ -78,6 +78,35 @@ def test_salted_agg_equals_plain(spark, sf_dir):
     )
 
 
+def test_skew_profile_null_keys_render_identically(spark):
+    """NULL key columns group as '<null>' in BOTH engines (ADVICE r3:
+    Spark's concat_ws maps NULL to '' while DuckDB's || yields NULL —
+    the coalesce keeps the profiles aligned)."""
+    import duckdb
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.skew import (
+        skew_profile,
+        skew_profile_sql,
+    )
+
+    rows = [(1, None), (2, None), (3, "a"), (4, "a"), (5, "b")]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = sorted(
+        (r.key_value, r.n_rows) for r in skew_profile(df, ["k"]).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1, NULL), (2, NULL), "
+        "(3, 'a'), (4, 'a'), (5, 'b')) v(id, k)"
+    )
+    want = sorted(
+        (r[1], r[2])
+        for r in con.sql(skew_profile_sql("t", ["k"])).fetchall()
+    )
+    assert got == want
+    assert ("<null>", 2) in got
+
+
 def test_approx_percentile_tracks_exact(spark, sf_dir):
     """The approx_percentile production twin must stay within sketch
     tolerance of the exact percentile query (and of DuckDB's
