@@ -752,6 +752,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "simsearch_ivfpq",
     "corpus_decontaminate_bloom",
     "stream_interval_join_full",
+    "corpus_chunk_windows",
     # -- round 3 --
     "stream_interval_join_left",
     "events_zorder_layout",

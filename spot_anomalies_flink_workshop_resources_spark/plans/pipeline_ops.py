@@ -473,6 +473,21 @@ def corpus_decontaminate(spark, sf_dir):
     return decontaminate(_docs(spark, sf_dir))
 
 
+def corpus_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (operators.chunking) — the
+    embedding/RAG pre-vectorization primitive; zero-shuffle narrow map,
+    value-oracled."""
+    from ..operators.chunking import chunk_windows
+
+    return chunk_windows(_docs(spark, sf_dir), window=24, stride=16)
+
+
+def _chunk_windows_oracle() -> str:
+    from ..operators.chunking import chunk_windows_sql
+
+    return chunk_windows_sql(window=24, stride=16)
+
+
 def corpus_decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered decontamination — identical output to
     corpus_decontaminate (bloom negatives are definite; only
@@ -509,6 +524,7 @@ QUERIES = {
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
+    "corpus_chunk_windows": corpus_chunk_windows,
     "text_repetition_stats": text_repetition_stats,
     "text_pii_redact": text_pii_redact,
     "corpus_sample_stratified": corpus_sample_stratified,
@@ -552,6 +568,7 @@ ORACLES = {
     "corpus_decontaminate": _decontaminate_oracle(),
     # bloom prefilter only thins the join input — same oracle
     "corpus_decontaminate_bloom": _decontaminate_oracle(),
+    "corpus_chunk_windows": _chunk_windows_oracle(),
     "text_repetition_stats": Q.REPETITION_STATS_SQL,
     "text_pii_redact": Q.PII_REDACT_SQL,
     "corpus_sample_stratified": Q.stratified_sample_sql(),
