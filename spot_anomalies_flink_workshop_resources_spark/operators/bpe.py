@@ -284,6 +284,61 @@ def learn_merges(
     return _merge_table(spark, merges)
 
 
+def bpe_encode(docs: DataFrame, merges: list[tuple]) -> DataFrame:
+    """Apply a learned merge table to the corpus: per document, the
+    whitespace/regex token count and the BPE symbol count after all
+    merges — the number a sequence-packing or cost-estimation stage
+    actually consumes.
+
+    The encode is VOCAB-keyed like training: merges apply to the
+    distinct-token frame (each merge is one narrow fold over symbol
+    arrays, in rank order — same greedy-leftmost fold as the trainer,
+    so encode(train corpus) sees exactly the trainer's final state),
+    then the corpus joins the tiny token→symbol-count map by broadcast.
+    The corpus is touched twice (token explode + broadcast join), never
+    per-merge. Rank-order single passes reproduce the trainer's final
+    vocabulary state exactly on the training corpus (training performs
+    those same folds); on UNSEEN text the standard priority-iterated
+    encode can differ where a later merge creates an earlier merge's
+    pair — the registered query encodes the training corpus, where the
+    two coincide. ``merges`` is the collected merge table
+    (rank, left, right, merged, count) from :func:`learn_merges`;
+    data-dependent, hence the registered query is rows-only with a
+    pure-Python reference unit test.
+
+    Output: (doc_id, n_tokens, n_bpe_tokens) — n_bpe_tokens <=
+    n_chars, >= n_tokens's information floor; equal to n_tokens' sum of
+    per-token symbol counts.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
+            )
+        ).alias("tok"),
+    )
+    vocab = toks.select("tok").distinct().select(
+        "tok", _chars(F.col("tok")).alias("syms")
+    )
+    for r in sorted(merges, key=lambda m: m[0]):
+        _, a, b, ab = r[0], r[1], r[2], r[3]
+        vocab = vocab.select(
+            "tok", _fold_rules(F.col("syms"), [(a, b, ab)]).alias("syms")
+        )
+    sym_counts = vocab.select(
+        "tok", F.size("syms").cast("long").alias("n_syms")
+    )
+    return (
+        toks.join(F.broadcast(sym_counts), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def _merge_table(spark: SparkSession, merges: list[tuple]) -> DataFrame:
     schema = (
         "merge_rank long, left string, right string, merged string, "

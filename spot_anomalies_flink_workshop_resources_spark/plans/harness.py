@@ -753,6 +753,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_decontaminate_bloom",
     "stream_interval_join_full",
     "corpus_chunk_windows",
+    "corpus_bpe_encode",
     # -- round 3 --
     "stream_interval_join_left",
     "events_zorder_layout",

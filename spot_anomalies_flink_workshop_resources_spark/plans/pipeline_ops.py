@@ -473,6 +473,19 @@ def corpus_decontaminate(spark, sf_dir):
     return decontaminate(_docs(spark, sf_dir))
 
 
+def corpus_bpe_encode(spark, sf_dir):
+    """Train 16 BPE merges (batched) and ENCODE the corpus with them:
+    per-doc whitespace-token and BPE-symbol counts — the number packing
+    and cost estimation consume. Iterative training ⇒ rows-only driver
+    check; encode exactness vs a pure-Python reference is unit-tested
+    (tests/test_bpe.py)."""
+    from ..operators.bpe import bpe_encode, learn_merges
+
+    docs = _docs(spark, sf_dir)
+    merges = [tuple(r) for r in learn_merges(docs, n_merges=16).collect()]
+    return bpe_encode(docs, merges)
+
+
 def corpus_chunk_windows(spark, sf_dir):
     """Overlapping token-window chunking (operators.chunking) — the
     embedding/RAG pre-vectorization primitive; zero-shuffle narrow map,
@@ -525,6 +538,7 @@ QUERIES = {
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
     "corpus_chunk_windows": corpus_chunk_windows,
+    "corpus_bpe_encode": corpus_bpe_encode,
     "text_repetition_stats": text_repetition_stats,
     "text_pii_redact": text_pii_redact,
     "corpus_sample_stratified": corpus_sample_stratified,

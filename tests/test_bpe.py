@@ -9,6 +9,7 @@ import re
 from collections import Counter
 
 from spot_anomalies_flink_workshop_resources_spark.operators.bpe import (
+    bpe_encode,
     bpe_pair_counts,
     learn_merges,
 )
@@ -74,6 +75,46 @@ def test_learn_merges_nonoverlapping_greedy(spark):
     assert got[0][1:4] == ("a", "a", "aa")
     # round 2: pairs of [aa, aa] -> (aa, aa) with count 3
     assert got[1][1:4] == ("aa", "aa", "aaaa")
+
+
+def _ref_encode(texts, merges):
+    """Pure-Python encode: apply merges greedy-leftmost in rank order
+    (the trainer's own folds) and count per-doc symbols."""
+    rules = [(m[1], m[2], m[3]) for m in sorted(merges, key=lambda m: m[0])]
+    out = {}
+    for doc_id, t in enumerate(texts):
+        toks = re.findall("[a-z0-9]+", t.lower())
+        n_syms = 0
+        for w in toks:
+            syms = list(w)
+            for a, b, ab in rules:
+                folded = []
+                for x in syms:
+                    if folded and folded[-1] == a and x == b:
+                        folded[-1] = ab
+                    else:
+                        folded.append(x)
+                syms = folded
+            n_syms += len(syms)
+        if toks:
+            out[doc_id] = (len(toks), n_syms)
+    return out
+
+
+def test_bpe_encode_matches_reference(spark):
+    texts = ["low low low low low", "lower lower newest", "newest " * 6,
+             "widest wide widest", "aaaa aaaa aa"]
+    docs = _docs(spark, texts)
+    merges = [tuple(r) for r in learn_merges(docs, n_merges=10).collect()]
+    got = {
+        r.doc_id: (r.n_tokens, r.n_bpe_tokens)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert got == _ref_encode(texts, merges)
+    # merges actually compress: fewer symbols than characters
+    chars = {i: sum(len(w) for w in re.findall("[a-z0-9]+", t.lower()))
+             for i, t in enumerate(texts)}
+    assert all(got[i][1] < chars[i] for i in got)
 
 
 def test_batched_merges_match_serial_on_fixtures(spark):
