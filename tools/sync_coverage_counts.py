@@ -44,6 +44,11 @@ def sync(check_only: bool = False) -> int:
             r"`queries\(\)` \(\d+ operators\), `oracle_sql\(\)` \(\d+ DuckDB twins",
             f"`queries()` ({nq} operators), `oracle_sql()` ({no} DuckDB twins",
         ),
+        (
+            README,
+            r"the \d+ without oracles are iterative",
+            f"the {nr} without oracles are iterative",
+        ),
     ]
     drifted = 0
     for path, pat, repl in subs:
