@@ -46,8 +46,8 @@ def sync(check_only: bool = False) -> int:
         ),
         (
             README,
-            r"the \d+ without oracles are iterative",
-            f"the {nr} without oracles are iterative",
+            r"\b\d+ without oracles are iterative",
+            f"{nr} without oracles are iterative",
         ),
     ]
     drifted = 0
