@@ -78,6 +78,36 @@ def test_salted_agg_equals_plain(spark, sf_dir):
     )
 
 
+def test_chunk_windows_plan_is_shuffle_free(spark, sf_dir):
+    """Chunking is a pure narrow map: tokenize → chunk-index explode →
+    slice/join — the optimized plan must contain NO Exchange at all."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.chunking import (
+        chunk_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        chunk_windows(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_zorder_balanced_plan_broadcasts_bounds(spark, sf_dir):
+    """The only join in the balanced z-key plan is the broadcast of the
+    4-value bounds row — no shuffle join, no extra exchange over the
+    events scan beyond the bounds aggregate itself."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.zorder import (
+        zorder_events_balanced,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = (
+        zorder_events_balanced(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_skew_profile_null_keys_render_identically(spark):
     """NULL key columns group as '<null>' in BOTH engines (ADVICE r3:
     Spark's concat_ws maps NULL to '' while DuckDB's || yields NULL —
