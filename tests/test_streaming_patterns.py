@@ -474,3 +474,96 @@ def test_interval_join_randomized_equals_batch(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_full_outer_interval_join_randomized_equals_contract(spark):
+    """Randomized (seeded) equivalence for the FULL OUTER variant: the
+    streaming result must equal matched-pairs ∪ watermark-finalized
+    left nulls ∪ watermark-finalized right nulls, computed batch-side
+    from the documented contract (left closes at l_ts + upper < wm,
+    right at r_ts < wm with lower=0, wm = min of sides' max ts)."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(20260813)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(side, n, id0=0):
+        return [
+            {
+                "k": f"u{rng.randint(0, 7)}",
+                f"{side}_ts": (
+                    t0 + dt.timedelta(seconds=rng.randint(0, 3600))
+                ).strftime("%Y-%m-%dT%H:%M:%S"),
+                f"{side}_id": id0 + i,
+            }
+            for i in range(n)
+        ]
+
+    left_rows, right_rows = rows("l", 80), rows("r", 80, 1000)
+    ld, rd = _write_jsonl(left_rows), _write_jsonl(right_rows)
+    l_schema = "k STRING, l_ts STRING, l_id LONG"
+    r_schema = "k STRING, r_ts STRING, r_id LONG"
+    ls = (
+        spark.readStream.schema(l_schema).json(ld)
+        .withColumn("l_ts", F.to_timestamp("l_ts"))
+    )
+    rs = (
+        spark.readStream.schema(r_schema).json(rd)
+        .withColumn("r_ts", F.to_timestamp("r_ts"))
+    )
+    from spot_anomalies_flink_workshop_resources_spark.streaming.joins import (
+        interval_join_stream_full,
+    )
+
+    joined = interval_join_stream_full(
+        ls, rs, key="k", left_ts="l_ts", right_ts="r_ts",
+        lower="0 seconds", upper="5 minutes",
+    ).select("l_id", "r_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssij_full_rand")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.l_id, r.r_id)
+        for r in spark.sql("SELECT * FROM ssij_full_rand").collect()
+    }
+
+    lb = spark.read.schema(l_schema).json(ld).withColumn(
+        "l_ts", F.to_timestamp("l_ts")
+    )
+    rb = spark.read.schema(r_schema).json(rd).withColumn(
+        "r_ts", F.to_timestamp("r_ts")
+    )
+    cond = F.expr(
+        "l.k = r.k AND r.r_ts >= l.l_ts "
+        "AND r.r_ts <= l.l_ts + INTERVAL 5 MINUTES"
+    )
+    matched = {
+        (r.l_id, r.r_id)
+        for r in lb.alias("l").join(rb.alias("r"), cond).select("l_id", "r_id").collect()
+    }
+    wm = min(
+        lb.agg(F.max("l_ts")).collect()[0][0],
+        rb.agg(F.max("r_ts")).collect()[0][0],
+    )
+    matched_l = {l for l, _ in matched}
+    matched_r = {r for _, r in matched}
+    null_left = {
+        (r.l_id, None)
+        for r in lb.collect()
+        if r.l_id not in matched_l
+        and r.l_ts + dt.timedelta(minutes=5) < wm
+    }
+    null_right = {
+        (None, r.r_id)
+        for r in rb.collect()
+        if r.r_id not in matched_r and r.r_ts < wm
+    }
+    want = matched | null_left | null_right
+    assert got == want
+    assert null_left and null_right and matched  # all three classes present
