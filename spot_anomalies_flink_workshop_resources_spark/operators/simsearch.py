@@ -356,6 +356,78 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def label_centroids(embeddings: DataFrame, dim: int = DIM) -> DataFrame:
+    """Per-label element-wise mean embedding — the class-prototype /
+    cluster-summary primitive (mean pooling over a group's vectors).
+
+    Exactness design: float sums are partition-order-dependent in a
+    distributed engine, so a naive double mean would hash-diverge from
+    the single-threaded oracle — and even decimal casts disagree at the
+    last digit (Spark converts float→decimal through the shortest
+    string repr, DuckDB rounds the binary value; observed 1-ulp
+    divergence). Components are instead fixed-point quantized by a
+    POWER OF TWO: v·2^20 is an exact double product on any engine,
+    floor(·+0.5) is deterministic, the int64 sums are
+    associative-commutative, and the final mean is one correctly-
+    rounded double division followed by an exact 2^-20 scale. Mean of
+    the 2^-20-quantized components (≤5e-7 absolute quantization per
+    component — negligible for a prototype vector), bit-identical
+    across engines and partitionings by construction.
+
+    Plan shape: posexplode (narrow, ×dim rows) → hash agg on
+    (label, idx) — |labels|·dim grouping keys, map-side partials —
+    → groupBy(label) array rebuild with array_sort, one more
+    vocab-sized exchange. Output: (label, n_vecs, centroid).
+    """
+    scale = 1 << 20
+    e = embeddings.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("idx", "v"),
+    )
+    q = F.floor(F.col("v").cast("double") * scale + F.lit(0.5)).cast("long")
+    per_idx = e.groupBy("label", "idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("long").alias("s"),
+    )
+    mean = (F.col("s").cast("double") / F.col("n")) / F.lit(float(scale))
+    return (
+        per_idx.select("label", "idx", "n", mean.alias("m"))
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(F.struct("idx", "m"))
+            ).alias("_pairs"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.transform(F.col("_pairs"), lambda p: p["m"]).alias("centroid"),
+        )
+    )
+
+
+def label_centroids_sql(dim: int = DIM) -> str:
+    scale = 1 << 20
+    return f"""
+WITH ex AS (
+  SELECT label, u.i AS idx,
+         CAST(FLOOR(CAST(e.embedding[u.i] AS DOUBLE) * {scale} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings e, UNNEST(generate_series(1, {dim})) AS u(i)
+),
+per_idx AS (
+  SELECT label, idx, CAST(COUNT(*) AS BIGINT) AS n,
+         (CAST(SUM(q) AS DOUBLE) / COUNT(*)) / {float(scale)!r} AS m
+  FROM ex GROUP BY label, idx
+)
+SELECT label, MAX(n) AS n_vecs,
+       list(m ORDER BY idx) AS centroid
+FROM per_idx
+GROUP BY label
+"""
+
+
 def pq_train(
     embeddings: DataFrame,
     m: int = 8,

@@ -754,6 +754,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_interval_join_full",
     "corpus_chunk_windows",
     "corpus_bpe_encode",
+    "simsearch_label_centroids",
     # -- round 3 --
     "stream_interval_join_left",
     "events_zorder_layout",

@@ -473,6 +473,13 @@ def corpus_decontaminate(spark, sf_dir):
     return decontaminate(_docs(spark, sf_dir))
 
 
+def simsearch_label_centroids(spark, sf_dir):
+    """Per-label mean embedding (class prototypes) with decimal-exact
+    sums so the mean is bit-identical across engines/partitionings
+    (operators.simsearch.label_centroids)."""
+    return S.label_centroids(_embs(spark, sf_dir))
+
+
 def corpus_bpe_encode(spark, sf_dir):
     """Train 16 BPE merges (batched) and ENCODE the corpus with them:
     per-doc whitespace-token and BPE-symbol counts — the number packing
@@ -573,6 +580,7 @@ QUERIES = {
     "simsearch_ivf_kmeans": simsearch_ivf_kmeans,
     "simsearch_pq": simsearch_pq,
     "simsearch_ivfpq": simsearch_ivfpq,
+    "simsearch_label_centroids": simsearch_label_centroids,
 }
 
 ORACLES = {
@@ -629,4 +637,5 @@ ORACLES = {
     "simsearch_brute_force": S.brute_force_topk_sql(),
     "simsearch_ivf": S.ivf_topk_sql(),
     "simsearch_ivf_probe2": S.ivf_topk_sql(n_probes=2),
+    "simsearch_label_centroids": S.label_centroids_sql(),
 }

@@ -569,6 +569,37 @@ def test_pq_recall_and_codebook_monotonicity(spark, sf_dir):
     assert r32 >= 0.8, r32
 
 
+def test_label_centroids_accuracy_and_partition_invariance(spark, sf_dir):
+    """The fixed-point mean is within the quantization bound (5e-7 per
+    component) of the true float mean, and bit-identical under an
+    adversarial repartition (the property the 2^20 quantization buys)."""
+    import numpy as np
+
+    from collections import defaultdict
+
+    from spot_anomalies_flink_workshop_resources_spark.catalog import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r.label: (r.n_vecs, np.array(r.centroid))
+        for r in simsearch.label_centroids(embs).collect()
+    }
+    by_label = defaultdict(list)
+    for r in embs.collect():
+        by_label[r.label].append(np.array(r.embedding, dtype=np.float64))
+    for lab, vecs in by_label.items():
+        n, cent = got[lab]
+        assert n == len(vecs)
+        true_mean = np.stack(vecs).mean(axis=0)
+        assert np.abs(cent - true_mean).max() < 5e-7, lab
+
+    shuffled = {
+        r.label: tuple(r.centroid)
+        for r in simsearch.label_centroids(embs.repartition(17)).collect()
+    }
+    assert shuffled == {lab: tuple(c) for lab, (_, c) in got.items()}
+
+
 def test_ivfpq_index_layout_prunes_unprobed_lists(spark, sf_dir, tmp_path):
     """The persisted IVF-PQ index layout (partitionBy cent_id) lets a
     probed-list scan touch only its lists: the plan shows the cent_id
