@@ -126,6 +126,7 @@ class IPInsightsModel:
         entity_col: str = "entity",
         ip_col: str = "ip",
         num_shards: int | None = None,
+        param_mode: str = "broadcast",
         **hyper,
     ) -> "IPInsightsModel":
         """Train on a 2-column pair DataFrame (M1), distributed.
@@ -135,6 +136,24 @@ class IPInsightsModel:
         shards, and each epoch runs shard-local SGD via ``mapInPandas``
         against the broadcast parameters. Only vocab-sized artifacts
         (indexes, embeddings, per-shard deltas) ever reach the driver.
+
+        ``param_mode``:
+
+        - ``"broadcast"`` (default): the full (E, P) matrices broadcast
+          each epoch — fine while both fit executor memory.
+        - ``"sharded_entities"``: the ENTITY matrix ships as one
+          broadcast SLICE per shard (pairs are partitioned by entity,
+          so a task's entities are known up front; Spark's torrent
+          broadcast is fetched lazily on first access, so each task
+          pulls only its own slice's blocks). Shard membership is read
+          off the checkpointed pair frame itself (TaskContext partition
+          ids — ground truth, no hash re-derivation). BIT-IDENTICAL
+          output to broadcast mode (same rows, same order, same RNG,
+          same float ops — unit-pinned); what changes is per-executor
+          transfer: |E|/shards instead of |E| per resident shard. The
+          IP matrix stays whole because negative sampling draws from
+          the FULL ip space (algorithm-inherent); beyond that the
+          documented approximation is shard-local negative pools.
         """
         hp = {**DEFAULTS, **hyper}
         spark = pairs.sparkSession
@@ -169,15 +188,68 @@ class IPInsightsModel:
         indexed = indexed.localCheckpoint(eager=True)  # index once, not per epoch
 
         sc = spark.sparkContext
-        for epoch in range(hp["num_epochs"]):
-            bc = sc.broadcast((E, P))
+        shard_members: dict[int, np.ndarray] = {}
+        if param_mode == "sharded_entities":
+            # ground-truth shard membership off the checkpointed frame:
+            # each entity lives in exactly one partition
+            from pyspark import TaskContext as _TC
 
-            def run_shard(batches, _epoch=epoch, _bc=bc):
+            def tag(batches):
+                pid = _TC.get().partitionId()
+                seen = set()
+                for pdf in batches:
+                    for ei in pdf["ei"].unique():
+                        if ei not in seen:
+                            seen.add(ei)
+                yield pd.DataFrame(
+                    {"pid": np.full(len(seen), pid), "ei": sorted(seen)}
+                )
+
+            for r in indexed.mapInPandas(tag, "pid int, ei long").collect():
+                shard_members.setdefault(r["pid"], []).append(r["ei"])
+            shard_members = {
+                p: np.asarray(sorted(v), dtype=np.int64)
+                for p, v in shard_members.items()
+            }
+        elif param_mode != "broadcast":
+            raise ValueError(f"unknown param_mode {param_mode!r}")
+
+        for epoch in range(hp["num_epochs"]):
+            if param_mode == "sharded_entities":
+                # one slice broadcast per shard; tasks lazily fetch only
+                # their own (torrent blocks pull on first .value access)
+                slice_bcs = {
+                    p: sc.broadcast((ids, E[ids]))
+                    for p, ids in shard_members.items()
+                }
+                bc = sc.broadcast(P)
+            else:
+                slice_bcs = None
+                bc = sc.broadcast((E, P))
+
+            def run_shard(
+                batches,
+                _epoch=epoch,
+                _bc=bc,
+                _slices=slice_bcs,
+                _n_e=len(e_idx),  # captured as a scalar — NOT the vocab dict
+            ):
                 from pyspark import TaskContext
 
-                E0, P0 = _bc.value
-                El, Pl = E0.copy(), P0.copy()
                 pid = TaskContext.get().partitionId()
+                if _slices is not None:
+                    P0 = _bc.value
+                    # full-shape but calloc-lazy: only the slice rows are
+                    # ever written/read, so resident memory stays
+                    # slice-sized — and the network transfer (the bound
+                    # this mode closes) is only this shard's blocks
+                    E0 = np.zeros((_n_e, P0.shape[1]))
+                    if pid in _slices:
+                        ids, Es = _slices[pid].value
+                        E0[ids] = Es
+                else:
+                    E0, P0 = _bc.value
+                El, Pl = E0.copy(), P0.copy()
                 srng = np.random.RandomState(
                     (seed * 1_000_003 + _epoch * 7919 + pid) % (2**31 - 1)
                 )
@@ -245,6 +317,9 @@ class IPInsightsModel:
                 tgt = E if r["kind"] == 0 else P
                 tgt[r["idx"]] += np.asarray(r["d"])
             bc.unpersist()
+            if slice_bcs:
+                for b in slice_bcs.values():
+                    b.unpersist()
         return cls(e_idx, i_idx, E, P)
 
     def score_pairs(self, entities: np.ndarray, ips: np.ndarray) -> np.ndarray:

@@ -51,6 +51,27 @@ def test_stable_index_matches_global_row_number(spark):
         assert got == expected, f"num_partitions={n_parts}"
 
 
+def test_sharded_entity_broadcast_bit_identical(spark):
+    """param_mode='sharded_entities' must produce BIT-identical
+    matrices to full-broadcast training: same rows, same order, same
+    RNG, same float ops — only the per-executor transfer changes
+    (one E slice per shard instead of the whole matrix; the SCALE.md
+    §'Known costs' #6 closure)."""
+    import numpy as np
+
+    pairs = [
+        (f"eni-{e:03d}", f"10.0.{e}.{i}") for e in range(24) for i in range(3)
+    ] * 10
+    df = spark.createDataFrame(pairs, ["entity", "ip"])
+    kw = dict(vector_dim=8, num_epochs=3, seed=5, num_shards=6)
+    full = IPInsightsModel.train(df, param_mode="broadcast", **kw)
+    sharded = IPInsightsModel.train(df, param_mode="sharded_entities", **kw)
+    assert full.entity_index == sharded.entity_index
+    assert full.ip_index == sharded.ip_index
+    assert np.array_equal(full.entity_vecs, sharded.entity_vecs)
+    assert np.array_equal(full.ip_vecs, sharded.ip_vecs)
+
+
 def test_familiar_pairs_score_lower_than_probes(spark, model):
     familiar = [(f"eni-{e:03d}", f"10.0.{e}.0") for e in range(20)]
     probes = [(f"eni-{e:03d}", f"10.0.{(e + 7) % 20}.0") for e in range(20)]
