@@ -85,15 +85,19 @@ def chunk_windows(
 
 
 def chunk_windows_sql(
-    window: int = DEFAULT_WINDOW, stride: int = DEFAULT_STRIDE
+    window: int = DEFAULT_WINDOW,
+    stride: int = DEFAULT_STRIDE,
+    relation: str = "documents",
 ) -> str:
     """DuckDB twin — same integer chunk-count arithmetic, list_slice
-    with inclusive bounds mirroring Spark's (start, length) slice."""
+    with inclusive bounds mirroring Spark's (start, length) slice.
+    ``relation`` swaps the source (any relation with doc_id + text),
+    so composed pipelines can chunk their gated/deduped subset."""
     return f"""
 WITH toks AS (
   SELECT doc_id,
          regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
-  FROM documents
+  FROM {relation}
 ),
 sized AS (
   SELECT doc_id, t, len(t) AS n,

@@ -755,6 +755,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_chunk_windows",
     "corpus_bpe_encode",
     "simsearch_label_centroids",
+    "corpus_prep_chunked",
     # -- round 3 --
     "stream_interval_join_left",
     "events_zorder_layout",

@@ -473,6 +473,69 @@ def corpus_decontaminate(spark, sf_dir):
     return decontaminate(_docs(spark, sf_dir))
 
 
+def corpus_prep_chunked(spark, sf_dir):
+    """FULL composed prep pipeline in ONE declarative plan: quality
+    gate (same rational blend as corpus_prep) → exact-dedup keep →
+    token-window chunking of the surviving docs → per-(source, lang)
+    chunk accounting. Catalyst fuses all four stages; the oracle
+    composes the same CTE stages, so the whole pipeline — not just its
+    pieces — is value-checked."""
+    from pyspark.sql import functions as F
+
+    from ..operators.chunking import chunk_windows
+
+    docs = _docs(spark, sf_dir)
+    c = T.stat_cols()
+    good = docs.select(
+        "doc_id", "text", "lang", "source",
+        c["quality_score"].alias("quality_score"),
+    ).where(F.col("quality_score") >= 0.5)
+    keeps = D.exact_dedup(good).select(F.col("keep_id").alias("doc_id"))
+    kept = good.join(keeps, "doc_id", "left_semi")
+    chunks = chunk_windows(kept, window=24, stride=16)
+    return (
+        chunks.join(kept.select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("n_chunk_tokens"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def _corpus_prep_chunked_oracle() -> str:
+    from ..operators.chunking import chunk_windows_sql
+    from ..operators.text import corpus_prep_sql
+
+    # reuse corpus_prep's scored/good/keeps stages verbatim, then feed
+    # the kept set into the chunking CTE chain
+    prep = T.corpus_prep_sql(min_quality=0.5)
+    stages = prep.split("SELECT source, lang,")[0].strip()
+    assert stages.endswith(")"), stages[-80:]
+    chunk = chunk_windows_sql(window=24, stride=16, relation="kept").strip()
+    assert chunk.startswith("WITH ")
+    chunk_stages = (
+        chunk[len("WITH "):].split("SELECT doc_id, chunk_id")[0].strip()
+    )
+    return f"""
+{stages},
+kept AS (
+  SELECT * FROM good WHERE doc_id IN (SELECT doc_id FROM keeps)
+),
+{chunk_stages},
+chunk_rows AS (
+  SELECT doc_id, CAST(len(c) AS BIGINT) AS chunk_tokens FROM chunks
+)
+SELECT k.source, k.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(r.chunk_tokens) AS BIGINT) AS n_chunk_tokens,
+       CAST(COUNT(DISTINCT r.doc_id) AS BIGINT) AS n_docs
+FROM chunk_rows r JOIN kept k ON k.doc_id = r.doc_id
+GROUP BY k.source, k.lang
+"""
+
+
 def simsearch_label_centroids(spark, sf_dir):
     """Per-label mean embedding (class prototypes) with decimal-exact
     sums so the mean is bit-identical across engines/partitionings
@@ -545,6 +608,7 @@ QUERIES = {
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
     "corpus_chunk_windows": corpus_chunk_windows,
+    "corpus_prep_chunked": corpus_prep_chunked,
     "corpus_bpe_encode": corpus_bpe_encode,
     "text_repetition_stats": text_repetition_stats,
     "text_pii_redact": text_pii_redact,
@@ -591,6 +655,7 @@ ORACLES = {
     # bloom prefilter only thins the join input — same oracle
     "corpus_decontaminate_bloom": _decontaminate_oracle(),
     "corpus_chunk_windows": _chunk_windows_oracle(),
+    "corpus_prep_chunked": _corpus_prep_chunked_oracle(),
     "text_repetition_stats": Q.REPETITION_STATS_SQL,
     "text_pii_redact": Q.PII_REDACT_SQL,
     "corpus_sample_stratified": Q.stratified_sample_sql(),
