@@ -316,6 +316,59 @@ SELECT doc_id, lang, source, u FROM coin WHERE u < rate
 """
 
 
+def hash_rank_sample(
+    docs: DataFrame, k: int = 50, by: str | None = None
+) -> DataFrame:
+    """Deterministic EXACT-k sample: rank documents by the md5 of their
+    id (a replayable uniform permutation — the distributed analogue of
+    a seeded reservoir sample) and keep the k smallest, globally or per
+    ``by`` group.
+
+    Bernoulli sampling (``stratified_sample``) gives an approximate
+    count; this gives exactly min(k, n) rows with the same
+    reshuffle-stable membership guarantee (the coin is the md5 of the
+    id, not the physical row position). Plan shape: global form is
+    orderBy+limit → TakeOrdered (per-partition heaps, no global sort);
+    grouped form is one hash exchange on ``by`` + per-group
+    row_number — both scale-safe.
+    """
+    coin = F.md5(F.col("doc_id").cast("string"))
+    if by is None:
+        return (
+            docs.select("doc_id", "lang", "source", coin.alias("coin"))
+            .orderBy("coin")
+            .limit(k)
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy("coin")
+    return (
+        docs.select("doc_id", "lang", "source", coin.alias("coin"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def hash_rank_sample_sql(k: int = 50, by: str | None = None) -> str:
+    if by is None:
+        return f"""
+SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS coin
+FROM documents
+ORDER BY coin
+LIMIT {k}
+"""
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS coin,
+         ROW_NUMBER() OVER (PARTITION BY {by} ORDER BY
+                            md5(CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, source, coin FROM ranked WHERE rk <= {k}
+"""
+
+
 def mixture_weights(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
     """Per-language temperature-scaled mixture weights:
     w(lang) = share^alpha / sum(share^alpha), share = token share.

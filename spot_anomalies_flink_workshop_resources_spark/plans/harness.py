@@ -756,6 +756,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_bpe_encode",
     "simsearch_label_centroids",
     "corpus_prep_chunked",
+    "corpus_sample_exact_k",
+    "corpus_sample_exact_k_per_lang",
     # -- round 3 --
     "stream_interval_join_left",
     "events_zorder_layout",

@@ -473,6 +473,18 @@ def corpus_decontaminate(spark, sf_dir):
     return decontaminate(_docs(spark, sf_dir))
 
 
+def corpus_sample_exact_k(spark, sf_dir):
+    """Deterministic exact-k corpus sample (md5 hash-rank reservoir,
+    operators.quality.hash_rank_sample) — TakeOrdered, no global sort."""
+    return Q.hash_rank_sample(_docs(spark, sf_dir), k=50)
+
+
+def corpus_sample_exact_k_per_lang(spark, sf_dir):
+    """Per-language exact-k variant (one hash exchange + windowed
+    row_number)."""
+    return Q.hash_rank_sample(_docs(spark, sf_dir), k=20, by="lang")
+
+
 def corpus_prep_chunked(spark, sf_dir):
     """FULL composed prep pipeline in ONE declarative plan: quality
     gate (same rational blend as corpus_prep) → exact-dedup keep →
@@ -613,6 +625,8 @@ QUERIES = {
     "text_repetition_stats": text_repetition_stats,
     "text_pii_redact": text_pii_redact,
     "corpus_sample_stratified": corpus_sample_stratified,
+    "corpus_sample_exact_k": corpus_sample_exact_k,
+    "corpus_sample_exact_k_per_lang": corpus_sample_exact_k_per_lang,
     "corpus_mixture_weights": corpus_mixture_weights,
     "text_stats": text_stats,
     "text_lang_id": lang_id,
@@ -659,6 +673,8 @@ ORACLES = {
     "text_repetition_stats": Q.REPETITION_STATS_SQL,
     "text_pii_redact": Q.PII_REDACT_SQL,
     "corpus_sample_stratified": Q.stratified_sample_sql(),
+    "corpus_sample_exact_k": Q.hash_rank_sample_sql(k=50),
+    "corpus_sample_exact_k_per_lang": Q.hash_rank_sample_sql(k=20, by="lang"),
     "corpus_mixture_weights": Q.MIXTURE_WEIGHTS_SQL,
     "text_stats": T.TEXT_STATS_SQL,
     "text_lang_id": T.LANG_ID_SQL,

@@ -158,6 +158,91 @@ def test_batched_merges_match_serial_randomized(spark):
         assert serial == _ref_bpe(texts, 12), (trial, texts)
 
 
+def _py_batched_bpe(texts, n_merges, max_batch):
+    """Pure-Python twin of learn_merges' control flow: same snapshot
+    ranking, same _select_batch, same greedy-leftmost fold — used to
+    property-test the batch-selection rule against serial BPE without
+    paying a Spark job per case."""
+    from collections import namedtuple
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.bpe import (
+        _select_batch,
+    )
+
+    RowT = namedtuple("RowT", "l r c")
+    vocab = Counter()
+    for t in texts:
+        vocab.update(re.findall("[a-z0-9]+", t.lower()))
+    words = {w: [ch for ch in w] for w in vocab}
+    merges = []
+    while len(merges) < n_merges:
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        rows = [
+            RowT(l, r, c)
+            for (l, r), c in sorted(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+        ]
+        cap = 4 * max_batch + 8
+        truncated = len(rows) > cap
+        rows = rows[:cap]
+        if not rows or rows[0].c < 2:
+            break
+        batch = _select_batch(
+            rows, min(max_batch, n_merges - len(merges)), truncated
+        )
+        rules = []
+        for a, b, c in batch:
+            merges.append((len(merges) + 1, a, b, a + b, c))
+            rules.append((a, b, a + b))
+        rule_map = {(a, b): ab for a, b, ab in rules}
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and (out[-1], x) in rule_map:
+                    out[-1] = rule_map[(out[-1], x)]
+                else:
+                    out.append(x)
+            words[w] = out
+    return merges
+
+
+def test_batched_selection_rule_property(spark):
+    """Hypothesis stress of the exactness argument: on hundreds of
+    random small corpora the batched control flow must emit the
+    bit-identical merge table to serial BPE (pure-Python twins, no
+    Spark jobs — the Spark fold itself is pinned by the fixture and
+    randomized tests above)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words_st = st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=5),
+        min_size=1,
+        max_size=10,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(words_st.flatmap(st.sampled_from), min_size=1, max_size=12),
+            min_size=1,
+            max_size=5,
+        ),
+        max_batch=st.integers(min_value=2, max_value=8),
+    )
+    def check(docs, max_batch):
+        texts = [" ".join(ws) for ws in docs]
+        got = _py_batched_bpe(texts, 12, max_batch)
+        want = _ref_bpe(texts, 12)
+        assert got == want, (texts, max_batch)
+
+    check()
+
+
 def test_batched_merges_reduce_rounds(spark):
     """A 64-merge run over a corpus with many disjoint frequent pairs
     must need >=5x fewer Spark rounds than one-merge-per-round."""
