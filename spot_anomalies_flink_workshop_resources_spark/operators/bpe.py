@@ -321,10 +321,23 @@ def bpe_encode(docs: DataFrame, merges: list[tuple]) -> DataFrame:
     vocab = toks.select("tok").distinct().select(
         "tok", _chars(F.col("tok")).alias("syms")
     )
+    # fuse consecutive symbol-disjoint rules into one fold pass (the
+    # same disjointness that makes trainer batches exact makes fused
+    # encode passes equal the serial composition) — cuts plan depth
+    # from n_merges selects to ~n_merges/batch
+    groups: list[list[tuple[str, str, str]]] = []
+    touched: set[str] = set()
     for r in sorted(merges, key=lambda m: m[0]):
-        _, a, b, ab = r[0], r[1], r[2], r[3]
+        a, b, ab = r[1], r[2], r[3]
+        syms = {a, b, ab}
+        if not groups or (syms & touched):
+            groups.append([])
+            touched = set()
+        groups[-1].append((a, b, ab))
+        touched |= syms
+    for rules in groups:
         vocab = vocab.select(
-            "tok", _fold_rules(F.col("syms"), [(a, b, ab)]).alias("syms")
+            "tok", _fold_rules(F.col("syms"), rules).alias("syms")
         )
     sym_counts = vocab.select(
         "tok", F.size("syms").cast("long").alias("n_syms")
