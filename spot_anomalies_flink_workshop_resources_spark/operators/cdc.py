@@ -1,0 +1,71 @@
+"""CDC log compaction: last-writer-wins snapshot with deletes.
+
+The lakehouse upsert primitive (what Delta/Hudi MERGE compaction
+computes): given a change log of (key, ordering, op, payload) rows,
+produce the current snapshot — per key, the row with the highest
+ordering wins; if that row is a delete, the key disappears.
+
+Pure built-in expressions: one hash exchange on the key, a row_number
+window, a filter. At 100 TB the log is typically bucketed/partitioned
+by key at write time, which turns the exchange into a local sort —
+same plan shape as any keyed dedup. Deterministic for any total
+``order_cols`` (callers include a unique tiebreaker).
+
+No reference analogue (beyond-reference surface per BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def compact_log(
+    log: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str,
+    delete_value: str = "delete",
+) -> DataFrame:
+    """Latest-row-per-key snapshot honoring deletes.
+
+    ``order_cols`` must totally order rows within a key (include a
+    unique id as the last column); the highest-ordered row decides the
+    key's fate: kept with its payload, or dropped if its ``op_col``
+    equals ``delete_value``.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .where(F.col(op_col) != delete_value)
+        .drop("_rn")
+    )
+
+
+def compact_log_sql(
+    table: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_expr: str,
+    delete_value: str = "delete",
+    select_cols: Sequence[str] | None = None,
+) -> str:
+    """DuckDB twin. ``op_expr`` is the SQL expression for the op column
+    (lets the harness derive an op from existing columns)."""
+    keys = ", ".join(key_cols)
+    order = ", ".join(f"{c} DESC" for c in order_cols)
+    cols = ", ".join(select_cols) if select_cols else "*"
+    return f"""
+WITH ranked AS (
+  SELECT {cols}, {op_expr} AS _op,
+         ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY {order}) AS _rn
+  FROM {table}
+)
+SELECT {cols} FROM ranked
+WHERE _rn = 1 AND _op <> '{delete_value}'
+"""

@@ -758,6 +758,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_prep_chunked",
     "corpus_sample_exact_k",
     "corpus_sample_exact_k_per_lang",
+    "events_cdc_snapshot",
     # -- round 3 --
     "stream_interval_join_left",
     "events_zorder_layout",

@@ -970,6 +970,44 @@ def _events_zorder_balanced_sql() -> str:
     return zorder_events_balanced_sql()
 
 
+def events_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (operators.cdc.compact_log): treat the events
+    stream as a change log per user — 'error' events act as deletes,
+    everything else upserts — and compute the last-writer-wins snapshot
+    (the Delta/Hudi MERGE-compaction primitive)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.cdc import compact_log
+
+    events = load_table(spark, sf_dir, "events")
+    log = events.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    return compact_log(
+        log, key_cols=["user_id"], order_cols=["ts", "event_id"], op_col="op"
+    ).select("user_id", "event_id", "ts", "event_type", "value")
+
+
+def _events_cdc_snapshot_sql() -> str:
+    from ..operators.cdc import compact_log_sql
+
+    return compact_log_sql(
+        table="events",
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_expr="CASE WHEN event_type = 'error' THEN 'delete' "
+                "ELSE 'upsert' END",
+        select_cols=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+
+
 def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter profile of the events grouping key (user_id) — the
     diagnostic run before choosing plain vs salted vs split execution
@@ -1013,11 +1051,13 @@ QUERIES = {
     "events_zorder_layout": events_zorder_layout,
     "events_zorder_balanced": events_zorder_balanced,
     "events_skew_profile": events_skew_profile,
+    "events_cdc_snapshot": events_cdc_snapshot,
 }
 
 ORACLES = {
     "events_zorder_layout": _events_zorder_sql(),
     "events_zorder_balanced": _events_zorder_balanced_sql(),
+    "events_cdc_snapshot": _events_cdc_snapshot_sql(),
     "events_skew_profile": _events_skew_profile_sql(),
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
