@@ -78,6 +78,51 @@ def test_salted_agg_equals_plain(spark, sf_dir):
     )
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """SCALE.md's skew posture names AQE skew-join split as the runtime
+    mitigation for hot keys in shuffle joins — demonstrate it: a 90%-
+    hot-key join, with thresholds scaled to test data, must execute as
+    a SortMergeJoin marked skew=true (the hot partition split into
+    subpartitions) and still return exact results."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # hot shuffle partition ~90k left rows (>64KB threshold); right
+        # side has exactly one row per key so the collected output stays
+        # small (the skew detector looks at shuffle bytes, not output)
+        left = spark.range(100_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("lv"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        joined = left.join(right, "k")
+        # materialize through THIS DataFrame's QueryExecution so the
+        # adaptive plan is finalized on the object we inspect
+        n = len(joined.collect())
+        assert n == 100_000  # every left row matches exactly one right row
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_chunk_windows_plan_is_shuffle_free(spark, sf_dir):
     """Chunking is a pure narrow map: tokenize → chunk-index explode →
     slice/join — the optimized plan must contain NO Exchange at all."""
