@@ -147,7 +147,10 @@ def _restore_source_ts(df: DataFrame, spark: SparkSession, sf_dir: str) -> DataF
 
 
 def _run_to_completion(
-    df: DataFrame, spark: SparkSession, shuffle_partitions: int = 8
+    df: DataFrame,
+    spark: SparkSession,
+    shuffle_partitions: int = 8,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Run an append-mode stream over the bounded harness source and
     return the memory-sink table.
@@ -170,7 +173,7 @@ def _run_to_completion(
         q = (
             df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .start()
         )
         q.processAllAvailable()
@@ -375,6 +378,34 @@ unmatched AS (
 )
 SELECT * FROM matched UNION ALL SELECT * FROM unmatched
 """
+
+
+def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC snapshot in COMPLETE output mode (the engine's
+    only complete-mode surface — a continuously maintained upsert view):
+    per-user max_by under (ts, event_id) with 'error' rows acting as
+    deletes, run to completion over the bounded events stream. Must
+    equal the batch compaction, hence the SAME oracle as
+    events_cdc_snapshot."""
+    from pyspark.sql import functions as F
+
+    from ..operators.cdc import compact_log_stream
+
+    log = _events_stream(spark, sf_dir).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    snap = compact_log_stream(
+        log, key_cols=["user_id"], order_cols=["ts", "event_id"], op_col="op"
+    ).select("user_id", "event_id", "ts", "event_type", "value")
+    out = _run_to_completion(snap, spark, output_mode="complete")
+    return _restore_source_ts(out, spark, sf_dir)
 
 
 def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,6 +790,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_sample_exact_k",
     "corpus_sample_exact_k_per_lang",
     "events_cdc_snapshot",
+    "stream_cdc_snapshot",
     # -- round 3 --
     "stream_interval_join_left",
     "events_zorder_layout",
@@ -826,6 +858,7 @@ def build_queries() -> dict[str, QueryFn]:
         "stream_interval_join": stream_interval_join,
         "stream_interval_join_left": stream_interval_join_left,
         "stream_interval_join_full": stream_interval_join_full,
+        "stream_cdc_snapshot": stream_cdc_snapshot,
         "batch_interval_join_bucketed": batch_interval_join_bucketed,
         "stream_distinct_pairs": stream_distinct_pairs,
         "stream_static_enrich": stream_static_enrich,
@@ -863,6 +896,8 @@ def build_oracles() -> dict[str, str]:
         "stream_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
         "stream_interval_join_left": STREAM_INTERVAL_JOIN_LEFT_ORACLE,
         "stream_interval_join_full": STREAM_INTERVAL_JOIN_FULL_ORACLE,
+        # complete-mode streaming snapshot == batch compaction: same oracle
+        "stream_cdc_snapshot": relational.ORACLES["events_cdc_snapshot"],
         # bucketized batch twin: identical semantics, same oracle
         "batch_interval_join_bucketed": STREAM_INTERVAL_JOIN_ORACLE,
         "stream_distinct_pairs": STREAM_DISTINCT_ORACLE,

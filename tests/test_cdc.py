@@ -55,6 +55,28 @@ def test_reupsert_after_delete_resurrects(spark):
     assert got == {"a": "v3"}
 
 
+def test_streaming_snapshot_equals_batch_compaction(spark, sf_dir):
+    """The COMPLETE-mode streaming snapshot (max_by per key) run to
+    completion must equal the batch row_number compaction on real
+    harness data — including delete suppression."""
+    from pyspark.sql import functions as F
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.harness import (
+        stream_cdc_snapshot,
+    )
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_cdc_snapshot,
+    )
+
+    batch = sorted(tuple(r) for r in events_cdc_snapshot(spark, sf_dir).collect())
+    stream = sorted(tuple(r) for r in stream_cdc_snapshot(spark, sf_dir).collect())
+    assert stream == batch and len(batch) > 0
+    # deletes actually suppressed: some users' latest event is an error
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = events.select("user_id").distinct().count()
+    assert len(batch) < n_users
+
+
 def test_stale_delete_is_ignored(spark):
     # a delete that is NOT the latest row must not remove the key
     got = _snap(
