@@ -78,6 +78,40 @@ def test_salted_agg_equals_plain(spark, sf_dir):
     )
 
 
+def test_detector_state_rows_scale_with_keys_not_events(spark, sf_dir):
+    """SCALE.md's streaming posture: detector state is O(1) per key
+    (six scalars), and state is CLEARED on emission
+    (skipPastLastEvent), so the store holds at most |keys with an open
+    run| rows — bounded by distinct keys, unrelated to event volume.
+    Pin it from the query's own state-operator metrics."""
+    from spot_anomalies_flink_workshop_resources_spark.plans.harness import (
+        FLAGSHIP_PARAMS,
+        _events_stream,
+    )
+    from spot_anomalies_flink_workshop_resources_spark.streaming.detector import (
+        detect_attack_runs_stream,
+    )
+
+    alerts = detect_attack_runs_stream(
+        _events_stream(spark, sf_dir), **FLAGSHIP_PARAMS
+    )
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("state_metrics_probe")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_keys = events.select("user_id").distinct().count()
+    n_events = events.count()
+    state_rows = progress["stateOperators"][0]["numRowsTotal"]
+    assert 0 < state_rows <= n_keys, (state_rows, n_keys)
+    assert state_rows < n_events / 10  # state tracks keys, not traffic
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """SCALE.md's skew posture names AQE skew-join split as the runtime
     mitigation for hot keys in shuffle joins — demonstrate it: a 90%-
