@@ -112,6 +112,57 @@ def test_detector_state_rows_scale_with_keys_not_events(spark, sf_dir):
     assert state_rows < n_events / 10  # state tracks keys, not traffic
 
 
+def test_interval_join_state_bounded_by_watermark(spark, sf_dir):
+    """Stream-stream interval join state is O(range × rate), not
+    O(stream): watermarks evict rows once the other side passes the
+    join window, so after a month of events with a 1-hour range the
+    final state holds a small sliver of the inputs. Pinned from the
+    state-operator metrics."""
+    from pyspark.sql import functions as F
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.harness import (
+        _events_stream,
+    )
+    from spot_anomalies_flink_workshop_resources_spark.streaming.joins import (
+        interval_join_stream,
+    )
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"))
+    )
+    joined = interval_join_stream(
+        clicks, purchases.withColumnRenamed("p_user", "user_id"),
+        key="user_id", left_ts="click_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_state_probe")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_inputs = events.where(
+        F.col("event_type").isin("click", "purchase")
+    ).count()
+    state_rows = progress["stateOperators"][0]["numRowsTotal"]
+    # a month of input, a 1-hour join range: state must be a sliver
+    assert 0 < state_rows < n_inputs / 10, (state_rows, n_inputs)
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """SCALE.md's skew posture names AQE skew-join split as the runtime
     mitigation for hot keys in shuffle joins — demonstrate it: a 90%-
