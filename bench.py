@@ -101,13 +101,22 @@ def main() -> None:
     # which the per-query 2x spike guard cannot catch. If the total
     # runs >20% over the committed prior record, take a second full
     # pass and keep the per-query minimum of the two real runs.
-    prior_total = sum(priors.values()) if priors else None
+    # compare over the common query set so a registry change since the
+    # last record doesn't silently disable the guard
+    common = set(priors) & set(timings)
+    prior_total = (
+        sum(priors[q] for q in common)
+        if len(common) >= 0.9 * len(timings)
+        else None
+    )
+    common_total = sum(timings[q] for q in common) if prior_total else 0.0
     repeated_full_pass = False
-    if prior_total and set(priors) == set(timings) and total > 1.2 * prior_total:
+    if prior_total and common_total > 1.2 * prior_total:
         repeated_full_pass = True
         print(
-            f"bench: total {total}s > 1.2x prior {round(prior_total, 1)}s — "
-            "repeating the full pass and keeping per-query minima",
+            f"bench: common-set total {round(common_total, 1)}s > 1.2x prior "
+            f"{round(prior_total, 1)}s — repeating the full pass and keeping "
+            "per-query minima",
             file=sys.stderr,
         )
         second, retried2 = one_pass()
