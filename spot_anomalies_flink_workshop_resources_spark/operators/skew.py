@@ -49,6 +49,59 @@ def salted_agg(
     )
 
 
+def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """ANALYZE-style column statistics: one row per profiled column with
+    null count, exact distinct count, and min/max (rendered as strings
+    so heterogeneous column types share a schema) — the stats a
+    cost-based optimizer and a file-skipping layout decision consume.
+
+    Plan shape: ONE aggregation pass computes every column's
+    count/min/max partials map-side; the exact distinct counts add one
+    expand+shuffle (the price of exactness — swap in approx_count_
+    distinct for the sketch path at extreme widths). The per-column
+    rows are built driver-side from the single 1-row aggregate."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__ndv"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            int(row[f"{c}__nulls"]),
+            int(row[f"{c}__ndv"]),
+            row[f"{c}__min"],
+            row[f"{c}__max"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "col_name string, n_nulls long, n_distinct long, "
+        "min_str string, max_str string",
+    )
+
+
+def table_profile_sql(table: str, cols: Sequence[str]) -> str:
+    parts = [
+        f"""
+SELECT '{c}' AS col_name,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_str,
+       MAX(CAST({c} AS VARCHAR)) AS max_str
+FROM {table}"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def skew_profile(
     df: DataFrame, key_cols: Sequence[str], top_k: int = 10
 ) -> DataFrame:

@@ -791,6 +791,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_sample_exact_k_per_lang",
     "events_cdc_snapshot",
     "stream_cdc_snapshot",
+    "events_column_profile",
     # -- round 3 --
     "stream_interval_join_left",
     "events_zorder_layout",

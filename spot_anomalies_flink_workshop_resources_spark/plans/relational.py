@@ -1023,6 +1023,26 @@ def _events_skew_profile_sql() -> str:
     return skew_profile_sql("events", ["user_id"])
 
 
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics over the events table
+    (operators.skew.table_profile): null counts, exact NDVs, min/max —
+    one aggregation pass. Doubles are excluded from the profiled set
+    because Spark and DuckDB render them to string differently
+    (scientific vs positional); ints/strings/timestamps agree."""
+    from ..operators.skew import table_profile
+
+    return table_profile(
+        load_table(spark, sf_dir, "events"),
+        ["event_id", "user_id", "event_type", "ts"],
+    )
+
+
+def _events_column_profile_sql() -> str:
+    from ..operators.skew import table_profile_sql
+
+    return table_profile_sql("events", ["event_id", "user_id", "event_type", "ts"])
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1052,12 +1072,14 @@ QUERIES = {
     "events_zorder_balanced": events_zorder_balanced,
     "events_skew_profile": events_skew_profile,
     "events_cdc_snapshot": events_cdc_snapshot,
+    "events_column_profile": events_column_profile,
 }
 
 ORACLES = {
     "events_zorder_layout": _events_zorder_sql(),
     "events_zorder_balanced": _events_zorder_balanced_sql(),
     "events_cdc_snapshot": _events_cdc_snapshot_sql(),
+    "events_column_profile": _events_column_profile_sql(),
     "events_skew_profile": _events_skew_profile_sql(),
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,

@@ -238,6 +238,21 @@ def test_zorder_balanced_plan_broadcasts_bounds(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_table_profile_counts_nulls_and_ndv(spark):
+    from spot_anomalies_flink_workshop_resources_spark.operators.skew import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b"), (5, None)], "id long, s string"
+    )
+    got = {r.col_name: r for r in table_profile(df, ["id", "s"]).collect()}
+    assert got["id"].n_nulls == 0 and got["id"].n_distinct == 5
+    assert got["id"].min_str == "1" and got["id"].max_str == "5"
+    assert got["s"].n_nulls == 2 and got["s"].n_distinct == 2
+    assert got["s"].min_str == "a" and got["s"].max_str == "b"
+
+
 def test_skew_profile_null_keys_render_identically(spark):
     """NULL key columns group as '<null>' in BOTH engines (ADVICE r3:
     Spark's concat_ws maps NULL to '' while DuckDB's || yields NULL —
