@@ -160,3 +160,28 @@ def test_stateful_detector_state_survives_restart(spark, tmp_path):
     # all five anomalous events matched: state crossed the restart
     assert a.fragment_count == 5
     assert a.avg_packets == 99.0
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Operational capability a long-lived 100 TB table needs: newer
+    partitions add columns; a mergeSchema read presents the union
+    schema with nulls for the old files — and a pruned single-column
+    projection still reads both generations."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    ).write.parquet(base + "/gen=1")
+    spark.createDataFrame(
+        [(3, "c", "en"), (4, "d", "de")], "id long, payload string, lang string"
+    ).write.parquet(base + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    assert set(merged.columns) == {"id", "payload", "lang"}
+    rows = {r.id: (r.payload, r.lang) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", "en"), 4: ("d", "de")}
+    # old-generation rows surface through a projection on the NEW column
+    assert merged.where(F.col("lang").isNull()).count() == 2
