@@ -102,11 +102,13 @@ def main() -> None:
     # runs >20% over the committed prior record, take a second full
     # pass and keep the per-query minimum of the two real runs.
     # compare over the common query set so a registry change since the
-    # last record doesn't silently disable the guard
+    # last record doesn't silently disable the guard — the coverage
+    # requirement is relative to the PRIOR record (new queries have no
+    # priors by definition and must not weaken the guard)
     common = set(priors) & set(timings)
     prior_total = (
         sum(priors[q] for q in common)
-        if len(common) >= 0.9 * len(timings)
+        if priors and len(common) >= max(20, 0.9 * len(priors))
         else None
     )
     common_total = sum(timings[q] for q in common) if prior_total else 0.0

@@ -149,8 +149,11 @@ class IPInsightsModel:
           off the checkpointed pair frame itself (TaskContext partition
           ids — ground truth, no hash re-derivation). BIT-IDENTICAL
           output to broadcast mode (same rows, same order, same RNG,
-          same float ops — unit-pinned); what changes is per-executor
-          transfer: |E|/shards instead of |E| per resident shard. The
+          same float ops — unit-pinned); what changes is the
+          per-executor entity-matrix cost: both the broadcast TRANSFER
+          and the resident WORKING SET drop to |E|/shards (the local
+          matrices are full-index-space but calloc-lazy — only slice
+          rows are ever written). The
           IP matrix stays whole because negative sampling draws from
           the FULL ip space (algorithm-inherent); beyond that the
           documented approximation is shard-local negative pools.
@@ -239,17 +242,23 @@ class IPInsightsModel:
                 pid = TaskContext.get().partitionId()
                 if _slices is not None:
                     P0 = _bc.value
-                    # full-shape but calloc-lazy: only the slice rows are
-                    # ever written/read, so resident memory stays
-                    # slice-sized — and the network transfer (the bound
-                    # this mode closes) is only this shard's blocks
+                    # full-shape index space, but only the slice's rows
+                    # are ever WRITTEN (E0 stays calloc-lazy and El
+                    # receives just the slice copy + SGD writes to
+                    # shard-local entities), so resident entity memory
+                    # is slice-sized — both the transfer AND the
+                    # working-set bound are slice-scale; base values
+                    # for the delta ride separately as e_base
                     E0 = np.zeros((_n_e, P0.shape[1]))
+                    El = np.zeros((_n_e, P0.shape[1]))
                     if pid in _slices:
                         ids, Es = _slices[pid].value
                         E0[ids] = Es
+                        El[ids] = Es
                 else:
                     E0, P0 = _bc.value
-                El, Pl = E0.copy(), P0.copy()
+                    El = E0.copy()
+                Pl = P0.copy()
                 srng = np.random.RandomState(
                     (seed * 1_000_003 + _epoch * 7919 + pid) % (2**31 - 1)
                 )

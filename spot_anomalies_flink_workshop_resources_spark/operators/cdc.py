@@ -34,7 +34,10 @@ def compact_log(
     ``order_cols`` must totally order rows within a key (include a
     unique id as the last column); the highest-ordered row decides the
     key's fate: kept with its payload, or dropped if its ``op_col``
-    equals ``delete_value``.
+    equals ``delete_value``. A NULL op is treated as an upsert (the
+    common CDC convention: op absent on plain inserts) — without the
+    coalesce, ``NULL != 'delete'`` would evaluate NULL and silently
+    delete the key.
     """
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in order_cols]
@@ -42,7 +45,7 @@ def compact_log(
     return (
         log.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .where(F.col(op_col) != delete_value)
+        .where(F.coalesce(F.col(op_col) != delete_value, F.lit(True)))
         .drop("_rn")
     )
 
@@ -64,17 +67,17 @@ def compact_log_stream(
     whole (key-sized) result each trigger — the right contract for a
     materialized snapshot view. State is O(|keys|); a bounded
     run-to-completion equals the batch compaction, which is how the
-    harness oracle checks it.
+    harness oracle checks it. Output schema matches :func:`compact_log`
+    exactly (all log columns, ``op_col`` included), so the two forms
+    are drop-in interchangeable; NULL ops upsert, as in the batch form.
     """
     payload_cols = [c for c in log.columns if c not in key_cols]
     ordering = F.struct(*[F.col(c) for c in order_cols])
     snap = log.groupBy(*[F.col(c) for c in key_cols]).agg(
         F.max_by(F.struct(*payload_cols), ordering).alias("_latest")
     )
-    return (
-        snap.select(*key_cols, "_latest.*")
-        .where(F.col(op_col) != delete_value)
-        .drop(op_col)
+    return snap.select(*key_cols, "_latest.*").where(
+        F.coalesce(F.col(op_col) != delete_value, F.lit(True))
     )
 
 
@@ -98,5 +101,5 @@ WITH ranked AS (
   FROM {table}
 )
 SELECT {cols} FROM ranked
-WHERE _rn = 1 AND _op <> '{delete_value}'
+WHERE _rn = 1 AND COALESCE(_op <> '{delete_value}', TRUE)
 """

@@ -84,17 +84,16 @@ def chunk_windows(
     )
 
 
-def chunk_windows_sql(
+def chunk_windows_stages_sql(
     window: int = DEFAULT_WINDOW,
     stride: int = DEFAULT_STRIDE,
     relation: str = "documents",
 ) -> str:
-    """DuckDB twin — same integer chunk-count arithmetic, list_slice
-    with inclusive bounds mirroring Spark's (start, length) slice.
+    """The toks/sized/chunks CTE stage bodies of the chunking oracle
+    (no WITH, no final select) — exposed for composed pipelines.
     ``relation`` swaps the source (any relation with doc_id + text),
-    so composed pipelines can chunk their gated/deduped subset."""
-    return f"""
-WITH toks AS (
+    so a composed oracle can chunk its gated/deduped subset."""
+    return f"""toks AS (
   SELECT doc_id,
          regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
   FROM {relation}
@@ -113,7 +112,18 @@ chunks AS (
          list_slice(t, i * {stride} + 1,
                     LEAST(i * {stride} + {window}, n)) AS c
   FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
-)
+)"""
+
+
+def chunk_windows_sql(
+    window: int = DEFAULT_WINDOW,
+    stride: int = DEFAULT_STRIDE,
+    relation: str = "documents",
+) -> str:
+    """DuckDB twin — same integer chunk-count arithmetic, list_slice
+    with inclusive bounds mirroring Spark's (start, length) slice."""
+    return f"""
+WITH {chunk_windows_stages_sql(window, stride, relation)}
 SELECT doc_id, chunk_id, chunk_start,
        CAST(len(c) AS BIGINT) AS chunk_tokens,
        array_to_string(c, ' ') AS chunk_text

@@ -62,11 +62,13 @@ def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     rows are built driver-side from the single 1-row aggregate."""
     aggs = []
     for c in cols:
+        # aggregate on the NATIVE type, cast the result: casting first
+        # would make numeric min/max lexicographic (min of {9,10} = '10')
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.countDistinct(F.col(c)).alias(f"{c}__ndv"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
     row = df.agg(*aggs).collect()[0]
     spark = df.sparkSession
@@ -94,8 +96,8 @@ SELECT '{c}' AS col_name,
        CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_nulls,
        CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       MIN(CAST({c} AS VARCHAR)) AS min_str,
-       MAX(CAST({c} AS VARCHAR)) AS max_str
+       CAST(MIN({c}) AS VARCHAR) AS min_str,
+       CAST(MAX({c}) AS VARCHAR) AS max_str
 FROM {table}"""
         for c in cols
     ]

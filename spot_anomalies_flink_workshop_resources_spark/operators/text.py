@@ -177,13 +177,11 @@ FROM ranked WHERE rk <= {top_k}
 """
 
 
-def corpus_prep_sql(min_quality: float = 0.5) -> str:
-    """Oracle for the composed corpus-prep pipeline (see
-    plans/pipeline_ops.corpus_prep): quality gate -> exact-dedup keep
-    -> per-(source, lang) rollup. The quality expression is the SAME
-    rational blend as TEXT_STATS_SQL, so the gate decisions match the
-    Spark side bit-for-bit; the rollup avoids double summation (MIN/MAX
-    of quality only) so no decimal staging is needed."""
+def corpus_prep_stages_sql(min_quality: float = 0.5) -> str:
+    """The scored/good/keeps CTE stage bodies of the corpus-prep oracle
+    (no WITH keyword, no final select) — exposed so composed pipelines
+    (plans/pipeline_ops._corpus_prep_chunked_oracle) can reuse the
+    exact same stages instead of text-splitting the full query."""
     quality = (
         f"({_hits_sql('lower(text)', STOPWORDS['en'])}"
         f"   / greatest(len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 1)) * 0.4"
@@ -192,8 +190,7 @@ def corpus_prep_sql(min_quality: float = 0.5) -> str:
         f" + (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END)"
         f"   * 0.3"
     )
-    return f"""
-WITH scored AS (
+    return f"""scored AS (
   SELECT doc_id, text, lang, source,
          len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
          {quality} AS quality_score
@@ -202,7 +199,18 @@ WITH scored AS (
 good AS (SELECT * FROM scored WHERE quality_score >= {min_quality}),
 keeps AS (
   SELECT MIN(doc_id) AS doc_id FROM good GROUP BY md5(lower(trim(text)))
-)
+)"""
+
+
+def corpus_prep_sql(min_quality: float = 0.5) -> str:
+    """Oracle for the composed corpus-prep pipeline (see
+    plans/pipeline_ops.corpus_prep): quality gate -> exact-dedup keep
+    -> per-(source, lang) rollup. The quality expression is the SAME
+    rational blend as TEXT_STATS_SQL, so the gate decisions match the
+    Spark side bit-for-bit; the rollup avoids double summation (MIN/MAX
+    of quality only) so no decimal staging is needed."""
+    return f"""
+WITH {corpus_prep_stages_sql(min_quality)}
 SELECT source, lang,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,

@@ -387,23 +387,11 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes, run to completion over the bounded events stream. Must
     equal the batch compaction, hence the SAME oracle as
     events_cdc_snapshot."""
-    from pyspark.sql import functions as F
-
     from ..operators.cdc import compact_log_stream
+    from .relational import CDC_LOG_ARGS, CDC_SNAPSHOT_COLS, events_cdc_log
 
-    log = _events_stream(spark, sf_dir).select(
-        "event_id",
-        "ts",
-        "user_id",
-        "event_type",
-        "value",
-        F.when(F.col("event_type") == "error", F.lit("delete"))
-        .otherwise(F.lit("upsert"))
-        .alias("op"),
-    )
-    snap = compact_log_stream(
-        log, key_cols=["user_id"], order_cols=["ts", "event_id"], op_col="op"
-    ).select("user_id", "event_id", "ts", "event_type", "value")
+    log = events_cdc_log(_events_stream(spark, sf_dir))
+    snap = compact_log_stream(log, **CDC_LOG_ARGS).select(*CDC_SNAPSHOT_COLS)
     out = _run_to_completion(snap, spark, output_mode="complete")
     return _restore_source_ts(out, spark, sf_dir)
 

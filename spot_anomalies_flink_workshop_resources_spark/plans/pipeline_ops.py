@@ -517,25 +517,16 @@ def corpus_prep_chunked(spark, sf_dir):
 
 
 def _corpus_prep_chunked_oracle() -> str:
-    from ..operators.chunking import chunk_windows_sql
-    from ..operators.text import corpus_prep_sql
+    from ..operators.chunking import chunk_windows_stages_sql
 
-    # reuse corpus_prep's scored/good/keeps stages verbatim, then feed
-    # the kept set into the chunking CTE chain
-    prep = T.corpus_prep_sql(min_quality=0.5)
-    stages = prep.split("SELECT source, lang,")[0].strip()
-    assert stages.endswith(")"), stages[-80:]
-    chunk = chunk_windows_sql(window=24, stride=16, relation="kept").strip()
-    assert chunk.startswith("WITH ")
-    chunk_stages = (
-        chunk[len("WITH "):].split("SELECT doc_id, chunk_id")[0].strip()
-    )
+    # compose from the SAME exposed CTE stage generators the standalone
+    # oracles use (no string surgery — the stage functions are the API)
     return f"""
-{stages},
+WITH {T.corpus_prep_stages_sql(min_quality=0.5)},
 kept AS (
   SELECT * FROM good WHERE doc_id IN (SELECT doc_id FROM keeps)
 ),
-{chunk_stages},
+{chunk_windows_stages_sql(window=24, stride=16, relation="kept")},
 chunk_rows AS (
   SELECT doc_id, CAST(len(c) AS BIGINT) AS chunk_tokens FROM chunks
 )

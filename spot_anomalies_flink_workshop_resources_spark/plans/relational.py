@@ -970,17 +970,18 @@ def _events_zorder_balanced_sql() -> str:
     return zorder_events_balanced_sql()
 
 
-def events_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC log compaction (operators.cdc.compact_log): treat the events
-    stream as a change log per user — 'error' events act as deletes,
-    everything else upserts — and compute the last-writer-wins snapshot
-    (the Delta/Hudi MERGE-compaction primitive)."""
+CDC_LOG_ARGS = dict(key_cols=["user_id"], order_cols=["ts", "event_id"], op_col="op")
+CDC_SNAPSHOT_COLS = ["user_id", "event_id", "ts", "event_type", "value"]
+
+
+def events_cdc_log(events: DataFrame) -> DataFrame:
+    """The events table viewed as a CDC change log: 'error' events act
+    as deletes, everything else upserts. Shared by the batch compaction
+    and its complete-mode streaming twin (harness.stream_cdc_snapshot)
+    so the delete-marker rule lives in exactly one place."""
     from pyspark.sql import functions as F
 
-    from ..operators.cdc import compact_log
-
-    events = load_table(spark, sf_dir, "events")
-    log = events.select(
+    return events.select(
         "event_id",
         "ts",
         "user_id",
@@ -990,9 +991,17 @@ def events_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("upsert"))
         .alias("op"),
     )
-    return compact_log(
-        log, key_cols=["user_id"], order_cols=["ts", "event_id"], op_col="op"
-    ).select("user_id", "event_id", "ts", "event_type", "value")
+
+
+def events_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (operators.cdc.compact_log): treat the events
+    stream as a change log per user (events_cdc_log) and compute the
+    last-writer-wins snapshot (the Delta/Hudi MERGE-compaction
+    primitive)."""
+    from ..operators.cdc import compact_log
+
+    log = events_cdc_log(load_table(spark, sf_dir, "events"))
+    return compact_log(log, **CDC_LOG_ARGS).select(*CDC_SNAPSHOT_COLS)
 
 
 def _events_cdc_snapshot_sql() -> str:

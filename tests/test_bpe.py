@@ -261,6 +261,9 @@ def test_batched_merges_reduce_rounds(spark):
     assert rows == _ref_bpe(texts, 64)
     assert len(rows) == 64
     assert stats["rounds"] * 5 <= len(rows), stats
+
+
+def test_pair_counts_rank_is_total_order(spark):
     texts = ["ab ab cd cd", "ab cd"]
     rows = bpe_pair_counts(_docs(spark, texts), top_k=10).collect()
     ranks = [r.merge_rank for r in rows]

@@ -77,6 +77,40 @@ def test_streaming_snapshot_equals_batch_compaction(spark, sf_dir):
     assert len(batch) < n_users
 
 
+def test_null_op_upserts_instead_of_deleting(spark):
+    """A winning row with op=NULL (CDC feeds often omit op on plain
+    inserts) must keep the key — NULL != 'delete' is NULL in 3VL and
+    would silently drop it without the coalesce guard."""
+    got = _snap(
+        spark,
+        [
+            ("a", 1, "upsert", "v1"),
+            ("a", 2, None, "v2"),
+            ("b", 1, None, "w1"),
+        ],
+    )
+    assert got == {"a": "v2", "b": "w1"}
+
+
+def test_batch_and_stream_compaction_share_schema(spark):
+    """The streaming twin must return the batch form's exact schema
+    (op column included) so the two are drop-in interchangeable."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.cdc import (
+        compact_log_stream,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, "upsert", "v1"), ("b", 2, "delete", "w1")], SCHEMA
+    )
+    batch = compact_log(df, key_cols=["k"], order_cols=["seq"], op_col="op")
+    # streaming plan built over the same schema (no need to execute: the
+    # analyzed schema is the contract)
+    stream_schema = compact_log_stream(
+        df, key_cols=["k"], order_cols=["seq"], op_col="op"
+    ).schema
+    assert [f.name for f in stream_schema] == batch.columns
+
+
 def test_stale_delete_is_ignored(spark):
     # a delete that is NOT the latest row must not remove the key
     got = _snap(
