@@ -365,10 +365,13 @@ GROUP BY sniffed_type
 
 def multimodal_features(spark, sf_dir):
     """Arrow-batched feature extraction + frame-sample explode over the
-    synthesized media — the full mapInPandas pipeline under the
-    driver's rows-only check (the md5-seeded stand-in features are
-    Python-side by design: the decode stage they stub has no SQL
-    twin)."""
+    synthesized media. The registered aggregate (per-media frame count
+    × feature dimensionality) is value-oracled — it pins the
+    frame-sampling explode arithmetic and that every media row passed
+    through the extractor with a full-width feature vector. The feature
+    VALUES stay unit-checked only: they are md5-over-raw-bytes and
+    DuckDB's md5 accepts VARCHAR, not BLOB (verified), so no SQL twin
+    can exist for the stub's content."""
     from pyspark.sql import functions as F
 
     from ..operators import multimodal as M
@@ -704,8 +707,15 @@ ORACLES = {
         pairs_inner=D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3)
     ),
     "multimodal_media_profile": MULTIMODAL_PROFILE_SQL,
-    # multimodal_features: intentionally rows-only (the stubbed decode
-    # stage's md5-seeded stand-in features live in Python)
+    # frame count = len(sequence(0, duration-1, 1000)) with duration
+    # (media_id%5+1)*1000 -> media_id%5+1; feature_dim pinned at the
+    # extractor's call-site dim
+    "multimodal_features": """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 5 + 1 AS BIGINT) AS n_frames,
+       CAST(8 AS BIGINT) AS feature_dim
+FROM documents
+""",
     "simsearch_brute_force": S.brute_force_topk_sql(),
     "simsearch_ivf": S.ivf_topk_sql(),
     "simsearch_ivf_probe2": S.ivf_topk_sql(n_probes=2),
