@@ -46,6 +46,12 @@ def chunk_windows(
     """
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
+    if stride > window:
+        # stride > window leaves coverage gaps AND can emit empty
+        # chunks past the final token (hypothesis-found: n=2, w=1, s=3
+        # plans a chunk at offset 3); overlap chunking requires
+        # stride <= window, which also guarantees full token coverage
+        raise ValueError("stride must be <= window (overlap >= 0)")
     toks = F.regexp_extract_all(
         F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
     )

@@ -79,3 +79,66 @@ def test_chunk_windows_covers_every_token_with_overlap(spark):
 
 def test_chunk_windows_empty_and_blank_docs_yield_no_rows(spark):
     assert chunk_windows(_docs(spark, ["", "   ", "?!"])).count() == 0
+
+
+def _ref_chunks(n_tokens, window, stride):
+    """Pure-Python chunk plan: (chunk_id, start, length) triples."""
+    if n_tokens == 0:
+        return []
+    n_chunks = (max(n_tokens - window, 0) + stride - 1) // stride + 1
+    return [
+        (i, i * stride, min(window, n_tokens - i * stride))
+        for i in range(n_chunks)
+    ]
+
+
+def test_chunk_plan_property(spark):
+    """Hypothesis sweep of the chunk-count/coverage arithmetic: for any
+    (n_tokens, window, stride) the Spark plan must equal the reference
+    triples, cover every token, and never emit an empty chunk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=400),
+        window=st.integers(min_value=1, max_value=50),
+        data=st.data(),
+    )
+    def check(n, window, data):
+        # the operator enforces stride <= window (overlap >= 0); the
+        # hypothesis run that allowed stride > window found real gaps
+        # and empty chunks, which is why the precondition exists
+        stride = data.draw(st.integers(min_value=1, max_value=window))
+        ref = _ref_chunks(n, window, stride)
+        covered = set()
+        for _, start, length in ref:
+            assert length > 0
+            covered |= set(range(start, start + length))
+        assert covered == set(range(n))
+
+    check()
+
+
+def test_chunk_windows_rejects_gappy_stride(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="stride must be <= window"):
+        chunk_windows(_docs(spark, ["a b c"]), window=2, stride=3)
+
+
+def test_chunk_windows_matches_reference_plan(spark):
+    """Spark output equals the pure-Python reference triples on a
+    boundary grid (the Spark side of the property above — one job per
+    grid, so the heavy sweep stays Python-side)."""
+    for n, window, stride in [
+        (0, 4, 3), (1, 1, 1), (5, 5, 5), (6, 5, 5), (7, 5, 3),
+        (50, 8, 5), (23, 24, 16), (25, 24, 16),
+    ]:
+        got = sorted(
+            (r.chunk_id, r.chunk_start, r.chunk_tokens)
+            for r in chunk_windows(
+                _docs(spark, [_tokens(n)]), window=window, stride=stride
+            ).collect()
+        )
+        assert got == _ref_chunks(n, window, stride), (n, window, stride)
