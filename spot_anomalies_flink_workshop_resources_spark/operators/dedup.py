@@ -705,6 +705,7 @@ def embedding_near_dup_ivf_trained(
     n_centroids: int = 16,
     max_iters: int = 5,
     n_probes: int = 1,
+    tol: float = 1e-6,
 ) -> DataFrame:
     """Production form of :func:`embedding_near_dup_ivf`: trained
     spherical-k-means centroids + the zero-shuffle broadcast-argmax
@@ -719,13 +720,24 @@ def embedding_near_dup_ivf_trained(
     act as candidate blocks, a pair is a candidate when EITHER side
     probes the other's index bucket, and candidates dedupe before the
     cosine verify — candidate work scales ~linearly with probes, still
-    O(N²·p/k). Iterative training ⇒ rows-only driver check; bucketing
-    equivalence and probe-recall are unit-tested.
+    O(N²·p/k). The fixed-point-quantized k-means combine makes the
+    trained centroids engine-independent, so the single-probe form is
+    value-oracle-checkable against the unrolled-Lloyd DuckDB twin
+    (:func:`embedding_near_dup_ivf_trained_sql`; pass ``tol=0.0`` so
+    both sides run exactly ``max_iters`` iterations); multi-probe
+    bucketing equivalence and probe-recall stay unit-tested.
     """
     from .simsearch import _dot, assign_buckets_argmax, kmeans_centroids
 
-    C = kmeans_centroids(embeddings, n_centroids=n_centroids, max_iters=max_iters)
+    C = kmeans_centroids(
+        embeddings, n_centroids=n_centroids, max_iters=max_iters, tol=tol
+    )
     assigned = assign_buckets_argmax(embeddings, C, n_probes=max(n_probes, 1))
+    # JVM-fold norms for the verify cosine: bit-identical to the
+    # oracle's list_sum fold (numpy norms differ in the last ulp)
+    assigned = assigned.withColumn(
+        "norm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
     index = assigned.where(F.col("rn") == 1)
     if n_probes <= 1:
         a, b = index.alias("a"), index.alias("b")
@@ -788,6 +800,41 @@ def embedding_near_dup_ivf_trained(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_dup_ivf_trained_sql(
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    max_iters: int = 5,
+    dim: int = 64,
+) -> str:
+    """DuckDB value oracle for the single-probe trained-IVF near-dup:
+    re-trains the k-means index from scratch (unrolled Lloyd CTEs,
+    bit-identical centroids via the fixed-point mean — see
+    ``simsearch.kmeans_centroids``), re-assigns buckets, and re-verifies
+    within-bucket cosines. Fully independent of the engine run."""
+    from .simsearch import _cos_sql, _cos_trained_sql, kmeans_centroids_ctes
+
+    return f"""
+WITH {kmeans_centroids_ctes(n_centroids, max_iters, dim)},
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_trained_sql('e', 'c', dim)} DESC,
+                                       c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN trained_cent c
+  ) WHERE rn = 1
+)
+SELECT aa.vec_id AS vec_a, bb.vec_id AS vec_b,
+       aa.cent_id AS centroid_id,
+       {_cos_sql('a', 'b', dim)} AS cosine
+FROM assigned aa
+JOIN assigned bb ON aa.cent_id = bb.cent_id AND aa.vec_id < bb.vec_id
+JOIN embeddings a ON a.vec_id = aa.vec_id
+JOIN embeddings b ON b.vec_id = bb.vec_id
+WHERE {_cos_sql('a', 'b', dim)} >= {threshold}
+"""
 
 
 def dup_components(

@@ -114,13 +114,28 @@ def kmeans_centroids(
     the driver for the combine — no N×k shuffle, no posexplode of the
     vector column, data never leaves the executors. Empty clusters keep
     their previous centroid. Stops early when the max centroid shift
-    (L2) drops below ``tol``.
+    (L2) drops below ``tol`` (pass ``tol=0.0`` to run exactly
+    ``max_iters`` iterations — required when checking against the
+    unrolled-SQL oracle, which has no early stop).
+
+    Exactness design (same pattern as :func:`label_centroids`): the
+    per-cluster mean is computed over components fixed-point quantized
+    by 2^20 — the int64 partial sums are associative-commutative, so
+    the combine is independent of partition count and collect order,
+    and the final ``(sum / count) / 2^20`` is one correctly-rounded
+    double division from exact integer inputs. The trained centroids
+    are therefore bit-identical across partitionings AND across
+    engines: ``kmeans_centroids_ctes`` re-derives the same matrix in
+    DuckDB SQL, making trained-index queries value-oracle-checkable
+    (≤5e-7 per-component quantization — far below any clustering
+    signal).
 
     Returns a (n_centroids, dim) NumPy array ordered by centroid id.
     """
     import numpy as np
     import pandas as pd
 
+    scale = 1 << 20
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -137,34 +152,166 @@ def kmeans_centroids(
         def partial(batches, _bc=bc):
             Cl = _bc.value
             cn = np.linalg.norm(Cl, axis=1)
-            sums = np.zeros_like(Cl)
-            cnts = np.zeros(kk)
+            sums = np.zeros((len(Cl), Cl.shape[1]), dtype=np.int64)
+            cnts = np.zeros(kk, dtype=np.int64)
             for pdf in batches:
                 X = np.stack(pdf["emb"].to_numpy())
                 xn = np.linalg.norm(X, axis=1)
                 cos = (X @ Cl.T) / (xn[:, None] * cn[None, :])
                 a = cos.argmax(axis=1)
-                np.add.at(sums, a, X)
+                Xq = np.floor(X * scale + 0.5).astype(np.int64)
+                np.add.at(sums, a, Xq)
                 cnts += np.bincount(a, minlength=kk)
             yield pd.DataFrame(
                 {"cid": np.arange(kk), "vsum": list(sums), "cnt": cnts}
             )
 
         rows = e.mapInPandas(
-            partial, "cid int, vsum array<double>, cnt double"
+            partial, "cid int, vsum array<long>, cnt long"
         ).collect()
         bc.unpersist()
-        sums = np.zeros_like(C)
-        cnts = np.zeros(kk)
+        sums = np.zeros((kk, C.shape[1]), dtype=np.int64)
+        cnts = np.zeros(kk, dtype=np.int64)
         for r in rows:
-            sums[r["cid"]] += np.asarray(r["vsum"])
+            sums[r["cid"]] += np.asarray(r["vsum"], dtype=np.int64)
             cnts[r["cid"]] += r["cnt"]
-        newC = np.where(cnts[:, None] > 0, sums / np.maximum(cnts, 1)[:, None], C)
+        means = (
+            sums.astype(np.float64) / np.maximum(cnts, 1)[:, None]
+        ) / float(scale)
+        newC = np.where(cnts[:, None] > 0, means, C)
         shift = float(np.abs(newC - C).max())
         C = newC
         if shift < tol:
             break
     return C
+
+
+def kmeans_centroids_ctes(
+    n_centroids: int = 16, max_iters: int = 5, dim: int = DIM
+) -> str:
+    """DuckDB CTE chain re-deriving :func:`kmeans_centroids` exactly —
+    ``max_iters`` Lloyd iterations unrolled (SQL has no loop; the Spark
+    side must be called with ``tol=0.0`` so neither engine early-stops).
+
+    Mirrors stage-for-stage: seed centroids = vectors with
+    ``vec_id < k`` ordered by vec_id; assignment = cosine argmax with
+    ties to the lower centroid id; update = fixed-point-quantized mean
+    (bit-identical to the engine's int64-sum combine, see
+    :func:`kmeans_centroids`); empty clusters keep their previous
+    centroid. Ends with ``trained_cent(cent_id, c_emb, c_norm)``.
+    """
+    scale = 1 << 20
+    parts = [
+        f"""pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ptsn AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS vn
+  FROM pts
+),
+cent0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         v AS c
+  FROM pts WHERE vec_id < {n_centroids}
+)"""
+    ]
+    for i in range(1, max_iters + 1):
+        prev = f"cent{i - 1}"
+        parts.append(
+            f""",
+asg{i} AS (
+  SELECT vec_id, cid, v FROM (
+    SELECT p.vec_id, c.cid, p.v,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, {dim}),
+                                              j -> p.v[j] * c.c[j]))
+                      / (p.vn * sqrt(list_sum(list_transform(c.c, x -> x * x))))
+                      DESC,
+                      c.cid ASC) AS rn
+    FROM ptsn p CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+cent{i} AS (
+  SELECT pc.cid, COALESCE(m.c, pc.c) AS c
+  FROM {prev} pc LEFT JOIN (
+    SELECT cid, list(mu ORDER BY idx) AS c FROM (
+      SELECT a.cid, t.idx,
+             (CAST(SUM(CAST(FLOOR(a.v[t.idx] * {scale} + 0.5) AS BIGINT))
+                   AS DOUBLE) / COUNT(*)) / {float(scale)!r} AS mu
+      FROM asg{i} a CROSS JOIN generate_series(1, {dim}) AS t(idx)
+      GROUP BY a.cid, t.idx
+    ) GROUP BY cid
+  ) m ON m.cid = pc.cid
+)"""
+        )
+    parts.append(
+        f""",
+trained_cent AS (
+  SELECT cid AS cent_id, c AS c_emb,
+         sqrt(list_sum(list_transform(c, x -> x * x))) AS c_norm
+  FROM cent{max_iters}
+)"""
+    )
+    return "".join(parts)
+
+
+def _cos_trained_sql(e: str, c: str, dim: int = DIM) -> str:
+    """Cosine between an embeddings row alias and a trained_cent alias."""
+    d = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"j -> {e}.embedding[j]::DOUBLE * {c}.c_emb[j]))"
+    )
+    ne = _DOT_SQL.format(dim=dim, x=e, y=e)
+    return f"{d} / (sqrt({ne}) * {c}.c_norm)"
+
+
+def ivf_topk_trained_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    max_iters: int = 5,
+    dim: int = DIM,
+    n_probes: int = 1,
+) -> str:
+    """Value oracle for the TRAINED-centroid ``ivf_topk`` path: DuckDB
+    re-trains the k-means index from scratch (unrolled Lloyd CTEs),
+    re-assigns buckets, and re-ranks — fully independent of the engine.
+    """
+    return f"""
+WITH {kmeans_centroids_ctes(n_centroids, max_iters, dim)},
+assign_scored AS (
+  SELECT e.vec_id, c.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_cos_trained_sql('e', 'c', dim)} DESC,
+                                     c.cent_id ASC) AS rn
+  FROM embeddings e CROSS JOIN trained_cent c
+),
+assigned AS (
+  SELECT vec_id, cent_id FROM assign_scored WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, cent_id FROM assign_scored WHERE rn <= {n_probes}
+),
+scored AS (
+  SELECT qa.vec_id AS query_id, ea.cent_id AS centroid_id,
+         ea.vec_id AS neighbor_id,
+         {_cos_sql('q', 'e', dim)} AS cosine
+  FROM probes qa
+  JOIN embeddings q ON q.vec_id = qa.vec_id
+  JOIN assigned ea ON ea.cent_id = qa.cent_id AND ea.vec_id <> qa.vec_id
+  JOIN embeddings e ON e.vec_id = ea.vec_id
+  WHERE qa.vec_id < {n_queries}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, centroid_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def assign_buckets_argmax(
@@ -263,6 +410,13 @@ def ivf_topk(
     if centroid_matrix is not None:
         scored = assign_buckets_argmax(
             embeddings, centroid_matrix, n_probes=max(n_probes, 1)
+        )
+        # recompute the vector norms with the JVM fold: the output
+        # cosine is then bit-identical to the oracle's list_sum fold
+        # (the numpy norm from the assignment pass differs in the last
+        # ulp — fine for bucketing, not for the value hash)
+        scored = scored.withColumn(
+            "norm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
         )
     else:
         e = _with_norm(embeddings)

@@ -250,12 +250,14 @@ def dedup_embedding_ivf(spark, sf_dir):
 
 
 def dedup_embedding_ivf_trained(spark, sf_dir):
-    """Trained-centroid + narrow-assignment near-dup (rows-only: the
-    k-means training is iterative; the seeded window twin above keeps
-    the value oracle). Same synthetic-data τ as the other embedding
-    queries."""
+    """Trained-centroid + narrow-assignment near-dup, value-oracled:
+    the fixed-point k-means combine makes the trained centroids
+    engine-independent, and the DuckDB twin re-trains the index from
+    scratch via unrolled Lloyd CTEs (tol=0.0 pins both sides to
+    exactly max_iters iterations). Same synthetic-data τ as the other
+    embedding queries."""
     return D.embedding_near_dup_ivf_trained(
-        _embs(spark, sf_dir), threshold=0.3, n_centroids=16
+        _embs(spark, sf_dir), threshold=0.3, n_centroids=16, tol=0.0
     )
 
 
@@ -410,12 +412,14 @@ def simsearch_ivf_probe2(spark, sf_dir):
 
 def simsearch_ivf_kmeans(spark, sf_dir):
     """IVF with TRAINED spherical-k-means centroids — the production
-    index build. Iterative (Lloyd's) ⇒ rows-only driver check; recall
-    quality vs seed centroids is unit-tested. Assignment goes through
-    the zero-shuffle broadcast-argmax pass (assign_buckets_argmax), not
-    the N×k join+window plan the seeded oracle twins keep."""
+    index build, now value-oracled: the fixed-point k-means combine is
+    engine-independent, and the DuckDB twin re-trains the index from
+    scratch (unrolled Lloyd CTEs; tol=0.0 pins both sides to exactly
+    max_iters iterations). Assignment goes through the zero-shuffle
+    broadcast-argmax pass (assign_buckets_argmax), not the N×k
+    join+window plan the seeded oracle twins keep."""
     embs = _embs(spark, sf_dir)
-    C = S.kmeans_centroids(embs, n_centroids=16, max_iters=5)
+    C = S.kmeans_centroids(embs, n_centroids=16, max_iters=5, tol=0.0)
     return S.ivf_topk(embs, centroid_matrix=C)
 
 
@@ -695,8 +699,12 @@ ORACLES = {
     "dedup_embedding_ivf": D.embedding_near_dup_ivf_sql(
         threshold=0.3, n_centroids=16
     ),
-    # dedup_embedding_ivf_trained: rows-only (iterative k-means training;
-    # the seeded window variant above carries the value oracle)
+    # trained-index twin re-derived from scratch in DuckDB: unrolled
+    # Lloyd CTEs + fixed-point centroid means (r3 #4 stretch: was
+    # rows-only "iterative training")
+    "dedup_embedding_ivf_trained": D.embedding_near_dup_ivf_trained_sql(
+        threshold=0.3, n_centroids=16
+    ),
     "dedup_components": D.dup_components_sql(threshold=0.5, shingle_n=3),
     # fixpoint twin: min-label-to-convergence == min reachable doc_id,
     # a DuckDB recursive CTE (r3 #4: was rows-only)
@@ -719,5 +727,7 @@ FROM documents
     "simsearch_brute_force": S.brute_force_topk_sql(),
     "simsearch_ivf": S.ivf_topk_sql(),
     "simsearch_ivf_probe2": S.ivf_topk_sql(n_probes=2),
+    # trained index re-derived from scratch in DuckDB (unrolled Lloyd)
+    "simsearch_ivf_kmeans": S.ivf_topk_trained_sql(),
     "simsearch_label_centroids": S.label_centroids_sql(),
 }
