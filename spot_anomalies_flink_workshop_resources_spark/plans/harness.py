@@ -765,6 +765,9 @@ WHERE src_endpoint.ip LIKE '10.%'
 # locally each round via tools/check_oracles.py — see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new or semantics-changed this round (round 4) --
+    "text_bm25_topk",
+    "simsearch_ivf_kmeans",
+    "dedup_embedding_ivf_trained",
     "events_zorder_balanced",
     "dedup_components_converged",
     "corpus_bpe_merges",

@@ -24,6 +24,12 @@ def _bpe_pairs_oracle() -> str:
     return bpe_pair_counts_sql()
 
 
+def _bm25_oracle() -> str:
+    from ..operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql()
+
+
 def _decontaminate_oracle() -> str:
     from ..operators.contamination import decontaminate_sql
 
@@ -56,6 +62,16 @@ def doc_fingerprint(spark, sf_dir):
 
 def text_ngram_profile(spark, sf_dir):
     return T.char_ngram_profile(_docs(spark, sf_dir))
+
+
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-10 per keyword query (operators/retrieval.py): the
+    corpus-search / retrieval-filter primitive. Broadcast query terms,
+    pre-shuffle vocabulary filter, deterministic token-order score
+    fold — value-oracled against an independent DuckDB derivation."""
+    from ..operators import retrieval as R
+
+    return R.bm25_topk(_docs(spark, sf_dir))
 
 
 def dedup_exact(spark, sf_dir):
@@ -631,6 +647,7 @@ QUERIES = {
     "text_token_rollup": token_rollup,
     "text_doc_fingerprint": doc_fingerprint,
     "text_ngram_profile": text_ngram_profile,
+    "text_bm25_topk": text_bm25_topk,
     "dedup_exact": dedup_exact,
     "corpus_prep": corpus_prep,
     "corpus_split": corpus_split,
@@ -679,6 +696,7 @@ ORACLES = {
     "text_token_rollup": T.TOKEN_ROLLUP_SQL,
     "text_doc_fingerprint": T.DOC_FINGERPRINT_SQL,
     "text_ngram_profile": T.char_ngram_profile_sql(),
+    "text_bm25_topk": _bm25_oracle(),
     "dedup_exact": D.EXACT_DEDUP_SQL,
     "corpus_prep": T.corpus_prep_sql(min_quality=0.5),
     "corpus_split": CORPUS_SPLIT_SQL,

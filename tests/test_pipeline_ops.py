@@ -679,3 +679,49 @@ def test_ivfpq_recall_floor_and_probe_monotonicity(spark, sf_dir):
     # full fan-out == scan-all PQ: the composition degrades to pq_topk
     pq = harvest(simsearch.pq_topk(embs, B, n_queries=8, k=5))
     assert by_probe[16] == pq
+
+
+def test_bm25_ranking_and_formula(spark):
+    from spot_anomalies_flink_workshop_resources_spark.operators import retrieval
+
+    # 3 docs: doc0 is stuffed with the query term, doc1 mentions it once
+    # in a longer doc, doc2 never — doc2 must not appear at all
+    df = _docs(
+        spark,
+        [
+            "cat cat cat",
+            "cat dog bird fish mouse horse",
+            "dog bird fish",
+        ],
+    )
+    out = retrieval.bm25_topk(df, queries=[(7, "cat")], k=10).collect()
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert [r.doc_id for r in by_rank] == [0, 1]
+    assert all(r.query_id == 7 for r in out)
+    assert by_rank[0].score > by_rank[1].score > 0
+    # hand-computed BM25 (k1=1.2, b=0.75): N=3, df=2, avgdl=4
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    for r, tf, dl in [(by_rank[0], 3.0, 3.0), (by_rank[1], 1.0, 6.0)]:
+        expect = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 4.0))
+        assert abs(r.score - expect) < 1e-12
+
+
+def test_bm25_multi_term_sums_contributions(spark):
+    from spot_anomalies_flink_workshop_resources_spark.operators import retrieval
+
+    df = _docs(spark, ["cat dog", "cat cat", "dog dog"])
+    one = {
+        (r.query_id, r.doc_id): r.score
+        for r in retrieval.bm25_topk(
+            df, queries=[(0, "cat"), (1, "dog")], k=10
+        ).collect()
+    }
+    both = {
+        r.doc_id: r.score
+        for r in retrieval.bm25_topk(df, queries=[(0, "cat dog")], k=10).collect()
+    }
+    # doc0 matches both terms: its two-term score is the sum of the
+    # single-term scores; single-term docs carry their one contribution
+    assert abs(both[0] - (one[(0, 0)] + one[(1, 0)])) < 1e-12
+    assert abs(both[1] - one[(0, 1)]) < 1e-12
+    assert abs(both[2] - one[(1, 2)]) < 1e-12
