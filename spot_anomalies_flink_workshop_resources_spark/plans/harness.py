@@ -766,6 +766,7 @@ WHERE src_endpoint.ip LIKE '10.%'
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new or semantics-changed this round (round 4) --
     "text_bm25_topk",
+    "events_gapfill",
     "simsearch_ivf_kmeans",
     "dedup_embedding_ivf_trained",
     "events_zorder_balanced",

@@ -1052,6 +1052,20 @@ def _events_column_profile_sql() -> str:
     return table_profile_sql("events", ["event_id", "user_id", "event_type", "ts"])
 
 
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with LOCF fill (operators/gapfill.py) — the
+    hypertable-style gap-fill rollup over the events stream table."""
+    from ..operators.gapfill import gapfill_locf
+
+    return gapfill_locf(load_table(spark, sf_dir, "events"))
+
+
+def _events_gapfill_sql() -> str:
+    from ..operators.gapfill import gapfill_locf_sql
+
+    return gapfill_locf_sql()
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1082,9 +1096,11 @@ QUERIES = {
     "events_skew_profile": events_skew_profile,
     "events_cdc_snapshot": events_cdc_snapshot,
     "events_column_profile": events_column_profile,
+    "events_gapfill": events_gapfill,
 }
 
 ORACLES = {
+    "events_gapfill": _events_gapfill_sql(),
     "events_zorder_layout": _events_zorder_sql(),
     "events_zorder_balanced": _events_zorder_balanced_sql(),
     "events_cdc_snapshot": _events_cdc_snapshot_sql(),
