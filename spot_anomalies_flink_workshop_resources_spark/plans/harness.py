@@ -245,6 +245,39 @@ HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT MAX(ts) FROM events)
 """
 
 
+def stream_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hopping-window rollup (2-hour windows sliding hourly
+    per event_type): each event lands in width/slide = 2 overlapping
+    windows. The oracle expands the same membership with a
+    generate_series cross join and applies the identical
+    watermark-finalization filter."""
+    from ..streaming.windows import hopping_rollup_stream
+
+    out = _run_to_completion(
+        hopping_rollup_stream(_events_stream(spark, sf_dir)), spark
+    )
+    return _restore_source_ts(out, spark, sf_dir)
+
+
+STREAM_HOPPING_ORACLE = """
+WITH member AS (
+  SELECT e.event_type, e.value,
+         date_trunc('hour', e.ts) - k.k * INTERVAL 1 HOUR AS window_start
+  FROM events e
+  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
+)
+SELECT window_start,
+       window_start + INTERVAL 2 HOUR AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM member
+GROUP BY window_start, event_type
+HAVING window_start + INTERVAL 2 HOUR <= (SELECT MAX(ts) FROM events)
+"""
+
+
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join run to completion: each click joins
     same-user purchases within the following hour. Two independent
@@ -767,6 +800,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new or semantics-changed this round (round 4) --
     "text_bm25_topk",
     "events_gapfill",
+    "stream_hopping_rollup",
     "simsearch_ivf_kmeans",
     "dedup_embedding_ivf_trained",
     "events_zorder_balanced",
@@ -848,6 +882,7 @@ def build_queries() -> dict[str, QueryFn]:
         "ml_ipinsights_score": ml_ipinsights_score,
         "stream_session_rollup": stream_session_rollup,
         "stream_tumbling_rollup": stream_tumbling_rollup,
+        "stream_hopping_rollup": stream_hopping_rollup,
         "stream_interval_join": stream_interval_join,
         "stream_interval_join_left": stream_interval_join_left,
         "stream_interval_join_full": stream_interval_join_full,
@@ -886,6 +921,7 @@ def build_oracles() -> dict[str, str]:
         "cep_fragmentation_stream": cep_fragmentation_oracle(),
         "stream_session_rollup": STREAM_SESSION_ORACLE,
         "stream_tumbling_rollup": STREAM_TUMBLING_ORACLE,
+        "stream_hopping_rollup": STREAM_HOPPING_ORACLE,
         "stream_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
         "stream_interval_join_left": STREAM_INTERVAL_JOIN_LEFT_ORACLE,
         "stream_interval_join_full": STREAM_INTERVAL_JOIN_FULL_ORACLE,

@@ -48,6 +48,37 @@ def session_rollup_stream(
     )
 
 
+def hopping_rollup_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = "ts",
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Hopping (sliding) window rollup: overlapping fixed-width windows
+    every ``slide`` — each event contributes to width/slide windows
+    (Spark expands the membership inline; state is per-(window, key),
+    watermark-evicted like the tumbling form). Same finalization
+    contract: only windows with end <= max(ts) emit."""
+    sum_value = (
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("string").cast("double")
+    )
+    events = events.withColumn(time_col, watermarkable(F.col(time_col)))
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), width, slide), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), sum_value.alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def tumbling_rollup_stream(
     events: DataFrame,
     key_col: str = "event_type",
