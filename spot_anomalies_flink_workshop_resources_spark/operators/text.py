@@ -451,3 +451,105 @@ def top_terms_sketch(
             f"{n_total}/{capacity}); raise capacity"
         )
     return exact
+
+
+def lm_score(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Character-n-gram language-model scoring — the LM-based quality
+    signal real corpus filters use (CCNet-style: score each document's
+    perplexity under a model of its own language; outliers are boiler-
+    plate, gibberish, or mislabeled-language docs).
+
+    Model: add-one-smoothed n-gram frequencies per language, trained on
+    the corpus itself in one vocab-keyed aggregation. Scoring joins the
+    gram stream back against the BROADCAST model (vocab-sized) and the
+    per-language totals (|langs| rows), then reduces per document.
+
+    Exactness design: the per-document sum of -ln P(gram) values is
+    float and would be partition-order-dependent under a plain SUM, so
+    each gram's nll is fixed-point quantized by 2^30 and summed as
+    int64 (associative-commutative ⇒ partitioning-independent, same
+    pattern as simsearch.label_centroids); avg_nll is one correctly-
+    rounded division from exact integers. Quantization error ≤ 2^-31
+    per gram — far inside the 1e-9 oracle tolerance, and deterministic.
+
+    Output: (doc_id, lang, n_grams, avg_nll, perplexity); documents
+    shorter than n characters have no grams and are excluded.
+    """
+    scale = 1 << 30
+    grams = (
+        docs.selectExpr("doc_id", "lang", "lower(text) AS lt")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            f"explode(CASE WHEN length(lt) >= {n} THEN "
+            f"transform(sequence(1, length(lt) - {n - 1}),"
+            f" i -> substring(lt, i, {n})) "
+            f"ELSE array() END) AS gram",
+        )
+    )
+    model = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    lang_stats = model.groupBy("lang").agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    nll = -F.log(
+        (F.col("cnt").cast("double") + F.lit(1.0))
+        / (F.col("total") + F.col("vocab"))
+    )
+    q = F.floor(nll * scale + F.lit(0.5)).cast("long")
+    avg_nll = (
+        F.col("s").cast("double") / F.col("n_grams").cast("double")
+    ) / F.lit(float(scale))
+    return (
+        grams.join(F.broadcast(model), ["lang", "gram"])
+        .join(F.broadcast(lang_stats), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(q).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            avg_nll.alias("avg_nll"),
+            F.exp(avg_nll).alias("perplexity"),
+        )
+    )
+
+
+def lm_score_sql(n: int = 3) -> str:
+    scale = 1 << 30
+    return f"""
+WITH grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           generate_series(1, greatest(length(lower(text)) - {n - 1}, 0)),
+           i -> substr(lower(text), i, {n}))) AS gram
+  FROM documents
+),
+model AS (
+  SELECT lang, gram, COUNT(*) AS cnt FROM grams GROUP BY lang, gram
+),
+lang_stats AS (
+  SELECT lang, CAST(SUM(cnt) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS vocab
+  FROM model GROUP BY lang
+),
+scored AS (
+  SELECT g.doc_id, g.lang,
+         CAST(FLOOR(-ln((CAST(m.cnt AS DOUBLE) + 1.0) / (s.total + s.vocab))
+                    * {scale} + 0.5) AS BIGINT) AS q
+  FROM grams g
+  JOIN model m ON m.lang = g.lang AND m.gram = g.gram
+  JOIN lang_stats s ON s.lang = g.lang
+),
+per_doc AS (
+  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         (CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+           / {float(scale)!r} AS avg_nll
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_grams, avg_nll, exp(avg_nll) AS perplexity
+FROM per_doc
+"""

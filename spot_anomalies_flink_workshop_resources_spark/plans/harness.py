@@ -799,6 +799,7 @@ WHERE src_endpoint.ip LIKE '10.%'
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new or semantics-changed this round (round 4) --
     "text_bm25_topk",
+    "text_lm_score",
     "events_gapfill",
     "stream_hopping_rollup",
     "simsearch_ivf_kmeans",

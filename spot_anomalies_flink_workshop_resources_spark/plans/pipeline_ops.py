@@ -64,6 +64,13 @@ def text_ngram_profile(spark, sf_dir):
     return T.char_ngram_profile(_docs(spark, sf_dir))
 
 
+def text_lm_score(spark, sf_dir):
+    """Char-trigram LM perplexity per document (operators/text.lm_score):
+    the CCNet-style corpus quality signal. Broadcast vocab-sized model,
+    fixed-point nll sums for partitioning-independent exactness."""
+    return T.lm_score(_docs(spark, sf_dir))
+
+
 def text_bm25_topk(spark, sf_dir):
     """BM25 top-10 per keyword query (operators/retrieval.py): the
     corpus-search / retrieval-filter primitive. Broadcast query terms,
@@ -648,6 +655,7 @@ QUERIES = {
     "text_doc_fingerprint": doc_fingerprint,
     "text_ngram_profile": text_ngram_profile,
     "text_bm25_topk": text_bm25_topk,
+    "text_lm_score": text_lm_score,
     "dedup_exact": dedup_exact,
     "corpus_prep": corpus_prep,
     "corpus_split": corpus_split,
@@ -697,6 +705,7 @@ ORACLES = {
     "text_doc_fingerprint": T.DOC_FINGERPRINT_SQL,
     "text_ngram_profile": T.char_ngram_profile_sql(),
     "text_bm25_topk": _bm25_oracle(),
+    "text_lm_score": T.lm_score_sql(),
     "dedup_exact": D.EXACT_DEDUP_SQL,
     "corpus_prep": T.corpus_prep_sql(min_quality=0.5),
     "corpus_split": CORPUS_SPLIT_SQL,

@@ -725,3 +725,24 @@ def test_bm25_multi_term_sums_contributions(spark):
     assert abs(both[0] - (one[(0, 0)] + one[(1, 0)])) < 1e-12
     assert abs(both[1] - one[(0, 1)]) < 1e-12
     assert abs(both[2] - one[(1, 2)]) < 1e-12
+
+
+def test_lm_score_flags_out_of_distribution_docs(spark):
+    # 9 docs share a repetitive trigram distribution; one is gibberish —
+    # its average nll (and perplexity) must be the corpus max
+    common = ["the cat sat on the mat " * 3] * 9
+    df = _docs(spark, common + ["zqxjkwvb qpzm xkcd vwxyz"])
+    out = {r.doc_id: r for r in text.lm_score(df).collect()}
+    assert len(out) == 10
+    gib = out[9]
+    assert all(gib.avg_nll > out[i].avg_nll for i in range(9))
+    assert all(gib.perplexity > out[i].perplexity for i in range(9))
+    # n_grams = length - 2 for trigrams
+    assert out[0].n_grams == len(common[0]) - 2
+    assert abs(out[0].perplexity - math.exp(out[0].avg_nll)) < 1e-12
+
+
+def test_lm_score_skips_sub_n_docs(spark):
+    df = _docs(spark, ["ab", "abcd"])
+    rows = text.lm_score(df).collect()
+    assert [r.doc_id for r in rows] == [1]
