@@ -436,3 +436,56 @@ FROM shares
 
 
 MIXTURE_WEIGHTS_SQL = _mixture_weights_sql()
+
+
+def weighted_sample(
+    docs: DataFrame, k: int = 50, weight_col: str = "n_chars"
+) -> DataFrame:
+    """Exact-k weighted sample WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): each row draws a deterministic uniform u from the md5 of its
+    id and competes with key ln(u)/w — the k LARGEST keys win, giving
+    inclusion probability proportional to weight. Sampling by length/
+    token count is how token-budget corpus mixtures are actually drawn.
+
+    Replayable like hash_rank_sample: the coin is content-stable (md5
+    of doc_id, mapped to (0,1) via the first 13 hex digits — 2^52
+    grid, exact in a double), so membership survives reshuffles and
+    re-reads. Plan: narrow per-row key compute, then orderBy+limit →
+    TakeOrdered per-partition heaps, no global sort.
+
+    ``u`` is strictly inside (0,1) (offset +0.5 on the integer grid),
+    so ln(u) is finite and negative; larger weights divide it toward
+    zero. Ties (impossible on distinct ids) break on lower doc_id.
+    """
+    grid = float(16 ** 13)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(grid)
+    lkey = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        docs.select(
+            "doc_id", "lang", "source",
+            F.col(weight_col).cast("long").alias("weight"),
+            lkey.alias("lkey"),
+        )
+        .orderBy(F.desc("lkey"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(k: int = 50, weight_col: str = "n_chars") -> str:
+    grid = float(16 ** 13)
+    u = (
+        "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT"
+        f"::DOUBLE + 0.5) / {grid!r})"
+    )
+    return f"""
+SELECT doc_id, lang, source,
+       CAST({weight_col} AS BIGINT) AS weight,
+       ln({u}) / CAST({weight_col} AS DOUBLE) AS lkey
+FROM documents
+ORDER BY lkey DESC, doc_id ASC
+LIMIT {k}
+"""

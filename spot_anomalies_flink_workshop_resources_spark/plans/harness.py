@@ -800,6 +800,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new or semantics-changed this round (round 4) --
     "text_bm25_topk",
     "text_lm_score",
+    "corpus_sample_weighted",
     "events_gapfill",
     "stream_hopping_rollup",
     "simsearch_ivf_kmeans",

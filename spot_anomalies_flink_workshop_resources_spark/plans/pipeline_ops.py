@@ -64,6 +64,13 @@ def text_ngram_profile(spark, sf_dir):
     return T.char_ngram_profile(_docs(spark, sf_dir))
 
 
+def corpus_sample_weighted(spark, sf_dir):
+    """Exact-k weighted (by n_chars) sample without replacement —
+    Efraimidis-Spirakis keys on a content-stable md5 coin
+    (operators/quality.weighted_sample)."""
+    return Q.weighted_sample(_docs(spark, sf_dir), k=50)
+
+
 def text_lm_score(spark, sf_dir):
     """Char-trigram LM perplexity per document (operators/text.lm_score):
     the CCNet-style corpus quality signal. Broadcast vocab-sized model,
@@ -647,6 +654,7 @@ QUERIES = {
     "text_pii_redact": text_pii_redact,
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_sample_exact_k": corpus_sample_exact_k,
+    "corpus_sample_weighted": corpus_sample_weighted,
     "corpus_sample_exact_k_per_lang": corpus_sample_exact_k_per_lang,
     "corpus_mixture_weights": corpus_mixture_weights,
     "text_stats": text_stats,
@@ -697,6 +705,7 @@ ORACLES = {
     "text_pii_redact": Q.PII_REDACT_SQL,
     "corpus_sample_stratified": Q.stratified_sample_sql(),
     "corpus_sample_exact_k": Q.hash_rank_sample_sql(k=50),
+    "corpus_sample_weighted": Q.weighted_sample_sql(k=50),
     "corpus_sample_exact_k_per_lang": Q.hash_rank_sample_sql(k=20, by="lang"),
     "corpus_mixture_weights": Q.MIXTURE_WEIGHTS_SQL,
     "text_stats": T.TEXT_STATS_SQL,

@@ -115,3 +115,37 @@ def test_mixture_weights_rejects_non_sqrt_alpha(spark):
     docs = _docs(spark, [("a", "en")])
     with pytest.raises(ValueError):
         Q.mixture_weights(docs, alpha=0.7)
+
+
+def test_weighted_sample_key_formula_and_exact_k(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.quality import (
+        weighted_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text="x", lang="en", source="s", n_chars=w)
+            for i, w in [(0, 1), (1, 10), (2, 100), (3, 1000)]
+        ]
+    )
+    out = {r.doc_id: r for r in weighted_sample(docs, k=3).collect()}
+    # exact k
+    assert len(out) == 3
+    # key formula matches an independent Python derivation
+    for doc_id, r in out.items():
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / float(16 ** 13)
+        expect = math.log(u) / {0: 1, 1: 10, 2: 100, 3: 1000}[doc_id]
+        assert abs(r.lkey - expect) < 1e-15
+    # the dropped doc is the one with the smallest key
+    all_keys = {}
+    for doc_id, w in [(0, 1), (1, 10), (2, 100), (3, 1000)]:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16)
+        all_keys[doc_id] = math.log((h + 0.5) / float(16 ** 13)) / w
+    dropped = min(all_keys, key=all_keys.get)
+    assert dropped not in out
