@@ -406,3 +406,36 @@ def test_flagship_plan_invariants(spark, sf_dir):
     # semi/anti joins, not a per-row subquery
     p = plan("sql_supplier_waits")
     assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_new_operator_plan_invariants(spark, sf_dir):
+    """Scale-posture pins for the round-4 additions: the tiny sides
+    broadcast, top-k compiles to per-partition heaps, and the dense
+    spine never shuffles raw data."""
+    from spot_anomalies_flink_workshop_resources_spark.plans import harness
+
+    def plan(name):
+        df = harness.build_queries()[name](spark, sf_dir)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # bm25: query terms / df / stats all broadcast; no cartesian blowup
+    p = plan("text_bm25_topk")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p
+    # lm score: vocab model and lang stats broadcast back to the stream
+    p = plan("text_lm_score")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+    # weighted sample: TakeOrdered heaps, not a global sort
+    p = plan("corpus_sample_weighted")
+    assert "TakeOrderedAndProject" in p, p
+    # gapfill: the one-row spine reaches the grid via broadcast; the
+    # only hash exchanges belong to the bucket aggregation + grid join,
+    # never a raw-event sort
+    p = plan("events_gapfill")
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p
