@@ -802,6 +802,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_lm_score",
     "corpus_sample_weighted",
     "events_gapfill",
+    "events_funnel",
+    "events_retention",
     "stream_hopping_rollup",
     "simsearch_ivf_kmeans",
     "dedup_embedding_ivf_trained",

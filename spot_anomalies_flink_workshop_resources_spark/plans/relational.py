@@ -1052,6 +1052,33 @@ def _events_column_profile_sql() -> str:
     return table_profile_sql("events", ["event_id", "user_id", "event_type", "ts"])
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view->click->purchase funnel per user
+    (operators/funnel.py): one exchange, stacked window minima."""
+    from ..operators.funnel import funnel
+
+    return funnel(load_table(spark, sf_dir, "events"))
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/funnel.retention)."""
+    from ..operators.funnel import retention
+
+    return retention(load_table(spark, sf_dir, "events"))
+
+
+def _events_funnel_sql() -> str:
+    from ..operators.funnel import funnel_sql
+
+    return funnel_sql()
+
+
+def _events_retention_sql() -> str:
+    from ..operators.funnel import RETENTION_SQL
+
+    return RETENTION_SQL
+
+
 def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly series with LOCF fill (operators/gapfill.py) — the
     hypertable-style gap-fill rollup over the events stream table."""
@@ -1097,10 +1124,14 @@ QUERIES = {
     "events_cdc_snapshot": events_cdc_snapshot,
     "events_column_profile": events_column_profile,
     "events_gapfill": events_gapfill,
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
 }
 
 ORACLES = {
     "events_gapfill": _events_gapfill_sql(),
+    "events_funnel": _events_funnel_sql(),
+    "events_retention": _events_retention_sql(),
     "events_zorder_layout": _events_zorder_sql(),
     "events_zorder_balanced": _events_zorder_balanced_sql(),
     "events_cdc_snapshot": _events_cdc_snapshot_sql(),

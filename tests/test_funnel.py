@@ -1,0 +1,104 @@
+"""Funnel ordering semantics and cohort retention on hand-built data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from spot_anomalies_flink_workshop_resources_spark.operators.funnel import (
+    funnel,
+    retention,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=ts,
+                user_id=u,
+                event_type=et,
+                value=1.0,
+                props="{}",
+            )
+            for i, (u, et, ts) in enumerate(rows)
+        ]
+    )
+
+
+def _t(m):
+    return dt.datetime(2024, 1, 1, 12, m)
+
+
+def test_funnel_requires_strict_order(spark):
+    df = _events(
+        spark,
+        [
+            # user 1 completes in order
+            (1, "view", _t(0)), (1, "click", _t(1)), (1, "purchase", _t(2)),
+            # user 2: click BEFORE the first view -> stalls at view
+            (2, "click", _t(0)), (2, "view", _t(1)),
+            # user 3: click ties the view timestamp -> tie does not advance
+            (3, "view", _t(0)), (3, "click", _t(0)),
+            # user 4: purchase without click -> stalls at view
+            (4, "view", _t(0)), (4, "purchase", _t(5)),
+            # user 5: never views
+            (5, "purchase", _t(0)),
+        ],
+    )
+    out = {r.stage: r.n_users for r in funnel(df).collect()}
+    assert out == {"view": 4, "click": 1, "purchase": 1}
+
+
+def test_funnel_later_click_still_counts(spark):
+    # the FIRST click after the first view qualifies even when earlier
+    # clicks exist before the view
+    df = _events(
+        spark,
+        [
+            (1, "click", _t(0)), (1, "view", _t(1)), (1, "click", _t(2)),
+            (1, "purchase", _t(3)),
+        ],
+    )
+    out = {r.stage: r.n_users for r in funnel(df).collect()}
+    assert out == {"view": 1, "click": 1, "purchase": 1}
+
+
+def test_funnel_single_exchange_plan(spark):
+    df = _events(spark, [(1, "view", _t(0))])
+    p = funnel(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # all three stage windows + the per-user rollup share one user_id
+    # hash partitioning: exactly one hash exchange (the second exchange
+    # is the SinglePartition gather of the 3-long global-count row)
+    assert p.count("Arguments: hashpartitioning") == 1, p
+    assert p.count("Arguments: SinglePartition") == 1, p
+
+
+def test_retention_offsets(spark):
+    w0 = dt.datetime(2024, 1, 1)   # a Monday
+    w1 = w0 + dt.timedelta(days=7)
+    w3 = w0 + dt.timedelta(days=21)
+    df = _events(
+        spark,
+        [
+            (1, "view", w0), (1, "view", w1), (1, "view", w3),
+            (2, "view", w1),
+            (2, "view", w1 + dt.timedelta(days=2)),  # same week: one row
+        ],
+    )
+    out = {
+        (r.cohort_week.date(), r.week_offset): r.n_active_users
+        for r in retention(df).collect()
+    }
+    assert out == {
+        (w0.date(), 0): 1,
+        (w0.date(), 1): 1,
+        (w0.date(), 3): 1,
+        (w1.date(), 0): 1,
+    }
