@@ -413,6 +413,98 @@ SELECT * FROM matched UNION ALL SELECT * FROM unmatched
 """
 
 
+def _click_purchase_streams(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return clicks, purchases
+
+
+def stream_interval_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join (native leftSemi): clicks
+    that converted — a purchase followed within the hour. Each click
+    emits at most once; no null finalization, so the oracle is the
+    plain EXISTS filter."""
+    from ..streaming.joins import interval_join_stream_semi
+
+    clicks, purchases = _click_purchase_streams(spark, sf_dir)
+    out = _run_to_completion(
+        interval_join_stream_semi(
+            clicks, purchases, key="user_id",
+            left_ts="click_ts", right_ts="purchase_ts",
+            lower="0 seconds", upper="1 hour",
+        ),
+        spark,
+    )
+    return _restore_source_ts(out, spark, sf_dir)
+
+
+STREAM_INTERVAL_JOIN_SEMI_ORACLE = """
+SELECT c.event_id AS click_id, c.user_id AS user_id, c.ts AS click_ts
+FROM events c
+WHERE c.event_type = 'click'
+  AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+"""
+
+
+def stream_interval_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT ANTI interval join — the abandonment stream
+    (clicks whose hour closed with no purchase), derived from the
+    left-outer join's watermark-gated null rows. Oracle applies the
+    identical finalization boundary (window end strictly before the
+    min-of-sides final watermark)."""
+    from ..streaming.joins import interval_join_stream_anti
+
+    clicks, purchases = _click_purchase_streams(spark, sf_dir)
+    out = _run_to_completion(
+        interval_join_stream_anti(
+            clicks, purchases, key="user_id",
+            left_ts="click_ts", right_ts="purchase_ts",
+            lower="0 seconds", upper="1 hour",
+        ),
+        spark,
+    )
+    return _restore_source_ts(out, spark, sf_dir)
+
+
+STREAM_INTERVAL_JOIN_ANTI_ORACLE = """
+WITH wm AS (
+  SELECT LEAST(
+    (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')) AS mx
+)
+SELECT c.event_id AS click_id, c.user_id AS user_id, c.ts AS click_ts
+FROM events c, wm
+WHERE c.event_type = 'click'
+  AND c.ts + INTERVAL 1 HOUR < wm.mx
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+"""
+
+
 def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC snapshot in COMPLETE output mode (the engine's
     only complete-mode surface — a continuously maintained upsert view):
@@ -805,6 +897,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_funnel",
     "events_retention",
     "stream_hopping_rollup",
+    "stream_interval_join_semi",
+    "stream_interval_join_anti",
     "simsearch_ivf_kmeans",
     "dedup_embedding_ivf_trained",
     "events_zorder_balanced",
@@ -890,6 +984,8 @@ def build_queries() -> dict[str, QueryFn]:
         "stream_interval_join": stream_interval_join,
         "stream_interval_join_left": stream_interval_join_left,
         "stream_interval_join_full": stream_interval_join_full,
+        "stream_interval_join_semi": stream_interval_join_semi,
+        "stream_interval_join_anti": stream_interval_join_anti,
         "stream_cdc_snapshot": stream_cdc_snapshot,
         "batch_interval_join_bucketed": batch_interval_join_bucketed,
         "stream_distinct_pairs": stream_distinct_pairs,
@@ -929,6 +1025,8 @@ def build_oracles() -> dict[str, str]:
         "stream_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
         "stream_interval_join_left": STREAM_INTERVAL_JOIN_LEFT_ORACLE,
         "stream_interval_join_full": STREAM_INTERVAL_JOIN_FULL_ORACLE,
+        "stream_interval_join_semi": STREAM_INTERVAL_JOIN_SEMI_ORACLE,
+        "stream_interval_join_anti": STREAM_INTERVAL_JOIN_ANTI_ORACLE,
         # complete-mode streaming snapshot == batch compaction: same oracle
         "stream_cdc_snapshot": relational.ORACLES["events_cdc_snapshot"],
         # bucketized batch twin: identical semantics, same oracle

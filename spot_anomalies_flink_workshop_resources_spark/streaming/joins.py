@@ -154,3 +154,66 @@ def interval_join_stream_full(
         *[F.col(f"l.{c}") for c in lcols],
         *[F.col(f"r.{c}") for c in rcols],
     )
+
+
+def interval_join_stream_semi(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """LEFT SEMI interval join (native stream-stream leftSemi): each
+    left row emits AT MOST ONCE, when its first in-range right row
+    arrives — the "which clicks converted" stream. State bounds match
+    the inner join's (watermark evicts closed windows); no null
+    emission, so no finalization subtlety: the bounded-run result is
+    exactly the EXISTS filter."""
+    left = left.withColumn(left_ts, watermarkable(F.col(left_ts)))
+    right = right.withColumn(right_ts, watermarkable(F.col(right_ts)))
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} + INTERVAL {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "leftSemi")
+
+
+def interval_join_stream_anti(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """LEFT ANTI interval join — the abandonment stream (left rows
+    whose window closed with NO in-range right row). Structured
+    Streaming has no native stream-stream leftAnti, so this derives it
+    the only watermark-sound way: the LEFT OUTER join's null rows ARE
+    the anti set (they emit exactly when the watermark proves no match
+    can arrive), filtered and projected back to the left columns.
+    Finalization contract: rows only for left windows that closed
+    strictly before the final global watermark — identical boundary to
+    the outer join's null emission."""
+    probe = f"__anti_{right_ts}"
+    outer = interval_join_stream_left(
+        left,
+        right.select(F.col(key), F.col(right_ts).alias(probe)),
+        key=key,
+        left_ts=left_ts,
+        right_ts=probe,
+        lower=lower,
+        upper=upper,
+        watermark=watermark,
+    )
+    return outer.where(F.col(probe).isNull()).select(
+        *[F.col(f"l.{c}") for c in left.columns]
+    )
