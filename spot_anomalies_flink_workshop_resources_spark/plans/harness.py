@@ -896,6 +896,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_gapfill",
     "events_funnel",
     "events_retention",
+    "dq_referential_integrity",
     "stream_hopping_rollup",
     "stream_interval_join_semi",
     "stream_interval_join_anti",

@@ -1052,6 +1052,21 @@ def _events_column_profile_sql() -> str:
     return table_profile_sql("events", ["event_id", "user_id", "event_type", "ts"])
 
 
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit over the star-schema spine
+    (operators/dq.py): one pruned-scan left join + aggregate per
+    declared relationship."""
+    from ..operators.dq import referential_integrity
+
+    return referential_integrity(load_table, spark, sf_dir)
+
+
+def _dq_referential_integrity_sql() -> str:
+    from ..operators.dq import referential_integrity_sql
+
+    return referential_integrity_sql()
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered view->click->purchase funnel per user
     (operators/funnel.py): one exchange, stacked window minima."""
@@ -1125,12 +1140,14 @@ QUERIES = {
     "events_column_profile": events_column_profile,
     "events_gapfill": events_gapfill,
     "events_funnel": events_funnel,
+    "dq_referential_integrity": dq_referential_integrity,
     "events_retention": events_retention,
 }
 
 ORACLES = {
     "events_gapfill": _events_gapfill_sql(),
     "events_funnel": _events_funnel_sql(),
+    "dq_referential_integrity": _dq_referential_integrity_sql(),
     "events_retention": _events_retention_sql(),
     "events_zorder_layout": _events_zorder_sql(),
     "events_zorder_balanced": _events_zorder_balanced_sql(),

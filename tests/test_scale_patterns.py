@@ -439,3 +439,27 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_gapfill")
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_dq_audit_counts_orphans_and_null_fks(spark):
+    """Orphans and NULL fks are distinguished on a fixture with both."""
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.dq import (
+        referential_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [Row(fk=1), Row(fk=2), Row(fk=99), Row(fk=None)]
+    )
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2), Row(pk=3)])
+    tables = {"c": child, "p": parent}
+    out = referential_integrity(
+        lambda _s, _d, name: tables[name],
+        spark,
+        "",
+        relationships=(("c.fk", "c", "fk", "p", "pk"),),
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_rows, r.n_null_fk, r.n_orphans) == (4, 1, 1)
