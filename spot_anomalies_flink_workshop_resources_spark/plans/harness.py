@@ -893,6 +893,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bm25_topk",
     "text_lm_score",
     "corpus_sample_weighted",
+    "corpus_curation_sample",
     "events_gapfill",
     "events_funnel",
     "events_retention",

@@ -88,6 +88,68 @@ def text_bm25_topk(spark, sf_dir):
     return R.bm25_topk(_docs(spark, sf_dir))
 
 
+def corpus_curation_sample(spark, sf_dir):
+    """END-TO-END curation pipeline as ONE fused declarative plan —
+    the full shape a training-corpus build runs: quality gate
+    (stat_cols blend >= 0.5) -> LM perplexity filter (corpus-trained
+    trigram model, avg_nll <= 5.42 prunes the out-of-distribution
+    tail) -> exact-dedup keep (min doc_id per content hash) ->
+    weighted sample (Efraimidis-Spirakis by n_chars, k=100). Every
+    stage is an already-oracle-checked operator; the oracle composes
+    the SAME stage bodies, so the composition itself is value-checked,
+    not just its pieces (the corpus_prep_chunked pattern)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    c = T.stat_cols()
+    good = docs.select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        c["quality_score"].alias("quality_score"),
+    ).where(F.col("quality_score") >= 0.5)
+    lm = T.lm_score(docs).select("doc_id", "avg_nll")
+    surv = good.join(lm, "doc_id").where(F.col("avg_nll") <= 5.42)
+    keeps = (
+        surv.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = surv.join(keeps, "doc_id", "left_semi")
+    return weighted_sample(kept, k=100)
+
+
+def _curation_sample_oracle() -> str:
+    from ..operators.text import corpus_prep_stages_sql, lm_score_sql
+
+    grid = float(16 ** 13)
+    u = (
+        "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT"
+        f"::DOUBLE + 0.5) / {grid!r})"
+    )
+    return f"""
+WITH {corpus_prep_stages_sql(0.5)},
+lm AS (SELECT doc_id, avg_nll FROM ({lm_score_sql()})),
+surv AS (
+  SELECT g.doc_id, g.text, g.lang, g.source, d.n_chars
+  FROM good g
+  JOIN documents d ON d.doc_id = g.doc_id
+  JOIN lm ON lm.doc_id = g.doc_id
+  WHERE lm.avg_nll <= 5.42
+),
+keep2 AS (
+  SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY md5(lower(trim(text)))
+)
+SELECT doc_id, lang, source,
+       CAST(n_chars AS BIGINT) AS weight,
+       ln({u}) / CAST(n_chars AS DOUBLE) AS lkey
+FROM surv
+WHERE doc_id IN (SELECT doc_id FROM keep2)
+ORDER BY lkey DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 def dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
@@ -655,6 +717,7 @@ QUERIES = {
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_sample_exact_k": corpus_sample_exact_k,
     "corpus_sample_weighted": corpus_sample_weighted,
+    "corpus_curation_sample": corpus_curation_sample,
     "corpus_sample_exact_k_per_lang": corpus_sample_exact_k_per_lang,
     "corpus_mixture_weights": corpus_mixture_weights,
     "text_stats": text_stats,
@@ -706,6 +769,7 @@ ORACLES = {
     "corpus_sample_stratified": Q.stratified_sample_sql(),
     "corpus_sample_exact_k": Q.hash_rank_sample_sql(k=50),
     "corpus_sample_weighted": Q.weighted_sample_sql(k=50),
+    "corpus_curation_sample": _curation_sample_oracle(),
     "corpus_sample_exact_k_per_lang": Q.hash_rank_sample_sql(k=20, by="lang"),
     "corpus_mixture_weights": Q.MIXTURE_WEIGHTS_SQL,
     "text_stats": T.TEXT_STATS_SQL,
