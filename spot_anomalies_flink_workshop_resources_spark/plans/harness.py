@@ -245,6 +245,53 @@ HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT MAX(ts) FROM events)
 """
 
 
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap streaming sessions ('error' holds 30 min, others
+    1 h); the oracle re-derives the merge with a running max of
+    (ts + gap) per user and the same finalization filter."""
+    from ..streaming.windows import session_rollup_dynamic_stream
+
+    out = _run_to_completion(
+        session_rollup_dynamic_stream(_events_stream(spark, sf_dir)), spark
+    )
+    return _restore_source_ts(out, spark, sf_dir)
+
+
+STREAM_SESSION_DYNAMIC_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         ts + CASE WHEN event_type = 'error'
+                   THEN INTERVAL 30 MINUTE ELSE INTERVAL 1 HOUR END AS w_end
+  FROM events
+),
+runs AS (
+  SELECT user_id, ts, w_end,
+         CASE WHEN MAX(w_end) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NULL
+              OR ts > MAX(w_end) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_s
+  FROM g
+),
+sess AS (
+  SELECT user_id, ts, w_end,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM runs
+),
+rolled AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(w_end) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events FROM rolled
+WHERE session_end <= (SELECT MAX(ts) FROM events)
+"""
+
+
 def stream_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming hopping-window rollup (2-hour windows sliding hourly
     per event_type): each event lands in width/slide = 2 overlapping
@@ -899,6 +946,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_retention",
     "dq_referential_integrity",
     "stream_hopping_rollup",
+    "stream_session_dynamic",
     "stream_interval_join_semi",
     "stream_interval_join_anti",
     "simsearch_ivf_kmeans",
@@ -983,6 +1031,7 @@ def build_queries() -> dict[str, QueryFn]:
         "stream_session_rollup": stream_session_rollup,
         "stream_tumbling_rollup": stream_tumbling_rollup,
         "stream_hopping_rollup": stream_hopping_rollup,
+        "stream_session_dynamic": stream_session_dynamic,
         "stream_interval_join": stream_interval_join,
         "stream_interval_join_left": stream_interval_join_left,
         "stream_interval_join_full": stream_interval_join_full,
@@ -1024,6 +1073,7 @@ def build_oracles() -> dict[str, str]:
         "stream_session_rollup": STREAM_SESSION_ORACLE,
         "stream_tumbling_rollup": STREAM_TUMBLING_ORACLE,
         "stream_hopping_rollup": STREAM_HOPPING_ORACLE,
+        "stream_session_dynamic": STREAM_SESSION_DYNAMIC_ORACLE,
         "stream_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
         "stream_interval_join_left": STREAM_INTERVAL_JOIN_LEFT_ORACLE,
         "stream_interval_join_full": STREAM_INTERVAL_JOIN_FULL_ORACLE,

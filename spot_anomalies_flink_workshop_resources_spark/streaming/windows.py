@@ -48,6 +48,37 @@ def session_rollup_stream(
     )
 
 
+def session_rollup_dynamic_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Session aggregation with a DYNAMIC per-event gap (Spark's
+    expression-valued session_window): 'error' events hold the session
+    open only 30 minutes, everything else an hour — the
+    per-event-class inactivity policy static gaps cannot express.
+    Merge semantics: an event joins the session while its timestamp is
+    <= the running max of (member ts + member gap); the session end is
+    that running max. Same watermark-finalization contract as the
+    static form."""
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("30 minutes")
+    ).otherwise(F.lit("1 hour"))
+    events = events.withColumn(time_col, watermarkable(F.col(time_col)))
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(key_col, F.session_window(F.col(time_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def hopping_rollup_stream(
     events: DataFrame,
     key_col: str = "event_type",
