@@ -828,6 +828,34 @@ GROUP BY user_id
 """
 
 
+def unpivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-user count matrix back to long
+    (user_id, event_type, n) rows via DataFrame.unpivot — the inverse
+    reshape. Zero-count cells are kept (an explicit pivot value list
+    makes them real columns), so the oracle is the dense user x type
+    grid with conditional counts."""
+    from pyspark.sql import functions as F
+
+    wide = pivot_event_type_counts(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return wide.unpivot(
+        "user_id", types, "event_type", "n"
+    ).select("user_id", "event_type", F.col("n").cast("long").alias("n"))
+
+
+UNPIVOT_ORACLE = """
+SELECT u.user_id, t.event_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM (SELECT DISTINCT user_id FROM events) u
+CROSS JOIN (VALUES ('click'), ('view'), ('purchase'), ('signup'),
+                   ('error')) t(event_type)
+LEFT JOIN (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+) c ON c.user_id = u.user_id AND c.event_type = t.event_type
+"""
+
+
 def events_daily_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient (two-phase salted) variant of events_daily_rollup —
     must produce IDENTICAL results; checked against the same oracle.
@@ -947,6 +975,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_referential_integrity",
     "stream_hopping_rollup",
     "stream_session_dynamic",
+    "unpivot_event_type_counts",
     "stream_interval_join_semi",
     "stream_interval_join_anti",
     "simsearch_ivf_kmeans",
@@ -1044,6 +1073,7 @@ def build_queries() -> dict[str, QueryFn]:
         "asof_click_purchase": asof_click_purchase,
         "approx_distinct_parts": approx_distinct_parts,
         "pivot_event_type_counts": pivot_event_type_counts,
+        "unpivot_event_type_counts": unpivot_event_type_counts,
         "events_daily_rollup_salted": events_daily_rollup_salted,
         "ocsf_nested_endpoints": ocsf_nested_endpoints,
     }
@@ -1087,6 +1117,7 @@ def build_oracles() -> dict[str, str]:
         "stream_static_enrich": STREAM_STATIC_ENRICH_ORACLE,
         "asof_click_purchase": ASOF_ORACLE,
         "pivot_event_type_counts": PIVOT_ORACLE,
+        "unpivot_event_type_counts": UNPIVOT_ORACLE,
         "ocsf_nested_endpoints": OCSF_NESTED_ORACLE,
         # salted variant must equal the plain rollup: same oracle
         "events_daily_rollup_salted": relational.EVENTS_DAILY_SQL,
