@@ -973,6 +973,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_funnel",
     "events_retention",
     "dq_referential_integrity",
+    "events_value_histogram",
     "stream_hopping_rollup",
     "stream_session_dynamic",
     "unpivot_event_type_counts",

@@ -1052,6 +1052,45 @@ def _events_column_profile_sql() -> str:
     return table_profile_sql("events", ["event_id", "user_id", "event_type", "ts"])
 
 
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of `value` per event_type: 20 bins of
+    width 25 over [0, 500), out-of-range clamped to the edge bins.
+    floor((v - lo)/w) is one exact double op chain — identical bin
+    assignment in both engines; one hash agg on (type, bin)."""
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(F.floor((F.col("value") - 0.0) / 25.0), F.lit(0)),
+        F.lit(19),
+    ).cast("long")
+    return (
+        e.groupBy(F.col("event_type"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * 25.0).alias("bin_lo"),
+            ((F.col("bin") + 1) * 25.0).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+EVENTS_HISTOGRAM_SQL = """
+WITH binned AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 25.0), 0), 19) AS BIGINT)
+           AS bin
+  FROM events
+)
+SELECT event_type, bin,
+       CAST(bin * 25.0 AS DOUBLE) AS bin_lo,
+       CAST((bin + 1) * 25.0 AS DOUBLE) AS bin_hi,
+       COUNT(*) AS n
+FROM binned
+GROUP BY event_type, bin
+"""
+
+
 def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foreign-key orphan audit over the star-schema spine
     (operators/dq.py): one pruned-scan left join + aggregate per
@@ -1141,6 +1180,7 @@ QUERIES = {
     "events_gapfill": events_gapfill,
     "events_funnel": events_funnel,
     "dq_referential_integrity": dq_referential_integrity,
+    "events_value_histogram": events_value_histogram,
     "events_retention": events_retention,
 }
 
@@ -1148,6 +1188,7 @@ ORACLES = {
     "events_gapfill": _events_gapfill_sql(),
     "events_funnel": _events_funnel_sql(),
     "dq_referential_integrity": _dq_referential_integrity_sql(),
+    "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     "events_retention": _events_retention_sql(),
     "events_zorder_layout": _events_zorder_sql(),
     "events_zorder_balanced": _events_zorder_balanced_sql(),

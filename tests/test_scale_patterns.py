@@ -463,3 +463,32 @@ def test_dq_audit_counts_orphans_and_null_fks(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_rows, r.n_null_fk, r.n_orphans) == (4, 1, 1)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Star-schema scan hygiene at scale: joining a partitioned fact to
+    a FILTERED dim must prune fact partitions at runtime (DPP) — the
+    mechanism that keeps a 100 TB date-partitioned fact from full-scan
+    when the dim filter only selects a few partition values."""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "fact")
+    spark.range(10000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 30).alias("day"),
+        (F.col("id") % 7.0).alias("value"),
+    ).write.partitionBy("day").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.range(30).select(
+        F.col("id").alias("day"), (F.col("id") % 3).alias("grp")
+    )
+    j = fact.join(dim.where(F.col("grp") == 1), "day").groupBy("day").count()
+    p = j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruningexpression" in p, p
+    # and the pruning reaches the fact scan's PartitionFilters
+    part_filters = p.split("PartitionFilters")[1][:220]
+    assert "dynamicpruning" in part_filters, part_filters
