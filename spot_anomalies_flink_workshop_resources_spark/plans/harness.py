@@ -974,6 +974,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_retention",
     "dq_referential_integrity",
     "events_value_histogram",
+    "events_transition_matrix",
+    "sql_part_name_similarity",
     "stream_hopping_rollup",
     "stream_session_dynamic",
     "unpivot_event_type_counts",

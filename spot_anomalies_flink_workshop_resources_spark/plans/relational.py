@@ -1052,6 +1052,88 @@ def _events_column_profile_sql() -> str:
     return table_profile_sql("events", ["event_id", "user_id", "event_type", "ts"])
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (lag window ordered by ts, event_id) — the sequence-
+    mining primitive behind next-event models and funnel diagnostics.
+    One user-keyed window + one (prev, next) hash agg."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH lagged AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+)
+SELECT prev_type, next_type, COUNT(*) AS n
+FROM lagged
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+def part_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join on part names (levenshtein <= 2),
+    blocked by brand with a length-difference prefilter (a necessary
+    condition for the distance bound, so it only thins the candidate
+    set). The string-similarity join is the non-tokenized cousin of
+    the shingle dedup family; at scale the block key bounds pairwise
+    work exactly like the LSH bands do."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "brand")
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            )
+        )
+        .select("brand", "key_a", "key_b", "name_a", "name_b",
+                dist.cast("long").alias("dist"))
+        .where(F.col("dist") <= 2)
+    )
+
+
+PART_NAME_SIMILARITY_SQL = """
+SELECT a.p_brand AS brand,
+       a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of `value` per event_type: 20 bins of
     width 25 over [0, 500), out-of-range clamped to the edge bins.
@@ -1181,6 +1263,8 @@ QUERIES = {
     "events_funnel": events_funnel,
     "dq_referential_integrity": dq_referential_integrity,
     "events_value_histogram": events_value_histogram,
+    "events_transition_matrix": events_transition_matrix,
+    "sql_part_name_similarity": part_name_similarity,
     "events_retention": events_retention,
 }
 
@@ -1189,6 +1273,8 @@ ORACLES = {
     "events_funnel": _events_funnel_sql(),
     "dq_referential_integrity": _dq_referential_integrity_sql(),
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
+    "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
+    "sql_part_name_similarity": PART_NAME_SIMILARITY_SQL,
     "events_retention": _events_retention_sql(),
     "events_zorder_layout": _events_zorder_sql(),
     "events_zorder_balanced": _events_zorder_balanced_sql(),
