@@ -102,3 +102,54 @@ def test_retention_offsets(spark):
         (w0.date(), 3): 1,
         (w1.date(), 0): 1,
     }
+
+
+def _py_funnel(rows, stages=("view", "click", "purchase")):
+    """Pure-Python reference: strictly-ordered first-occurrence times."""
+    by_user = {}
+    for u, et, ts in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    counts = [0] * len(stages)
+    for evs in by_user.values():
+        evs.sort()
+        t_prev = None
+        for i, s in enumerate(stages):
+            t_s = None
+            for ts, et in evs:
+                if et == s and (t_prev is None or ts > t_prev):
+                    t_s = ts
+                    break
+            if t_s is None:
+                break
+            counts[i] += 1
+            t_prev = t_s
+    return {s: counts[i] for i, s in enumerate(stages)}
+
+
+def test_funnel_matches_python_reference_on_random_sequences(spark):
+    import random
+
+    rng = random.Random(99)
+    types = ["view", "click", "purchase", "signup"]
+    rows = [
+        (
+            rng.randint(1, 12),
+            rng.choice(types),
+            _t(rng.randint(0, 59)),
+        )
+        for _ in range(300)
+    ]
+    # drop exact (user, ts) duplicate coordinates: with ties inside one
+    # user the strict-order reference depends on event ordering at the
+    # same timestamp, which the engine breaks by window-min semantics
+    # deterministically but the naive reference does not model
+    seen = set()
+    uniq = []
+    for r in rows:
+        if (r[0], r[2]) not in seen:
+            seen.add((r[0], r[2]))
+            uniq.append(r)
+    df = _events(spark, uniq)
+    got = {r.stage: r.n_users for r in funnel(df).collect()}
+    want = _py_funnel(uniq)
+    assert got == want

@@ -60,3 +60,60 @@ def test_gapfill_carries_last_value_and_flags_gaps(spark):
     assert b1.is_gap and b1.filled_value is None
     assert (b2.n_events, b2.filled_value, b2.is_gap) == (1, 7.0, False)
     assert b3.is_gap and b3.filled_value == 7.0
+
+
+def test_gapfill_matches_python_reference_on_random_series(spark):
+    """Random sparse series vs a pure-Python LOCF reference."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for et in ("a", "b", "c"):
+        for _ in range(rng.randint(1, 10)):
+            rows.append(
+                (
+                    et,
+                    dt.datetime(2024, 1, 1, rng.randint(0, 23), rng.randint(0, 59)),
+                    round(rng.uniform(0, 100), 4),
+                )
+            )
+    df = _events(spark, rows)
+    got = {
+        (r.event_type, r.bucket): (r.n_events, r.filled_value, r.is_gap)
+        for r in gapfill_locf(df, granularity="hour").collect()
+    }
+
+    # python reference
+    buckets = {}
+    for et, ts, v in rows:
+        b = ts.replace(minute=0, second=0, microsecond=0)
+        buckets.setdefault((et, b), []).append(v)
+    all_b = [b for (_, b) in buckets]
+    lo, hi = min(all_b), max(all_b)
+    spine = []
+    cur = lo
+    while cur <= hi:
+        spine.append(cur)
+        cur += dt.timedelta(hours=1)
+    want = {}
+    for et in ("a", "b", "c"):
+        last = None
+        for b in spine:
+            vs = buckets.get((et, b))
+            if vs:
+                # engine avg goes through decimal(18,4): inputs have 4
+                # decimals, so plain sum/len matches to float tolerance
+                avg = sum(vs) / len(vs)
+                last = avg
+                want[(et, b)] = (len(vs), avg, False)
+            else:
+                want[(et, b)] = (0, last, True)
+
+    assert set(got) == set(want)
+    for k, (n, fv, gap) in want.items():
+        gn, gfv, ggap = got[k]
+        assert (gn, ggap) == (n, gap), k
+        if fv is None:
+            assert gfv is None, k
+        else:
+            assert abs(gfv - fv) < 1e-9, k
