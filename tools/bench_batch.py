@@ -55,6 +55,25 @@ def synth_events(spark, n_rows: int, n_keys: int):
     )
 
 
+def synth_join_agg(spark, n_fact: int, n_dim: int):
+    """Shuffle-path workload: n_fact fact rows joined to an n_dim
+    dimension too large to broadcast, then a grouped aggregate — the
+    orders x lineitem shape, fully synthesized executor-side."""
+    fact = spark.range(n_fact).select(
+        (F.col("id") % n_dim).alias("k"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    dim = spark.range(n_dim).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 25).alias("grp"),
+    )
+    return (
+        fact.join(dim.hint("shuffle_hash"), "k")
+        .groupBy("grp")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+    )
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
@@ -78,6 +97,11 @@ def main() -> None:
     t0 = time.time()
     alerts = detection.detect_attack_runs(events, **params).count()
     wall = time.time() - t0
+    # shuffle path: same row count through a non-broadcast join + agg
+    synth_join_agg(spark, 100_000, 10_000).collect()  # warm
+    t1 = time.time()
+    groups = len(synth_join_agg(spark, n_rows, n_rows // 10).collect())
+    jwall = time.time() - t1
     print(
         json.dumps(
             {
@@ -86,6 +110,9 @@ def main() -> None:
                 "wall_sec": round(wall, 2),
                 "rows_per_sec": int(n_rows / wall),
                 "alerts": alerts,
+                "join_wall_sec": round(jwall, 2),
+                "join_rows_per_sec": int(n_rows / jwall),
+                "join_groups": groups,
             }
         )
     )
