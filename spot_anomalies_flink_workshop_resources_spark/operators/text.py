@@ -553,3 +553,127 @@ per_doc AS (
 SELECT doc_id, lang, n_grams, avg_nll, exp(avg_nll) AS perplexity
 FROM per_doc
 """
+
+
+def lang_mismatch(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Cross-likelihood language verification: score every document
+    under EVERY language's n-gram model; a document whose best-scoring
+    model is not its labeled language is a mislabel candidate — the
+    verification pass behind lang-ID cleanup in corpus curation.
+
+    Unlike :func:`lm_score` (own-model only, inner join suffices), a
+    foreign model must charge unseen grams the add-one floor
+    1/(total+vocab): the gram stream cross-joins the tiny language
+    list and LEFT-joins the model, null count -> 0. The per-(doc,
+    model) nll sums are fixed-point int64, and every model scores the
+    SAME gram multiset per doc, so the best-model argmin reduces to an
+    exact integer comparison (ties -> lexicographically smaller
+    language) — bit-deterministic across engines and partitionings.
+
+    Output: (doc_id, lang, own_nll, best_lang, best_nll, is_mismatch).
+    """
+    from pyspark.sql import Window
+
+    scale = 1 << 30
+    grams = (
+        docs.selectExpr("doc_id", "lang", "lower(text) AS lt")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            f"explode(CASE WHEN length(lt) >= {n} THEN "
+            f"transform(sequence(1, length(lt) - {n - 1}),"
+            f" i -> substring(lt, i, {n})) "
+            f"ELSE array() END) AS gram",
+        )
+    )
+    model = grams.groupBy(
+        F.col("lang").alias("mlang"), "gram"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lang_stats = model.groupBy("mlang").agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    langs = lang_stats.select("mlang", "total", "vocab")
+    nll = -F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.col("total") + F.col("vocab"))
+    )
+    q = F.floor(nll * scale + F.lit(0.5)).cast("long")
+    scored = (
+        grams.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(model), ["mlang", "gram"], "left")
+        .groupBy("doc_id", "lang", "mlang")
+        .agg(F.sum(q).alias("s"), F.count(F.lit(1)).cast("long").alias("ng"))
+    )
+    avg = (F.col("s").cast("double") / F.col("ng").cast("double")) / F.lit(
+        float(scale)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("s"), F.asc("mlang"))
+    ranked = scored.withColumn("rk", F.row_number().over(w)).withColumn(
+        "avg_nll", avg
+    )
+    best = ranked.where(F.col("rk") == 1).select(
+        "doc_id",
+        F.col("mlang").alias("best_lang"),
+        F.col("avg_nll").alias("best_nll"),
+    )
+    own = ranked.where(F.col("mlang") == F.col("lang")).select(
+        "doc_id", "lang", F.col("avg_nll").alias("own_nll")
+    )
+    return (
+        own.join(best, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "own_nll",
+            "best_lang",
+            "best_nll",
+            (F.col("best_lang") != F.col("lang")).alias("is_mismatch"),
+        )
+    )
+
+
+def lang_mismatch_sql(n: int = 3) -> str:
+    scale = 1 << 30
+    return f"""
+WITH grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           generate_series(1, greatest(length(lower(text)) - {n - 1}, 0)),
+           i -> substr(lower(text), i, {n}))) AS gram
+  FROM documents
+),
+model AS (
+  SELECT lang AS mlang, gram, COUNT(*) AS cnt FROM grams GROUP BY lang, gram
+),
+lang_stats AS (
+  SELECT mlang, CAST(SUM(cnt) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS vocab
+  FROM model GROUP BY mlang
+),
+scored AS (
+  SELECT g.doc_id, g.lang, s.mlang,
+         SUM(CAST(FLOOR(
+           -ln((CAST(COALESCE(m.cnt, 0) AS DOUBLE) + 1.0)
+               / (s.total + s.vocab)) * {scale} + 0.5) AS BIGINT)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS ng
+  FROM grams g
+  CROSS JOIN lang_stats s
+  LEFT JOIN model m ON m.mlang = s.mlang AND m.gram = g.gram
+  GROUP BY g.doc_id, g.lang, s.mlang
+),
+ranked AS (
+  SELECT *,
+         (CAST(s AS DOUBLE) / CAST(ng AS DOUBLE)) / {float(scale)!r}
+           AS avg_nll,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY s ASC, mlang ASC) AS rk
+  FROM scored
+)
+SELECT o.doc_id, o.lang, o.avg_nll AS own_nll,
+       b.mlang AS best_lang, b.avg_nll AS best_nll,
+       b.mlang <> o.lang AS is_mismatch
+FROM ranked o
+JOIN ranked b ON b.doc_id = o.doc_id AND b.rk = 1
+WHERE o.mlang = o.lang
+"""

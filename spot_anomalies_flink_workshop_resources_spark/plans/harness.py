@@ -967,6 +967,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new or semantics-changed this round (round 4) --
     "text_bm25_topk",
     "text_lm_score",
+    "text_lang_mismatch",
     "corpus_sample_weighted",
     "corpus_curation_sample",
     "events_gapfill",

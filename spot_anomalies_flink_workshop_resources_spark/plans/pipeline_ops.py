@@ -78,6 +78,13 @@ def text_lm_score(spark, sf_dir):
     return T.lm_score(_docs(spark, sf_dir))
 
 
+def text_lang_mismatch(spark, sf_dir):
+    """Cross-likelihood language verification (operators/text.lang_mismatch):
+    every doc scored under every language model; integer-sum argmin
+    picks the best model bit-deterministically."""
+    return T.lang_mismatch(_docs(spark, sf_dir))
+
+
 def text_bm25_topk(spark, sf_dir):
     """BM25 top-10 per keyword query (operators/retrieval.py): the
     corpus-search / retrieval-filter primitive. Broadcast query terms,
@@ -727,6 +734,7 @@ QUERIES = {
     "text_ngram_profile": text_ngram_profile,
     "text_bm25_topk": text_bm25_topk,
     "text_lm_score": text_lm_score,
+    "text_lang_mismatch": text_lang_mismatch,
     "dedup_exact": dedup_exact,
     "corpus_prep": corpus_prep,
     "corpus_split": corpus_split,
@@ -779,6 +787,7 @@ ORACLES = {
     "text_ngram_profile": T.char_ngram_profile_sql(),
     "text_bm25_topk": _bm25_oracle(),
     "text_lm_score": T.lm_score_sql(),
+    "text_lang_mismatch": T.lang_mismatch_sql(),
     "dedup_exact": D.EXACT_DEDUP_SQL,
     "corpus_prep": T.corpus_prep_sql(min_quality=0.5),
     "corpus_split": CORPUS_SPLIT_SQL,

@@ -746,3 +746,26 @@ def test_lm_score_skips_sub_n_docs(spark):
     df = _docs(spark, ["ab", "abcd"])
     rows = text.lm_score(df).collect()
     assert [r.doc_id for r in rows] == [1]
+
+
+def test_lang_mismatch_flags_mislabeled_doc(spark):
+    from pyspark.sql import Row
+
+    # two distinct "languages" by character distribution; doc 6 carries
+    # lang-B text under an A label and must be flagged
+    a_texts = ["aaab aaba abaa " * 4] * 3
+    b_texts = ["zzzy zzyz zyzz " * 4] * 3
+    rows = (
+        [Row(doc_id=i, text=t, lang="aa", source="s", n_chars=len(t))
+         for i, t in enumerate(a_texts)]
+        + [Row(doc_id=3 + i, text=t, lang="bb", source="s", n_chars=len(t))
+           for i, t in enumerate(b_texts)]
+        + [Row(doc_id=6, text=b_texts[0], lang="aa", source="s",
+               n_chars=len(b_texts[0]))]
+    )
+    out = {r.doc_id: r for r in text.lang_mismatch(spark.createDataFrame(rows)).collect()}
+    assert len(out) == 7
+    assert out[6].is_mismatch and out[6].best_lang == "bb"
+    assert out[6].best_nll < out[6].own_nll
+    for i in range(6):
+        assert not out[i].is_mismatch, i
