@@ -976,6 +976,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_referential_integrity",
     "events_value_histogram",
     "events_transition_matrix",
+    "events_cdc_incremental_agg",
     "sql_part_name_similarity",
     "stream_hopping_rollup",
     "stream_session_dynamic",

@@ -1052,6 +1052,45 @@ def _events_column_profile_sql() -> str:
     return table_profile_sql("events", ["event_id", "user_id", "event_type", "ts"])
 
 
+def events_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-type aggregate maintained from the CDC change
+    log via retraction algebra (operators/cdc.changelog_agg): must
+    equal aggregating the compacted snapshot — which is exactly what
+    the oracle computes — without ever materializing it."""
+    from ..operators.cdc import changelog_agg
+
+    log = events_cdc_log(load_table(spark, sf_dir, "events"))
+    return changelog_agg(
+        log,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_col="op",
+        group_col="event_type",
+        value_col="value",
+    )
+
+
+def _events_cdc_incremental_agg_sql() -> str:
+    from ..operators.cdc import compact_log_sql
+
+    snap = compact_log_sql(
+        table="events",
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_expr="CASE WHEN event_type = 'error' THEN 'delete' "
+                "ELSE 'upsert' END",
+        select_cols=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+    return f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         AS sum_live
+FROM ({snap})
+GROUP BY event_type
+"""
+
+
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts between consecutive event
     types per user (lag window ordered by ts, event_id) — the sequence-
@@ -1264,6 +1303,7 @@ QUERIES = {
     "dq_referential_integrity": dq_referential_integrity,
     "events_value_histogram": events_value_histogram,
     "events_transition_matrix": events_transition_matrix,
+    "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "sql_part_name_similarity": part_name_similarity,
     "events_retention": events_retention,
 }
@@ -1274,6 +1314,7 @@ ORACLES = {
     "dq_referential_integrity": _dq_referential_integrity_sql(),
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
+    "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "sql_part_name_similarity": PART_NAME_SIMILARITY_SQL,
     "events_retention": _events_retention_sql(),
     "events_zorder_layout": _events_zorder_sql(),

@@ -121,3 +121,41 @@ def test_stale_delete_is_ignored(spark):
         ],
     )
     assert got == {"a": "v2"}
+
+
+def test_changelog_agg_retraction_algebra(spark):
+    """Group transitions, delete/re-insert, and full-group retraction
+    must all telescope to the live snapshot's aggregate."""
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.cdc import (
+        changelog_agg,
+    )
+
+    rows = [
+        # key 1: insert in group a, update transitions a -> b
+        Row(k=1, seq=1, grp="a", v=10.0, op="upsert"),
+        Row(k=1, seq=2, grp="b", v=7.0, op="upsert"),
+        # key 2: insert a, delete, re-insert a with new value
+        Row(k=2, seq=1, grp="a", v=100.0, op="upsert"),
+        Row(k=2, seq=2, grp="a", v=0.0, op="delete"),
+        Row(k=2, seq=3, grp="a", v=5.0, op="upsert"),
+        # key 3: insert then delete -> contributes nothing
+        Row(k=3, seq=1, grp="c", v=50.0, op="upsert"),
+        Row(k=3, seq=2, grp="c", v=0.0, op="delete"),
+        # key 4: delete with no prior state -> no-op
+        Row(k=4, seq=1, grp="c", v=9.0, op="delete"),
+    ]
+    out = {
+        r.grp: (r.n_live, r.sum_live)
+        for r in changelog_agg(
+            spark.createDataFrame(rows),
+            key_cols=["k"],
+            order_cols=["seq"],
+            op_col="op",
+            group_col="grp",
+            value_col="v",
+        ).collect()
+    }
+    # live state: key1 -> (b, 7), key2 -> (a, 5); group c fully retracted
+    assert out == {"a": (1, 5.0), "b": (1, 7.0)}
