@@ -32,10 +32,16 @@ from pyspark.sql import functions as F
 FUNNEL_STAGES: tuple[str, ...] = ("view", "click", "purchase")
 
 
-def funnel(events: DataFrame, stages=FUNNEL_STAGES) -> DataFrame:
+def funnel(
+    events: DataFrame, stages=FUNNEL_STAGES, within: str | None = None
+) -> DataFrame:
     """Strictly-ordered funnel: a user reaches stage k when an event of
     type stages[k] exists STRICTLY AFTER their stage k-1 time (first
     qualifying occurrence; ties on equal timestamps do not advance).
+    With ``within`` (an INTERVAL string, e.g. "1 hour"), each stage
+    must additionally occur no later than the previous stage's time
+    plus the window — the conversion-deadline form product funnels
+    actually use.
 
     Output: (stage_idx, stage, n_users), n_users non-increasing in
     stage_idx.
@@ -50,6 +56,10 @@ def funnel(events: DataFrame, stages=FUNNEL_STAGES) -> DataFrame:
         cond = F.col("event_type") == s
         if i > 0:
             cond = cond & (F.col("ts") > F.col(f"t{i - 1}"))
+            if within is not None:
+                cond = cond & (
+                    F.col("ts") <= F.expr(f"t{i - 1} + INTERVAL {within}")
+                )
         cur = cur.withColumn(f"t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
     proj = cur.groupBy("user_id").agg(
         *[F.min(f"t{i}").alias(f"t{i}") for i in range(len(stages))]
@@ -78,7 +88,7 @@ def funnel(events: DataFrame, stages=FUNNEL_STAGES) -> DataFrame:
     )
 
 
-def funnel_sql(stages=FUNNEL_STAGES) -> str:
+def funnel_sql(stages=FUNNEL_STAGES, within: str | None = None) -> str:
     # window aliases cannot reference each other in one SELECT:
     # chain one CTE per stage, same shape as the engine's withColumns
     ctes = ["base AS (SELECT user_id, event_type, ts FROM events)"]
@@ -87,6 +97,8 @@ def funnel_sql(stages=FUNNEL_STAGES) -> str:
         cond = f"event_type = '{s}'"
         if i > 0:
             cond += f" AND ts > t{i - 1}"
+            if within is not None:
+                cond += f" AND ts <= t{i - 1} + INTERVAL {within}"
         ctes.append(
             f"s{i} AS (SELECT *, MIN(CASE WHEN {cond} THEN ts END) "
             f"OVER (PARTITION BY user_id) AS t{i} FROM {prev_cte})"

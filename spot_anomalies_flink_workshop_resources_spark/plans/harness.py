@@ -972,11 +972,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_curation_sample",
     "events_gapfill",
     "events_funnel",
+    "events_funnel_windowed",
     "events_retention",
     "dq_referential_integrity",
     "events_value_histogram",
     "events_transition_matrix",
     "events_cdc_incremental_agg",
+    "events_cdc_snapshot_asof",
     "sql_part_name_similarity",
     "stream_hopping_rollup",
     "stream_session_dynamic",

@@ -1052,6 +1052,35 @@ def _events_column_profile_sql() -> str:
     return table_profile_sql("events", ["event_id", "user_id", "event_type", "ts"])
 
 
+def events_cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the CDC log: the snapshot as of 2024-01-15
+    (lakehouse VERSION AS OF semantics) — identical compaction, log
+    truncated at the cutoff. The cutoff predicate pushes to the scan,
+    so historical snapshots read only the prefix of the log."""
+    from pyspark.sql import functions as F
+
+    from ..operators.cdc import compact_log
+
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < "2024-01-15"
+    )
+    log = events_cdc_log(events)
+    return compact_log(log, **CDC_LOG_ARGS).select(*CDC_SNAPSHOT_COLS)
+
+
+def _events_cdc_snapshot_asof_sql() -> str:
+    from ..operators.cdc import compact_log_sql
+
+    return compact_log_sql(
+        table="(SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15')",
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_expr="CASE WHEN event_type = 'error' THEN 'delete' "
+                "ELSE 'upsert' END",
+        select_cols=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+
+
 def events_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental per-type aggregate maintained from the CDC change
     log via retraction algebra (operators/cdc.changelog_agg): must
@@ -1235,6 +1264,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(load_table(spark, sf_dir, "events"))
 
 
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline funnel: each stage must convert within 1 day of the
+    previous one (operators/funnel.funnel(within=...))."""
+    from ..operators.funnel import funnel
+
+    return funnel(load_table(spark, sf_dir, "events"), within="1 day")
+
+
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention (operators/funnel.retention)."""
     from ..operators.funnel import retention
@@ -1246,6 +1283,12 @@ def _events_funnel_sql() -> str:
     from ..operators.funnel import funnel_sql
 
     return funnel_sql()
+
+
+def _events_funnel_windowed_sql() -> str:
+    from ..operators.funnel import funnel_sql
+
+    return funnel_sql(within="1 day")
 
 
 def _events_retention_sql() -> str:
@@ -1300,10 +1343,12 @@ QUERIES = {
     "events_column_profile": events_column_profile,
     "events_gapfill": events_gapfill,
     "events_funnel": events_funnel,
+    "events_funnel_windowed": events_funnel_windowed,
     "dq_referential_integrity": dq_referential_integrity,
     "events_value_histogram": events_value_histogram,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
+    "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
     "sql_part_name_similarity": part_name_similarity,
     "events_retention": events_retention,
 }
@@ -1311,10 +1356,12 @@ QUERIES = {
 ORACLES = {
     "events_gapfill": _events_gapfill_sql(),
     "events_funnel": _events_funnel_sql(),
+    "events_funnel_windowed": _events_funnel_windowed_sql(),
     "dq_referential_integrity": _dq_referential_integrity_sql(),
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
+    "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),
     "sql_part_name_similarity": PART_NAME_SIMILARITY_SQL,
     "events_retention": _events_retention_sql(),
     "events_zorder_layout": _events_zorder_sql(),

@@ -153,3 +153,22 @@ def test_funnel_matches_python_reference_on_random_sequences(spark):
     got = {r.stage: r.n_users for r in funnel(df).collect()}
     want = _py_funnel(uniq)
     assert got == want
+
+
+def test_funnel_within_deadline(spark):
+    df = _events(
+        spark,
+        [
+            # user 1: click 30 min after view -> converts under 1 hour
+            (1, "view", _t(0)), (1, "click", _t(30)),
+            # user 2: click 90 min after view -> misses a 1-hour deadline
+            (2, "view", _t(0)),
+            (2, "click", dt.datetime(2024, 1, 1, 13, 45)),
+        ],
+    )
+    loose = {r.stage: r.n_users for r in funnel(df).collect()}
+    tight = {
+        r.stage: r.n_users for r in funnel(df, within="1 hour").collect()
+    }
+    assert loose == {"view": 2, "click": 2, "purchase": 0}
+    assert tight == {"view": 2, "click": 1, "purchase": 0}
