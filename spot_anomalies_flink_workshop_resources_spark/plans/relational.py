@@ -1202,6 +1202,65 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier profile: median/MAD z-score (the
+    scale-free cousin of the reference's fixed packet thresholds —
+    threshold-free anomaly flagging). Three passes, each a tiny
+    broadcast join back: median per type -> MAD per type -> deviation
+    count. Exact percentile parity with DuckDB quantile_cont is
+    already pinned by sql_price_quantiles; 4.4478 = 3 x 1.4826 (the
+    Gaussian MAD consistency factor)."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.count(
+                F.when(F.col("adev") > F.col("mad") * 4.4478, 1)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+EVENTS_ROBUST_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+  SELECT event_type, MIN(med) AS med, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, m.med, m.mad,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(CASE WHEN d.adev > m.mad * 4.4478 THEN 1 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type, m.med, m.mad
+"""
+
+
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of `value` per event_type: 20 bins of
     width 25 over [0, 500), out-of-range clamped to the edge bins.
@@ -1346,6 +1405,7 @@ QUERIES = {
     "events_funnel_windowed": events_funnel_windowed,
     "dq_referential_integrity": dq_referential_integrity,
     "events_value_histogram": events_value_histogram,
+    "events_robust_outliers": events_robust_outliers,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -1359,6 +1419,7 @@ ORACLES = {
     "events_funnel_windowed": _events_funnel_windowed_sql(),
     "dq_referential_integrity": _dq_referential_integrity_sql(),
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
+    "events_robust_outliers": EVENTS_ROBUST_OUTLIERS_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),
