@@ -1202,6 +1202,49 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU): exact sliding
+    DISTINCT. Sliding distincts do not decompose into window frames
+    (sets must re-merge per frame), so the standard exact plan is:
+    dedup to (day, user) pairs — the big shuffle, |days x daily
+    actives| rows — then a bounded RANGE self-join onto the day spine
+    (x7 fan-out of the DEDUPED pairs, not raw events) and a
+    COUNT(DISTINCT) per day. At 100 TB the pre-dedup is what keeps the
+    fan-out affordable; the approximate twin would carry 7 mergeable
+    HLL sketches instead."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    day_users = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    days = day_users.select("day").distinct().select(
+        F.col("day").alias("as_of")
+    )
+    cond = (
+        (F.col("day") <= F.col("as_of"))
+        & (F.col("day") >= F.expr("as_of - INTERVAL 6 DAY"))
+    )
+    return (
+        days.join(day_users, cond)
+        .groupBy("as_of")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+EVENTS_ROLLING_WAU_SQL = """
+WITH day_users AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day AS as_of FROM day_users)
+SELECT d.as_of, COUNT(DISTINCT u.user_id) AS wau
+FROM days d
+JOIN day_users u
+  ON u.day <= d.as_of AND u.day >= d.as_of - INTERVAL 6 DAY
+GROUP BY d.as_of
+"""
+
+
 def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type outlier profile: median/MAD z-score (the
     scale-free cousin of the reference's fixed packet thresholds —
@@ -1406,6 +1449,7 @@ QUERIES = {
     "dq_referential_integrity": dq_referential_integrity,
     "events_value_histogram": events_value_histogram,
     "events_robust_outliers": events_robust_outliers,
+    "events_rolling_wau": events_rolling_wau,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -1420,6 +1464,7 @@ ORACLES = {
     "dq_referential_integrity": _dq_referential_integrity_sql(),
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     "events_robust_outliers": EVENTS_ROBUST_OUTLIERS_SQL,
+    "events_rolling_wau": EVENTS_ROLLING_WAU_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),
