@@ -982,6 +982,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_cdc_incremental_agg",
     "events_cdc_snapshot_asof",
     "sql_part_name_similarity",
+    "dedup_cluster_sizes",
     "stream_hopping_rollup",
     "stream_session_dynamic",
     "unpivot_event_type_counts",

@@ -360,6 +360,35 @@ def dedup_embedding_ivf_trained(spark, sf_dir):
     )
 
 
+def dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size distribution: how many clusters of each
+    size the near-dup graph resolves to — the summary a dedup report
+    leads with (singletons = unique docs; the tail = heavy duplication).
+    Composes the oracle-checked component resolution with a two-level
+    rollup: |docs| -> |clusters| -> |sizes| rows."""
+    from pyspark.sql import functions as F
+
+    comp = D.dup_components(_docs(spark, sf_dir), threshold=0.5, shingle_n=3)
+    return (
+        comp.groupBy("component_rep")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def _dedup_cluster_sizes_oracle() -> str:
+    inner = D.dup_components_sql(threshold=0.5, shingle_n=3)
+    return f"""
+WITH comp AS ({inner}),
+per AS (
+  SELECT component_rep, COUNT(*) AS sz FROM comp GROUP BY component_rep
+)
+SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+FROM per GROUP BY sz
+"""
+
+
 def dedup_components(spark, sf_dir):
     return D.dup_components(_docs(spark, sf_dir), threshold=0.5, shingle_n=3)
 
@@ -750,6 +779,7 @@ QUERIES = {
     "dedup_embedding_ivf": dedup_embedding_ivf,
     "dedup_embedding_ivf_trained": dedup_embedding_ivf_trained,
     "dedup_components": dedup_components,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_pipeline_lsh": dedup_pipeline_lsh,
     "dedup_components_converged": dedup_components_converged,
     "multimodal_media_profile": multimodal_media_profile,
@@ -815,6 +845,7 @@ ORACLES = {
         threshold=0.3, n_centroids=16
     ),
     "dedup_components": D.dup_components_sql(threshold=0.5, shingle_n=3),
+    "dedup_cluster_sizes": _dedup_cluster_sizes_oracle(),
     # fixpoint twin: min-label-to-convergence == min reachable doc_id,
     # a DuckDB recursive CTE (r3 #4: was rows-only)
     "dedup_components_converged": D.dup_components_converged_sql(
