@@ -185,3 +185,68 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", "en"), 4: ("d", "de")}
     # old-generation rows surface through a projection on the NEW column
     assert merged.where(F.col("lang").isNull()).count() == 2
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Idempotent backfill: re-writing ONE day's partition with
+    partitionOverwriteMode=dynamic must replace exactly that partition
+    and leave every other day's files untouched — the lakehouse
+    backfill contract (static overwrite mode would truncate the whole
+    table)."""
+    from pyspark.sql import Row, functions as F
+
+    path = str(tmp_path / "events_by_day")
+    df = spark.createDataFrame(
+        [Row(day=d, event_id=i, value=float(i)) for d in (1, 2, 3)
+         for i in range(d * 10, d * 10 + 5)]
+    )
+    df.write.partitionBy("day").mode("overwrite").parquet(path)
+    before = {
+        r.day: sorted(r2.event_id for r2 in spark.read.parquet(path)
+                      .where(F.col("day") == r.day).collect())
+        for r in spark.read.parquet(path).select("day").distinct().collect()
+    }
+    # backfill day 2 with corrected rows under dynamic overwrite
+    fix = spark.createDataFrame(
+        [Row(day=2, event_id=i, value=0.0) for i in (99, 98)]
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fix.write.partitionBy("day").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = spark.read.parquet(path)
+    got = {
+        d: sorted(r.event_id for r in after.where(F.col("day") == d).collect())
+        for d in (1, 2, 3)
+    }
+    assert got[1] == before[1] and got[3] == before[3]
+    assert got[2] == [98, 99]
+
+
+def test_small_file_compaction_write(spark, tmp_path):
+    """OPTIMIZE-style maintenance: a table fragmented into many small
+    files rewrites into a bounded file count with identical content —
+    repartitionByRange on the layout key so compaction also restores
+    range clustering (file-skipping min/max stay tight)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    frag = str(tmp_path / "frag")
+    spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 50).alias("k")
+    ).repartition(64).write.mode("overwrite").parquet(frag)
+    n_before = len(glob.glob(frag + "/part-*.parquet"))
+    assert n_before >= 32
+    compacted = str(tmp_path / "compact")
+    spark.read.parquet(frag).repartitionByRange(4, "id").sortWithinPartitions(
+        "id"
+    ).write.mode("overwrite").parquet(compacted)
+    n_after = len(glob.glob(compacted + "/part-*.parquet"))
+    assert n_after <= 4
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(compacted)
+    assert a.count() == b.count() == 10_000
+    assert a.exceptAll(b).count() == 0
