@@ -885,3 +885,75 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def index_quality(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    max_iters: int = 5,
+) -> DataFrame:
+    """Trained-index quality report: per-cluster population and inertia
+    (sum of squared L2 distance to the trained centroid) — the metrics
+    an IVF index build logs to decide k and spot degenerate clusters.
+
+    Exactness: the trained centroids are engine-identical (fixed-point
+    Lloyd combine); each vector's squared distance is a JVM
+    sequential fold (bit-equal to the oracle's list_sum), quantized by
+    2^20 and summed as int64 so the per-cluster reduction is
+    partition-order free. Plan: one broadcast-argmax assignment pass +
+    one k-group agg — nothing wide beyond k rows.
+    """
+    C = kmeans_centroids(
+        embeddings, n_centroids=n_centroids, max_iters=max_iters, tol=0.0
+    )
+    spark = embeddings.sparkSession
+    cent = centroids_frame(spark, C).select("cent_id", "c_emb")
+    assigned = assign_buckets_argmax(embeddings, C, n_probes=1).where(
+        F.col("rn") == 1
+    )
+    scale = 1 << 20
+    d2 = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("c_emb"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q = F.floor(d2 * scale + F.lit(0.5)).cast("long")
+    return (
+        assigned.join(F.broadcast(cent), "cent_id")
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            (
+                F.sum(q).cast("double") / F.lit(float(scale))
+            ).alias("inertia"),
+        )
+    )
+
+
+def index_quality_sql(n_centroids: int = 16, max_iters: int = 5, dim: int = DIM) -> str:
+    scale = 1 << 20
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"j -> (e.embedding[j]::DOUBLE - c.c_emb[j])"
+        f" * (e.embedding[j]::DOUBLE - c.c_emb[j])))"
+    )
+    return f"""
+WITH {kmeans_centroids_ctes(n_centroids, max_iters, dim)},
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_trained_sql('e', 'c', dim)} DESC,
+                                       c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN trained_cent c
+  ) WHERE rn = 1
+)
+SELECT a.cent_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(FLOOR({d2} * {scale} + 0.5) AS BIGINT)) AS DOUBLE)
+         / {float(scale)!r} AS inertia
+FROM assigned a
+JOIN embeddings e ON e.vec_id = a.vec_id
+JOIN trained_cent c ON c.cent_id = a.cent_id
+GROUP BY a.cent_id
+"""

@@ -989,6 +989,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_interval_join_semi",
     "stream_interval_join_anti",
     "simsearch_ivf_kmeans",
+    "simsearch_index_quality",
     "dedup_embedding_ivf_trained",
     "events_zorder_balanced",
     "dedup_components_converged",

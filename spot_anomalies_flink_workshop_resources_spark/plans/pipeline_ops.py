@@ -551,6 +551,13 @@ def simsearch_ivf_kmeans(spark, sf_dir):
     return S.ivf_topk(embs, centroid_matrix=C)
 
 
+def simsearch_index_quality(spark, sf_dir):
+    """Per-cluster population + inertia of the trained IVF index
+    (operators/simsearch.index_quality) — oracle re-derives the index
+    AND the distances from scratch."""
+    return S.index_quality(_embs(spark, sf_dir))
+
+
 def simsearch_pq(spark, sf_dir):
     """Product-quantization ANN: sample-trained per-subspace codebooks
     (the standard 16-subspace x 8-bit config: 16 bytes/vector, 32x
@@ -788,6 +795,7 @@ QUERIES = {
     "simsearch_ivf": simsearch_ivf,
     "simsearch_ivf_probe2": simsearch_ivf_probe2,
     "simsearch_ivf_kmeans": simsearch_ivf_kmeans,
+    "simsearch_index_quality": simsearch_index_quality,
     "simsearch_pq": simsearch_pq,
     "simsearch_ivfpq": simsearch_ivfpq,
     "simsearch_label_centroids": simsearch_label_centroids,
@@ -869,5 +877,6 @@ FROM documents
     "simsearch_ivf_probe2": S.ivf_topk_sql(n_probes=2),
     # trained index re-derived from scratch in DuckDB (unrolled Lloyd)
     "simsearch_ivf_kmeans": S.ivf_topk_trained_sql(),
+    "simsearch_index_quality": S.index_quality_sql(),
     "simsearch_label_centroids": S.label_centroids_sql(),
 }
