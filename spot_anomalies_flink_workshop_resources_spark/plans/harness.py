@@ -970,6 +970,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_lang_mismatch",
     "corpus_sample_weighted",
     "corpus_curation_sample",
+    "corpus_zipf_fit",
     "events_gapfill",
     "events_funnel",
     "events_funnel_windowed",

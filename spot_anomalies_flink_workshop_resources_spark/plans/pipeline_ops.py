@@ -290,6 +290,98 @@ def corpus_top_terms_sketch(spark, sf_dir):
     return T.top_terms_sketch(_docs(spark, sf_dir), k=50)
 
 
+def corpus_zipf_fit(spark, sf_dir):
+    """Zipf-law fit over the top-100 vocabulary: OLS of ln(freq) on
+    ln(rank) — the corpus-health diagnostic (natural corpora slope
+    ~ -1; synthetic/boilerplate corpora deviate). Ranks are the
+    deterministic top-terms ordering; the ln values are fixed-point
+    quantized (2^20) so the OLS sufficient statistics are exact int64
+    sums and the closed-form slope/intercept are engine-identical
+    double arithmetic from exact integers. The global rank window runs
+    over the VOCAB-sized frequency frame (not the corpus) — same cost
+    class as the top-terms sort, fine at any corpus size."""
+    from pyspark.sql import Window, functions as F
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{T.TOKEN_RE}', 0)")
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    scale = 1 << 20
+    top = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 100)
+        .select(
+            F.floor(F.log(F.col("rank").cast("double")) * scale + 0.5)
+            .cast("long").alias("x"),
+            F.floor(F.log(F.col("n").cast("double")) * scale + 0.5)
+            .cast("long").alias("y"),
+        )
+    )
+    stats = top.agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("cnt").cast("double")
+    sx = F.col("sx").cast("double") / scale
+    sy = F.col("sy").cast("double") / scale
+    sxy = F.col("sxy").cast("double") / (float(scale) * scale)
+    sxx = F.col("sxx").cast("double") / (float(scale) * scale)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return stats.select(
+        F.col("cnt").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
+def _corpus_zipf_oracle() -> str:
+    scale = 1 << 20
+    return f"""
+WITH freq AS (
+  SELECT tok, COUNT(*) AS n FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS tok
+    FROM documents
+  ) GROUP BY tok
+),
+top AS (
+  SELECT CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * {scale} + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(n AS DOUBLE)) * {scale} + 0.5) AS BIGINT) AS y
+  FROM (
+    SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rank
+    FROM freq
+  ) WHERE rank <= 100
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM top
+)
+SELECT cnt AS n_terms,
+       (CAST(cnt AS DOUBLE) * (CAST(sxy AS DOUBLE) / ({float(scale)!r} * {scale}))
+         - (CAST(sx AS DOUBLE) / {scale}) * (CAST(sy AS DOUBLE) / {scale}))
+       / (CAST(cnt AS DOUBLE) * (CAST(sxx AS DOUBLE) / ({float(scale)!r} * {scale}))
+         - (CAST(sx AS DOUBLE) / {scale}) * (CAST(sx AS DOUBLE) / {scale}))
+         AS zipf_slope,
+       ((CAST(sy AS DOUBLE) / {scale})
+        - ((CAST(cnt AS DOUBLE) * (CAST(sxy AS DOUBLE) / ({float(scale)!r} * {scale}))
+            - (CAST(sx AS DOUBLE) / {scale}) * (CAST(sy AS DOUBLE) / {scale}))
+           / (CAST(cnt AS DOUBLE) * (CAST(sxx AS DOUBLE) / ({float(scale)!r} * {scale}))
+              - (CAST(sx AS DOUBLE) / {scale}) * (CAST(sx AS DOUBLE) / {scale})))
+          * (CAST(sx AS DOUBLE) / {scale}))
+       / CAST(cnt AS DOUBLE) AS intercept
+FROM stats
+"""
+
+
 def dedup_jaccard(spark, sf_dir):
     # df_cap=64 > measured corpus max df (7 at sf0.01, 25 at sf0.1):
     # exact result with the quadratic-hot-token guard armed; the skew
@@ -776,6 +868,7 @@ QUERIES = {
     "corpus_split": corpus_split,
     "corpus_top_terms": corpus_top_terms,
     "corpus_top_terms_sketch": corpus_top_terms_sketch,
+    "corpus_zipf_fit": corpus_zipf_fit,
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -832,6 +925,7 @@ ORACLES = {
     "corpus_top_terms": CORPUS_TOP_TERMS_SQL,
     # sketch-candidates + exact-verify twin: exact output, same oracle
     "corpus_top_terms_sketch": CORPUS_TOP_TERMS_SQL,
+    "corpus_zipf_fit": _corpus_zipf_oracle(),
     # df_cap mirrors the Spark call so oracle equality survives corpora
     # where the hot-shingle prune actually fires (ADVICE r2)
     "dedup_jaccard": D.jaccard_pairs_sql(threshold=0.5, shingle_n=3, df_cap=64),
