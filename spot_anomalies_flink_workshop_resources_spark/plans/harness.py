@@ -979,6 +979,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_value_histogram",
     "events_robust_outliers",
     "events_rolling_wau",
+    "events_moments",
     "events_transition_matrix",
     "events_cdc_incremental_agg",
     "events_cdc_snapshot_asof",

@@ -1202,6 +1202,109 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def events_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment statistics per event type — mean, variance,
+    skewness, excess kurtosis — from EXACT integer power sums: value is
+    2-decimal, so q = 100v is an exact int64; q^2/q^3 stay inside
+    int64, q^4 goes through one decimal(38,0) product, and all four
+    sums aggregate exactly (no float accumulation anywhere). Each exact
+    sum then takes ONE correctly-rounded cast to double, and the moment
+    formulas are written with identical operation order in both
+    engines — deterministic across engines AND partitionings, unlike
+    builtin skewness()/kurtosis() whose streaming estimators differ
+    per engine. Map-side combinable like any algebraic aggregate."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ed = e.select("event_type", q.alias("q"))
+    q2 = (F.col("q") * F.col("q")).alias("q2")
+    sums = ed.select("event_type", "q", q2).select(
+        "event_type", "q", "q2",
+        (F.col("q") * F.col("q2")).alias("q3"),
+        (
+            F.col("q2").cast("decimal(19,0)") * F.col("q2").cast("decimal(19,0)")
+        ).alias("q4"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("q2").cast("decimal(38,0)")).alias("s2"),
+        F.sum(F.col("q3").cast("decimal(38,0)")).alias("s3"),
+        F.sum(F.col("q4").cast("decimal(38,0)")).alias("s4"),
+    )
+    n = F.col("cnt").cast("double")
+    S1 = F.col("s1").cast("double")
+    S2 = F.col("s2").cast("double")
+    S3 = F.col("s3").cast("double")
+    S4 = F.col("s4").cast("double")
+    mq = S1 / n
+    m2 = S2 / n - mq * mq
+    m3 = S3 / n - 3.0 * mq * (S2 / n) + 2.0 * mq * mq * mq
+    m4 = (
+        S4 / n
+        - 4.0 * mq * (S3 / n)
+        + 6.0 * mq * mq * (S2 / n)
+        - 3.0 * mq * mq * mq * mq
+    )
+    return sums.select(
+        "event_type",
+        F.col("cnt").alias("n"),
+        (mq / 100.0).alias("mean"),
+        (m2 / 10000.0).alias("variance"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - 3.0).alias("kurtosis_excess"),
+    )
+
+
+EVENTS_MOMENTS_SQL = """
+WITH qd AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS q
+  FROM events
+),
+p AS (
+  SELECT event_type, q, q * q AS q2, q * q * q AS q3,
+         CAST(q * q AS DECIMAL(19,0)) * CAST(q * q AS DECIMAL(19,0)) AS q4
+  FROM qd
+),
+sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(q2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(q3 AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(q4 AS DECIMAL(38,0))) AS DOUBLE) AS s4
+  FROM p GROUP BY event_type
+)
+SELECT event_type, cnt AS n,
+       ((s1 / CAST(cnt AS DOUBLE)) / 100.0) AS mean,
+       ((s2 / CAST(cnt AS DOUBLE)
+         - (s1 / CAST(cnt AS DOUBLE)) * (s1 / CAST(cnt AS DOUBLE)))
+        / 10000.0) AS variance,
+       ((s3 / CAST(cnt AS DOUBLE)
+         - 3.0 * (s1 / CAST(cnt AS DOUBLE)) * (s2 / CAST(cnt AS DOUBLE))
+         + 2.0 * (s1 / CAST(cnt AS DOUBLE)) * (s1 / CAST(cnt AS DOUBLE))
+               * (s1 / CAST(cnt AS DOUBLE)))
+        / ((s2 / CAST(cnt AS DOUBLE)
+            - (s1 / CAST(cnt AS DOUBLE)) * (s1 / CAST(cnt AS DOUBLE)))
+           * sqrt(s2 / CAST(cnt AS DOUBLE)
+                  - (s1 / CAST(cnt AS DOUBLE)) * (s1 / CAST(cnt AS DOUBLE)))))
+         AS skewness,
+       ((s4 / CAST(cnt AS DOUBLE)
+         - 4.0 * (s1 / CAST(cnt AS DOUBLE)) * (s3 / CAST(cnt AS DOUBLE))
+         + 6.0 * (s1 / CAST(cnt AS DOUBLE)) * (s1 / CAST(cnt AS DOUBLE))
+               * (s2 / CAST(cnt AS DOUBLE))
+         - 3.0 * (s1 / CAST(cnt AS DOUBLE)) * (s1 / CAST(cnt AS DOUBLE))
+               * (s1 / CAST(cnt AS DOUBLE)) * (s1 / CAST(cnt AS DOUBLE)))
+        / ((s2 / CAST(cnt AS DOUBLE)
+            - (s1 / CAST(cnt AS DOUBLE)) * (s1 / CAST(cnt AS DOUBLE)))
+           * (s2 / CAST(cnt AS DOUBLE)
+              - (s1 / CAST(cnt AS DOUBLE)) * (s1 / CAST(cnt AS DOUBLE))))
+        - 3.0) AS kurtosis_excess
+FROM sums
+"""
+
+
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (WAU): exact sliding
     DISTINCT. Sliding distincts do not decompose into window frames
@@ -1450,6 +1553,7 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "events_robust_outliers": events_robust_outliers,
     "events_rolling_wau": events_rolling_wau,
+    "events_moments": events_moments,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -1465,6 +1569,7 @@ ORACLES = {
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     "events_robust_outliers": EVENTS_ROBUST_OUTLIERS_SQL,
     "events_rolling_wau": EVENTS_ROLLING_WAU_SQL,
+    "events_moments": EVENTS_MOMENTS_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),

@@ -492,3 +492,34 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     # and the pruning reaches the fact scan's PartitionFilters
     part_filters = p.split("PartitionFilters")[1][:220]
     assert "dynamicpruning" in part_filters, part_filters
+
+
+def test_events_moments_match_numpy(spark, tmp_path):
+    """Exact-power-sum moments equal numpy's population moments."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_moments,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = np.round(rng.gamma(2.0, 30.0, size=500), 2)
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, ts=__import__("datetime").datetime(2024, 1, 1),
+                user_id=1, event_type="a", value=float(v), props="")
+            for i, v in enumerate(vals)
+        ]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = events_moments(spark, str(tmp_path)).collect()[0]
+    m = vals.mean()
+    m2 = ((vals - m) ** 2).mean()
+    m3 = ((vals - m) ** 3).mean()
+    m4 = ((vals - m) ** 4).mean()
+    assert out.n == 500
+    assert abs(out.mean - m) < 1e-9
+    assert abs(out.variance - m2) < 1e-6
+    assert abs(out.skewness - m3 / m2 ** 1.5) < 1e-9
+    assert abs(out.kurtosis_excess - (m4 / m2 ** 2 - 3)) < 1e-9
