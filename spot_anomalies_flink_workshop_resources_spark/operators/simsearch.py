@@ -130,6 +130,19 @@ def kmeans_centroids(
     (≤5e-7 per-component quantization — far below any clustering
     signal).
 
+    MARGIN ASSUMPTION (cross-engine caveat): the per-iteration
+    assignment argmax compares cosines computed by NumPy BLAS here vs
+    a sequential ``list_sum`` fold in the oracle CTEs; those differ in
+    final ulps (~1e-13 accumulated over dim=64). Cross-engine
+    bit-identity of the TRAINED matrix therefore additionally requires
+    that no vector's top-1 vs top-2 cosine gap falls inside that ulp
+    band in any iteration — an exact tie is measure-zero for real
+    data, and ``tests/test_pipeline_ops.py::
+    test_kmeans_assignment_margin_dwarfs_ulp_noise`` measures the
+    actual minimum gap on the harness corpus (≥1e-6, seven orders
+    above the noise) so the assumption is verified on the data the
+    oracles run against rather than merely assumed.
+
     Returns a (n_centroids, dim) NumPy array ordered by centroid id.
     """
     import numpy as np
@@ -559,6 +572,54 @@ def label_centroids(embeddings: DataFrame, dim: int = DIM) -> DataFrame:
             F.transform(F.col("_pairs"), lambda p: p["m"]).alias("centroid"),
         )
     )
+
+
+def label_centroids_long(embeddings: DataFrame, dim: int = DIM) -> DataFrame:
+    """Long-form twin of :func:`label_centroids`: one row per
+    (label, idx) with SCALAR cells only — ``(label, n_vecs, idx,
+    component)``.
+
+    Same fixed-point int64 exactness design (see
+    :func:`label_centroids`); same information, just unpivoted. This
+    is the driver-facing registration: result frames are canonicalized
+    through pandas ``sort_values``, which cannot sort ``array<double>``
+    cells, so the wide form stays a library-only API while this shape
+    carries the oracle. Plan shape is strictly simpler than the wide
+    form — posexplode (narrow) then ONE hash agg on (label, idx); no
+    second exchange to rebuild the array.
+    """
+    scale = 1 << 20
+    e = embeddings.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("idx", "v"),
+    )
+    q = F.floor(F.col("v").cast("double") * scale + F.lit(0.5)).cast("long")
+    per_idx = e.groupBy("label", "idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(q).cast("long").alias("s"),
+    )
+    comp = (F.col("s").cast("double") / F.col("n_vecs")) / F.lit(float(scale))
+    return per_idx.select(
+        "label",
+        "n_vecs",
+        F.col("idx").cast("long").alias("idx"),
+        comp.alias("component"),
+    )
+
+
+def label_centroids_long_sql(dim: int = DIM) -> str:
+    scale = 1 << 20
+    return f"""
+WITH ex AS (
+  SELECT label, CAST(u.i - 1 AS BIGINT) AS idx,
+         CAST(FLOOR(CAST(e.embedding[u.i] AS DOUBLE) * {scale} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings e, UNNEST(generate_series(1, {dim})) AS u(i)
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, idx,
+       (CAST(SUM(q) AS DOUBLE) / COUNT(*)) / {float(scale)!r} AS component
+FROM ex GROUP BY label, idx
+"""
 
 
 def label_centroids_sql(dim: int = DIM) -> str:

@@ -197,7 +197,7 @@ def stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_SESSION_ORACLE = """
 WITH lagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    IS NULL
                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -206,8 +206,10 @@ WITH lagged AS (
   FROM events
 ),
 sess AS (
+  -- (ts, event_id) ordering must match the LAG ordering above so tied-ts
+  -- rows cannot swap past a session boundary nondeterministically
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM lagged
 ),
@@ -265,7 +267,7 @@ WITH g AS (
   FROM events
 ),
 runs AS (
-  SELECT user_id, ts, w_end,
+  SELECT user_id, ts, event_id, w_end,
          CASE WHEN MAX(w_end) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -277,8 +279,10 @@ runs AS (
   FROM g
 ),
 sess AS (
+  -- order by (ts, event_id): must match the boundary-detection ordering
+  -- in runs, else tied-ts rows can swap past a boundary nondeterministically
   SELECT user_id, ts, w_end,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM runs
 ),
@@ -964,7 +968,15 @@ WHERE src_endpoint.ip LIKE '10.%'
 # order behind them. The full surface (all oracles) is still verified
 # locally each round via tools/check_oracles.py — see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- new or semantics-changed this round (round 4) --
+    # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
+    "sql_nation_top_customers",    # exact in local sweeps since r2
+    # -- round 5: new or semantics-changed --
+    "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
+    "sql_part_name_similarity",    # (brand, len-bucket) blocking key
+    "events_moments",              # varchar-routed power sums (ADVICE r4)
+    "stream_session_dynamic",      # oracle tie-ordering fix (ADVICE r4)
+    "stream_session_rollup",       # same tie-ordering fix
+    # -- round 4 --
     "text_bm25_topk",
     "text_lm_score",
     "text_lang_mismatch",
@@ -979,14 +991,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_value_histogram",
     "events_robust_outliers",
     "events_rolling_wau",
-    "events_moments",
     "events_transition_matrix",
     "events_cdc_incremental_agg",
     "events_cdc_snapshot_asof",
-    "sql_part_name_similarity",
     "dedup_cluster_sizes",
     "stream_hopping_rollup",
-    "stream_session_dynamic",
     "unpivot_event_type_counts",
     "stream_interval_join_semi",
     "stream_interval_join_anti",
@@ -1001,7 +1010,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_interval_join_full",
     "corpus_chunk_windows",
     "corpus_bpe_encode",
-    "simsearch_label_centroids",
     "corpus_prep_chunked",
     "corpus_sample_exact_k",
     "corpus_sample_exact_k_per_lang",
@@ -1058,7 +1066,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_part_words",
     "sql_regression_by_source",
     "sql_orders_grouping_sets",
-    "sql_nation_top_customers",
+)
+
+# Rows-only (no-oracle-by-design) queries are pushed BEHIND every
+# oracle-backed registry entry so all ~50 driver slots carry a value
+# hash (VERDICT r4 #2). They still get driver rows-only checks when the
+# window reaches them, and the local sweep counts their rows each run.
+DRIVER_DEPRIORITIZE: tuple[str, ...] = (
+    "approx_distinct_parts",
+    "corpus_bpe_encode",
+    "corpus_bpe_merges",
+    "ml_ipinsights_score",
+    "simsearch_ivfpq",
+    "simsearch_pq",
+    "sql_price_quantiles_approx",
 )
 
 
@@ -1098,11 +1119,14 @@ def build_queries() -> dict[str, QueryFn]:
 
     out: dict[str, QueryFn] = {}
     for name in DRIVER_PRIORITY:
-        if name in registry:
+        if name in registry and name not in DRIVER_DEPRIORITIZE:
             out[name] = registry[name]
     for name, fn in registry.items():
-        if name not in out:
+        if name not in out and name not in DRIVER_DEPRIORITIZE:
             out[name] = fn
+    for name in DRIVER_DEPRIORITIZE:  # rows-only tail, behind every oracle
+        if name in registry:
+            out[name] = registry[name]
     return out
 
 

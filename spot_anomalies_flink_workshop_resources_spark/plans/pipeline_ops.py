@@ -774,10 +774,13 @@ GROUP BY k.source, k.lang
 
 
 def simsearch_label_centroids(spark, sf_dir):
-    """Per-label mean embedding (class prototypes) with decimal-exact
-    sums so the mean is bit-identical across engines/partitionings
-    (operators.simsearch.label_centroids)."""
-    return S.label_centroids(_embs(spark, sf_dir))
+    """Per-label mean embedding (class prototypes) in LONG form —
+    (label, n_vecs, idx, component), scalar cells only, so the
+    driver's pandas canonicalization can sort/hash it; fixed-point
+    int64 sums keep it bit-identical across engines/partitionings
+    (operators.simsearch.label_centroids_long; the array-building
+    wide form stays available as a library API)."""
+    return S.label_centroids_long(_embs(spark, sf_dir))
 
 
 def corpus_bpe_encode(spark, sf_dir):
@@ -972,5 +975,5 @@ FROM documents
     # trained index re-derived from scratch in DuckDB (unrolled Lloyd)
     "simsearch_ivf_kmeans": S.ivf_topk_trained_sql(),
     "simsearch_index_quality": S.index_quality_sql(),
-    "simsearch_label_centroids": S.label_centroids_sql(),
+    "simsearch_label_centroids": S.label_centroids_long_sql(),
 }

@@ -1158,25 +1158,43 @@ GROUP BY prev_type, next_type
 
 def part_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity join on part names (levenshtein <= 2),
-    blocked by brand with a length-difference prefilter (a necessary
-    condition for the distance bound, so it only thins the candidate
-    set). The string-similarity join is the non-tokenized cousin of
-    the shingle dedup family; at scale the block key bounds pairwise
-    work exactly like the LSH bands do."""
+    blocked on (brand, length-bucket) — the string-similarity cousin
+    of the shingle dedup family.
+
+    SCALE DESIGN (VERDICT r4 #3): brand alone is a CONSTANT-cardinality
+    key (TPC-H has exactly 25 brands), so brand-only blocking gives
+    N^2/25 candidate pairs — quadratic at any growth. Length is
+    data-cardinality, so the equi-join key here is
+    ``(brand, floor(len/2))``: one side explodes to its 3 adjacent
+    buckets, which is EXACT because ``|len_a - len_b| <= 2`` is a
+    necessary condition for ``dist <= 2`` and bucket width 2 makes any
+    such pair's buckets differ by at most 1. Pairwise work is now
+    bounded by sum over (brand, bucket) blocks of |block|^2 — block
+    sizes track the NAME-LENGTH histogram, which spreads with N, not a
+    fixed 25-way split. Each qualifying pair joins exactly once (the
+    build side has one true bucket; the probe side lists it once), so
+    results are identical to the brand-only plan and the oracle is
+    unchanged."""
     p = load_table(spark, sf_dir, "part")
+    w = 2  # bucket width; >= max distance keeps adjacency exact
+    bkt = F.floor(F.length("p_name") / w)
     a = p.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
         F.col("p_brand").alias("brand"),
+        F.explode(
+            F.array(bkt - 1, bkt, bkt + 1)
+        ).alias("len_bucket"),
     )
     b = p.select(
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
         F.col("p_brand").alias("brand"),
+        bkt.alias("len_bucket"),
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
-        a.join(b, "brand")
+        a.join(b, ["brand", "len_bucket"])
         .where(
             (F.col("key_a") < F.col("key_b"))
             & (
@@ -1233,10 +1251,14 @@ def events_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("q4").cast("decimal(38,0)")).alias("s4"),
     )
     n = F.col("cnt").cast("double")
-    S1 = F.col("s1").cast("double")
-    S2 = F.col("s2").cast("double")
-    S3 = F.col("s3").cast("double")
-    S4 = F.col("s4").cast("double")
+    # decimal -> string -> double (the repo's fixed-point recipe, cf.
+    # _dsum): decimal→string is exact digits and string→double is
+    # correctly rounded on BOTH engines, whereas DuckDB's direct
+    # hugeint→double can double-round above 2^53 (s4 ~ 1e23 at sf0.1).
+    S1 = F.col("s1").cast("string").cast("double")
+    S2 = F.col("s2").cast("string").cast("double")
+    S3 = F.col("s3").cast("string").cast("double")
+    S4 = F.col("s4").cast("string").cast("double")
     mq = S1 / n
     m2 = S2 / n - mq * mq
     m3 = S3 / n - 3.0 * mq * (S2 / n) + 2.0 * mq * mq * mq
@@ -1270,10 +1292,10 @@ p AS (
 sums AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS cnt,
-         CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(q2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
-         CAST(SUM(CAST(q3 AS DECIMAL(38,0))) AS DOUBLE) AS s3,
-         CAST(SUM(CAST(q4 AS DECIMAL(38,0))) AS DOUBLE) AS s4
+         CAST(CAST(SUM(CAST(q AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(q2 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(CAST(q3 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s3,
+         CAST(CAST(SUM(CAST(q4 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s4
   FROM p GROUP BY event_type
 )
 SELECT event_type, cnt AS n,

@@ -600,6 +600,51 @@ def test_label_centroids_accuracy_and_partition_invariance(spark, sf_dir):
     assert shuffled == {lab: tuple(c) for lab, (_, c) in got.items()}
 
 
+def test_kmeans_assignment_margin_dwarfs_ulp_noise(spark, sf_dir):
+    """Verifies the MARGIN ASSUMPTION documented on kmeans_centroids:
+    cross-engine bit-identity of the trained centroids needs every
+    vector's top-1 vs top-2 cosine gap to exceed the ~1e-13 ulp
+    divergence between NumPy BLAS and DuckDB's sequential list_sum
+    fold, in EVERY Lloyd iteration. Replays the exact engine loop
+    (same seeds, same fixed-point means) on the harness embeddings and
+    measures the minimum gap across all vectors x iterations."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spot_anomalies_flink_workshop_resources_spark.catalog import load_table
+
+    k, iters, scale = 16, 5, 1 << 20
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    X = np.stack([np.asarray(r.emb) for r in rows])
+    C = X[:k].copy()
+    xn = np.linalg.norm(X, axis=1)
+    min_gap = np.inf
+    for _ in range(iters):
+        cos = (X @ C.T) / (xn[:, None] * np.linalg.norm(C, axis=1)[None, :])
+        top2 = np.partition(cos, -2, axis=1)[:, -2:]
+        min_gap = min(min_gap, float((top2[:, 1] - top2[:, 0]).min()))
+        a = cos.argmax(axis=1)
+        Xq = np.floor(X * scale + 0.5).astype(np.int64)
+        sums = np.zeros_like(C, dtype=np.int64)
+        cnts = np.zeros(k, dtype=np.int64)
+        np.add.at(sums, a, Xq)
+        cnts += np.bincount(a, minlength=k)
+        means = (sums.astype(np.float64) / np.maximum(cnts, 1)[:, None]) / scale
+        C = np.where(cnts[:, None] > 0, means, C)
+    # engine twin must agree with this replay bit-for-bit
+    trained = simsearch.kmeans_centroids(
+        load_table(spark, sf_dir, "embeddings"), n_centroids=k,
+        max_iters=iters, tol=0.0,
+    )
+    assert np.array_equal(trained, C)
+    assert min_gap > 1e-6, min_gap  # 7 orders above cross-engine ulp noise
+
+
 def test_ivfpq_index_layout_prunes_unprobed_lists(spark, sf_dir, tmp_path):
     """The persisted IVF-PQ index layout (partitionBy cent_id) lets a
     probed-list scan touch only its lists: the plan shows the cent_id

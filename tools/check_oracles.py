@@ -63,6 +63,20 @@ def _rows(arrow_table):
 
 def compare(name, spark_df, con, sql):
     stab = spark_df.toArrow()
+    # Driver-canonicalization guard (round-4 red row lesson): the driver
+    # sorts result frames through pandas sort_values, which raises
+    # "unhashable type: 'list'" on list/struct/map cells — a query can be
+    # value-exact here yet red at the driver. Nested result columns on an
+    # oracle-backed query are therefore a FAIL; reshape to long/scalar form.
+    import pyarrow as pa
+
+    for field in stab.schema:
+        if pa.types.is_nested(field.type):
+            return (
+                f"FAIL {name}: nested result column {field.name!r} "
+                f"({field.type}) — driver pandas canonicalization cannot "
+                "sort it; register a long-form scalar shape instead"
+            )
     otab = con.sql(sql).arrow()
     sraw, scols_orig = _rows(stab)
     oraw, ocols_orig = _rows(otab)
