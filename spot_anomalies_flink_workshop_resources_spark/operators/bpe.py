@@ -352,6 +352,121 @@ def bpe_encode(docs: DataFrame, merges: list[tuple]) -> DataFrame:
     )
 
 
+def _bpe_rounds_ctes(n_rounds: int) -> str:
+    """DuckDB CTE chain unrolling ``n_rounds`` SERIAL BPE merge rounds
+    (the unrolled-CTE technique that made trained k-means oracle-able).
+
+    The engine trains BATCHED (``_select_batch``), but batched output is
+    provably identical to serial (docstring + property tests), so a
+    serial oracle is the strongest possible cross-check: it exercises
+    the equivalence argument itself on real data, per round.
+
+    Serial round i: ``best{{i}}`` = argmax pair by (count desc, l, r)
+    with the >=2 merge floor (empty CTE once training stops — later
+    rounds then fold identity, matching the engine's early stop);
+    ``v{{i}}`` = greedy-leftmost fold of that one rule. The fold needs
+    no recursion: for l != r, matches can never overlap (an overlap
+    would force l = r), so position j merges iff ``(s_j, s_j+1) =
+    (l, r)`` and drops iff ``(s_j-1, s_j) = (l, r)``; for a self-pair
+    the merge positions are exactly the ODD offsets within each maximal
+    run of ``l`` (k-th consecutive occurrence merges iff k is odd and a
+    next run element exists — 'aaaa' -> [aa, aa], 'aaa' -> [aa, a]),
+    which is one islands window (j - row_number over the run rows).
+    Ends with ``v{n_rounds}(tok, syms, n)`` plus ``best1..best{n_rounds}``.
+    """
+    parts = [
+        f"""v0 AS MATERIALIZED (
+  SELECT tok,
+         list_transform(generate_series(1, length(tok)),
+                        i -> substr(tok, i, 1)) AS syms,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+        FROM documents)
+  GROUP BY tok
+)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        prev = f"v{i - 1}"
+        parts.append(
+            f""",
+best{i} AS MATERIALIZED (
+  SELECT l, r, l || r AS m, CAST(SUM(n) AS BIGINT) AS c
+  FROM (SELECT v.n, v.syms[u.j] AS l, v.syms[u.j + 1] AS r
+        FROM {prev} v, UNNEST(generate_series(1, len(v.syms) - 1)) AS u(j))
+  GROUP BY l, r
+  HAVING SUM(n) >= 2
+  ORDER BY c DESC, l ASC, r ASC
+  LIMIT 1
+),
+ex{i} AS MATERIALIZED (
+  SELECT v.tok, v.n, u.j, v.syms[u.j] AS s,
+         v.syms[u.j + 1] AS s_next, v.syms[u.j - 1] AS s_prev
+  FROM {prev} v, UNNEST(generate_series(1, len(v.syms))) AS u(j)
+),
+runs{i} AS (
+  SELECT tok, j,
+         ROW_NUMBER() OVER (PARTITION BY tok, j - rn ORDER BY j) AS k
+  FROM (SELECT e.tok, e.j,
+               ROW_NUMBER() OVER (PARTITION BY e.tok ORDER BY e.j) AS rn
+        FROM ex{i} e JOIN best{i} b ON e.s = b.l)
+),
+dec{i} AS (
+  SELECT e.tok, e.n, e.j,
+         CASE
+           WHEN b.l IS NULL THEN e.s
+           WHEN b.l <> b.r AND e.s = b.l AND e.s_next = b.r THEN b.m
+           WHEN b.l <> b.r AND e.s = b.r AND e.s_prev = b.l THEN NULL
+           WHEN b.l = b.r AND e.s = b.l THEN
+             CASE WHEN rk.k % 2 = 1 AND e.s_next = b.l THEN b.m
+                  WHEN rk.k % 2 = 0 THEN NULL
+                  ELSE e.s END
+           ELSE e.s
+         END AS out_s
+  FROM ex{i} e
+  LEFT JOIN best{i} b ON TRUE
+  LEFT JOIN runs{i} rk ON rk.tok = e.tok AND rk.j = e.j
+),
+v{i} AS MATERIALIZED (
+  SELECT tok, n, list(out_s ORDER BY j) AS syms
+  FROM dec{i} WHERE out_s IS NOT NULL
+  GROUP BY tok, n
+)"""
+        )
+    return "".join(parts)
+
+
+def bpe_merges_sql(n_merges: int = 12) -> str:
+    """Value oracle for :func:`learn_merges` — ``n_merges`` serial
+    rounds unrolled; the merge table is the per-round ``best`` rows
+    (rounds past an early stop contribute no row, matching the engine)."""
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, l AS \"left\","
+        f" r AS \"right\", m AS merged, c AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_rounds_ctes(n_merges)}\n{union}"
+
+
+def bpe_encode_sql(n_merges: int = 16) -> str:
+    """Value oracle for train-then-encode (:func:`bpe_encode` applied
+    to the training corpus with :func:`learn_merges` output): the final
+    round's vocabulary state ALREADY holds each distinct token's merged
+    symbol array, so the encode is a per-doc token join against
+    ``v{n_merges}`` — exactly the engine's broadcast-join shape."""
+    return f"""WITH {_bpe_rounds_ctes(n_merges)},
+doc_toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+  FROM documents
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+FROM doc_toks t JOIN v{n_merges} v ON v.tok = t.tok
+GROUP BY t.doc_id
+"""
+
+
 def _merge_table(spark: SparkSession, merges: list[tuple]) -> DataFrame:
     schema = (
         "merge_rank long, left string, right string, merged string, "

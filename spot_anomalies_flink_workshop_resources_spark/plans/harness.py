@@ -973,6 +973,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round 5: new or semantics-changed --
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
+    "corpus_bpe_merges",           # NEW oracle: 12-round serial unrolled CTEs
+    "corpus_bpe_encode",           # NEW oracle: train-16 + vocab-join encode
     "events_moments",              # varchar-routed power sums (ADVICE r4)
     "stream_session_dynamic",      # oracle tie-ordering fix (ADVICE r4)
     "stream_session_rollup",       # same tie-ordering fix
@@ -1074,8 +1076,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # window reaches them, and the local sweep counts their rows each run.
 DRIVER_DEPRIORITIZE: tuple[str, ...] = (
     "approx_distinct_parts",
-    "corpus_bpe_encode",
-    "corpus_bpe_merges",
     "ml_ipinsights_score",
     "simsearch_ivfpq",
     "simsearch_pq",

@@ -683,13 +683,25 @@ def corpus_bpe_pairs(spark, sf_dir):
 
 
 def corpus_bpe_merges(spark, sf_dir):
-    """Iterative BPE merge learning — rows-only by design (driver-looped
-    argmax + rewrite rounds are not single-statement SQL); the merge
-    table is deterministic (count-desc, lexicographic tiebreak), and
-    the single-round pair statistics carry the value oracle above."""
+    """Iterative BPE merge learning, value-oracled since round 5: the
+    driver-looped BATCHED trainer is checked against a 12-round SERIAL
+    unrolled-CTE oracle (operators.bpe.bpe_merges_sql) — hash equality
+    exercises the batched==serial equivalence argument on real data."""
     from ..operators.bpe import learn_merges
 
     return learn_merges(_docs(spark, sf_dir), n_merges=12)
+
+
+def _bpe_merges_oracle() -> str:
+    from ..operators.bpe import bpe_merges_sql
+
+    return bpe_merges_sql(n_merges=12)
+
+
+def _bpe_encode_oracle() -> str:
+    from ..operators.bpe import bpe_encode_sql
+
+    return bpe_encode_sql(n_merges=16)
 
 
 def corpus_pack_sequences(spark, sf_dir):
@@ -899,7 +911,11 @@ QUERIES = {
 
 ORACLES = {
     "corpus_bpe_pairs": _bpe_pairs_oracle(),
-    # corpus_bpe_merges: rows-only (see its registration docstring)
+    # serial-unrolled CTE chains (operators.bpe docstrings): the engine
+    # trains batched, the oracle trains serial — value equality IS the
+    # batched==serial equivalence proof exercised on real data
+    "corpus_bpe_merges": _bpe_merges_oracle(),
+    "corpus_bpe_encode": _bpe_encode_oracle(),
     "corpus_pack_sequences": _pack_sequences_oracle(),
     "corpus_decontaminate": _decontaminate_oracle(),
     # bloom prefilter only thins the join input — same oracle
