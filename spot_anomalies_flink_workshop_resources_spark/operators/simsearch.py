@@ -1018,3 +1018,355 @@ JOIN embeddings e ON e.vec_id = a.vec_id
 JOIN trained_cent c ON c.cent_id = a.cent_id
 GROUP BY a.cent_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact IVF-PQ (round 5): the oracle-able production composition
+# ---------------------------------------------------------------------------
+
+_QSCALE = 1 << 20  # unit-vector quantization grid (same 2^-20 as kmeans)
+
+
+def _unit_q_int(X):
+    """Quantize L2-normalized rows onto the 2^-20 grid as int64.
+
+    ``floor((x / ||x||) * 2^20 + 0.5)``. After this, EVERY PQ quantity
+    (training distances, code assignment, ADC scores) is pure int64
+    arithmetic — bit-exact across engines and partitionings with no
+    float-margin caveat. The one residual cross-engine float is ``||x||``
+    itself (BLAS vs sequential fold, ±1 ulp), which can only matter if
+    some ``x_i/||x||·2^20`` sits within ulps of a half-integer rounding
+    boundary — measured far from it on the harness data
+    (tests/test_pipeline_ops.py::test_ivfpq_exact_quantization_margins).
+    """
+    import numpy as np
+
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    return np.floor(
+        (X / np.where(n == 0, 1.0, n)) * _QSCALE + 0.5
+    ).astype(np.int64)
+
+
+def pq_train_exact_int(
+    embeddings: DataFrame,
+    m: int = 32,
+    n_codes: int = 64,
+    iters: int = 4,
+    sample: int = 2048,
+):
+    """Deterministic, integer-exact PQ codebook training — the
+    SQL-re-derivable twin of :func:`pq_train` (whose np.random init is
+    legitimately un-oraclable).
+
+    Init: subvectors of the first ``n_codes`` sample vectors (vec_id
+    order) — the same deterministic seeding rule as
+    :func:`kmeans_centroids`. Each Lloyd round assigns by INTEGER
+    squared L2 over the quantized unit grid (ties to the lower code
+    id) and re-quantizes the updated mean back onto the grid:
+    ``floor(sum/cnt + 0.5)`` where ``sum`` is an exact int64 and the
+    double division is correctly rounded identically in both engines —
+    so the trained codebooks are int64 matrices, bit-equal to the
+    DuckDB CTE re-derivation by construction. Trains on the first
+    ``sample`` vectors (driver-side NumPy on a bounded collect — the
+    standard production shape for codebook fitting; covers the whole
+    harness table at every sf).
+
+    Returns (m, n_codes, sub) int64.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["emb"]) for r in rows])
+    U = _unit_q_int(X)
+    dim = U.shape[1]
+    assert dim % m == 0
+    sub = dim // m
+    B = np.stack(
+        [U[:n_codes, j * sub : (j + 1) * sub].copy() for j in range(m)]
+    )  # (m, n_codes, sub) int64
+    for _ in range(iters):
+        for j in range(m):
+            Uj = U[:, j * sub : (j + 1) * sub]
+            d = ((Uj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)  # first (lowest code id) wins ties
+            for c in range(n_codes):
+                mask = a == c
+                if mask.any():
+                    s = Uj[mask].sum(axis=0, dtype=np.int64)
+                    B[j, c] = np.floor(
+                        s.astype(np.float64) / int(mask.sum()) + 0.5
+                    ).astype(np.int64)
+    return B
+
+
+def ivfpq_topk_exact(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    coarse_iters: int = 5,
+    m: int = 32,
+    n_codes: int = 64,
+    iters: int = 4,
+    sample: int = 2048,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Trained-everything IVF-PQ, end to end (VERDICT r4 #6): coarse
+    centroids from :func:`kmeans_centroids` (distributed Lloyd,
+    fixed-point means), PQ codebooks from :func:`pq_train_exact_int`
+    (integer grid), composed exactly like :func:`ivfpq_topk` — and
+    VALUE-ORACLED: :func:`ivfpq_exact_sql` re-trains both index levels
+    in DuckDB and re-ranks, hash-equal because every discrete decision
+    downstream of the coarse assignment is integer arithmetic (ADC
+    scores are exact multiples of 2^-40; ranking compares int64).
+
+    Plan shape is the production one: ONE narrow mapInPandas pass over
+    the corpus computes the coarse bucket (broadcast centroid matrix,
+    stable cosine argmax) and the m integer codes; queries/probes/LUTs
+    are driver-side O(n_queries) work broadcast to a second narrow
+    scoring pass that touches only probed lists; the final top-k window
+    is the only exchange, carrying ~N·p/c candidate rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    C = kmeans_centroids(
+        embeddings, n_centroids=n_centroids, max_iters=coarse_iters, tol=0.0
+    )
+    B = pq_train_exact_int(
+        embeddings, m=m, n_codes=n_codes, iters=iters, sample=sample
+    )
+    C = np.asarray(C, dtype=np.float64)
+    sub = B.shape[2]
+    p = min(n_probes, len(C))
+
+    q_rows = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    Q0 = np.stack([np.asarray(r["emb"]) for r in q_rows])
+    qn = np.linalg.norm(Q0, axis=1)
+    cn = np.linalg.norm(C, axis=1)
+    q_cos = (Q0 @ C.T) / (np.where(qn == 0, 1.0, qn)[:, None] * cn[None, :])
+    probes = np.argsort(-q_cos, axis=1, kind="stable")[:, :p]
+    QU = _unit_q_int(Q0)
+    # integer ADC LUT: lut[q, j, c] = ||QU[q, sub_j] - B[j, c]||^2 (int64)
+    lut = np.empty((len(QU), B.shape[0], B.shape[1]), dtype=np.int64)
+    for j in range(B.shape[0]):
+        Qj = QU[:, j * sub : (j + 1) * sub]
+        lut[:, j, :] = ((Qj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+    bc = spark.sparkContext.broadcast(
+        (B, C, cn, q_ids, probes, lut)
+    )
+
+    def index_and_score(batches):
+        Bl, Cl, Cnl, ids, P, L = bc.value
+        ml = Bl.shape[0]
+        jj = np.arange(ml)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X0 = np.stack(pdf["emb"].to_numpy())
+            xn = np.linalg.norm(X0, axis=1)
+            cos = (X0 @ Cl.T) / (
+                np.where(xn == 0, 1.0, xn)[:, None] * Cnl[None, :]
+            )
+            cents = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+            U = _unit_q_int(X0)
+            codes = np.empty((len(U), ml), dtype=np.int64)
+            for j in range(ml):
+                Uj = U[:, j * sub : (j + 1) * sub]
+                d = ((Uj[:, None, :] - Bl[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            vids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for qi, qid in enumerate(ids):
+                mask = np.isin(cents, P[qi]) & (vids != qid)
+                if not mask.any():
+                    continue
+                cm = codes[mask]
+                adc = L[qi][jj, cm].sum(axis=1)  # int64, exact
+                out_q.append(np.full(int(mask.sum()), qid))
+                out_n.append(vids[mask])
+                out_d.append(adc)
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_int": np.concatenate(out_d),
+                }
+            )
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    scored = e.mapInPandas(
+        index_and_score, "query_id long, neighbor_id long, adc_int long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_int"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("adc_int").cast("double") / F.lit(float(1 << 40))).alias(
+                "adc_dist"
+            ),
+            "rank",
+        )
+    )
+
+
+def _pq_train_ctes(
+    m: int = 32,
+    n_codes: int = 64,
+    iters: int = 4,
+    sample: int = 2048,
+    dim: int = DIM,
+) -> str:
+    """DuckDB CTE chain re-deriving :func:`pq_train_exact_int` —
+    quantized unit vectors ``uq(vec_id, u)``, then ``iters`` unrolled
+    integer-Lloyd rounds per subspace (all m subspaces share each
+    round's CTE, keyed by j). Ends with ``bN(j, c, b)`` int64 codebooks
+    plus ``uq`` for downstream encode/LUT use."""
+    sub = dim // m
+    parts = [
+        f"""uq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(generate_series(1, {dim}), i ->
+           CAST(FLOOR(CAST(embedding[i] AS DOUBLE) / nrm * {_QSCALE} + 0.5)
+                AS BIGINT)) AS u
+  FROM (SELECT vec_id, embedding,
+               CASE WHEN nrm0 = 0 THEN 1.0 ELSE nrm0 END AS nrm
+        FROM (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm0
+              FROM embeddings))
+),
+ts AS MATERIALIZED (
+  SELECT vec_id, u FROM (
+    SELECT vec_id, u, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM uq
+  ) WHERE rn <= {sample}
+),
+b0 AS MATERIALIZED (
+  SELECT jj.j, t.rn - 1 AS c,
+         list_transform(generate_series(1, {sub}), i -> t.u[jj.j * {sub} + i]) AS b
+  FROM (SELECT u, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM ts) t,
+       UNNEST(generate_series(0, {m - 1})) AS jj(j)
+  WHERE t.rn <= {n_codes}
+)"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"b{t - 1}"
+        parts.append(
+            f""",
+pasg{t} AS MATERIALIZED (
+  SELECT vec_id, j, c FROM (
+    SELECT t.vec_id, b.j, b.c,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id, b.j
+             ORDER BY list_sum(list_transform(generate_series(1, {sub}),
+                        i -> (t.u[b.j * {sub} + i] - b.b[i])
+                           * (t.u[b.j * {sub} + i] - b.b[i]))) ASC,
+                      b.c ASC) AS rn
+    FROM ts t CROSS JOIN {prev} b
+  ) WHERE rn = 1
+),
+b{t} AS MATERIALIZED (
+  SELECT pb.j, pb.c, COALESCE(nb.b, pb.b) AS b
+  FROM {prev} pb LEFT JOIN (
+    SELECT j, c, list(bi ORDER BY i) AS b FROM (
+      SELECT a.j, a.c, i.i,
+             CAST(FLOOR(CAST(SUM(t.u[a.j * {sub} + i.i]) AS DOUBLE)
+                        / COUNT(*) + 0.5) AS BIGINT) AS bi
+      FROM pasg{t} a JOIN ts t ON t.vec_id = a.vec_id,
+           UNNEST(generate_series(1, {sub})) AS i(i)
+      GROUP BY a.j, a.c, i.i
+    ) GROUP BY j, c
+  ) nb ON nb.j = pb.j AND nb.c = pb.c
+)"""
+        )
+    return "".join(parts)
+
+
+def ivfpq_exact_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    coarse_iters: int = 5,
+    m: int = 32,
+    n_codes: int = 64,
+    iters: int = 4,
+    sample: int = 2048,
+    n_probes: int = 4,
+    dim: int = DIM,
+) -> str:
+    """Value oracle for :func:`ivfpq_topk_exact`: re-trains the coarse
+    k-means (unrolled-Lloyd CTEs), re-trains the PQ codebooks
+    (integer-Lloyd CTEs), re-encodes, re-probes and re-ranks — fully
+    independent of the engine. ADC comparisons happen on int64, so the
+    rank column is exact; adc_dist is the one final 2^-40 scale."""
+    sub = dim // m
+    return f"""
+WITH {kmeans_centroids_ctes(n_centroids, coarse_iters, dim)},
+{_pq_train_ctes(m, n_codes, iters, sample, dim)},
+codes AS MATERIALIZED (
+  SELECT vec_id, j, c FROM (
+    SELECT q.vec_id, b.j, b.c,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id, b.j
+             ORDER BY list_sum(list_transform(generate_series(1, {sub}),
+                        i -> (q.u[b.j * {sub} + i] - b.b[i])
+                           * (q.u[b.j * {sub} + i] - b.b[i]))) ASC,
+                      b.c ASC) AS rn
+    FROM uq q CROSS JOIN b{iters} b
+  ) WHERE rn = 1
+),
+assign_scored AS MATERIALIZED (
+  SELECT e.vec_id, c.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_cos_trained_sql('e', 'c', dim)} DESC,
+                                     c.cent_id ASC) AS rn
+  FROM embeddings e CROSS JOIN trained_cent c
+),
+assigned AS (
+  SELECT vec_id, cent_id FROM assign_scored WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, cent_id FROM assign_scored
+  WHERE rn <= {n_probes} AND vec_id < {n_queries}
+),
+scored AS (
+  SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
+         SUM(list_sum(list_transform(generate_series(1, {sub}),
+             i -> (qu.u[cd.j * {sub} + i] - b.b[i])
+                * (qu.u[cd.j * {sub} + i] - b.b[i])))) AS adc_int
+  FROM probes p
+  JOIN assigned n ON n.cent_id = p.cent_id AND n.vec_id <> p.vec_id
+  JOIN codes cd ON cd.vec_id = n.vec_id
+  JOIN b{iters} b ON b.j = cd.j AND b.c = cd.c
+  JOIN uq qu ON qu.vec_id = p.vec_id
+  GROUP BY p.vec_id, n.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(adc_int AS DOUBLE) / {float(1 << 40)!r} AS adc_dist,
+       rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_int ASC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

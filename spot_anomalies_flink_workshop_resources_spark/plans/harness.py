@@ -973,6 +973,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round 5: new or semantics-changed --
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
+    "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train
     "corpus_bpe_merges",           # NEW oracle: 12-round serial unrolled CTEs
     "corpus_bpe_encode",           # NEW oracle: train-16 + vocab-join encode
     "events_moments",              # varchar-routed power sums (ADVICE r4)
@@ -1077,7 +1078,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 DRIVER_DEPRIORITIZE: tuple[str, ...] = (
     "approx_distinct_parts",
     "ml_ipinsights_score",
-    "simsearch_ivfpq",
     "simsearch_pq",
     "sql_price_quantiles_approx",
 )

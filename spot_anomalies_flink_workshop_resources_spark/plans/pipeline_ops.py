@@ -667,12 +667,13 @@ def simsearch_ivfpq(spark, sf_dir):
     bound WHICH vectors each query scores (2 probed inverted lists of
     16), PQ codes bound HOW (16 byte-lookups per candidate). One narrow
     encode+assign pass builds the index; scoring touches only probed
-    lists. Iterative training + approximate ⇒ rows-only driver check;
-    recall floor and probe monotonicity unit-tested vs brute force."""
-    embs = _embs(spark, sf_dir)
-    C = S.kmeans_centroids(embs, n_centroids=16, max_iters=5)
-    B = S.pq_train(embs, m=16, n_codes=256)
-    return S.ivfpq_topk(embs, codebooks=B, centroid_matrix=C, n_probes=2)
+    lists. VALUE-ORACLED since round 5 (VERDICT r4 #6): both index
+    levels are re-trained in DuckDB (unrolled-Lloyd coarse CTEs +
+    integer-Lloyd PQ CTEs) and every discrete decision past the coarse
+    assignment is int64 arithmetic (operators.simsearch.ivfpq_topk_exact);
+    the rng-codebook variant stays as the library API
+    (S.ivfpq_topk) with its recall/monotonicity unit tests."""
+    return S.ivfpq_topk_exact(_embs(spark, sf_dir))
 
 
 def corpus_bpe_pairs(spark, sf_dir):
@@ -990,6 +991,7 @@ FROM documents
     "simsearch_ivf_probe2": S.ivf_topk_sql(n_probes=2),
     # trained index re-derived from scratch in DuckDB (unrolled Lloyd)
     "simsearch_ivf_kmeans": S.ivf_topk_trained_sql(),
+    "simsearch_ivfpq": S.ivfpq_exact_sql(),
     "simsearch_index_quality": S.index_quality_sql(),
     "simsearch_label_centroids": S.label_centroids_long_sql(),
 }

@@ -645,6 +645,41 @@ def test_kmeans_assignment_margin_dwarfs_ulp_noise(spark, sf_dir):
     assert min_gap > 1e-6, min_gap  # 7 orders above cross-engine ulp noise
 
 
+def test_ivfpq_exact_quantization_margins(spark, sf_dir):
+    """The integer-exact IVF-PQ's one residual float is the unit-vector
+    quantization: ``x_i/||x||*2^20`` must not sit within ulps of a
+    half-integer boundary, or a 1-ulp norm difference between NumPy
+    BLAS and DuckDB's list_sum fold could flip an int64 grid cell.
+    Measures the min distance to the nearest rounding boundary over
+    every component of every harness vector, and sanity-checks recall
+    of the exact composition against brute force."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spot_anomalies_flink_workshop_resources_spark.catalog import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    rows = embs.select(
+        F.col("embedding").cast("array<double>").alias("emb")
+    ).collect()
+    X = np.stack([np.asarray(r.emb) for r in rows])
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    g = (X / np.where(n == 0, 1.0, n)) * (1 << 20) + 0.5
+    frac = np.abs(g - np.round(g))  # distance to the floor boundary
+    assert float(frac.min()) > 1e-6, float(frac.min())
+
+    from collections import defaultdict
+
+    bf = defaultdict(set)
+    for r in simsearch.brute_force_topk(embs, n_queries=8, k=5).collect():
+        bf[r.query_id].add(r.neighbor_id)
+    got = defaultdict(set)
+    for r in simsearch.ivfpq_topk_exact(embs, n_queries=8, k=5).collect():
+        got[r.query_id].add(r.neighbor_id)
+    recall = sum(len(got[q] & bf[q]) / len(bf[q]) for q in bf) / len(bf)
+    assert recall >= 0.5, recall
+
+
 def test_ivfpq_index_layout_prunes_unprobed_lists(spark, sf_dir, tmp_path):
     """The persisted IVF-PQ index layout (partitionBy cent_id) lets a
     probed-list scan touch only its lists: the plan shows the cent_id
