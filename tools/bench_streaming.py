@@ -53,12 +53,10 @@ def closer_for(burst, ts):
     )
 
 
-def main() -> None:
-    n_normal = int(os.environ.get("BENCH_STREAM_EVENTS", "200000"))
-    n_bursts = int(os.environ.get("BENCH_STREAM_BURSTS", "40"))
-    spark = build_session("bench-streaming")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def measure(spark, n_normal: int, n_bursts: int, tag: str = "out") -> dict:
+    """One sustained-rate run of parse->detect->serialize: returns
+    {"events", "wall_sec", "events_per_sec", "alerts"}. Dataset prep
+    (generate + write parquet) is excluded from the timed window."""
     normal = generators.normal_traffic_batch(
         spark, n_normal, start_ts=1.7e9, events_per_second=5000
     )
@@ -76,27 +74,32 @@ def main() -> None:
 
     stream = spark.readStream.schema(schema).format("parquet").load(d)
     alerts = detect_fragmentation_flowlogs_stream(stream)
+    name = f"bench_stream_{tag}"
     t0 = time.time()
     q = (
         alerts.writeStream.format("memory")
-        .queryName("bench_stream_out")
+        .queryName(name)
         .outputMode("append")
         .start()
     )
     q.processAllAvailable()
     q.stop()
     wall = time.time() - t0
-    n_alerts = spark.table("bench_stream_out").count()
-    print(
-        json.dumps(
-            {
-                "events": total,
-                "wall_sec": round(wall, 2),
-                "events_per_sec": round(total / wall),
-                "alerts": n_alerts,
-            }
-        )
-    )
+    n_alerts = spark.table(name).count()
+    return {
+        "events": total,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": round(total / wall),
+        "alerts": n_alerts,
+    }
+
+
+def main() -> None:
+    n_normal = int(os.environ.get("BENCH_STREAM_EVENTS", "200000"))
+    n_bursts = int(os.environ.get("BENCH_STREAM_BURSTS", "40"))
+    spark = build_session("bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(measure(spark, n_normal, n_bursts)))
     spark.stop()
 
 
