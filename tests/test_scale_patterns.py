@@ -439,6 +439,16 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_gapfill")
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p, p
     assert "CartesianProduct" not in p
+    # part-name similarity (round 5, VERDICT r4 #3): the equi-join key
+    # must carry the length bucket alongside brand — brand alone is a
+    # constant-25-way split, quadratic at scale. Pin BOTH keys in the
+    # hash join and no residual brand-only join.
+    p = plan("sql_part_name_similarity")
+    assert "len_bucket" in p, p
+    import re as _re
+
+    keys = _re.search(r"Left keys \[2\]: \[brand#\d+, len_bucket#\d+L?\]", p)
+    assert keys, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
