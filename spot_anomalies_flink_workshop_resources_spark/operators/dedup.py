@@ -24,7 +24,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import TOKEN_RE
@@ -1073,4 +1073,181 @@ edges AS (
 l0 AS (SELECT doc_id, doc_id AS rep FROM documents),
 {', '.join(steps)}
 SELECT doc_id, rep AS component_rep, doc_id = rep AS is_kept FROM {prev}
+"""
+
+
+def incremental_minhash_dedup(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    split_mod: int = 10,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dedup: dedupe a NEW BATCH of documents against
+    the EXISTING corpus without re-pairing the corpus with itself — the
+    production shape for a daily-ingest pipeline, where the historical
+    band index is a persisted table that only ever gets appended.
+
+    Split rule (harness stand-in for an ingest date): ``doc_id %
+    split_mod == 0`` is the new batch; everything else is history. The
+    batch's band signatures probe the full band index (batch->history
+    AND batch->earlier-batch-doc candidates; history x history pairs
+    are never generated — that work was paid when history was
+    ingested). Candidates verify with true shingle Jaccard >=
+    threshold, and each duplicate batch doc reports its BEST match
+    (highest jaccard, ties to the lower partner id — jaccard is one
+    exact-int division, so the ordering is engine-identical).
+
+    Output: (doc_id, dup_of, jaccard) — one row per batch doc that
+    duplicates something older.
+
+    At 100 TB: per-increment cost is O(|batch| signatures) + band
+    probes into a bucketed index table + a verify join that touches
+    only candidates' shingle sets; the corpus is never rescanned.
+    """
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    toks = _shingles(docs, shingle_n).localCheckpoint(eager=True)
+    hashed = toks.withColumn("h", _hex32("tok"))
+    sig_aggs = [
+        F.min(
+            F.expr(f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}")
+        ).alias(f"sig{i}")
+        for i in range(num_hashes)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*sig_aggs)
+    band_hash_cols = [
+        F.md5(
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"sig{b * band_size + r}").cast("string")
+                    for r in range(band_size)
+                ],
+            )
+        ).alias(f"bh{b}")
+        for b in range(n_bands)
+    ]
+    stack_args = ", ".join(f"{b}, bh{b}" for b in range(n_bands))
+    bands = wide.select("doc_id", *band_hash_cols).selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, band_hash)"
+    )
+    batch = bands.where(F.col("doc_id") % split_mod == 0)
+    cand = (
+        batch.alias("a")
+        .join(
+            bands.alias("p"),
+            (F.col("a.band") == F.col("p.band"))
+            & (F.col("a.band_hash") == F.col("p.band_hash"))
+            & (
+                (F.col("p.doc_id") % split_mod != 0)
+                | (F.col("p.doc_id") < F.col("a.doc_id"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("batch_id"),
+            F.col("p.doc_id").alias("partner"),
+        )
+        .distinct()
+    )
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    common = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("batch_id"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("partner"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("batch_id", "partner")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = counts.select(F.col("doc_id").alias("batch_id"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("partner"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    verified = (
+        common.join(ca, "batch_id")
+        .join(cb, "partner")
+        .select("batch_id", "partner", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.desc("jaccard"), F.asc("partner")
+    )
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("batch_id").alias("doc_id"),
+            F.col("partner").alias("dup_of"),
+            "jaccard",
+        )
+    )
+
+
+def incremental_minhash_dedup_sql(
+    threshold: float = 0.5,
+    split_mod: int = 10,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    shingle_n: int = 3,
+) -> str:
+    n_bands = num_hashes // band_size
+    sig_exprs = ", ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS sig{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(':', {cols})) AS band_hash "
+        "FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(sig{b * band_size + r} AS VARCHAR)"
+                for r in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS MATERIALIZED ({_shingles_sql(shingle_n)}
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id, {sig_exprs}
+  FROM hashed GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id, p.doc_id AS partner
+  FROM bands a
+  JOIN bands p ON a.band = p.band AND a.band_hash = p.band_hash
+              AND (p.doc_id % {split_mod} != 0 OR p.doc_id < a.doc_id)
+  WHERE a.doc_id % {split_mod} = 0
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+common AS (
+  SELECT c.doc_id, c.partner, COUNT(*) AS cc
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_id
+  JOIN toks tb ON tb.doc_id = c.partner AND ta.tok = tb.tok
+  GROUP BY c.doc_id, c.partner
+),
+verified AS (
+  SELECT m.doc_id, m.partner,
+         CAST(cc AS DOUBLE) / (ca.n + cb.n - cc) AS jaccard
+  FROM common m
+  JOIN counts ca ON ca.doc_id = m.doc_id
+  JOIN counts cb ON cb.doc_id = m.partner
+  WHERE CAST(cc AS DOUBLE) / (ca.n + cb.n - cc) >= {threshold}
+)
+SELECT doc_id, partner AS dup_of, jaccard FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY jaccard DESC, partner ASC) AS rn
+  FROM verified
+) WHERE rn = 1
 """

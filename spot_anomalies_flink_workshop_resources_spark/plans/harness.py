@@ -971,6 +971,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --
+    "events_ewma",                 # NEW: exact ordered-fold EWMA baseline
+    "dedup_incremental_lsh",       # NEW: batch-vs-index incremental dedup
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

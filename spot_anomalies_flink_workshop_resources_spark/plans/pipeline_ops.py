@@ -485,6 +485,15 @@ def dedup_components(spark, sf_dir):
     return D.dup_components(_docs(spark, sf_dir), threshold=0.5, shingle_n=3)
 
 
+def dedup_incremental_lsh(spark, sf_dir):
+    """Incremental near-dedup of a new ingest batch (doc_id % 10 == 0
+    stands in for today's partition) against the existing corpus —
+    batch signatures probe the persisted band index; history x history
+    pairs are never re-generated (operators.dedup.incremental_minhash_dedup).
+    Value-oracled end to end."""
+    return D.incremental_minhash_dedup(_docs(spark, sf_dir))
+
+
 def dedup_pipeline_lsh(spark, sf_dir):
     """END-TO-END sub-quadratic dedup pipeline, the shape a 100 TB
     corpus actually runs: MinHash signatures -> LSH band buckets ->
@@ -897,6 +906,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_pipeline_lsh": dedup_pipeline_lsh,
+    "dedup_incremental_lsh": dedup_incremental_lsh,
     "dedup_components_converged": dedup_components_converged,
     "multimodal_media_profile": multimodal_media_profile,
     "multimodal_features": multimodal_features,
@@ -973,6 +983,7 @@ ORACLES = {
     "dedup_components_converged": D.dup_components_converged_sql(
         threshold=0.5, shingle_n=3
     ),
+    "dedup_incremental_lsh": D.incremental_minhash_dedup_sql(),
     "dedup_pipeline_lsh": D.dup_components_sql(
         pairs_inner=D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3)
     ),

@@ -1331,6 +1331,55 @@ FROM sums
 """
 
 
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the per-day mean value
+    per event type (alpha = 1/8) — the smoothing primitive behind
+    drift/anomaly baselines (EWMA control charts).
+
+    Scale + exactness design: the raw-event stage is a plain
+    (type, day) hash agg — map-side combinable, the only data-sized
+    exchange. The EWMA itself then folds over the DAY series (bounded:
+    |days| rows per key, not |events|), in day order, with the
+    IDENTICAL IEEE operation sequence on both engines:
+    ``acc*0.875 + x*0.125`` where both literals are exact binary
+    fractions (alpha = 2^-3), Spark via ``aggregate(array_sort(
+    collect_list(struct(day, mu))))`` and DuckDB via ``list_reduce``
+    over ``list(mu ORDER BY day)`` with a prepended 0.0 init — so the
+    result is bit-identical, not merely close (the ordered-fold recipe
+    from BM25). The daily mean is an exact decimal sum with one
+    correctly-rounded double division (the _davg route)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(_davg(F.col("value")).alias("mu"))
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "mu"))),
+            lambda p: p["mu"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc * F.lit(0.875) + x * F.lit(0.125),
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        fold.alias("ewma"),
+    )
+
+
+EVENTS_EWMA_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           / COUNT(value) AS mu
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       list_reduce(list_prepend(0.0, list(mu ORDER BY day)),
+                   (acc, x) -> acc * 0.875 + x * 0.125) AS ewma
+FROM daily GROUP BY event_type
+"""
+
+
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (WAU): exact sliding
     DISTINCT. Sliding distincts do not decompose into window frames
@@ -1580,6 +1629,7 @@ QUERIES = {
     "events_robust_outliers": events_robust_outliers,
     "events_rolling_wau": events_rolling_wau,
     "events_moments": events_moments,
+    "events_ewma": events_ewma,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -1596,6 +1646,7 @@ ORACLES = {
     "events_robust_outliers": EVENTS_ROBUST_OUTLIERS_SQL,
     "events_rolling_wau": EVENTS_ROLLING_WAU_SQL,
     "events_moments": EVENTS_MOMENTS_SQL,
+    "events_ewma": EVENTS_EWMA_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),

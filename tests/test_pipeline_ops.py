@@ -849,3 +849,71 @@ def test_lang_mismatch_flags_mislabeled_doc(spark):
     assert out[6].best_nll < out[6].own_nll
     for i in range(6):
         assert not out[i].is_mismatch, i
+
+
+def test_incremental_dedup_flags_batch_dups_only(spark):
+    """A batch doc (id % 10 == 0) duplicating a history doc is flagged
+    with the right partner; a history-history duplicate pair produces
+    NO output row (that work belongs to history's own ingest); an
+    identical pair reports jaccard 1.0."""
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base),                      # batch dup of 3
+            Row(doc_id=3, text=base),                       # history original
+            Row(doc_id=7, text="completely different words here entirely"),
+            Row(doc_id=8, text="completely different words here entirely"),
+            # history-history dup pair (7, 8): must NOT appear
+            Row(doc_id=20, text="unique snowflake content nothing matches"),
+        ]
+    )
+    out = {r.doc_id: r for r in incremental_minhash_dedup(docs).collect()}
+    assert set(out) == {10}
+    assert out[10].dup_of == 3
+    assert out[10].jaccard == 1.0
+
+
+def test_events_ewma_matches_reference_fold(spark, sf_dir):
+    """The engine EWMA equals a driver-side replay of the identical
+    fold over the same daily means (order: day asc, zero init)."""
+    from collections import defaultdict
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_ewma,
+    )
+    from spot_anomalies_flink_workshop_resources_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("string")
+                .cast("double")
+                / F.count("value")
+            ).alias("mu")
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append((r.day, r.mu))
+    expect = {}
+    for et, pairs in series.items():
+        acc = 0.0
+        for _, mu in sorted(pairs):
+            acc = acc * 0.875 + mu * 0.125
+        expect[et] = (len(pairs), acc)
+    got = {
+        r.event_type: (r.n_days, r.ewma)
+        for r in events_ewma(spark, sf_dir).collect()
+    }
+    assert got == expect
