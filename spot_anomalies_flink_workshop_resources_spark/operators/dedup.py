@@ -1251,3 +1251,105 @@ SELECT doc_id, partner AS dup_of, jaccard FROM (
   FROM verified
 ) WHERE rn = 1
 """
+
+
+def duplicate_span_stats(
+    docs: DataFrame, n: int = 8, keep_max_frac: float = 0.3
+) -> DataFrame:
+    """Per-document duplicated-span mass — the ExactSubstr-style dedup
+    signal (Lee et al. 2022) at word-n-gram granularity: what fraction
+    of a document's (overlapping, ALL-occurrence) word ``n``-grams
+    appear anywhere else in the corpus (another doc, or repeated
+    within the same doc)?
+
+    Production suffix-array ExactSubstr finds arbitrary-length repeated
+    spans; the distributed approximation fixes the span length at
+    ``n`` words, which upper-bounds it: every repeated span of >= n
+    words contributes its covering n-grams here. Plan: positional
+    n-gram explode (narrow) -> (gram, doc) counts -> gram totals
+    (vocab-keyed agg) -> join back on gram (vocab-keyed) -> per-doc
+    rollup. Exactness: counts and the dup fraction are exact-int
+    arithmetic and one correctly-rounded division.
+
+    Output: (doc_id, n_grams, n_dup_grams, dup_frac, keep) — docs with
+    < n words emit n_grams = 0, NULL dup_frac, keep = true.
+    """
+    parts = ", ".join(f"try_element_at(ts, i + {j})" for j in range(n))
+    grams = docs.selectExpr(
+        "doc_id",
+        f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0) AS ts",
+    ).selectExpr(
+        "doc_id",
+        f"explode(CASE WHEN size(ts) >= {n} THEN transform("
+        f"sequence(1, size(ts) - {n - 1}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END) AS gram",
+    )
+    per_gd = grams.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    totals = per_gd.groupBy("gram").agg(F.sum("m").alias("total"))
+    stats = (
+        per_gd.join(totals, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("total") >= 2, F.col("m")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+    )
+    all_docs = docs.select("doc_id")
+    out = all_docs.join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("long")).alias(
+            "n_dup_grams"
+        ),
+    )
+    frac = F.when(
+        F.col("n_grams") > 0, F.col("n_dup_grams") / F.col("n_grams")
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        frac.alias("dup_frac"),
+        F.coalesce(frac <= keep_max_frac, F.lit(True)).alias("keep"),
+    )
+
+
+def duplicate_span_stats_sql(n: int = 8, keep_max_frac: float = 0.3) -> str:
+    parts = ", ".join(f"ts[i + {j}]" for j in range(n))
+    return f"""
+WITH grams AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ts) >= {n} THEN list_transform(
+            generate_series(1, len(ts) - {n - 1}),
+            i -> concat_ws(' ', {parts})) ELSE [] END) AS gram
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents)
+),
+per_gd AS (
+  SELECT gram, doc_id, COUNT(*) AS m FROM grams GROUP BY gram, doc_id
+),
+totals AS (
+  SELECT gram, SUM(m) AS total FROM per_gd GROUP BY gram
+),
+stats AS (
+  SELECT g.doc_id,
+         CAST(SUM(g.m) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN t.total >= 2 THEN g.m ELSE 0 END) AS BIGINT)
+           AS n_dup_grams
+  FROM per_gd g JOIN totals t ON t.gram = g.gram
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(s.n_dup_grams, 0) AS n_dup_grams,
+       CASE WHEN COALESCE(s.n_grams, 0) > 0
+            THEN CAST(s.n_dup_grams AS DOUBLE) / s.n_grams END AS dup_frac,
+       COALESCE(CASE WHEN COALESCE(s.n_grams, 0) > 0
+            THEN CAST(s.n_dup_grams AS DOUBLE) / s.n_grams END
+            <= {keep_max_frac}, TRUE) AS keep
+FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+"""

@@ -973,6 +973,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round 5: new or semantics-changed --
     "events_ewma",                 # NEW: exact ordered-fold EWMA baseline
     "dedup_incremental_lsh",       # NEW: batch-vs-index incremental dedup
+    "dedup_span_stats",            # NEW: ExactSubstr-style dup-span mass
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

@@ -494,6 +494,13 @@ def dedup_incremental_lsh(spark, sf_dir):
     return D.incremental_minhash_dedup(_docs(spark, sf_dir))
 
 
+def dedup_span_stats(spark, sf_dir):
+    """Per-doc duplicated n-gram span mass (ExactSubstr-style dedup
+    signal, operators.dedup.duplicate_span_stats) — the C4/RefinedWeb
+    repeated-text filter; exact-int arithmetic, value-oracled."""
+    return D.duplicate_span_stats(_docs(spark, sf_dir))
+
+
 def dedup_pipeline_lsh(spark, sf_dir):
     """END-TO-END sub-quadratic dedup pipeline, the shape a 100 TB
     corpus actually runs: MinHash signatures -> LSH band buckets ->
@@ -907,6 +914,7 @@ QUERIES = {
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_pipeline_lsh": dedup_pipeline_lsh,
     "dedup_incremental_lsh": dedup_incremental_lsh,
+    "dedup_span_stats": dedup_span_stats,
     "dedup_components_converged": dedup_components_converged,
     "multimodal_media_profile": multimodal_media_profile,
     "multimodal_features": multimodal_features,
@@ -984,6 +992,7 @@ ORACLES = {
         threshold=0.5, shingle_n=3
     ),
     "dedup_incremental_lsh": D.incremental_minhash_dedup_sql(),
+    "dedup_span_stats": D.duplicate_span_stats_sql(),
     "dedup_pipeline_lsh": D.dup_components_sql(
         pairs_inner=D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3)
     ),

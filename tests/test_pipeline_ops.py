@@ -917,3 +917,35 @@ def test_events_ewma_matches_reference_fold(spark, sf_dir):
         for r in events_ewma(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_duplicate_span_stats_fixture(spark):
+    """Hand-counted 3-gram fixture: a doc whose entire text recurs in
+    another doc has dup_frac 1.0 and is dropped; a unique doc keeps;
+    within-doc repetition counts as duplication; sub-n docs emit
+    n_grams=0 / NULL frac / keep."""
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c d"),          # grams: "a b c","b c d"
+            Row(doc_id=1, text="a b c d"),          # identical -> both dup
+            Row(doc_id=2, text="x y z w v"),        # unique -> keep
+            Row(doc_id=3, text="p q r p q r p q"),  # self-repeating
+            Row(doc_id=4, text="t u"),              # sub-n
+        ]
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_frac, r.keep)
+        for r in duplicate_span_stats(docs, n=3, keep_max_frac=0.3).collect()
+    }
+    assert out[0] == (2, 2, 1.0, False)
+    assert out[1] == (2, 2, 1.0, False)
+    assert out[2] == (3, 0, 0.0, True)
+    # doc 3 grams: pqr,qrp,rpq,pqr,qrp,rpq -> every gram occurs twice
+    assert out[3] == (6, 6, 1.0, False)
+    assert out[4] == (0, 0, None, True)
