@@ -1380,6 +1380,107 @@ FROM daily GROUP BY event_type
 """
 
 
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch revenue attribution: every ``purchase``
+    attributes its value to the user's FIRST and LAST non-purchase
+    touch inside a 7-day lookback, strictly before the purchase in
+    (ts, event_id) order. The conversion-credit primitive of funnel
+    analytics.
+
+    Plan: the purchase side is a pushed-down filtered scan; the touch
+    candidates join per user with the bounded range predicate (state
+    per user bounded by the lookback window, same shape as the
+    interval join); one rank window picks first/last deterministically
+    ((ts, event_id) total order); attributed revenue sums as exact
+    decimal. Purchases with no touch in window report channel NULL."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+        F.col("value").alias("pval"),
+    )
+    t = e.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (p["u"] == t["u"])
+        & (
+            (F.col("tts") < F.col("pts"))
+            | ((F.col("tts") == F.col("pts")) & (F.col("tid") < F.col("pid")))
+        )
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    ).drop(t["u"])
+    wf = Window.partitionBy("u", "pid").orderBy(
+        F.asc("tts"), F.asc("tid")
+    )
+    wl = Window.partitionBy("u", "pid").orderBy(
+        F.desc("tts"), F.desc("tid")
+    )
+    ranked = j.select(
+        "u", "pid", "pval", "channel",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    first = ranked.where(F.col("rf") == 1).select(
+        F.lit("first_touch").alias("model"), "channel", "pval"
+    )
+    last = ranked.where(F.col("rl") == 1).select(
+        F.lit("last_touch").alias("model"), "channel", "pval"
+    )
+    return (
+        first.unionByName(last)
+        .groupBy("model", "channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            _dsum(F.col("pval")).alias("attributed_value"),
+        )
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT user_id AS u, ts AS pts, event_id AS pid, value AS pval
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id AS u, ts AS tts, event_id AS tid, event_type AS channel
+  FROM events WHERE event_type <> 'purchase'
+),
+j AS (
+  SELECT p.u, p.pid, p.pval, t.channel, t.tts, t.tid
+  FROM p LEFT JOIN t ON t.u = p.u
+    AND (t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid))
+    AND t.tts >= p.pts - INTERVAL 7 DAY
+),
+ranked AS (
+  SELECT u, pid, pval, channel,
+         ROW_NUMBER() OVER (PARTITION BY u, pid
+                            ORDER BY tts ASC, tid ASC) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY u, pid
+                            ORDER BY tts DESC, tid DESC) AS rl
+  FROM j
+),
+credited AS (
+  SELECT 'first_touch' AS model, channel, pval FROM ranked WHERE rf = 1
+  UNION ALL
+  SELECT 'last_touch' AS model, channel, pval FROM ranked WHERE rl = 1
+)
+SELECT model, channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(CAST(SUM(CAST(pval AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         AS attributed_value
+FROM credited GROUP BY model, channel
+"""
+
+
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (WAU): exact sliding
     DISTINCT. Sliding distincts do not decompose into window frames
@@ -1630,6 +1731,7 @@ QUERIES = {
     "events_rolling_wau": events_rolling_wau,
     "events_moments": events_moments,
     "events_ewma": events_ewma,
+    "events_attribution": events_attribution,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -1647,6 +1749,7 @@ ORACLES = {
     "events_rolling_wau": EVENTS_ROLLING_WAU_SQL,
     "events_moments": EVENTS_MOMENTS_SQL,
     "events_ewma": EVENTS_EWMA_SQL,
+    "events_attribution": EVENTS_ATTRIBUTION_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),

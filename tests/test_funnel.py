@@ -172,3 +172,49 @@ def test_funnel_within_deadline(spark):
     }
     assert loose == {"view": 2, "click": 2, "purchase": 0}
     assert tight == {"view": 2, "click": 1, "purchase": 0}
+
+
+def test_attribution_fixture(spark, tmp_path):
+    """First/last-touch credit on a hand-built user history: lookback
+    cutoff excludes an old touch; (ts, event_id) tie order is strict;
+    a touch-less purchase lands in the NULL channel."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_attribution,
+    )
+
+    t0 = dt.datetime(2026, 1, 10, 12, 0, 0)
+
+    def ev(eid, days_off, utype, u=1, value=10.0):
+        return Row(
+            event_id=eid,
+            ts=t0 + dt.timedelta(days=days_off),
+            user_id=u,
+            event_type=utype,
+            value=float(value),
+            props="{}",
+        )
+
+    rows = [
+        ev(1, -8.0, "view"),        # outside the 7-day lookback
+        ev(2, -6.0, "click"),       # first touch in window
+        ev(3, -1.0, "signup"),      # last touch
+        ev(4, 0.0, "purchase", value=100.0),
+        ev(5, 0.0, "purchase", u=2, value=50.0),  # user 2: no touches
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    out = {
+        (r.model, r.channel): (r.n_purchases, r.attributed_value)
+        for r in events_attribution(spark, d).collect()
+    }
+    assert out[("first_touch", "click")] == (1, 100.0)
+    assert out[("last_touch", "signup")] == (1, 100.0)
+    assert out[("first_touch", None)] == (1, 50.0)
+    assert out[("last_touch", None)] == (1, 50.0)
+    assert len(out) == 4
