@@ -1481,6 +1481,86 @@ FROM credited GROUP BY model, channel
 """
 
 
+def events_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth decile histogram of ``value`` WITHOUT a global
+    sort — the stats primitive behind range partitioning and CBO
+    selectivity. The classic scale trick: when the value domain is
+    bounded (2-decimal values here), a (value, count) aggregation
+    replaces the O(N log N) global sort entirely; the cumulative sum
+    and boundary extraction then run on the SMALL distinct-value frame
+    (a single-partition window over |domain| rows, not |events| —
+    bounded by the domain at any corpus size). For unbounded domains
+    the approximate twin is the KLL/approx_percentile path
+    (`sql_price_quantiles_approx`). All arithmetic is integer (rank
+    targets via ceil as (k*n+9) div 10), so the histogram is bit-exact
+    cross-engine. Output: (decile, hi_value, n_rows) with n_rows
+    summing to the table count."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    vc = e.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select(
+        "value", F.sum("c").over(w).cast("long").alias("cum")
+    )
+    n = cum.agg(F.max("cum").alias("n"))
+    deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
+    targets = deciles.crossJoin(F.broadcast(n)).select(
+        "decile",
+        F.expr("(decile * n + 9) div 10").cast("long").alias("target"),
+    )
+    # lowest distinct value whose cumulative count reaches the target
+    b = (
+        F.broadcast(targets)
+        .join(cum, F.col("cum") >= F.col("target"))
+        .groupBy("decile")
+        .agg(F.min("value").alias("hi_value"))
+    )
+    # bucket populations from the cum frame — no event rescan
+    bc = b.join(cum, F.col("value") == F.col("hi_value")).select(
+        "decile", "hi_value", F.col("cum").alias("cum_hi")
+    )
+    wl = Window.orderBy("decile")
+    return bc.select(
+        "decile",
+        "hi_value",
+        (
+            F.col("cum_hi")
+            - F.coalesce(F.lag("cum_hi").over(wl), F.lit(0))
+        ).cast("long").alias("n_rows"),
+    )
+
+
+EVENTS_EQUIDEPTH_SQL = """
+WITH vc AS (
+  SELECT value, COUNT(*) AS c FROM events GROUP BY value
+),
+cum AS (
+  SELECT value, CAST(SUM(c) OVER (ORDER BY value
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM vc
+),
+n AS (SELECT MAX(cum) AS n FROM cum),
+targets AS (
+  SELECT k.decile, CAST((k.decile * n.n + 9) // 10 AS BIGINT) AS target
+  FROM (SELECT unnest(generate_series(1, 10)) AS decile) k, n
+),
+b AS (
+  SELECT t.decile, MIN(c.value) AS hi_value
+  FROM targets t JOIN cum c ON c.cum >= t.target
+  GROUP BY t.decile
+),
+bc AS (
+  SELECT b.decile, b.hi_value, c.cum AS cum_hi
+  FROM b JOIN cum c ON c.value = b.hi_value
+)
+SELECT decile, hi_value,
+       CAST(cum_hi - COALESCE(LAG(cum_hi) OVER (ORDER BY decile), 0)
+            AS BIGINT) AS n_rows
+FROM bc
+"""
+
+
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (WAU): exact sliding
     DISTINCT. Sliding distincts do not decompose into window frames
@@ -1732,6 +1812,7 @@ QUERIES = {
     "events_moments": events_moments,
     "events_ewma": events_ewma,
     "events_attribution": events_attribution,
+    "events_equidepth": events_equidepth,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -1750,6 +1831,7 @@ ORACLES = {
     "events_moments": EVENTS_MOMENTS_SQL,
     "events_ewma": EVENTS_EWMA_SQL,
     "events_attribution": EVENTS_ATTRIBUTION_SQL,
+    "events_equidepth": EVENTS_EQUIDEPTH_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),

@@ -949,3 +949,21 @@ def test_duplicate_span_stats_fixture(spark):
     # doc 3 grams: pqr,qrp,rpq,pqr,qrp,rpq -> every gram occurs twice
     assert out[3] == (6, 6, 1.0, False)
     assert out[4] == (0, 0, None, True)
+
+
+def test_equidepth_partitions_and_orders(spark, sf_dir):
+    """Deciles cover the table exactly (populations sum to the row
+    count), boundaries are non-decreasing, and each bucket holds
+    ~n/10 rows (within one distinct-value mass of the target)."""
+    from spot_anomalies_flink_workshop_resources_spark.catalog import load_table
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_equidepth,
+    )
+
+    n = load_table(spark, sf_dir, "events").count()
+    rows = sorted(events_equidepth(spark, sf_dir).collect(),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n_rows for r in rows) == n
+    his = [r.hi_value for r in rows]
+    assert his == sorted(his)
