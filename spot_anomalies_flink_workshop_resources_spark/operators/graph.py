@@ -1,0 +1,171 @@
+"""Graph centrality over edge lists — weighted PageRank with
+integer-exact iterations.
+
+The engine's iterative-linear-algebra pattern (same family as the
+fixpoint component resolver and unrolled-Lloyd k-means): a fixed number
+of power-iteration rounds, each one a weighted-contribution map + a
+hash aggregation on the destination key. No reference analogue
+(beyond-reference surface per BASELINE.json).
+
+Exactness design (how an iterative float algorithm becomes
+hash-oracle-able): ranks live on a 2^-30 fixed-point grid as int64.
+Per round, each SOURCE node quantizes its outgoing per-edge
+contribution ONCE — ``floor(d * R_u * w_e / W_u + 0.5)`` where the
+inner expression is a double product/division chain over exact integer
+inputs evaluated in the same order on both engines — and destination
+ranks are then pure int64 SUMS (associative-commutative, so partition
+order and engine cannot matter). The teleport term is a constant
+integer. The only cross-engine float risk is a quantization-boundary
+tie in the one rounded double per (node, edge) per round, the same
+measured-margin class as the PQ grid (see
+tests/test_graph.py::test_pagerank_quantization_margin).
+
+At 100 TB scale: one round = a narrow map over the edge list joined
+with the |V|-sized rank frame (broadcast when ranks fit, shuffle-keyed
+otherwise) + a destination-keyed agg — the standard Pregel-style
+iteration; rounds are fixed (power iteration converges geometrically,
+and the oracle unrolls the same count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RSCALE = 1 << 30  # rank fixed-point grid
+DAMP = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = DAMP,
+) -> DataFrame:
+    """Weighted PageRank over ``edges(src, dst, w)`` for ``iters``
+    fixed rounds (no early stop — the oracle unrolls the same count).
+
+    Nodes = union of srcs and dsts. Dangling nodes (no out-edges)
+    redistribute uniformly via the standard teleport-only treatment:
+    their mass re-enters through the global dangling sum, quantized
+    once per round. Returns (node, rank) with ranks on the 2^-30 grid
+    summing to ~1.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        F.col("w").cast("long").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    out_w = e.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    ew = e.join(out_w, "src")  # (src, dst, w, wout)
+    r0 = int(RSCALE) // n_nodes
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("r"))
+    # floor(x + 0.5) — NOT Python round() (banker's) — to match the SQL
+    teleport = int((1.0 - damping) / n_nodes * RSCALE + 0.5)
+    for _ in range(iters):
+        contrib = (
+            ew.join(
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(
+                    F.lit(damping)
+                    * F.col("r").cast("double")
+                    * F.col("w").cast("double")
+                    / F.col("wout").cast("double")
+                    + F.lit(0.5)
+                ).cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("cin"))
+        )
+        # dangling mass: nodes with no out-edges spread uniformly
+        dang = (
+            ranks.join(out_w.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dr"))
+        )
+        dshare = dang.select(
+            F.floor(
+                F.lit(damping) * F.col("dr").cast("double") / F.lit(float(n_nodes))
+                + F.lit(0.5)
+            ).cast("long").alias("ds")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dshare))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.coalesce(F.col("cin"), F.lit(0))
+                    + F.col("ds")
+                ).cast("long").alias("r"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node", (F.col("r").cast("double") / F.lit(float(RSCALE))).alias("rank")
+    )
+
+
+def pagerank_ctes(
+    edges_cte: str, iters: int = 5, damping: float = DAMP
+) -> str:
+    """DuckDB CTE chain re-deriving :func:`pagerank` — ``iters`` rounds
+    unrolled over ``{edges_cte}`` (must define ``edges(src, dst, w)``).
+    Ends with ``pr{iters}(node, r)`` int64 ranks.
+    """
+    parts = [
+        f"""{edges_cte},
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+out_w AS MATERIALIZED (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY src
+),
+ew AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w, o.wout FROM edges e JOIN out_w o ON o.src = e.src
+),
+pr0 AS MATERIALIZED (
+  SELECT node, CAST({RSCALE} // nn.n AS BIGINT) AS r FROM nodes, nn
+)"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"pr{t - 1}"
+        parts.append(
+            f""",
+contrib{t} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(FLOOR({damping!r} * CAST(p.r AS DOUBLE)
+                  * CAST(e.w AS DOUBLE) / CAST(e.wout AS DOUBLE) + 0.5)
+                  AS BIGINT)) AS BIGINT) AS cin
+  FROM ew e JOIN {prev} p ON p.node = e.src
+  GROUP BY e.dst
+),
+dang{t} AS (
+  SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) AS dr
+  FROM {prev} p LEFT JOIN out_w o ON o.src = p.node
+  WHERE o.src IS NULL
+),
+pr{t} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(CAST(FLOOR((1.0 - {damping!r}) / nn.n * {RSCALE} + 0.5)
+                   AS BIGINT)
+              + COALESCE(c.cin, 0)
+              + CAST(FLOOR({damping!r} * CAST(d.dr AS DOUBLE)
+                     / CAST(nn.n AS DOUBLE) + 0.5) AS BIGINT)
+              AS BIGINT) AS r
+  FROM nodes n CROSS JOIN nn CROSS JOIN dang{t} d
+  LEFT JOIN contrib{t} c ON c.node = n.node
+)"""
+        )
+    return "".join(parts)

@@ -976,6 +976,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_span_stats",            # NEW: ExactSubstr-style dup-span mass
     "events_attribution",          # NEW: first/last-touch revenue credit
     "events_equidepth",            # NEW: exact equi-depth deciles, no sort
+    "events_pagerank",             # NEW: integer-exact weighted PageRank
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

@@ -1561,6 +1561,49 @@ FROM bc
 """
 
 
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph (edges =
+    consecutive-event transitions per user, weighted by count) — the
+    graph-centrality member of the iterative-operator family
+    (operators.graph.pagerank; integer-exact fixed-point rounds,
+    5 iterations, oracle unrolls the same)."""
+    from ..operators.graph import pagerank
+
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(edges, iters=5)
+
+
+def _events_pagerank_sql() -> str:
+    from ..operators.graph import pagerank_ctes
+
+    edges_cte = """WITH edges AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS src,
+           event_type AS dst
+    FROM events
+  ) WHERE src IS NOT NULL
+  GROUP BY src, dst
+)"""
+    return f"""
+{pagerank_ctes(edges_cte, iters=5)}
+SELECT node, CAST(r AS DOUBLE) / {float(1 << 30)!r} AS rank FROM pr5
+"""
+
+
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (WAU): exact sliding
     DISTINCT. Sliding distincts do not decompose into window frames
@@ -1813,6 +1856,7 @@ QUERIES = {
     "events_ewma": events_ewma,
     "events_attribution": events_attribution,
     "events_equidepth": events_equidepth,
+    "events_pagerank": events_pagerank,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -1832,6 +1876,7 @@ ORACLES = {
     "events_ewma": EVENTS_EWMA_SQL,
     "events_attribution": EVENTS_ATTRIBUTION_SQL,
     "events_equidepth": EVENTS_EQUIDEPTH_SQL,
+    "events_pagerank": _events_pagerank_sql(),
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),

@@ -1,0 +1,91 @@
+"""Weighted integer-exact PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+
+def _edges(spark, triples):
+    return spark.createDataFrame(
+        [Row(src=s, dst=d, w=w) for s, d, w in triples]
+    )
+
+
+def test_pagerank_hub_and_mass_conservation(spark):
+    """A node every other node points to out-ranks the rest; total rank
+    mass stays ~1 (exact up to the per-round rounding, bounded by
+    |V|+|E| half-units per round); a dangling node's mass re-enters."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import (
+        pagerank,
+    )
+
+    e = _edges(
+        spark,
+        [("a", "hub", 1), ("b", "hub", 1), ("c", "hub", 1),
+         ("hub", "a", 1)],
+    )
+    got = {r.node: r.rank for r in pagerank(e, iters=5).collect()}
+    assert set(got) == {"a", "b", "c", "hub"}
+    assert got["hub"] == max(got.values())
+    assert got["hub"] > got["b"] > 0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_dangling_node_redistributes(spark):
+    """d has no out-edges: its mass must spread uniformly, not vanish —
+    total stays ~1 and every node keeps rank above the bare teleport."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import (
+        pagerank,
+    )
+
+    e = _edges(spark, [("a", "b", 1), ("b", "d", 1)])
+    got = {r.node: r.rank for r in pagerank(e, iters=5).collect()}
+    assert set(got) == {"a", "b", "d"}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    teleport = 0.15 / 3
+    assert all(v > teleport for v in got.values())
+
+
+def test_pagerank_quantization_margin(spark, sf_dir):
+    """The one float per (edge, round) is floor(d*r*w/wout + 0.5): a
+    cross-engine flip needs the argument within ulps of an integer.
+    Replays the engine rounds on the harness transition graph and
+    measures the min distance to a rounding boundary."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spot_anomalies_flink_workshop_resources_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    nodes = sorted({r.src for r in edges} | {r.dst for r in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    wout = {}
+    for r in edges:
+        wout[r.src] = wout.get(r.src, 0) + r.w
+    R = np.full(n, (1 << 30) // n, dtype=np.int64)
+    teleport = int(0.15 / n * (1 << 30) + 0.5)
+    min_gap = np.inf
+    for _ in range(5):
+        nxt = np.full(n, teleport, dtype=np.int64)
+        for r in edges:
+            x = 0.85 * float(R[idx[r.src]]) * float(r.w) / float(wout[r.src]) + 0.5
+            min_gap = min(min_gap, abs(x - round(x)))
+            nxt[idx[r.dst]] += int(np.floor(x))
+        dr = sum(int(R[idx[m]]) for m in nodes if m not in wout)
+        nxt += int(np.floor(0.85 * dr / n + 0.5))
+        R = nxt
+    assert min_gap > 1e-6, min_gap
