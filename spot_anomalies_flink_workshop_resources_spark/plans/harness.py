@@ -296,6 +296,44 @@ WHERE session_end <= (SELECT MAX(ts) FROM events)
 """
 
 
+def stream_windowed_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained multiple-stateful-operator streaming query: two hourly
+    window aggregations (per-type counts; totals) joined on the window
+    into each type's traffic share — three stateful operators in one
+    append-mode query, watermark-finalized on both sides."""
+    from ..streaming.windows import windowed_share_stream
+
+    out = _run_to_completion(
+        windowed_share_stream(
+            _events_stream(spark, sf_dir), _events_stream(spark, sf_dir)
+        ),
+        spark,
+    )
+    return _restore_source_ts(out, spark, sf_dir)
+
+
+STREAM_WINDOWED_SHARE_ORACLE = """
+WITH by_key AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_key,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           AS sum_value
+  FROM events GROUP BY date_trunc('hour', ts), event_type
+),
+total AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         CAST(COUNT(*) AS BIGINT) AS n_all
+  FROM events GROUP BY date_trunc('hour', ts)
+)
+SELECT k.window_start,
+       k.window_start + INTERVAL 1 HOUR AS window_end,
+       k.event_type, k.n_key, k.sum_value, t.n_all,
+       CAST(k.n_key AS DOUBLE) / t.n_all AS share
+FROM by_key k JOIN total t ON t.window_start = k.window_start
+WHERE k.window_start + INTERVAL 1 HOUR <= (SELECT MAX(ts) FROM events)
+"""
+
+
 def stream_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming hopping-window rollup (2-hour windows sliding hourly
     per event_type): each event lands in width/slide = 2 overlapping
@@ -977,6 +1015,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_attribution",          # NEW: first/last-touch revenue credit
     "events_equidepth",            # NEW: exact equi-depth deciles, no sort
     "events_pagerank",             # NEW: integer-exact weighted PageRank
+    "stream_windowed_share",       # NEW: chained multi-stateful streaming
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train
@@ -1100,6 +1139,7 @@ def build_queries() -> dict[str, QueryFn]:
         "stream_session_rollup": stream_session_rollup,
         "stream_tumbling_rollup": stream_tumbling_rollup,
         "stream_hopping_rollup": stream_hopping_rollup,
+        "stream_windowed_share": stream_windowed_share,
         "stream_session_dynamic": stream_session_dynamic,
         "stream_interval_join": stream_interval_join,
         "stream_interval_join_left": stream_interval_join_left,
@@ -1146,6 +1186,7 @@ def build_oracles() -> dict[str, str]:
         "stream_session_rollup": STREAM_SESSION_ORACLE,
         "stream_tumbling_rollup": STREAM_TUMBLING_ORACLE,
         "stream_hopping_rollup": STREAM_HOPPING_ORACLE,
+        "stream_windowed_share": STREAM_WINDOWED_SHARE_ORACLE,
         "stream_session_dynamic": STREAM_SESSION_DYNAMIC_ORACLE,
         "stream_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
         "stream_interval_join_left": STREAM_INTERVAL_JOIN_LEFT_ORACLE,

@@ -134,3 +134,50 @@ def tumbling_rollup_stream(
             "sum_value",
         )
     )
+
+
+def windowed_share_stream(
+    events: DataFrame,
+    events2: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = "ts",
+    width: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """CHAINED multiple-stateful-operator pipeline (Spark 4 capability):
+    two independent windowed aggregations over the same source — hourly
+    counts per key and hourly totals — joined ON THE WINDOW into each
+    key's share of window traffic. Three stateful operators (two aggs +
+    one stream-stream equality join on the window struct) in one
+    append-mode query; the watermark finalizes each window once on both
+    sides, so the join emits exactly the finalized pairs the batch
+    oracle reproduces.
+
+    ``events2`` must be a SECOND streaming reader over the same source
+    (one streaming DataFrame cannot feed both sides of a self-join of
+    aggregates). share = n_key / n_all — one exact-int division.
+    """
+    dsum = (
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("string").cast("double")
+    )
+    e1 = events.withColumn(time_col, watermarkable(F.col(time_col)))
+    e2 = events2.withColumn(time_col, watermarkable(F.col(time_col)))
+    by_key = (
+        e1.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), width), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_key"), dsum.alias("sum_value"))
+    )
+    total = (
+        e2.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), width))
+        .agg(F.count(F.lit(1)).alias("n_all"))
+    )
+    return by_key.join(total, "window").select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        key_col,
+        "n_key",
+        "sum_value",
+        "n_all",
+        (F.col("n_key") / F.col("n_all")).alias("share"),
+    )
