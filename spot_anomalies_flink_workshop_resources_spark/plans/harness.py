@@ -1016,6 +1016,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_equidepth",            # NEW: exact equi-depth deciles, no sort
     "events_pagerank",             # NEW: integer-exact weighted PageRank
     "stream_windowed_share",       # NEW: chained multi-stateful streaming
+    "events_hourly_corr",          # NEW: exact Pearson matrix, int sums
+    "events_copair_support",       # NEW: market-basket support + lift
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

@@ -1604,6 +1604,179 @@ SELECT node, CAST(r AS DOUBLE) / {float(1 << 30)!r} AS rank FROM pr5
 """
 
 
+def events_hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between event types' hourly activity series
+    — the co-movement matrix behind incident correlation ("errors spike
+    with signups?"). EXACT: hourly counts are integers, so every
+    sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an int64 sum;
+    zero hours never materialize (they contribute nothing to any sum —
+    n is the full grid length from the min/max hour span, a scalar);
+    the final formula runs in identical op order with each
+    sub-expression kept under 2^53 (den = sqrt(a)·sqrt(b), never
+    sqrt(a·b)), so the matrix is deterministic cross-engine. Plan:
+    one (type, hour) agg, a per-type rollup, an hour-keyed pair join
+    on the TINY hourly frame, one final broadcast of the scalar n."""
+    e = load_table(spark, sf_dir, "events")
+    hc = e.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    span = e.agg(
+        (
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.max("ts")))
+                - F.unix_timestamp(F.date_trunc("hour", F.min("ts")))
+            )
+            / 3600
+            + 1
+        )
+        .cast("long")
+        .alias("n")
+    )
+    tot = hc.groupBy("t").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    a = hc.select(F.col("t").alias("ta"), "h", F.col("x").alias("xa"))
+    b = hc.select(F.col("t").alias("tb"), "h", F.col("x").alias("xb"))
+    sxy = (
+        a.join(b, "h")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy0"))
+    )
+    ja = tot.select(
+        F.col("t").alias("ta"), F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa")
+    )
+    jb = tot.select(
+        F.col("t").alias("tb"), F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb")
+    )
+    # pairs enumerate from the TYPE list (left-join sxy, default 0):
+    # perfectly anti-correlated series share no hour and would vanish
+    # from an inner hour join
+    pairs = (
+        ja.crossJoin(jb)
+        .where(F.col("ta") < F.col("tb"))
+        .join(sxy, ["ta", "tb"], "left")
+        .withColumn("sxy", F.coalesce(F.col("sxy0"), F.lit(0).cast("long")))
+    )
+    num = (
+        F.col("n") * F.col("sxy") - F.col("sxa") * F.col("sxb")
+    ).cast("double")
+    va = (F.col("n") * F.col("sxxa") - F.col("sxa") * F.col("sxa")).cast("double")
+    vb = (F.col("n") * F.col("sxxb") - F.col("sxb") * F.col("sxb")).cast("double")
+    return (
+        pairs
+        .crossJoin(F.broadcast(span))
+        .select(
+            "ta",
+            "tb",
+            F.col("n").alias("n_hours"),
+            (num / (F.sqrt(va) * F.sqrt(vb))).alias("corr"),
+        )
+    )
+
+
+EVENTS_HOURLY_CORR_SQL = """
+WITH hc AS (
+  SELECT event_type AS t, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+span AS (
+  SELECT CAST(date_diff('hour', date_trunc('hour', MIN(ts)),
+                        date_trunc('hour', MAX(ts))) + 1 AS BIGINT) AS n
+  FROM events
+),
+tot AS (
+  SELECT t, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM hc GROUP BY t
+),
+sxy AS (
+  SELECT a.t AS ta, b.t AS tb, CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+  FROM hc a JOIN hc b ON a.h = b.h AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT ja.t AS ta, jb.t AS tb, n.n AS n_hours,
+       CAST(n.n * COALESCE(s.sxy, 0) - ja.sx * jb.sx AS DOUBLE)
+         / (sqrt(CAST(n.n * ja.sxx - ja.sx * ja.sx AS DOUBLE))
+            * sqrt(CAST(n.n * jb.sxx - jb.sx * jb.sx AS DOUBLE))) AS corr
+FROM tot ja
+JOIN tot jb ON ja.t < jb.t
+LEFT JOIN sxy s ON s.ta = ja.t AND s.tb = jb.t
+CROSS JOIN span n
+"""
+
+
+def events_copair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over (user, day) baskets: support
+    and lift for every event-type pair — the association-mining
+    primitive. All-integer sufficient statistics (basket counts),
+    lift = (s_ab·n_baskets) / (n_a·n_b) as ONE exact-int division, so
+    results are deterministic cross-engine. Plan: distinct
+    (user, day, type) — the only data-sized exchange — then a
+    (user, day)-keyed pair join on the basket items and two tiny
+    rollups."""
+    e = load_table(spark, sf_dir, "events")
+    items = e.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("event_type").alias("t"),
+    ).distinct()
+    n_baskets = items.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    per_type = items.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    a = items.select("user_id", "day", F.col("t").alias("ta"))
+    b = items.select("user_id", "day", F.col("t").alias("tb"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    na = per_type.select(F.col("t").alias("ta"), F.col("nt").alias("na"))
+    nb = per_type.select(F.col("t").alias("tb"), F.col("nt").alias("nbt"))
+    lift = (F.col("support") * F.col("nb")).cast("double") / (
+        F.col("na") * F.col("nbt")
+    ).cast("double")
+    return (
+        pairs.join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .crossJoin(F.broadcast(n_baskets))
+        .select("ta", "tb", "support", lift.alias("lift"))
+    )
+
+
+EVENTS_COPAIR_SQL = """
+WITH items AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type AS t
+  FROM events
+),
+nb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nb
+  FROM (SELECT DISTINCT user_id, day FROM items)
+),
+per_type AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS nt FROM items GROUP BY t
+),
+pairs AS (
+  SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a JOIN items b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT p.ta, p.tb, p.support,
+       CAST(p.support * nb.nb AS DOUBLE)
+         / CAST(na.nt * nbt.nt AS DOUBLE) AS lift
+FROM pairs p
+JOIN per_type na ON na.t = p.ta
+JOIN per_type nbt ON nbt.t = p.tb
+CROSS JOIN nb
+"""
+
+
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (WAU): exact sliding
     DISTINCT. Sliding distincts do not decompose into window frames
@@ -1857,6 +2030,8 @@ QUERIES = {
     "events_attribution": events_attribution,
     "events_equidepth": events_equidepth,
     "events_pagerank": events_pagerank,
+    "events_hourly_corr": events_hourly_corr,
+    "events_copair_support": events_copair_support,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -1877,6 +2052,8 @@ ORACLES = {
     "events_attribution": EVENTS_ATTRIBUTION_SQL,
     "events_equidepth": EVENTS_EQUIDEPTH_SQL,
     "events_pagerank": _events_pagerank_sql(),
+    "events_hourly_corr": EVENTS_HOURLY_CORR_SQL,
+    "events_copair_support": EVENTS_COPAIR_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),

@@ -967,3 +967,70 @@ def test_equidepth_partitions_and_orders(spark, sf_dir):
     assert sum(r.n_rows for r in rows) == n
     his = [r.hi_value for r in rows]
     assert his == sorted(his)
+
+
+def test_hourly_corr_planted_signals(spark, tmp_path):
+    """Two types firing in the same hours correlate at ~+1; a type
+    firing exactly in the other's silent hours at ~-1."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_hourly_corr,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows, eid = [], 0
+    for h in range(24):
+        burst = h % 2 == 0
+        for t in (["a", "b"] if burst else ["c"]):
+            for _ in range(3 if burst else 3):
+                eid += 1
+                rows.append(
+                    Row(event_id=eid, ts=t0 + dt.timedelta(hours=h),
+                        user_id=1, event_type=t, value=1.0, props="{}")
+                )
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    out = {(r.ta, r.tb): r.corr for r in events_hourly_corr(spark, d).collect()}
+    assert out[("a", "b")] == pytest.approx(1.0)
+    assert out[("a", "c")] == pytest.approx(-1.0)
+    assert out[("b", "c")] == pytest.approx(-1.0)
+
+
+def test_copair_support_hand_counted(spark, tmp_path):
+    """3 baskets: {a,b}, {a,b,c}, {a}. support(a,b)=2, lift(a,b)=
+    2*3/(3*2)=1.0; support(b,c)=1, lift=3/(2*1)=1.5."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_copair_support,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 6)
+    rows = []
+    eid = 0
+    baskets = [(1, 0, ["a", "b"]), (1, 1, ["a", "b", "c"]), (2, 0, ["a"])]
+    for u, day_off, types in baskets:
+        for t in types:
+            eid += 1
+            rows.append(
+                Row(event_id=eid, ts=t0 + dt.timedelta(days=day_off),
+                    user_id=u, event_type=t, value=1.0, props="{}")
+            )
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    out = {
+        (r.ta, r.tb): (r.support, r.lift)
+        for r in events_copair_support(spark, d).collect()
+    }
+    assert out[("a", "b")] == (2, 1.0)
+    assert out[("b", "c")] == (1, 1.5)
+    assert out[("a", "c")] == (1, 1.0)
