@@ -60,10 +60,13 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)  # tiny |V| frame, reused 3x/round
     )
     n_nodes = nodes.count()
     out_w = e.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
-    ew = e.join(out_w, "src")  # (src, dst, w, wout)
+    # materialize the joined edge frame once: every round re-reads it
+    ew = e.join(out_w, "src").localCheckpoint(eager=True)
+    out_w = out_w.localCheckpoint(eager=True)
     r0 = int(RSCALE) // n_nodes
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("r"))
     # floor(x + 0.5) — NOT Python round() (banker's) — to match the SQL
@@ -109,7 +112,9 @@ def pagerank(
                 ).cast("long").alias("r"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        # lineage cap only — every other round is enough, and the lazy
+        # checkpoint avoids one materialization job per iteration
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node", (F.col("r").cast("double") / F.lit(float(RSCALE))).alias("rank")
     )
