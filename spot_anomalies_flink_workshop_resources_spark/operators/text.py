@@ -487,7 +487,16 @@ def lm_score(docs: DataFrame, n: int = 3) -> DataFrame:
             f"ELSE array() END) AS gram",
         )
     )
-    model = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    # compact positions to (doc, gram, multiplicity) once (round 5):
+    # the explode otherwise re-runs for model/stats/scoring, and the
+    # scoring join carries positions instead of distinct doc-grams.
+    # sum(m*q) == per-occurrence sum(q) exactly (integers).
+    gcnt = (
+        grams.groupBy("doc_id", "lang", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    model = gcnt.groupBy("lang", "gram").agg(F.sum("m").alias("cnt"))
     lang_stats = model.groupBy("lang").agg(
         F.sum("cnt").cast("double").alias("total"),
         F.count(F.lit(1)).cast("double").alias("vocab"),
@@ -501,12 +510,12 @@ def lm_score(docs: DataFrame, n: int = 3) -> DataFrame:
         F.col("s").cast("double") / F.col("n_grams").cast("double")
     ) / F.lit(float(scale))
     return (
-        grams.join(F.broadcast(model), ["lang", "gram"])
+        gcnt.join(F.broadcast(model), ["lang", "gram"])
         .join(F.broadcast(lang_stats), "lang")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(q).alias("s"),
+            F.sum("m").cast("long").alias("n_grams"),
+            F.sum(F.col("m") * q).alias("s"),
         )
         .select(
             "doc_id",
@@ -586,9 +595,20 @@ def lang_mismatch(docs: DataFrame, n: int = 3) -> DataFrame:
             f"ELSE array() END) AS gram",
         )
     )
-    model = grams.groupBy(
+    # compact the position stream to (doc, gram, multiplicity) ONCE and
+    # materialize it: the explode would otherwise re-run for the model
+    # build, the stats, and the scoring pass (3x), and the cross-join
+    # agg would carry every gram POSITION x |langs| instead of every
+    # DISTINCT doc-gram x |langs|. sum(m*q) == sum-per-occurrence(q)
+    # exactly (integers), so the result is bit-identical.
+    gcnt = (
+        grams.groupBy("doc_id", "lang", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    model = gcnt.groupBy(
         F.col("lang").alias("mlang"), "gram"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(F.sum("m").alias("cnt"))
     lang_stats = model.groupBy("mlang").agg(
         F.sum("cnt").cast("double").alias("total"),
         F.count(F.lit(1)).cast("double").alias("vocab"),
@@ -600,10 +620,13 @@ def lang_mismatch(docs: DataFrame, n: int = 3) -> DataFrame:
     )
     q = F.floor(nll * scale + F.lit(0.5)).cast("long")
     scored = (
-        grams.crossJoin(F.broadcast(langs))
+        gcnt.crossJoin(F.broadcast(langs))
         .join(F.broadcast(model), ["mlang", "gram"], "left")
         .groupBy("doc_id", "lang", "mlang")
-        .agg(F.sum(q).alias("s"), F.count(F.lit(1)).cast("long").alias("ng"))
+        .agg(
+            F.sum(F.col("m") * q).alias("s"),
+            F.sum("m").cast("long").alias("ng"),
+        )
     )
     avg = (F.col("s").cast("double") / F.col("ng").cast("double")) / F.lit(
         float(scale)
