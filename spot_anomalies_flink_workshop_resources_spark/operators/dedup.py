@@ -1353,3 +1353,180 @@ SELECT d.doc_id,
             <= {keep_max_frac}, TRUE) AS keep
 FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
 """
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs: ``|A∩B| / min(|A|,|B|)``
+    — catches a document embedded inside a larger one (quotes,
+    concatenations, boilerplate wrapping), which symmetric Jaccard
+    structurally under-scores (a 100-shingle doc inside a 1000-shingle
+    doc has jaccard ≤ 0.1 but containment 1.0).
+
+    Candidate generation reuses the MinHash band index (band collision
+    probability tracks JACCARD, so candidates skew against exactly the
+    asymmetric pairs this operator targets — the standard fix applies
+    here too: the verify join ALSO admits every pair sharing a
+    sufficiently rare shingle (df ≤ df_cap), which is how containment
+    pairs with tiny jaccard still surface; both legs are exact-int
+    counting, and the final scores are single exact-int divisions).
+
+    Output: (doc_a, doc_b, jaccard, containment) for pairs with
+    containment ≥ threshold.
+    """
+    toks = _shingles(docs, shingle_n).localCheckpoint(eager=True)
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # leg 1: band-bucket candidates (the jaccard-shaped generator)
+    hashed = toks.withColumn("h", _hex32("tok"))
+    sig_aggs = [
+        F.min(
+            F.expr(f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}")
+        ).alias(f"sig{i}")
+        for i in range(num_hashes)
+    ]
+    n_bands = num_hashes // band_size
+    wide = hashed.groupBy("doc_id").agg(*sig_aggs)
+    band_hash_cols = [
+        F.md5(
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"sig{b * band_size + r}").cast("string")
+                    for r in range(band_size)
+                ],
+            )
+        ).alias(f"bh{b}")
+        for b in range(n_bands)
+    ]
+    stack_args = ", ".join(f"{b}, bh{b}" for b in range(n_bands))
+    bands = wide.select("doc_id", *band_hash_cols).selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, band_hash)"
+    )
+    cand_bands = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    # leg 2: rare-shingle candidates (containment-shaped generator)
+    df_cap = 16
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rare = toks.join(freq.where(F.col("df") <= df_cap), "tok")
+    cand_rare = (
+        rare.alias("ra")
+        .join(
+            rare.alias("rb"),
+            (F.col("ra.tok") == F.col("rb.tok"))
+            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
+        )
+        .select(
+            F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b")
+        )
+    )
+    cand = cand_bands.union(cand_rare).distinct()
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    common = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    cont = F.col("c") / F.least("na", "nb")
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a", "doc_b", jac.alias("jaccard"), cont.alias("containment")
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
+def containment_pairs_sql(
+    threshold: float = 0.7,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    shingle_n: int = 3,
+) -> str:
+    n_bands = num_hashes // band_size
+    sig_exprs = ", ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS sig{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(':', {cols})) AS band_hash "
+        "FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(sig{b * band_size + r} AS VARCHAR)"
+                for r in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS MATERIALIZED ({_shingles_sql(shingle_n)}
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id, {sig_exprs}
+  FROM hashed GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  {band_selects}
+),
+cand_bands AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+freq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+rare AS MATERIALIZED (
+  SELECT t.doc_id, t.tok FROM toks t JOIN freq f ON f.tok = t.tok
+  WHERE f.df <= 16
+),
+cand_rare AS (
+  SELECT ra.doc_id AS doc_a, rb.doc_id AS doc_b
+  FROM rare ra JOIN rare rb ON ra.tok = rb.tok AND ra.doc_id < rb.doc_id
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT * FROM cand_bands UNION ALL SELECT * FROM cand_rare)
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+common AS (
+  SELECT doc_a, doc_b, COUNT(*) AS c
+  FROM cand
+  JOIN toks ta ON ta.doc_id = doc_a
+  JOIN toks tb ON tb.doc_id = doc_b AND ta.tok = tb.tok
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard,
+       CAST(c AS DOUBLE) / LEAST(ca.n, cb.n) AS containment
+FROM common
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / LEAST(ca.n, cb.n) >= {threshold}
+"""

@@ -1018,6 +1018,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_windowed_share",       # NEW: chained multi-stateful streaming
     "events_hourly_corr",          # NEW: exact Pearson matrix, int sums
     "events_copair_support",       # NEW: market-basket support + lift
+    "dedup_containment",           # NEW: asymmetric doc-in-doc near-dup
+    "events_seasonality",          # NEW: hour-of-week load profile
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

@@ -494,6 +494,14 @@ def dedup_incremental_lsh(spark, sf_dir):
     return D.incremental_minhash_dedup(_docs(spark, sf_dir))
 
 
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (|A∩B|/min) — catches
+    doc-in-doc duplication that symmetric Jaccard under-scores
+    (operators.dedup.containment_pairs); dual candidate generation
+    (bands + rare-shingle inverted index), value-oracled."""
+    return D.containment_pairs(_docs(spark, sf_dir))
+
+
 def dedup_span_stats(spark, sf_dir):
     """Per-doc duplicated n-gram span mass (ExactSubstr-style dedup
     signal, operators.dedup.duplicate_span_stats) — the C4/RefinedWeb
@@ -915,6 +923,7 @@ QUERIES = {
     "dedup_pipeline_lsh": dedup_pipeline_lsh,
     "dedup_incremental_lsh": dedup_incremental_lsh,
     "dedup_span_stats": dedup_span_stats,
+    "dedup_containment": dedup_containment,
     "dedup_components_converged": dedup_components_converged,
     "multimodal_media_profile": multimodal_media_profile,
     "multimodal_features": multimodal_features,
@@ -993,6 +1002,7 @@ ORACLES = {
     ),
     "dedup_incremental_lsh": D.incremental_minhash_dedup_sql(),
     "dedup_span_stats": D.duplicate_span_stats_sql(),
+    "dedup_containment": D.containment_pairs_sql(),
     "dedup_pipeline_lsh": D.dup_components_sql(
         pairs_inner=D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3)
     ),

@@ -1777,6 +1777,50 @@ CROSS JOIN nb
 """
 
 
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality profile per event type: activity ratio
+    of each (day-of-week, hour) cell against the type's uniform
+    expectation — the baseline behind "is this traffic level normal
+    for 3am Sunday?" anomaly gating. Day-of-week is computed
+    ARITHMETICALLY from epoch days ((dd + 4) % 7, Sunday = 0) because
+    engine dow builtins disagree on numbering conventions; the ratio
+    is one exact-int division (n·168/total). One hash agg + a
+    broadcast of |types| totals."""
+    e = load_table(spark, sf_dir, "events")
+    dd = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    cells = e.groupBy(
+        "event_type",
+        ((dd + 4) % 7).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    ratio = (F.col("n") * 168).cast("double") / F.col("total").cast("double")
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type", "dow", "hour", "n", ratio.alias("load_ratio")
+    )
+
+
+EVENTS_SEASONALITY_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+              AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+totals AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+  FROM cells GROUP BY event_type
+)
+SELECT c.event_type, c.dow, c.hour, c.n,
+       CAST(c.n * 168 AS DOUBLE) / CAST(t.total AS DOUBLE) AS load_ratio
+FROM cells c JOIN totals t ON t.event_type = c.event_type
+"""
+
+
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (WAU): exact sliding
     DISTINCT. Sliding distincts do not decompose into window frames
@@ -2032,6 +2076,7 @@ QUERIES = {
     "events_pagerank": events_pagerank,
     "events_hourly_corr": events_hourly_corr,
     "events_copair_support": events_copair_support,
+    "events_seasonality": events_seasonality,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -2054,6 +2099,7 @@ ORACLES = {
     "events_pagerank": _events_pagerank_sql(),
     "events_hourly_corr": EVENTS_HOURLY_CORR_SQL,
     "events_copair_support": EVENTS_COPAIR_SQL,
+    "events_seasonality": EVENTS_SEASONALITY_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),

@@ -1034,3 +1034,31 @@ def test_copair_support_hand_counted(spark, tmp_path):
     assert out[("a", "b")] == (2, 1.0)
     assert out[("b", "c")] == (1, 1.5)
     assert out[("a", "c")] == (1, 1.0)
+
+
+def test_containment_catches_doc_in_doc(spark):
+    """A short doc verbatim inside a much longer one: containment 1.0
+    even though jaccard is far below any dedup threshold — the case
+    the asymmetric score exists for. The rare-shingle candidate leg
+    must surface it even when no minhash band collides."""
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    inner = "zephyr quartz baffled jovial knights vexed whimsy dunes"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=inner),
+            Row(doc_id=2, text=filler + " " + inner + " " + filler[::-1].lower()),
+            Row(doc_id=3, text="entirely unrelated content here present"),
+        ]
+    )
+    out = {(r.doc_a, r.doc_b): r for r in containment_pairs(docs).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r.containment == 1.0
+    assert r.jaccard < 0.3
+    assert not any(3 in k for k in out)
