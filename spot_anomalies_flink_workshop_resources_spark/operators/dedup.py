@@ -1358,8 +1358,6 @@ FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
 def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.7,
-    num_hashes: int = NUM_HASHES,
-    band_size: int = BAND_SIZE,
     shingle_n: int = 3,
 ) -> DataFrame:
     """Asymmetric CONTAINMENT near-dup pairs: ``|A∩B| / min(|A|,|B|)``
@@ -1368,73 +1366,52 @@ def containment_pairs(
     structurally under-scores (a 100-shingle doc inside a 1000-shingle
     doc has jaccard ≤ 0.1 but containment 1.0).
 
-    Candidate generation reuses the MinHash band index (band collision
-    probability tracks JACCARD, so candidates skew against exactly the
-    asymmetric pairs this operator targets — the standard fix applies
-    here too: the verify join ALSO admits every pair sharing a
-    sufficiently rare shingle (df ≤ df_cap), which is how containment
-    pairs with tiny jaccard still surface; both legs are exact-int
-    counting, and the final scores are single exact-int divisions).
+    Candidate generation is PREFIX FILTERING (the PPJoin family, Xiao
+    et al.): order every document's shingles by the global (df, tok)
+    order — rarest first — and emit its first ``sz - ceil(τ·sz) + 1``
+    as the prefix. GUARANTEED recall: for a qualifying pair let S be
+    the smaller side; if B missed ALL of S's prefix, the intersection
+    fits inside S's remaining ``ceil(τ·sz) - 1`` shingles —
+    contradiction with ``|∩| ≥ ceil(τ·sz)``. So candidates =
+    prefix ⋈ full posting lists, and the fan-out concentrates on each
+    doc's RAREST shingles (short posting lists) by construction. The
+    prefix length uses integer arithmetic (``(7·sz+9) div 10`` for
+    τ=0.7) so the cut is engine-exact; verify counts and both scores
+    are exact-int arithmetic.
 
     Output: (doc_a, doc_b, jaccard, containment) for pairs with
     containment ≥ threshold.
     """
+    assert abs(threshold - 0.7) < 1e-9, "integer prefix math is for τ=0.7"
     toks = _shingles(docs, shingle_n).localCheckpoint(eager=True)
     counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # leg 1: band-bucket candidates (the jaccard-shaped generator)
-    hashed = toks.withColumn("h", _hex32("tok"))
-    sig_aggs = [
-        F.min(
-            F.expr(f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}")
-        ).alias(f"sig{i}")
-        for i in range(num_hashes)
-    ]
-    n_bands = num_hashes // band_size
-    wide = hashed.groupBy("doc_id").agg(*sig_aggs)
-    band_hash_cols = [
-        F.md5(
-            F.concat_ws(
-                ":",
-                *[
-                    F.col(f"sig{b * band_size + r}").cast("string")
-                    for r in range(band_size)
-                ],
-            )
-        ).alias(f"bh{b}")
-        for b in range(n_bands)
-    ]
-    stack_args = ", ".join(f"{b}, bh{b}" for b in range(n_bands))
-    bands = wide.select("doc_id", *band_hash_cols).selectExpr(
-        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, band_hash)"
-    )
-    cand_bands = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-    )
-    # leg 2: rare-shingle candidates (containment-shaped generator)
-    df_cap = 16
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    rare = toks.join(freq.where(F.col("df") <= df_cap), "tok")
-    cand_rare = (
-        rare.alias("ra")
-        .join(
-            rare.alias("rb"),
-            (F.col("ra.tok") == F.col("rb.tok"))
-            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
-        )
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    sz = Window.partitionBy("doc_id")
+    ranked = (
+        toks.join(freq, "tok")
         .select(
-            F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b")
+            "doc_id",
+            "tok",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(sz).alias("sz"),
         )
     )
-    cand = cand_bands.union(cand_rare).distinct()
+    k = F.col("sz") - F.expr("(7 * sz + 9) div 10") + 1
+    prefix = ranked.where(F.col("rn") <= k).select("doc_id", "tok")
+    cand = (
+        prefix.alias("p")
+        .join(
+            toks.alias("t"),
+            (F.col("p.tok") == F.col("t.tok"))
+            & (F.col("p.doc_id") != F.col("t.doc_id")),
+        )
+        .select(
+            F.least("p.doc_id", "t.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "t.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
     ta, tb = toks.alias("ta"), toks.alias("tb")
     common = (
         cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
@@ -1462,57 +1439,26 @@ def containment_pairs(
 
 def containment_pairs_sql(
     threshold: float = 0.7,
-    num_hashes: int = NUM_HASHES,
-    band_size: int = BAND_SIZE,
     shingle_n: int = 3,
 ) -> str:
-    n_bands = num_hashes // band_size
-    sig_exprs = ", ".join(
-        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS sig{i}"
-        for i in range(num_hashes)
-    )
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5(concat_ws(':', {cols})) AS band_hash "
-        "FROM sigs".format(
-            b=b,
-            cols=", ".join(
-                f"CAST(sig{b * band_size + r} AS VARCHAR)"
-                for r in range(band_size)
-            ),
-        )
-        for b in range(n_bands)
-    )
     return f"""
 WITH toks AS MATERIALIZED ({_shingles_sql(shingle_n)}
 ),
-hashed AS (
-  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
-),
-sigs AS MATERIALIZED (
-  SELECT doc_id, {sig_exprs}
-  FROM hashed GROUP BY doc_id
-),
-bands AS MATERIALIZED (
-  {band_selects}
-),
-cand_bands AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
-              AND a.doc_id < b.doc_id
-),
 freq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
-rare AS MATERIALIZED (
-  SELECT t.doc_id, t.tok FROM toks t JOIN freq f ON f.tok = t.tok
-  WHERE f.df <= 16
+ranked AS (
+  SELECT t.doc_id, t.tok,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS rn,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS sz
+  FROM toks t JOIN freq f ON f.tok = t.tok
 ),
-cand_rare AS (
-  SELECT ra.doc_id AS doc_a, rb.doc_id AS doc_b
-  FROM rare ra JOIN rare rb ON ra.tok = rb.tok AND ra.doc_id < rb.doc_id
+prefix AS MATERIALIZED (
+  SELECT doc_id, tok FROM ranked
+  WHERE rn <= sz - ((7 * sz + 9) // 10) + 1
 ),
 cand AS (
-  SELECT DISTINCT doc_a, doc_b FROM (
-    SELECT * FROM cand_bands UNION ALL SELECT * FROM cand_rare)
+  SELECT DISTINCT LEAST(p.doc_id, t.doc_id) AS doc_a,
+                  GREATEST(p.doc_id, t.doc_id) AS doc_b
+  FROM prefix p JOIN toks t ON t.tok = p.tok AND t.doc_id <> p.doc_id
 ),
 counts AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
 common AS (

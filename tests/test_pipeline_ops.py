@@ -1039,8 +1039,9 @@ def test_copair_support_hand_counted(spark, tmp_path):
 def test_containment_catches_doc_in_doc(spark):
     """A short doc verbatim inside a much longer one: containment 1.0
     even though jaccard is far below any dedup threshold — the case
-    the asymmetric score exists for. The rare-shingle candidate leg
-    must surface it even when no minhash band collides."""
+    the asymmetric score exists for. The prefix filter must surface
+    it by the recall guarantee (the smaller doc's rarest-prefix cannot
+    all be missing when containment >= tau)."""
     from pyspark.sql import Row
 
     from spot_anomalies_flink_workshop_resources_spark.operators.dedup import (
