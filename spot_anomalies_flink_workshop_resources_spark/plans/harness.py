@@ -1020,6 +1020,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_copair_support",       # NEW: market-basket support + lift
     "dedup_containment",           # NEW: asymmetric doc-in-doc near-dup
     "events_seasonality",          # NEW: hour-of-week load profile
+    "events_cusum",                # NEW: CUSUM change-point detection
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

@@ -1821,6 +1821,123 @@ FROM cells c JOIN totals t ON t.event_type = c.event_type
 """
 
 
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection per event type over the
+    daily-mean series — the classic drift detector (Page 1954):
+    ``s_i = max(0, s_{i-1} + (mu_i - grand_mean))``; the day with the
+    maximal statistic is the change-point candidate.
+
+    Exactness: daily and grand means come from exact decimal sums with
+    correctly-rounded divisions; the fold is evaluated with the
+    IDENTICAL IEEE op sequence on both engines for EVERY prefix
+    (prefix re-folding is O(|days|²) on a calendar-bounded series —
+    hundreds of ops — which buys exact max/argmax without a struct
+    accumulator, since DuckDB's list_reduce accumulator must stay
+    scalar); the argmax day breaks ties to the earliest day via an
+    integer/exact-double rank. Scale: raw events collapse to (type,
+    day) in the ONE data-sized agg; everything after runs on |days|
+    rows per type."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("dsum"),
+        F.count(F.lit(1)).cast("long").alias("dn"),
+    )
+    mu = F.col("dsum").cast("string").cast("double") / F.col("dn")
+    grand = e.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("gmean")
+    )
+    series = (
+        daily.select("event_type", "day", mu.alias("mu"))
+        .join(F.broadcast(grand), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("day", (F.col("mu") - F.col("gmean")).alias("d")))
+            ).alias("devs"),
+        )
+    )
+    dev_arr = F.transform(F.col("devs"), lambda p: p["d"])
+    cusums = F.transform(
+        F.sequence(F.lit(1), F.size("devs")),
+        lambda i: F.aggregate(
+            F.slice(dev_arr, 1, i),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(F.lit(0.0), acc + x),
+        ),
+    )
+    exploded = series.select(
+        "event_type",
+        F.size("devs").cast("long").alias("n_days"),
+        F.posexplode(
+            F.arrays_zip(
+                F.transform(F.col("devs"), lambda p: p["day"]).alias("day"),
+                cusums.alias("cusum"),
+            )
+        ).alias("idx", "z"),
+    ).select(
+        "event_type", "n_days", F.col("z.day").alias("day"),
+        F.col("z.cusum").alias("cusum"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("cusum"), F.asc("day")
+    )
+    return (
+        exploded.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("change_day"),
+            F.col("cusum").alias("max_cusum"),
+        )
+    )
+
+
+EVENTS_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS mu
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+grand AS (
+  SELECT event_type,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS gmean
+  FROM events GROUP BY event_type
+),
+series AS (
+  SELECT d.event_type,
+         list(d.day ORDER BY d.day) AS days,
+         list(d.mu - g.gmean ORDER BY d.day) AS devs
+  FROM daily d JOIN grand g ON g.event_type = d.event_type
+  GROUP BY d.event_type
+),
+exploded AS (
+  SELECT event_type, CAST(len(devs) AS BIGINT) AS n_days,
+         days[u.i] AS day,
+         list_reduce(list_prepend(0.0, devs[1:u.i]),
+                     (acc, x) -> greatest(0.0, acc + x)) AS cusum
+  FROM series, UNNEST(generate_series(1, len(devs))) AS u(i)
+)
+SELECT event_type, n_days, day AS change_day, cusum AS max_cusum
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY cusum DESC, day ASC) AS rk
+  FROM exploded
+) WHERE rk = 1
+"""
+
+
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (WAU): exact sliding
     DISTINCT. Sliding distincts do not decompose into window frames
@@ -2077,6 +2194,7 @@ QUERIES = {
     "events_hourly_corr": events_hourly_corr,
     "events_copair_support": events_copair_support,
     "events_seasonality": events_seasonality,
+    "events_cusum": events_cusum,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -2100,6 +2218,7 @@ ORACLES = {
     "events_hourly_corr": EVENTS_HOURLY_CORR_SQL,
     "events_copair_support": EVENTS_COPAIR_SQL,
     "events_seasonality": EVENTS_SEASONALITY_SQL,
+    "events_cusum": EVENTS_CUSUM_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),

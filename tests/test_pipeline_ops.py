@@ -1063,3 +1063,36 @@ def test_containment_catches_doc_in_doc(spark):
     assert r.containment == 1.0
     assert r.jaccard < 0.3
     assert not any(3 in k for k in out)
+
+
+def test_cusum_locates_planted_level_shift(spark, tmp_path):
+    """A series flat at 10 for 20 days then at 30 for 10 days: the
+    one-sided CUSUM peaks at the LAST day (drift keeps accumulating
+    after the shift), and a flat control type stays near zero."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_cusum,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12)
+    rows, eid = [], 0
+    for d in range(30):
+        for t, v in (("shift", 10.0 if d < 20 else 30.0), ("flat", 5.0)):
+            eid += 1
+            rows.append(
+                Row(event_id=eid, ts=t0 + dt.timedelta(days=d), user_id=1,
+                    event_type=t, value=v, props="{}")
+            )
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{p}/events.parquet"
+    )
+    out = {r.event_type: r for r in events_cusum(spark, p).collect()}
+    # shift type: mean = 10*2/3 + 30/3 = 50/3; deviations -20/3 then
+    # +40/3; cusum stays 0 until the shift then climbs to 10*40/3
+    assert out["shift"].max_cusum == pytest.approx(400 / 3)
+    assert out["shift"].change_day == t0.replace(hour=0) + dt.timedelta(days=29)
+    assert out["flat"].max_cusum == pytest.approx(0.0, abs=1e-9)
