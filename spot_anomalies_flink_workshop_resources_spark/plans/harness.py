@@ -1021,6 +1021,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_containment",           # NEW: asymmetric doc-in-doc near-dup
     "events_seasonality",          # NEW: hour-of-week load profile
     "events_cusum",                # NEW: CUSUM change-point detection
+    "events_benford",              # NEW: first-digit fraud screen
+    "text_readability",            # NEW: Flesch scoring
+    "text_langid_confusion",       # NEW: lang-ID eval matrix
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

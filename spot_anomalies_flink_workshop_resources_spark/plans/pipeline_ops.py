@@ -494,6 +494,133 @@ def dedup_incremental_lsh(spark, sf_dir):
     return D.incremental_minhash_dedup(_docs(spark, sf_dir))
 
 
+def text_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: declared label x heuristic
+    prediction with counts — the eval artifact a lang-ID cleanup pass
+    reports (reuses operators.text.lang_id; pure counting on top)."""
+    from pyspark.sql import functions as F
+
+    return (
+        T.lang_id(_docs(spark, sf_dir))
+        .groupBy("declared_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH preds AS ({T.LANG_ID_SQL})
+SELECT declared_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM preds GROUP BY declared_lang, pred_lang
+"""
+
+
+def text_readability(spark, sf_dir):
+    """Flesch-style readability per document from engine-parity
+    counters: sentences = [.!?]+ runs, words = token count, syllable
+    proxy = vowel groups per word. The score formula is pure double
+    arithmetic over exact integers in identical op order, so it is
+    deterministic cross-engine; narrow zero-shuffle map."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    lower = F.lower(F.col("text"))
+    words = F.size(F.regexp_extract_all(lower, F.lit("[a-z0-9]+"), F.lit(0)))
+    sents = F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0)))
+    syll = F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), F.lit(0)))
+    w = F.greatest(words, F.lit(1)).cast("double")
+    s = F.greatest(sents, F.lit(1)).cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / s)
+        - F.lit(84.6) * (F.greatest(syll, F.lit(0)).cast("double") / w)
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syll.cast("long").alias("n_syllables"),
+        score.alias("flesch_score"),
+    )
+
+
+READABILITY_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+         AS n_words,
+       CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+         AS n_sentences,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         AS n_syllables,
+       206.835
+       - 1.015 * (CAST(GREATEST(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS DOUBLE)
+                  / CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+       - 84.6 * (CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 0) AS DOUBLE)
+                 / CAST(GREATEST(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS DOUBLE))
+         AS flesch_score
+FROM documents
+"""
+
+
+def events_benford(spark, sf_dir):
+    """First-significant-digit profile of ``value`` per event type vs
+    the Benford expectation — the classic bookkeeping/fraud screen.
+    Digit extraction is string-based (first nonzero digit of the
+    canonical 2-decimal rendering) so both engines agree exactly;
+    counts are exact ints and the chi-square statistic folds in digit
+    order with identical IEEE ops (log10 differs <=1 ulp — within the
+    established exp/ln tolerance class)."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    digits = F.regexp_extract(
+        F.format_number(F.abs(F.col("value")), 2), "[1-9]", 0
+    )
+    cells = (
+        e.select("event_type", digits.alias("d"))
+        .where(F.col("d") != "")
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cells.groupBy("event_type").agg(F.sum("n").cast("long").alias("nt"))
+    expected = F.col("nt").cast("double") * F.log10(
+        F.lit(1.0) + F.lit(1.0) / F.col("d").cast("double")
+    )
+    dev = F.col("n").cast("double") - expected
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("d").cast("long").alias("digit"),
+            "n",
+            (F.col("n").cast("double") / F.col("nt")).alias("observed_freq"),
+            (dev * dev / expected).alias("chi2_term"),
+        )
+    )
+
+
+BENFORD_SQL = """
+WITH digits AS (
+  SELECT event_type,
+         regexp_extract(format('{:.2f}', abs(value)), '[1-9]') AS d
+  FROM events
+),
+cells AS (
+  SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM digits WHERE d <> '' GROUP BY event_type, d
+),
+tot AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt FROM cells GROUP BY event_type
+)
+SELECT c.event_type, CAST(c.d AS BIGINT) AS digit, c.n,
+       CAST(c.n AS DOUBLE) / t.nt AS observed_freq,
+       (CAST(c.n AS DOUBLE) - CAST(t.nt AS DOUBLE) * log10(1.0 + 1.0 / CAST(c.d AS DOUBLE)))
+       * (CAST(c.n AS DOUBLE) - CAST(t.nt AS DOUBLE) * log10(1.0 + 1.0 / CAST(c.d AS DOUBLE)))
+       / (CAST(t.nt AS DOUBLE) * log10(1.0 + 1.0 / CAST(c.d AS DOUBLE))) AS chi2_term
+FROM cells c JOIN tot t ON t.event_type = c.event_type
+"""
+
+
 def dedup_containment(spark, sf_dir):
     """Asymmetric containment near-dup pairs (|A∩B|/min) — catches
     doc-in-doc duplication that symmetric Jaccard under-scores
@@ -924,6 +1051,9 @@ QUERIES = {
     "dedup_incremental_lsh": dedup_incremental_lsh,
     "dedup_span_stats": dedup_span_stats,
     "dedup_containment": dedup_containment,
+    "text_langid_confusion": text_langid_confusion,
+    "text_readability": text_readability,
+    "events_benford": events_benford,
     "dedup_components_converged": dedup_components_converged,
     "multimodal_media_profile": multimodal_media_profile,
     "multimodal_features": multimodal_features,
@@ -1003,6 +1133,9 @@ ORACLES = {
     "dedup_incremental_lsh": D.incremental_minhash_dedup_sql(),
     "dedup_span_stats": D.duplicate_span_stats_sql(),
     "dedup_containment": D.containment_pairs_sql(),
+    "text_langid_confusion": _langid_confusion_sql(),
+    "text_readability": READABILITY_SQL,
+    "events_benford": BENFORD_SQL,
     "dedup_pipeline_lsh": D.dup_components_sql(
         pairs_inner=D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3)
     ),
