@@ -1476,3 +1476,170 @@ JOIN counts ca ON ca.doc_id = doc_a
 JOIN counts cb ON cb.doc_id = doc_b
 WHERE CAST(c AS DOUBLE) / LEAST(ca.n, cb.n) >= {threshold}
 """
+
+
+def minhash_sig_quality(
+    docs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Index-quality diagnostic for the MinHash/LSH family: for every
+    band-candidate pair, the signature-ESTIMATED jaccard (matching
+    signature positions / num_hashes — what the index 'believes')
+    against the TRUE shingle jaccard, with the absolute estimation
+    error. This is the artifact that tunes num_hashes/band shape in
+    production: estimator bias/variance measured on the live corpus.
+    All counts are exact ints; both scores are single exact-int
+    divisions."""
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    toks = _shingles(docs, shingle_n).localCheckpoint(eager=True)
+    hashed = toks.withColumn("h", _hex32("tok"))
+    sig_aggs = [
+        F.min(
+            F.expr(f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}")
+        ).alias(f"sig{i}")
+        for i in range(num_hashes)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*sig_aggs).localCheckpoint(eager=True)
+    band_hash_cols = [
+        F.md5(
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"sig{b * band_size + r}").cast("string")
+                    for r in range(band_size)
+                ],
+            )
+        ).alias(f"bh{b}")
+        for b in range(n_bands)
+    ]
+    stack_args = ", ".join(f"{b}, bh{b}" for b in range(n_bands))
+    bands = wide.select("doc_id", *band_hash_cols).selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, band_hash)"
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    common = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    true_j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    est_j = matches.cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", est_j.alias("est_jaccard"))
+        .join(common, ["doc_a", "doc_b"], "left")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.coalesce(true_j, F.lit(0.0)).alias("true_jaccard"),
+            F.abs(
+                F.col("est_jaccard") - F.coalesce(true_j, F.lit(0.0))
+            ).alias("abs_err"),
+        )
+    )
+
+
+def minhash_sig_quality_sql(
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    shingle_n: int = 3,
+) -> str:
+    n_bands = num_hashes // band_size
+    sig_exprs = ", ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS sig{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(':', {cols})) AS band_hash "
+        "FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(sig{b * band_size + r} AS VARCHAR)"
+                for r in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH toks AS MATERIALIZED ({_shingles_sql(shingle_n)}
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id, {sig_exprs}
+  FROM hashed GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+common AS (
+  SELECT doc_a, doc_b, COUNT(*) AS c
+  FROM cand
+  JOIN toks ta ON ta.doc_id = doc_a
+  JOIN toks tb ON tb.doc_id = doc_b AND ta.tok = tb.tok
+  GROUP BY doc_a, doc_b
+)
+SELECT cd.doc_a, cd.doc_b,
+       CAST(({match_sum}) AS DOUBLE) / {float(num_hashes)!r} AS est_jaccard,
+       COALESCE(CAST(m.c AS DOUBLE) / (ca.n + cb.n - m.c), 0.0) AS true_jaccard,
+       ABS(CAST(({match_sum}) AS DOUBLE) / {float(num_hashes)!r}
+           - COALESCE(CAST(m.c AS DOUBLE) / (ca.n + cb.n - m.c), 0.0)) AS abs_err
+FROM cand cd
+JOIN sigs sa ON sa.doc_id = cd.doc_a
+JOIN sigs sb ON sb.doc_id = cd.doc_b
+LEFT JOIN common m ON m.doc_a = cd.doc_a AND m.doc_b = cd.doc_b
+JOIN counts ca ON ca.doc_id = cd.doc_a
+JOIN counts cb ON cb.doc_id = cd.doc_b
+"""

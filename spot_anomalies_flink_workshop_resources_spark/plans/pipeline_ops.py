@@ -621,6 +621,13 @@ FROM cells c JOIN tot t ON t.event_type = c.event_type
 """
 
 
+def dedup_sig_quality(spark, sf_dir):
+    """MinHash estimator quality on band-candidate pairs: signature-
+    estimated vs true jaccard with absolute error — the artifact that
+    tunes num_hashes/band shape (operators.dedup.minhash_sig_quality)."""
+    return D.minhash_sig_quality(_docs(spark, sf_dir))
+
+
 def dedup_containment(spark, sf_dir):
     """Asymmetric containment near-dup pairs (|A∩B|/min) — catches
     doc-in-doc duplication that symmetric Jaccard under-scores
@@ -1051,6 +1058,7 @@ QUERIES = {
     "dedup_incremental_lsh": dedup_incremental_lsh,
     "dedup_span_stats": dedup_span_stats,
     "dedup_containment": dedup_containment,
+    "dedup_sig_quality": dedup_sig_quality,
     "text_langid_confusion": text_langid_confusion,
     "text_readability": text_readability,
     "events_benford": events_benford,
@@ -1133,6 +1141,7 @@ ORACLES = {
     "dedup_incremental_lsh": D.incremental_minhash_dedup_sql(),
     "dedup_span_stats": D.duplicate_span_stats_sql(),
     "dedup_containment": D.containment_pairs_sql(),
+    "dedup_sig_quality": D.minhash_sig_quality_sql(),
     "text_langid_confusion": _langid_confusion_sql(),
     "text_readability": READABILITY_SQL,
     "events_benford": BENFORD_SQL,

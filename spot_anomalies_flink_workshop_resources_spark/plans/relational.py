@@ -1938,6 +1938,65 @@ FROM (
 """
 
 
+def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in flight per day — the classic interval-counting /
+    backlog query: an order is open from ``o_orderdate`` until its
+    last lineitem ships. Computed with the +1/-1 DELTA algebra: one
+    +1 at the open date, one -1 the day after the close date, then a
+    running sum over the (bounded, calendar-sized) distinct-date
+    frame — never a per-day × per-order join or interval explode.
+    All-integer arithmetic. Output one row per delta date (the count
+    is constant between deltas)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("close_date")
+    )
+    spans = o.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("open_date"),
+    ).join(close.withColumn("close_date", F.to_date("close_date")), "l_orderkey")
+    deltas = (
+        spans.select(F.col("open_date").alias("day"), F.lit(1).alias("delta"))
+        .unionByName(
+            spans.select(
+                F.date_add("close_date", 1).alias("day"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("delta").cast("long").alias("d"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        "day", F.sum("d").over(w).cast("long").alias("open_orders")
+    )
+
+
+OPEN_ORDERS_SQL = """
+WITH close AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS close_date
+  FROM lineitem GROUP BY l_orderkey
+),
+spans AS (
+  SELECT o.o_orderdate AS open_date, c.close_date
+  FROM orders o JOIN close c ON c.l_orderkey = o.o_orderkey
+),
+deltas AS (
+  SELECT day, CAST(SUM(delta) AS BIGINT) AS d FROM (
+    SELECT CAST(open_date AS DATE) AS day, 1 AS delta FROM spans
+    UNION ALL
+    SELECT CAST(close_date AS DATE) + 1 AS day, -1 AS delta FROM spans
+  ) GROUP BY day
+)
+SELECT day, CAST(SUM(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS open_orders
+FROM deltas
+"""
+
+
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (WAU): exact sliding
     DISTINCT. Sliding distincts do not decompose into window frames
@@ -2195,6 +2254,7 @@ QUERIES = {
     "events_copair_support": events_copair_support,
     "events_seasonality": events_seasonality,
     "events_cusum": events_cusum,
+    "sql_open_orders_daily": open_orders_daily,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -2219,6 +2279,7 @@ ORACLES = {
     "events_copair_support": EVENTS_COPAIR_SQL,
     "events_seasonality": EVENTS_SEASONALITY_SQL,
     "events_cusum": EVENTS_CUSUM_SQL,
+    "sql_open_orders_daily": OPEN_ORDERS_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),
