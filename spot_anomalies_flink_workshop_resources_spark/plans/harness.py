@@ -1026,6 +1026,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_langid_confusion",       # NEW: lang-ID eval matrix
     "sql_open_orders_daily",       # NEW: interval-count backlog
     "dedup_sig_quality",           # NEW: minhash estimator diagnostics
+    "sql_ltv_cohort",              # NEW: cohort-age revenue triangle
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

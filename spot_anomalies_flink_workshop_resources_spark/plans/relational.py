@@ -1997,6 +1997,61 @@ FROM deltas
 """
 
 
+def customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value cohort matrix: customers cohorted by
+    first-order month, revenue rolled up by (cohort month, months
+    since first order) — the retention-revenue triangle of subscription
+    analytics. Two hash aggs (first order per customer — a min — then
+    the cohort-age rollup with the cohort broadcast back); month
+    arithmetic is integer (12*Δyear + Δmonth); revenue is the exact
+    decimal route."""
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    j = o.join(F.broadcast(first), "o_custkey").select(
+        "o_custkey",
+        "cohort_month",
+        F.date_trunc("month", F.col("o_orderdate")).alias("om"),
+        "o_totalprice",
+    )
+    age = (
+        (F.year("om") - F.year("cohort_month")) * 12
+        + (F.month("om") - F.month("cohort_month"))
+    ).cast("long")
+    return (
+        j.groupBy("cohort_month", age.alias("cohort_age"))
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+LTV_COHORT_SQL = """
+WITH first AS (
+  SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT o.o_custkey, f.cohort_month,
+         date_trunc('month', o.o_orderdate) AS om, o.o_totalprice
+  FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+)
+SELECT cohort_month,
+       CAST((year(om) - year(cohort_month)) * 12
+            + (month(om) - month(cohort_month)) AS BIGINT) AS cohort_age,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+            AS DOUBLE) AS revenue
+FROM j
+GROUP BY cohort_month, (year(om) - year(cohort_month)) * 12
+         + (month(om) - month(cohort_month))
+"""
+
+
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (WAU): exact sliding
     DISTINCT. Sliding distincts do not decompose into window frames
@@ -2255,6 +2310,7 @@ QUERIES = {
     "events_seasonality": events_seasonality,
     "events_cusum": events_cusum,
     "sql_open_orders_daily": open_orders_daily,
+    "sql_ltv_cohort": customer_ltv_cohort,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -2280,6 +2336,7 @@ ORACLES = {
     "events_seasonality": EVENTS_SEASONALITY_SQL,
     "events_cusum": EVENTS_CUSUM_SQL,
     "sql_open_orders_daily": OPEN_ORDERS_SQL,
+    "sql_ltv_cohort": LTV_COHORT_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),
