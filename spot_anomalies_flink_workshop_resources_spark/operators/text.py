@@ -700,3 +700,88 @@ FROM ranked o
 JOIN ranked b ON b.doc_id = o.doc_id AND b.rk = 1
 WHERE o.mlang = o.lang
 """
+
+
+def keyword_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the tagging/routing
+    primitive. tf = in-doc token count, idf = ln(N/df); ranking
+    compares the QUANTIZED score floor(tf·ln(N/df)·2^20 + 0.5) as an
+    int64 with ties to the lexicographically smaller token, so the cut
+    is deterministic across engines up to the usual ln ulp-at-boundary
+    caveat (the measured-margin class; ln differs ≤1 ulp and a flip
+    needs the product within ulps of a half-integer). Plan: token agg
+    per (doc, tok), vocab-keyed df agg broadcast back, per-doc rank
+    window."""
+    from pyspark.sql import Window
+
+    scale = 1 << 20
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    score_q = F.floor(
+        F.col("tf").cast("double")
+        * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+        * scale
+        + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_q"), F.asc("tok")
+    )
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "tok", "tf", "df", score_q.alias("score_q"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("tok").alias("keyword"),
+            "tf",
+            "df",
+            (F.col("score_q").cast("double") / F.lit(float(scale))).alias(
+                "tfidf"
+            ),
+            "rank",
+        )
+    )
+
+
+def keyword_topk_sql(k: int = 5) -> str:
+    scale = 1 << 20
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+),
+df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         CAST(FLOOR(CAST(t.tf AS DOUBLE)
+              * ln(CAST(nd.n AS DOUBLE) / CAST(d.df AS DOUBLE))
+              * {scale} + 0.5) AS BIGINT) AS score_q
+  FROM tf t JOIN df d ON d.tok = t.tok CROSS JOIN nd
+)
+SELECT doc_id, tok AS keyword, tf, df,
+       CAST(score_q AS DOUBLE) / {float(scale)!r} AS tfidf, rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score_q DESC, tok ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -1027,6 +1027,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_open_orders_daily",       # NEW: interval-count backlog
     "dedup_sig_quality",           # NEW: minhash estimator diagnostics
     "sql_ltv_cohort",              # NEW: cohort-age revenue triangle
+    "sql_supplier_scorecard",      # NEW: vendor ops report
+    "sql_repeat_purchase",         # NEW: loyalty KPI per nation
+    "text_keywords",               # NEW: TF-IDF top-k keywords
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

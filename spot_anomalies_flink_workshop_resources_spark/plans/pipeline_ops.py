@@ -494,6 +494,12 @@ def dedup_incremental_lsh(spark, sf_dir):
     return D.incremental_minhash_dedup(_docs(spark, sf_dir))
 
 
+def text_keywords(spark, sf_dir):
+    """Per-doc top-5 TF-IDF keywords (operators.text.keyword_topk) —
+    quantized-int score ranking, deterministic cross-engine."""
+    return T.keyword_topk(_docs(spark, sf_dir))
+
+
 def text_langid_confusion(spark, sf_dir):
     """Language-ID confusion matrix: declared label x heuristic
     prediction with counts — the eval artifact a lang-ID cleanup pass
@@ -1060,6 +1066,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_sig_quality": dedup_sig_quality,
     "text_langid_confusion": text_langid_confusion,
+    "text_keywords": text_keywords,
     "text_readability": text_readability,
     "events_benford": events_benford,
     "dedup_components_converged": dedup_components_converged,
@@ -1143,6 +1150,7 @@ ORACLES = {
     "dedup_containment": D.containment_pairs_sql(),
     "dedup_sig_quality": D.minhash_sig_quality_sql(),
     "text_langid_confusion": _langid_confusion_sql(),
+    "text_keywords": T.keyword_topk_sql(),
     "text_readability": READABILITY_SQL,
     "events_benford": BENFORD_SQL,
     "dedup_pipeline_lsh": D.dup_components_sql(

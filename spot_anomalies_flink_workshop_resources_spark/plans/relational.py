@@ -2052,6 +2052,141 @@ GROUP BY cohort_month, (year(om) - year(cohort_month)) * 12
 """
 
 
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier operations scorecard: per supplier+nation, lineitem
+    volume, on-time ship rate (shipped within 90 days of the order
+    date — the synthetic lineitem carries l_shipdate only), mean delay
+    days of late lines, and revenue — the multi-metric vendor report.
+    The orders⨝lineitem spine is the one orderkey shuffle (bucketable
+    at scale); supplier/nation dims broadcast; rates are exact-int
+    divisions and revenue the exact decimal route."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j0 = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"),
+        "l_orderkey",
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    agg = j0.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(delay <= 90, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ontime"),
+        F.sum(F.when(delay > 90, delay - 90).otherwise(0))
+        .cast("long")
+        .alias("late_day_sum"),
+        _dsum(F.col("l_extendedprice")).alias("revenue"),
+    )
+    return (
+        agg.join(
+            F.broadcast(
+                s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+                .select(
+                    F.col("s_suppkey").alias("l_suppkey"),
+                    "s_name",
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            "l_suppkey",
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            "nation",
+            "n_lines",
+            (F.col("n_ontime").cast("double") / F.col("n_lines")).alias(
+                "ontime_rate"
+            ),
+            F.when(
+                F.col("n_lines") > F.col("n_ontime"),
+                F.col("late_day_sum").cast("double")
+                / (F.col("n_lines") - F.col("n_ontime")),
+            ).alias("mean_late_days"),
+            "revenue",
+        )
+    )
+
+
+SUPPLIER_SCORECARD_SQL = """
+WITH agg AS (
+  SELECT l.l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime,
+         CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                  THEN date_diff('day', o.o_orderdate, l.l_shipdate) - 90
+                  ELSE 0 END) AS BIGINT) AS late_day_sum,
+         CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR)
+              AS DOUBLE) AS revenue
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_suppkey
+)
+SELECT a.l_suppkey AS suppkey, s.s_name, n.n_name AS nation, a.n_lines,
+       CAST(a.n_ontime AS DOUBLE) / a.n_lines AS ontime_rate,
+       CASE WHEN a.n_lines > a.n_ontime
+            THEN CAST(a.late_day_sum AS DOUBLE) / (a.n_lines - a.n_ontime)
+       END AS mean_late_days,
+       a.revenue
+FROM agg a
+JOIN supplier s ON s.s_suppkey = a.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+"""
+
+
+def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate per nation: share of customers with 2+
+    orders, plus order-frequency stats — the loyalty KPI. Customer
+    order counts in one hash agg, then a nation rollup with the dim
+    broadcast; rates are exact-int divisions."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    j = per_cust.join(
+        F.broadcast(
+            c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("n_name").alias("nation"),
+            )
+        ),
+        "o_custkey",
+    )
+    return j.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buyers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeat"),
+        (
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("repeat_rate"),
+        F.max("n_orders").alias("max_orders"),
+    )
+
+
+REPEAT_PURCHASE_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_buyers,
+       CAST(SUM(CASE WHEN p.n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       CAST(SUM(CASE WHEN p.n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS repeat_rate,
+       MAX(p.n_orders) AS max_orders
+FROM per_cust p
+JOIN customer c ON c.c_custkey = p.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (WAU): exact sliding
     DISTINCT. Sliding distincts do not decompose into window frames
@@ -2311,6 +2446,8 @@ QUERIES = {
     "events_cusum": events_cusum,
     "sql_open_orders_daily": open_orders_daily,
     "sql_ltv_cohort": customer_ltv_cohort,
+    "sql_supplier_scorecard": supplier_scorecard,
+    "sql_repeat_purchase": repeat_purchase_rate,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -2337,6 +2474,8 @@ ORACLES = {
     "events_cusum": EVENTS_CUSUM_SQL,
     "sql_open_orders_daily": OPEN_ORDERS_SQL,
     "sql_ltv_cohort": LTV_COHORT_SQL,
+    "sql_supplier_scorecard": SUPPLIER_SCORECARD_SQL,
+    "sql_repeat_purchase": REPEAT_PURCHASE_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),
