@@ -449,6 +449,28 @@ def test_new_operator_plan_invariants(spark, sf_dir):
 
     keys = _re.search(r"Left keys \[2\]: \[brand#\d+, len_bucket#\d+L?\]", p)
     assert keys, p
+    # round-5 additions: dims/scalars broadcast, no cartesian blowups
+    # supplier scorecard: supplier+nation dims broadcast; the only
+    # sort-merge-eligible join is the orderkey spine
+    p = plan("sql_supplier_scorecard")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p
+    # attribution: per-user bounded-range join, never a cartesian
+    p = plan("events_attribution")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p, p
+    # copair/lift: per-type rollups broadcast back
+    p = plan("events_copair_support")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p
+    # keywords: vocab df frame broadcast; TF agg is the only wide agg
+    p = plan("text_keywords")
+    assert "BroadcastHashJoin" in p, p
+    # equi-depth: single-partition windows run over the DISTINCT-VALUE
+    # frame only (bounded by the domain); the raw-event stage is a
+    # plain hash agg
+    p = plan("events_equidepth")
+    assert p.count("Exchange SinglePartition") <= 2, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
