@@ -1030,6 +1030,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_supplier_scorecard",      # NEW: vendor ops report
     "sql_repeat_purchase",         # NEW: loyalty KPI per nation
     "text_keywords",               # NEW: TF-IDF top-k keywords
+    "dedup_rate_curve",            # NEW: threshold yield curve
+    "events_user_entropy",         # NEW: behavioral-diversity signal
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

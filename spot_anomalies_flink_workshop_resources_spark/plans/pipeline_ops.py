@@ -627,6 +627,52 @@ FROM cells c JOIN tot t ON t.event_type = c.event_type
 """
 
 
+def dedup_rate_curve(spark, sf_dir):
+    """Dedup yield curve: per candidate Jaccard threshold (0.5 / 0.7 /
+    0.9), how many verified near-dup pairs exist and how many distinct
+    documents they touch — the knob-tuning artifact a dedup rollout
+    reports before committing to a threshold. ONE pass of the LSH
+    pipeline at the loosest threshold; the curve is then a tiny
+    re-aggregation of the same verified pairs (no per-threshold
+    re-run)."""
+    from pyspark.sql import functions as F
+
+    pairs = D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, shingle_n=3
+    ).localCheckpoint(eager=True)
+    out = None
+    for t in (0.5, 0.7, 0.9):
+        sub = pairs.where(F.col("jaccard") >= t)
+        docs_touched = (
+            sub.select(F.col("doc_a").alias("d"))
+            .union(sub.select(F.col("doc_b").alias("d")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs_affected"))
+        )
+        row = sub.agg(
+            F.lit(t).alias("threshold"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        ).crossJoin(docs_touched)
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _dedup_rate_curve_sql() -> str:
+    base = D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3)
+    legs = " UNION ALL ".join(
+        f"""
+SELECT CAST({t} AS DOUBLE) AS threshold,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM verified WHERE jaccard >= {t})
+         AS n_pairs,
+       (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM (
+          SELECT doc_a AS d FROM verified WHERE jaccard >= {t}
+          UNION ALL SELECT doc_b FROM verified WHERE jaccard >= {t}))
+         AS n_docs_affected"""
+        for t in (0.5, 0.7, 0.9)
+    )
+    return f"WITH verified AS MATERIALIZED ({base})\n{legs}"
+
+
 def dedup_sig_quality(spark, sf_dir):
     """MinHash estimator quality on band-candidate pairs: signature-
     estimated vs true jaccard with absolute error — the artifact that
@@ -1065,6 +1111,7 @@ QUERIES = {
     "dedup_span_stats": dedup_span_stats,
     "dedup_containment": dedup_containment,
     "dedup_sig_quality": dedup_sig_quality,
+    "dedup_rate_curve": dedup_rate_curve,
     "text_langid_confusion": text_langid_confusion,
     "text_keywords": text_keywords,
     "text_readability": text_readability,
@@ -1149,6 +1196,7 @@ ORACLES = {
     "dedup_span_stats": D.duplicate_span_stats_sql(),
     "dedup_containment": D.containment_pairs_sql(),
     "dedup_sig_quality": D.minhash_sig_quality_sql(),
+    "dedup_rate_curve": _dedup_rate_curve_sql(),
     "text_langid_confusion": _langid_confusion_sql(),
     "text_keywords": T.keyword_topk_sql(),
     "text_readability": READABILITY_SQL,

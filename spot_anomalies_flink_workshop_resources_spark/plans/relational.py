@@ -2187,6 +2187,68 @@ GROUP BY n.n_name
 """
 
 
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity signal (near-zero entropy at volume = scripted/bot
+    traffic). Exactness: the per-user sum of ``-p·ln(p)`` terms folds
+    in event-type order on BOTH engines (the BM25 ordered-fold
+    recipe), with each term computed by the identical expression from
+    exact integer counts, so results match to the ln ulp class. Plan:
+    one (user, type) hash agg, then per-user fold over ≤|types|
+    elements — the fold frame is type-bounded, not event-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per_user = ut.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.array_sort(F.collect_list(F.struct("event_type", "n"))).alias("_m"),
+    )
+    scale = 1 << 40
+
+    def term(n_col, tot_col):
+        pr = n_col.cast("double") / tot_col.cast("double")
+        return F.floor(-(pr) * F.log(pr) * scale + F.lit(0.5)).cast("long")
+
+    # terms are quantized onto the 2^-40 grid BEFORE summing: the sum is
+    # then exact int64 (ln's 1-ulp cross-engine drift would otherwise
+    # leave near-equal entropies ulp-apart, destabilizing row identity)
+    ent_q = F.aggregate(
+        F.col("_m"),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + term(p["n"], F.col("n_events")),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (ent_q.cast("double") / F.lit(float(scale))).alias("entropy"),
+    )
+
+
+EVENTS_USER_ENTROPY_SQL = """
+WITH ut AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         list(n ORDER BY event_type) AS ns
+  FROM ut GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ns, x ->
+           CAST(FLOOR(-(CAST(x AS DOUBLE) / CAST(n_events AS DOUBLE))
+                * ln(CAST(x AS DOUBLE) / CAST(n_events AS DOUBLE))
+                * 1099511627776 + 0.5) AS BIGINT))),
+         (acc, t) -> acc + t) AS DOUBLE) / 1099511627776.0 AS entropy
+FROM per_user
+"""
+
+
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (WAU): exact sliding
     DISTINCT. Sliding distincts do not decompose into window frames
@@ -2448,6 +2510,7 @@ QUERIES = {
     "sql_ltv_cohort": customer_ltv_cohort,
     "sql_supplier_scorecard": supplier_scorecard,
     "sql_repeat_purchase": repeat_purchase_rate,
+    "events_user_entropy": events_user_entropy,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -2476,6 +2539,7 @@ ORACLES = {
     "sql_ltv_cohort": LTV_COHORT_SQL,
     "sql_supplier_scorecard": SUPPLIER_SCORECARD_SQL,
     "sql_repeat_purchase": REPEAT_PURCHASE_SQL,
+    "events_user_entropy": EVENTS_USER_ENTROPY_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),
