@@ -1032,6 +1032,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_keywords",               # NEW: TF-IDF top-k keywords
     "dedup_rate_curve",            # NEW: threshold yield curve
     "events_user_entropy",         # NEW: behavioral-diversity signal
+    "dedup_lsh_eval",              # NEW: LSH recall eval vs exact truth set
+    "multimodal_dedup",            # NEW: binary-payload digest dedup
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

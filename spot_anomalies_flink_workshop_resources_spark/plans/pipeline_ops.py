@@ -627,6 +627,114 @@ FROM cells c JOIN tot t ON t.event_type = c.event_type
 """
 
 
+def multimodal_dedup(spark, sf_dir):
+    """Exact media dedup by payload digest within container type — the
+    binary-column twin of corpus exact dedup (keep the lowest media_id
+    per identical payload). md5-of-hex so both engines hash the same
+    string; one hash agg."""
+    from pyspark.sql import functions as F
+
+    from ..operators import multimodal as M
+
+    media = M.sniff_media_type(_media(spark, sf_dir))
+    return (
+        media.withColumn("content_hash", F.md5(F.hex(F.col("content"))))
+        .groupBy("sniffed_type", "content_hash")
+        .agg(
+            F.min("media_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+MULTIMODAL_DEDUP_SQL = r"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         (CASE doc_id % 4
+            WHEN 0 THEN '\x89\x50\x4E\x47'::BLOB
+            WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+            WHEN 2 THEN '\x52\x49\x46\x46'::BLOB
+            ELSE '\x00\x00\x00\x18'::BLOB END) || encode(text) AS content
+  FROM documents
+),
+sniffed AS (
+  SELECT media_id, content,
+         CASE
+           WHEN substr(hex(content), 1, 8) = '89504E47' THEN 'image/png'
+           WHEN substr(hex(content), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+           WHEN substr(hex(content), 1, 8) = '52494646' THEN 'audio/wav'
+           WHEN substr(hex(content), 1, 8) IN ('00000018', '00000020')
+             THEN 'video/mp4'
+           ELSE 'application/octet-stream'
+         END AS sniffed_type
+  FROM media
+)
+SELECT sniffed_type, md5(hex(content)) AS content_hash,
+       CAST(MIN(media_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM sniffed
+GROUP BY sniffed_type, md5(hex(content))
+"""
+
+
+def dedup_lsh_eval(spark, sf_dir):
+    """LSH INDEX EVALUATION on a ground-truthable sample (doc_id <
+    200): exact all-pairs jaccard >= 0.5 is the truth set (affordable
+    only on the sample — which is the point of the eval), band-bucket
+    collisions are the candidate set, and the output is one row of
+    counts + recall — the measurement that justifies the band/row
+    configuration before trusting it corpus-wide. All-int counts, one
+    exact division."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    truth = D.jaccard_pairs(docs, threshold=0.5, shingle_n=3).select(
+        "doc_a", "doc_b"
+    )
+    cand = D.minhash_lsh_pairs(docs, threshold=0.0, shingle_n=3).select(
+        "doc_a", "doc_b"
+    )
+    n_truth = truth.count()
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi").count()
+    n_cand = cand.count()
+    return spark.createDataFrame(
+        [(n_truth, n_cand, hits,
+          (float(hits) / n_truth) if n_truth else None)],
+        "n_truth long, n_candidates long, n_hits long, recall double",
+    )
+
+
+def _dedup_lsh_eval_sql() -> str:
+    truth = D.jaccard_pairs_sql(threshold=0.5, shingle_n=3)
+    cand = D.minhash_lsh_pairs_sql(threshold=0.0, shingle_n=3)
+    # restrict both stages to the sample by swapping the documents scan
+    truth = truth.replace("FROM documents", "FROM sample_docs")
+    cand = cand.replace("FROM documents", "FROM sample_docs")
+    return f"""
+WITH sample_docs AS MATERIALIZED (
+  SELECT * FROM documents WHERE doc_id < 200
+),
+truth AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({truth})
+),
+cand AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({cand})
+),
+hits AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM truth t
+  WHERE EXISTS (SELECT 1 FROM cand c
+                WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       hits.n AS n_hits,
+       CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+            THEN CAST(hits.n AS DOUBLE) / (SELECT COUNT(*) FROM truth)
+       END AS recall
+FROM hits
+"""
+
+
 def dedup_rate_curve(spark, sf_dir):
     """Dedup yield curve: per candidate Jaccard threshold (0.5 / 0.7 /
     0.9), how many verified near-dup pairs exist and how many distinct
@@ -1112,6 +1220,8 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_sig_quality": dedup_sig_quality,
     "dedup_rate_curve": dedup_rate_curve,
+    "dedup_lsh_eval": dedup_lsh_eval,
+    "multimodal_dedup": multimodal_dedup,
     "text_langid_confusion": text_langid_confusion,
     "text_keywords": text_keywords,
     "text_readability": text_readability,
@@ -1197,6 +1307,8 @@ ORACLES = {
     "dedup_containment": D.containment_pairs_sql(),
     "dedup_sig_quality": D.minhash_sig_quality_sql(),
     "dedup_rate_curve": _dedup_rate_curve_sql(),
+    "dedup_lsh_eval": _dedup_lsh_eval_sql(),
+    "multimodal_dedup": MULTIMODAL_DEDUP_SQL,
     "text_langid_confusion": _langid_confusion_sql(),
     "text_keywords": T.keyword_topk_sql(),
     "text_readability": READABILITY_SQL,
