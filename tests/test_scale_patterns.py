@@ -471,6 +471,13 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     # plain hash agg
     p = plan("events_equidepth")
     assert p.count("Exchange SinglePartition") <= 2, p
+    # media dedup: one map-side-combinable hash agg over
+    # (sniffed_type, digest) — digests, never binary payloads, cross
+    # the exchange; no join at all
+    p = plan("multimodal_dedup")
+    assert p.count("HashAggregate") >= 2, p
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    assert "Exchange SinglePartition" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
