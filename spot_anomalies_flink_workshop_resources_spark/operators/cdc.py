@@ -105,6 +105,62 @@ WHERE _rn = 1 AND COALESCE(_op <> '{delete_value}', TRUE)
 """
 
 
+def scd2_history(
+    log: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str,
+    delete_value: str = "delete",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from a CDC change log —
+    the dimension-table twin of :func:`compact_log`: instead of keeping
+    only each key's latest row, every upsert becomes a VERSION row
+    valid from its own ordering position until the key's next change
+    (``valid_to``); a delete closes the current version without
+    opening a new one, and the open-ended row is flagged
+    ``is_current``. This is what a Delta/Hudi MERGE with
+    whenMatched-expire semantics materializes for point-in-time joins.
+
+    One key-partitioned ``lead`` window — the exact exchange the
+    compaction already pays, so SCD2 costs no more than the snapshot.
+    ``order_cols`` must totally order rows within a key (include a
+    unique id last); ``valid_to`` is the next change's first order
+    column. NULL ops upsert, as in :func:`compact_log`.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        log.withColumn("valid_to", F.lead(order_cols[0]).over(w))
+        .where(F.coalesce(F.col(op_col) != delete_value, F.lit(True)))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def scd2_history_sql(
+    table: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_expr: str,
+    delete_value: str = "delete",
+    select_cols: Sequence[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`scd2_history` (same conventions as
+    :func:`compact_log_sql`)."""
+    keys = ", ".join(key_cols)
+    order = ", ".join(order_cols)
+    cols = ", ".join(select_cols) if select_cols else "*"
+    return f"""
+WITH versioned AS (
+  SELECT {cols}, {op_expr} AS _op,
+         LEAD({order_cols[0]}) OVER (
+           PARTITION BY {keys} ORDER BY {order}) AS valid_to
+  FROM {table}
+)
+SELECT {cols}, valid_to, (valid_to IS NULL) AS is_current
+FROM versioned
+WHERE COALESCE(_op <> '{delete_value}', TRUE)
+"""
+
+
 def changelog_agg(log: DataFrame, key_cols, order_cols, op_col: str,
                   group_col: str, value_col: str,
                   delete_value: str = "delete") -> DataFrame:

@@ -1034,6 +1034,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_user_entropy",         # NEW: behavioral-diversity signal
     "dedup_lsh_eval",              # NEW: LSH recall eval vs exact truth set
     "multimodal_dedup",            # NEW: binary-payload digest dedup
+    "sql_copurchase_triangles",    # NEW: degree-oriented triangle counting
+    "events_cdc_scd2",             # NEW: SCD Type 2 dimension build
+    "events_score_auc",            # NEW: exact Mann-Whitney ROC-AUC
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

@@ -1120,6 +1120,156 @@ GROUP BY event_type
 """
 
 
+def events_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build over the CDC change log
+    (operators/cdc.scd2_history): every upsert becomes a version row
+    valid [its ts, next change's ts); deletes close the current
+    version; the open-ended row is flagged current. Same one
+    key-partitioned window exchange as the snapshot compaction — the
+    full validity history costs no more than the latest-row view."""
+    from ..operators.cdc import scd2_history
+
+    log = events_cdc_log(load_table(spark, sf_dir, "events"))
+    return scd2_history(log, **CDC_LOG_ARGS).select(
+        *CDC_SNAPSHOT_COLS, "valid_to", "is_current"
+    )
+
+
+def _events_cdc_scd2_sql() -> str:
+    from ..operators.cdc import scd2_history_sql
+
+    return scd2_history_sql(
+        table="events",
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_expr="CASE WHEN event_type = 'error' THEN 'delete' "
+                "ELSE 'upsert' END",
+        select_cols=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+
+
+def events_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of ``value`` as a detector score for the 'error'
+    class — the Mann-Whitney rank form with full tie handling, the
+    eval primitive behind every anomaly-score / quality-classifier
+    threshold decision.
+
+    Histogram-AUC at scale: scores collapse to integer cents (the
+    domain grid both engines compute identically), so the pairwise
+    statistic 2U = sum_v np(v)*(2*NN_below(v) + nn(v)) is pure int64
+    over the BOUNDED bucket frame — one map-side-combinable hash agg
+    over events, then a single-partition cumulative window over
+    |domain| rows (the events_equidepth pattern), never an O(N log N)
+    global rank or an N^2 pair join. The one float is the final
+    division of exact int64s — correctly rounded, identical operands
+    cross-engine. Ties contribute 1/2 exactly (the +nn(v) term), so
+    AUC is deterministic on any data."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("pos"),
+    )
+    b = e.groupBy("cents").agg(
+        F.sum("pos").cast("long").alias("np_"),
+        F.sum(1 - F.col("pos")).cast("long").alias("nn_"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = b.withColumn(
+        "below", F.coalesce(F.sum("nn_").over(w), F.lit(0)).cast("long")
+    )
+    return cum.agg(
+        F.sum("np_").cast("long").alias("n_pos"),
+        F.sum("nn_").cast("long").alias("n_neg"),
+        F.sum(F.col("np_") * (2 * F.col("below") + F.col("nn_")))
+        .cast("long")
+        .alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        (
+            F.col("u2").cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+EVENTS_SCORE_AUC_SQL = """
+WITH b AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np_,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+              AS BIGINT) AS nn_
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT np_, nn_,
+         CAST(COALESCE(SUM(nn_) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM b
+),
+tot AS (
+  SELECT CAST(SUM(np_) AS BIGINT) AS n_pos,
+         CAST(SUM(nn_) AS BIGINT) AS n_neg,
+         CAST(SUM(np_ * (2 * below + nn_)) AS BIGINT) AS u2
+  FROM cum
+)
+SELECT n_pos, n_neg, u2,
+       CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+FROM tot
+"""
+
+
+def sql_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the FREQUENT co-purchase graph — parts
+    appearing together in >= 2 distinct orders (operators/graph.
+    triangle_counts, degree-oriented node-iterator). The support
+    filter IS the scale control: pair generation is per-order (bounded
+    by order width, ~21 pairs max), the support threshold bounds graph
+    density the way production co-occurrence graphs always do, and the
+    orientation bounds wedge fan-out at hub parts. All-integer."""
+    from ..operators.graph import triangle_counts
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = li.select("o", F.col("pk").alias("x"))
+    b = li.select("o", F.col("pk").alias("y"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select("x", "y")
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("p_partkey"), "n_tri"
+    )
+
+
+def _sql_copurchase_triangles_sql() -> str:
+    from ..operators.graph import triangle_ctes
+
+    edges_cte = """WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+),
+edges AS MATERIALIZED (
+  SELECT a.pk AS x, b.pk AS y
+  FROM li a JOIN li b ON a.o = b.o AND a.pk < b.pk
+  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+)"""
+    return (
+        triangle_ctes(edges_cte)
+        + "\nSELECT CAST(node AS BIGINT) AS p_partkey, n_tri FROM tri_counts"
+    )
+
+
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts between consecutive event
     types per user (lag window ordered by ts, event_id) — the sequence-
@@ -2513,6 +2663,9 @@ QUERIES = {
     "events_user_entropy": events_user_entropy,
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
+    "events_cdc_scd2": events_cdc_scd2,
+    "events_score_auc": events_score_auc,
+    "sql_copurchase_triangles": sql_copurchase_triangles,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
     "sql_part_name_similarity": part_name_similarity,
     "events_retention": events_retention,
@@ -2542,6 +2695,9 @@ ORACLES = {
     "events_user_entropy": EVENTS_USER_ENTROPY_SQL,
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
+    "events_cdc_scd2": _events_cdc_scd2_sql(),
+    "events_score_auc": EVENTS_SCORE_AUC_SQL,
+    "sql_copurchase_triangles": _sql_copurchase_triangles_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),
     "sql_part_name_similarity": PART_NAME_SIMILARITY_SQL,
     "events_retention": _events_retention_sql(),

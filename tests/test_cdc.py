@@ -159,3 +159,50 @@ def test_changelog_agg_retraction_algebra(spark):
     }
     # live state: key1 -> (b, 7), key2 -> (a, 5); group c fully retracted
     assert out == {"a": (1, 5.0), "b": (1, 7.0)}
+
+
+def test_scd2_versions_and_delete_close(spark):
+    """SCD2: upserts open versions closed by the NEXT change (delete
+    included); a trailing delete leaves the key with no current row."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.cdc import (
+        scd2_history,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "upsert", "v1"),
+            ("a", 3, "upsert", "v3"),
+            ("a", 5, "delete", None),
+            ("b", 2, "upsert", "w1"),
+        ],
+        SCHEMA,
+    )
+    got = {
+        (r.k, r.payload): (r.valid_to, r.is_current)
+        for r in scd2_history(
+            df, key_cols=["k"], order_cols=["seq"], op_col="op"
+        ).collect()
+    }
+    assert got == {
+        ("a", "v1"): (3, False),
+        ("a", "v3"): (5, False),  # closed by the delete, not current
+        ("b", "w1"): (None, True),
+    }
+
+
+def test_scd2_null_op_upserts(spark):
+    """NULL op = plain insert (same convention as compact_log)."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.cdc import (
+        scd2_history,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, None, "v1"), ("a", 2, "upsert", "v2")], SCHEMA
+    )
+    rows = scd2_history(
+        df, key_cols=["k"], order_cols=["seq"], op_col="op"
+    ).collect()
+    assert {(r.payload, r.is_current) for r in rows} == {
+        ("v1", False),
+        ("v2", True),
+    }

@@ -89,3 +89,56 @@ def test_pagerank_quantization_margin(spark, sf_dir):
         nxt += int(np.floor(0.85 * dr / n + 0.5))
         R = nxt
     assert min_gap > 1e-6, min_gap
+
+
+def _tri_edges(spark, pairs):
+    return spark.createDataFrame([Row(x=a, y=b) for a, b in pairs])
+
+
+def test_triangles_k4(spark):
+    """K4: 4 triangles total, every vertex in exactly 3."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    e = _tri_edges(
+        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    )
+    got = {r.node: r.n_tri for r in triangle_counts(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_star_has_none(spark):
+    """A hub star has wedges but no triangles — and the degree
+    orientation means the hub never enumerates its neighbor pairs."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    e = _tri_edges(spark, [(0, k) for k in range(1, 6)])
+    assert triangle_counts(e).count() == 0
+
+
+def test_triangles_pendant_excluded(spark):
+    """Triangle + pendant edge: only the three cycle nodes count, each
+    once; the pendant node is absent from the result."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    e = _tri_edges(spark, [(1, 2), (2, 3), (1, 3), (3, 9)])
+    got = {r.node: r.n_tri for r in triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_shared_edge(spark):
+    """Two triangles sharing an edge: shared-edge endpoints count 2."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    e = _tri_edges(
+        spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    )
+    got = {r.node: r.n_tri for r in triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}

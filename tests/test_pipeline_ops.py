@@ -1096,3 +1096,55 @@ def test_cusum_locates_planted_level_shift(spark, tmp_path):
     assert out["shift"].max_cusum == pytest.approx(400 / 3)
     assert out["shift"].change_day == t0.replace(hour=0) + dt.timedelta(days=29)
     assert out["flat"].max_cusum == pytest.approx(0.0, abs=1e-9)
+
+
+def test_score_auc_hand_computed_with_ties(spark, tmp_path):
+    """pos scores {3,2} vs neg {1,2,3}: 4 wins + 2 half-ties over 6
+    pairs -> AUC = 2/3 exactly (u2 = 8 of 12)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_score_auc,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    vals = [("error", 3.0), ("error", 2.0),
+            ("click", 1.0), ("click", 2.0), ("view", 3.0)]
+    rows = [
+        Row(event_id=i, ts=t0, user_id=1, event_type=t, value=v, props="{}")
+        for i, (t, v) in enumerate(vals)
+    ]
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{p}/events.parquet"
+    )
+    r = events_score_auc(spark, p).collect()[0]
+    assert (r.n_pos, r.n_neg, r.u2) == (2, 3, 8)
+    assert r.auc == pytest.approx(2 / 3, abs=0)
+
+
+def test_score_auc_matches_rank_reference(spark, sf_dir):
+    """The histogram form equals the textbook Mann-Whitney average-rank
+    formula computed independently in numpy on the raw table."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_score_auc,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    v = np.floor(np.asarray(t["value"], dtype=np.float64) * 100 + 0.5)
+    pos = np.asarray(t["event_type"].to_pylist()) == "error"
+    # average ranks with tie handling (1-based), numpy-only rankdata
+    _, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
+    start = np.cumsum(cnt) - cnt
+    ranks = (start + (cnt + 1) / 2)[inv]
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    u = ranks[pos].sum() - n_pos * (n_pos + 1) / 2
+    expect = u / (n_pos * n_neg)
+    r = events_score_auc(spark, sf_dir).collect()[0]
+    assert (r.n_pos, r.n_neg) == (n_pos, n_neg)
+    assert r.auc == pytest.approx(expect, rel=1e-12)

@@ -478,6 +478,26 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     assert p.count("HashAggregate") >= 2, p
     assert "Join" not in p and "CartesianProduct" not in p, p
     assert "Exchange SinglePartition" not in p, p
+    # triangle counting: the returned plan reads the checkpointed
+    # triangle frame (lineage cut at edges/oriented/tri — the Spark
+    # analogue of AS MATERIALIZED); final rollup is a plain hash agg,
+    # no join survives past the materialization boundaries
+    p = plan("sql_copurchase_triangles")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+    # SCD2: exactly the compaction's one key exchange — a single
+    # user_id hash partitioning feeds the lead window; no join
+    p = plan("events_cdc_scd2")
+    assert "Join" not in p, p
+    assert p.count("hashpartitioning(") == 1, p
+    assert "Window" in p, p
+    # AUC: the single-partition cumulative window runs over the
+    # BOUNDED cents-bucket frame (post-agg), the events stage is a
+    # map-side-combinable hash agg
+    p = plan("events_score_auc")
+    assert p.count("HashAggregate") >= 4, p  # bucket agg + final, partial+final each
+    assert p.count("SinglePartition") <= 2, p
+    assert "Join" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
