@@ -1037,6 +1037,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_copurchase_triangles",    # NEW: degree-oriented triangle counting
     "events_cdc_scd2",             # NEW: SCD Type 2 dimension build
     "events_score_auc",            # NEW: exact Mann-Whitney ROC-AUC
+    "events_cdc_diff",             # NEW: snapshot diff (table_changes)
+    "events_quantile_transform",   # NEW: sort-free percentile features
+    "events_session_paths",        # NEW: top opening-path mining
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

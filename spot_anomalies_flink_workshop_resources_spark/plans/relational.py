@@ -1270,6 +1270,201 @@ edges AS MATERIALIZED (
     )
 
 
+def events_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF between two time-travel versions of the CDC-
+    compacted table (Delta ``table_changes`` / Hudi incremental-query
+    semantics): keys added, deleted, or updated between the
+    2024-01-10 and 2024-01-15 snapshots, with old/new row identity.
+    Unchanged keys are filtered out — the result is change-sized, the
+    point of a diff. Both compactions partition on the same user key,
+    so the full-outer join lands on co-partitioned inputs: the plan
+    pays the two snapshot exchanges and nothing more."""
+    from ..operators.cdc import compact_log
+
+    e = load_table(spark, sf_dir, "events")
+
+    def snap(cut: str, tag: str) -> DataFrame:
+        log = events_cdc_log(e.where(F.col("ts") < cut))
+        return compact_log(log, **CDC_LOG_ARGS).select(
+            "user_id",
+            F.col("event_id").alias(f"{tag}_event_id"),
+            F.col("value").alias(f"{tag}_value"),
+        )
+
+    j = snap("2024-01-10", "old").join(
+        snap("2024-01-15", "new"), "user_id", "full_outer"
+    )
+    change = (
+        F.when(F.col("old_event_id").isNull(), F.lit("added"))
+        .when(F.col("new_event_id").isNull(), F.lit("deleted"))
+        .when(F.col("old_event_id") != F.col("new_event_id"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change") != "unchanged")
+        .select(
+            "user_id", "change",
+            "old_event_id", "new_event_id", "old_value", "new_value",
+        )
+    )
+
+
+def _events_cdc_diff_sql() -> str:
+    from ..operators.cdc import compact_log_sql
+
+    def snap(cut: str) -> str:
+        return compact_log_sql(
+            table=f"(SELECT * FROM events WHERE ts < TIMESTAMP '{cut}')",
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+            op_expr="CASE WHEN event_type = 'error' THEN 'delete' "
+                    "ELSE 'upsert' END",
+            select_cols=["user_id", "event_id", "value"],
+        )
+
+    return f"""
+WITH s_old AS ({snap('2024-01-10')}),
+s_new AS ({snap('2024-01-15')}),
+j AS (
+  SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+         o.event_id AS old_event_id, n.event_id AS new_event_id,
+         o.value AS old_value, n.value AS new_value,
+         CASE WHEN o.user_id IS NULL THEN 'added'
+              WHEN n.user_id IS NULL THEN 'deleted'
+              WHEN o.event_id <> n.event_id THEN 'updated'
+              ELSE 'unchanged' END AS change
+  FROM s_old o FULL OUTER JOIN s_new n ON o.user_id = n.user_id
+)
+SELECT user_id, change, old_event_id, new_event_id, old_value, new_value
+FROM j WHERE change <> 'unchanged'
+"""
+
+
+def events_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type QUANTILE TRANSFORM of ``value`` (the rank-gauss /
+    percentile feature-scaling preprocessor) WITHOUT a global sort:
+    mid-rank percentile = (2*below + ties + 1) / (2*n_type), all
+    int64 until one final division of identical exact operands.
+
+    The events_equidepth trick applied per key: counts collapse onto
+    the (type, cents) domain grid, the cumulative window runs on that
+    BOUNDED frame (|types| x |domain|, constant in corpus size), and
+    the data-sized stage is a broadcast join of events against the
+    tiny rank frame — never an O(N log N) sort or a data-sized
+    window."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    b = e.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("ties")
+    )
+    wb = Window.partitionBy("event_type").orderBy("cents")
+    ranks = b.select(
+        "event_type",
+        "cents",
+        "ties",
+        F.coalesce(
+            F.sum("ties").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("below"),
+        F.sum("ties")
+        .over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .cast("long")
+        .alias("n_type"),
+    )
+    return e.join(F.broadcast(ranks), ["event_type", "cents"]).select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            (2 * F.col("below") + F.col("ties") + 1).cast("double")
+            / (2 * F.col("n_type")).cast("double")
+        ).alias("pct_rank"),
+    )
+
+
+EVENTS_QUANTILE_TRANSFORM_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, value,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+b AS (
+  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS ties
+  FROM e GROUP BY 1, 2
+),
+ranks AS (
+  SELECT event_type, cents, ties,
+         CAST(COALESCE(SUM(ties) OVER (PARTITION BY event_type
+                ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below,
+         CAST(SUM(ties) OVER (PARTITION BY event_type) AS BIGINT) AS n_type
+  FROM b
+)
+SELECT e.event_id, e.event_type, e.value,
+       CAST(2 * r.below + r.ties + 1 AS DOUBLE)
+         / CAST(2 * r.n_type AS DOUBLE) AS pct_rank
+FROM e JOIN ranks r ON r.event_type = e.event_type AND r.cents = e.cents
+"""
+
+
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: frequency of each user-day's opening event-type
+    sequence (first 5 events, '>'-joined) — the product-analytics
+    'top paths' report behind funnel design. One user-day window
+    (row_number caps the sequence at a CONSTANT 5, so the collect_list
+    is bounded per group at any corpus size) + two hash aggs; pure
+    string/integer arithmetic, tie-broken by (ts, event_id)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type",
+        F.to_date("ts").alias("day"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    first5 = e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    paths = first5.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_days")
+    )
+
+
+EVENTS_SESSION_PATHS_SQL = """
+WITH r AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, day,
+         STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= 5 GROUP BY user_id, day
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_user_days
+FROM p GROUP BY path
+"""
+
+
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts between consecutive event
     types per user (lag window ordered by ts, event_id) — the sequence-
@@ -2664,6 +2859,9 @@ QUERIES = {
     "events_transition_matrix": events_transition_matrix,
     "events_cdc_incremental_agg": events_cdc_incremental_agg,
     "events_cdc_scd2": events_cdc_scd2,
+    "events_cdc_diff": events_cdc_diff,
+    "events_quantile_transform": events_quantile_transform,
+    "events_session_paths": events_session_paths,
     "events_score_auc": events_score_auc,
     "sql_copurchase_triangles": sql_copurchase_triangles,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
@@ -2696,6 +2894,9 @@ ORACLES = {
     "events_transition_matrix": EVENTS_TRANSITIONS_SQL,
     "events_cdc_incremental_agg": _events_cdc_incremental_agg_sql(),
     "events_cdc_scd2": _events_cdc_scd2_sql(),
+    "events_cdc_diff": _events_cdc_diff_sql(),
+    "events_quantile_transform": EVENTS_QUANTILE_TRANSFORM_SQL,
+    "events_session_paths": EVENTS_SESSION_PATHS_SQL,
     "events_score_auc": EVENTS_SCORE_AUC_SQL,
     "sql_copurchase_triangles": _sql_copurchase_triangles_sql(),
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),

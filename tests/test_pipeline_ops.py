@@ -1148,3 +1148,98 @@ def test_score_auc_matches_rank_reference(spark, sf_dir):
     r = events_score_auc(spark, sf_dir).collect()[0]
     assert (r.n_pos, r.n_neg) == (n_pos, n_neg)
     assert r.auc == pytest.approx(expect, rel=1e-12)
+
+
+def test_cdc_diff_classifies_changes(spark, tmp_path):
+    """Hand-built log: one updated, one deleted (error marker), one
+    added between the two cuts; an unchanged key stays out."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_cdc_diff,
+    )
+
+    t_before = dt.datetime(2024, 1, 5)
+    t_mid = dt.datetime(2024, 1, 12)
+    rows = [
+        # user 1: present at t1, re-upserted before t2 -> updated
+        Row(event_id=1, ts=t_before, user_id=1, event_type="click",
+            value=1.0, props="{}"),
+        Row(event_id=2, ts=t_mid, user_id=1, event_type="view",
+            value=2.0, props="{}"),
+        # user 2: present at t1, deleted (error) before t2 -> deleted
+        Row(event_id=3, ts=t_before, user_id=2, event_type="click",
+            value=3.0, props="{}"),
+        Row(event_id=4, ts=t_mid, user_id=2, event_type="error",
+            value=0.0, props="{}"),
+        # user 3: first appears between cuts -> added
+        Row(event_id=5, ts=t_mid, user_id=3, event_type="click",
+            value=5.0, props="{}"),
+        # user 4: untouched between cuts -> absent from the diff
+        Row(event_id=6, ts=t_before, user_id=4, event_type="view",
+            value=6.0, props="{}"),
+    ]
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{p}/events.parquet"
+    )
+    got = {r.user_id: r.change for r in events_cdc_diff(spark, p).collect()}
+    assert got == {1: "updated", 2: "deleted", 3: "added"}
+
+
+def test_quantile_transform_midrank_with_ties(spark, tmp_path):
+    """values [1,2,2,3] -> mid-rank percentiles 0.25 / 0.625 / 1.0."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_quantile_transform,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=t0, user_id=1, event_type="click",
+            value=v, props="{}")
+        for i, v in enumerate([1.0, 2.0, 2.0, 3.0])
+    ]
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{p}/events.parquet"
+    )
+    got = {r.event_id: r.pct_rank
+           for r in events_quantile_transform(spark, p).collect()}
+    assert got == {0: 0.25, 1: 0.625, 2: 0.625, 3: 1.0}
+
+
+def test_session_paths_caps_at_five(spark, tmp_path):
+    """Seven same-day events -> path of the FIRST five only; two
+    user-days with the same opening sequence aggregate to n=2."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_session_paths,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 8)
+    seq = ["a", "b", "c", "d", "e", "f", "g"]
+    rows = [
+        Row(event_id=i, ts=t0 + dt.timedelta(minutes=i), user_id=1,
+            event_type=t, value=1.0, props="{}")
+        for i, t in enumerate(seq)
+    ] + [
+        Row(event_id=100 + i, ts=t0 + dt.timedelta(days=1, minutes=i),
+            user_id=2, event_type=t, value=1.0, props="{}")
+        for i, t in enumerate(["a", "b", "c", "d", "e"])
+    ]
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{p}/events.parquet"
+    )
+    got = {r.path: r.n_user_days
+           for r in events_session_paths(spark, p).collect()}
+    assert got == {"a>b>c>d>e": 2}

@@ -498,6 +498,23 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     assert p.count("HashAggregate") >= 4, p  # bucket agg + final, partial+final each
     assert p.count("SinglePartition") <= 2, p
     assert "Join" not in p, p
+    # snapshot diff: both compactions and the full-outer join share the
+    # user_id partitioning — two snapshot exchanges, at most one more
+    # for the join, and never a broadcast-nested-loop
+    p = plan("events_cdc_diff")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("hashpartitioning(") <= 3, p
+    # quantile transform: the rank frame (domain-bounded) broadcasts
+    # back to events; the raw table is never sorted or windowed
+    p = plan("events_quantile_transform")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "SinglePartition" not in p, p
+    # session paths: the only window partitions by (user, day); the
+    # path rollup is a plain hash agg — no single-partition stage
+    p = plan("events_session_paths")
+    assert "SinglePartition" not in p, p
+    assert "Join" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
