@@ -1040,6 +1040,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_cdc_diff",             # NEW: snapshot diff (table_changes)
     "events_quantile_transform",   # NEW: sort-free percentile features
     "events_session_paths",        # NEW: top opening-path mining
+    "sql_copurchase_kcore",        # NEW: bounded-peel k-core
+    "sql_copurchase_recs",         # NEW: item-item top-3 shortlist
+    "corpus_bpe_fertility",        # NEW: tokenizer fairness eval
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

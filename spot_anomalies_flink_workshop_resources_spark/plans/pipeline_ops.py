@@ -1127,6 +1127,55 @@ def corpus_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def corpus_bpe_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY by language: BPE symbols per whitespace
+    token under the trained 16-merge vocabulary — the eval that
+    decides whether a tokenizer is fair to each language before a
+    training run (high fertility = that language pays more sequence
+    budget per word). Per-language int64 sums over the encode output
+    + one exact division; the per-doc encode is the value-oracled
+    broadcast-join path of corpus_bpe_encode."""
+    from pyspark.sql import functions as F
+
+    from ..operators.bpe import bpe_encode, learn_merges
+
+    docs = _docs(spark, sf_dir)
+    merges = [tuple(r) for r in learn_merges(docs, n_merges=16).collect()]
+    enc = bpe_encode(docs, merges)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_bpe_tokens",
+            (
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
+def _bpe_fertility_oracle() -> str:
+    from ..operators.bpe import bpe_encode_sql
+
+    return f"""
+WITH enc AS MATERIALIZED ({bpe_encode_sql(16)})
+SELECT d.lang,
+       CAST(SUM(e.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(e.n_bpe_tokens) AS DOUBLE)
+         / CAST(SUM(e.n_tokens) AS DOUBLE) AS fertility
+FROM enc e JOIN documents d ON d.doc_id = e.doc_id
+GROUP BY d.lang
+"""
+
+
 def corpus_chunk_windows(spark, sf_dir):
     """Overlapping token-window chunking (operators.chunking) — the
     embedding/RAG pre-vectorization primitive; zero-shuffle narrow map,
@@ -1181,6 +1230,7 @@ QUERIES = {
     "corpus_chunk_windows": corpus_chunk_windows,
     "corpus_prep_chunked": corpus_prep_chunked,
     "corpus_bpe_encode": corpus_bpe_encode,
+    "corpus_bpe_fertility": corpus_bpe_fertility,
     "text_repetition_stats": text_repetition_stats,
     "text_pii_redact": text_pii_redact,
     "corpus_sample_stratified": corpus_sample_stratified,
@@ -1246,6 +1296,7 @@ ORACLES = {
     # batched==serial equivalence proof exercised on real data
     "corpus_bpe_merges": _bpe_merges_oracle(),
     "corpus_bpe_encode": _bpe_encode_oracle(),
+    "corpus_bpe_fertility": _bpe_fertility_oracle(),
     "corpus_pack_sequences": _pack_sequences_oracle(),
     "corpus_decontaminate": _decontaminate_oracle(),
     # bloom prefilter only thins the join input — same oracle

@@ -1223,16 +1223,12 @@ FROM tot
 """
 
 
-def sql_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counts over the FREQUENT co-purchase graph — parts
-    appearing together in >= 2 distinct orders (operators/graph.
-    triangle_counts, degree-oriented node-iterator). The support
-    filter IS the scale control: pair generation is per-order (bounded
-    by order width, ~21 pairs max), the support threshold bounds graph
-    density the way production co-occurrence graphs always do, and the
-    orientation bounds wedge fan-out at hub parts. All-integer."""
-    from ..operators.graph import triangle_counts
-
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FREQUENT co-purchase graph shared by the graph-analytics
+    queries: parts appearing together in >= 2 distinct orders. Pair
+    generation is per-order (fan-out bounded by order width, ~21 pairs
+    max) and the support threshold bounds graph density the way
+    production co-occurrence graphs always do."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk"))
@@ -1240,15 +1236,33 @@ def sql_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select("o", F.col("pk").alias("x"))
     b = li.select("o", F.col("pk").alias("y"))
-    edges = (
+    return (
         a.join(b, "o")
         .where(F.col("x") < F.col("y"))
         .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .where(F.col("n_orders") >= 2)
-        .select("x", "y")
     )
-    return triangle_counts(edges).select(
+
+
+_COPURCHASE_EDGES_CTE = """WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+),
+pair_support AS MATERIALIZED (
+  SELECT a.pk AS x, b.pk AS y, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM li a JOIN li b ON a.o = b.o AND a.pk < b.pk
+  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+),
+edges AS MATERIALIZED (SELECT x, y FROM pair_support)"""
+
+
+def sql_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the frequent co-purchase graph
+    (operators/graph.triangle_counts, degree-oriented node-iterator —
+    orientation bounds wedge fan-out at hub parts). All-integer."""
+    from ..operators.graph import triangle_counts
+
+    return triangle_counts(_copurchase_edges(spark, sf_dir)).select(
         F.col("node").alias("p_partkey"), "n_tri"
     )
 
@@ -1256,18 +1270,85 @@ def sql_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_copurchase_triangles_sql() -> str:
     from ..operators.graph import triangle_ctes
 
-    edges_cte = """WITH li AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
-),
-edges AS MATERIALIZED (
-  SELECT a.pk AS x, b.pk AS y
-  FROM li a JOIN li b ON a.o = b.o AND a.pk < b.pk
-  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
-)"""
     return (
-        triangle_ctes(edges_cte)
+        triangle_ctes(_COPURCHASE_EDGES_CTE)
         + "\nSELECT CAST(node AS BIGINT) AS p_partkey, n_tri FROM tri_counts"
     )
+
+
+def sql_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the frequent co-purchase graph (operators/graph.
+    kcore): parts surviving iterative degree-<2 peeling, with their
+    within-core degree — the density cleanup that strips pendant
+    chains before community mining. Bounded 8-round peel with early
+    fixpoint stop (measured max 5 rounds on the harness graphs); the
+    oracle unrolls the identical count."""
+    from ..operators.graph import kcore
+
+    return kcore(_copurchase_edges(spark, sf_dir), k=2).select(
+        F.col("node").alias("p_partkey"), "core_deg"
+    )
+
+
+def _sql_copurchase_kcore_sql() -> str:
+    from ..operators.graph import kcore_ctes
+
+    return (
+        kcore_ctes(_COPURCHASE_EDGES_CTE, k=2)
+        + "\nSELECT CAST(node AS BIGINT) AS p_partkey, core_deg"
+        " FROM core_deg_final"
+    )
+
+
+def sql_copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Customers who bought X also bought Y': top-3 co-purchase
+    partners per part by (support desc, partner asc) over the frequent
+    co-purchase graph — the item-item recommendation shortlist. The
+    symmetric closure doubles the (already support-bounded) pair
+    frame; the rank window partitions per part, so no global sort and
+    no skew beyond a part's own partner count. All-integer."""
+    from pyspark.sql import Window
+
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.select(
+        F.col("x").alias("p_partkey"),
+        F.col("y").alias("rec_partkey"),
+        "n_orders",
+    ).union(
+        e.select(
+            F.col("y").alias("p_partkey"),
+            F.col("x").alias("rec_partkey"),
+            "n_orders",
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("n_orders").desc(), F.col("rec_partkey")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("p_partkey", "rank", "rec_partkey", "n_orders")
+    )
+
+
+_SQL_COPURCHASE_RECS_SQL = (
+    _COPURCHASE_EDGES_CTE
+    + """,
+sym AS (
+  SELECT x AS p_partkey, y AS rec_partkey, n_orders FROM pair_support
+  UNION ALL
+  SELECT y AS p_partkey, x AS rec_partkey, n_orders FROM pair_support
+),
+ranked AS (
+  SELECT p_partkey, rec_partkey, n_orders,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p_partkey
+                ORDER BY n_orders DESC, rec_partkey) AS BIGINT) AS rank
+  FROM sym
+)
+SELECT p_partkey, rank, rec_partkey, n_orders
+FROM ranked WHERE rank <= 3
+"""
+)
 
 
 def events_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2864,6 +2945,8 @@ QUERIES = {
     "events_session_paths": events_session_paths,
     "events_score_auc": events_score_auc,
     "sql_copurchase_triangles": sql_copurchase_triangles,
+    "sql_copurchase_kcore": sql_copurchase_kcore,
+    "sql_copurchase_recs": sql_copurchase_recs,
     "events_cdc_snapshot_asof": events_cdc_snapshot_asof,
     "sql_part_name_similarity": part_name_similarity,
     "events_retention": events_retention,
@@ -2899,6 +2982,8 @@ ORACLES = {
     "events_session_paths": EVENTS_SESSION_PATHS_SQL,
     "events_score_auc": EVENTS_SCORE_AUC_SQL,
     "sql_copurchase_triangles": _sql_copurchase_triangles_sql(),
+    "sql_copurchase_kcore": _sql_copurchase_kcore_sql(),
+    "sql_copurchase_recs": _SQL_COPURCHASE_RECS_SQL,
     "events_cdc_snapshot_asof": _events_cdc_snapshot_asof_sql(),
     "sql_part_name_similarity": PART_NAME_SIMILARITY_SQL,
     "events_retention": _events_retention_sql(),

@@ -142,3 +142,38 @@ def test_triangles_shared_edge(spark):
     )
     got = {r.node: r.n_tri for r in triangle_counts(e).collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_kcore_path_empties_and_cycle_survives(spark):
+    """A path has no 2-core; a cycle IS its own 2-core (all deg 2)."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import kcore
+
+    path = _tri_edges(spark, [(1, 2), (2, 3), (3, 4)])
+    assert kcore(path, k=2).count() == 0
+    cycle = _tri_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    got = {r.node: r.core_deg for r in kcore(cycle, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_kcore_peels_pendant_chain_iteratively(spark):
+    """Triangle + a 3-node pendant chain: each round exposes the next
+    chain node, so the peel takes multiple rounds to reach the core."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import kcore
+
+    e = _tri_edges(
+        spark, [(1, 2), (2, 3), (1, 3), (3, 10), (10, 11), (11, 12)]
+    )
+    got = {r.node: r.core_deg for r in kcore(e, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_k3_on_k4(spark):
+    """K4 is a 3-core; adding a degree-2 tail changes nothing."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import kcore
+
+    e = _tri_edges(
+        spark,
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9), (9, 1)],
+    )
+    got = {r.node: r.core_deg for r in kcore(e, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}

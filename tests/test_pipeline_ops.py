@@ -1243,3 +1243,32 @@ def test_session_paths_caps_at_five(spark, tmp_path):
     got = {r.path: r.n_user_days
            for r in events_session_paths(spark, p).collect()}
     assert got == {"a>b>c>d>e": 2}
+
+
+def test_copurchase_recs_rank_and_support_floor(spark, tmp_path):
+    """Part 1 co-occurs with 2 (3 orders), 3 and 4 (2 each, tie broken
+    by id), 5 (1 order — below support, excluded)."""
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        sql_copurchase_recs,
+    )
+
+    baskets = [[1, 2], [1, 2], [1, 2], [1, 3], [1, 3], [1, 4], [1, 4], [1, 5]]
+    rows = [
+        Row(l_orderkey=o, l_partkey=p, l_linenumber=i + 1)
+        for o, parts in enumerate(baskets, start=1)
+        for i, p in enumerate(parts)
+    ]
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{p}/lineitem.parquet"
+    )
+    got = [
+        (r.rank, r.rec_partkey, r.n_orders)
+        for r in sql_copurchase_recs(spark, p)
+        .where("p_partkey = 1")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(1, 2, 3), (2, 3, 2), (3, 4, 2)]

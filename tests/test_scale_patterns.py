@@ -515,6 +515,16 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_session_paths")
     assert "SinglePartition" not in p, p
     assert "Join" not in p, p
+    # k-core: past the peel's checkpoint boundaries only the degree
+    # rollup remains — a plain map-side-combinable hash agg, no join
+    p = plan("sql_copurchase_kcore")
+    assert p.count("HashAggregate") >= 2, p
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    # recs: the rank window partitions per part over the
+    # support-bounded pair frame — never a single-partition sort
+    p = plan("sql_copurchase_recs")
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
