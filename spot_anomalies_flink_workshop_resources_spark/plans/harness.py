@@ -1043,6 +1043,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_copurchase_kcore",        # NEW: bounded-peel k-core
     "sql_copurchase_recs",         # NEW: item-item top-3 shortlist
     "corpus_bpe_fertility",        # NEW: tokenizer fairness eval
+    "events_score_pr",             # NEW: precision/recall threshold sweep
+    "multimodal_integrity",        # NEW: declared-vs-sniffed media audit
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

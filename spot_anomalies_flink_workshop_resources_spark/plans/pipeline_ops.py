@@ -677,6 +677,93 @@ GROUP BY sniffed_type, md5(hex(content))
 """
 
 
+def multimodal_integrity(spark, sf_dir):
+    """Binary-column INTEGRITY audit: declared container type (from the
+    catalog) vs magic-byte sniff — the confusion matrix that catches
+    mislabeled, corrupted, or transcoding-damaged media before a decode
+    stage wastes GPU time on it. A deterministic 1-in-17 header
+    truncation is planted so the mismatch leg is exercised (same
+    pattern as the PII seeding). Narrow map + one hash agg; only type
+    strings and counts cross the shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..operators import multimodal as M
+
+    media = _media(spark, sf_dir)
+    declared = (
+        F.when(F.col("media_id") % 4 == 0, F.lit("image/png"))
+        .when(F.col("media_id") % 4 == 1, F.lit("image/jpeg"))
+        .when(F.col("media_id") % 4 == 2, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    # planted corruption: drop the first 2 header bytes for 1-in-17
+    damaged = media.select(
+        "media_id",
+        declared.alias("declared_type"),
+        F.when(
+            F.col("media_id") % 17 == 0,
+            F.expr("substring(content, 3)"),
+        )
+        .otherwise(F.col("content"))
+        .alias("content"),
+    )
+    sniffed = M.sniff_media_type(damaged)
+    return (
+        sniffed.withColumn(
+            "status",
+            F.when(
+                F.col("sniffed_type") == F.col("declared_type"), F.lit("ok")
+            ).otherwise(F.lit("header_mismatch")),
+        )
+        .groupBy("declared_type", "sniffed_type", "status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_media"))
+    )
+
+
+MULTIMODAL_INTEGRITY_SQL = r"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         (CASE doc_id % 4
+            WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'image/jpeg'
+            WHEN 2 THEN 'audio/wav'
+            ELSE 'video/mp4' END) AS declared_type,
+         (CASE doc_id % 4
+            WHEN 0 THEN '\x89\x50\x4E\x47'::BLOB
+            WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+            WHEN 2 THEN '\x52\x49\x46\x46'::BLOB
+            ELSE '\x00\x00\x00\x18'::BLOB END) || encode(text) AS content
+  FROM documents
+),
+damaged AS (
+  -- hex-space truncation: dropping the first 2 BYTES of the blob is
+  -- dropping the first 4 HEX chars (DuckDB has no substr on BLOB)
+  SELECT media_id, declared_type,
+         CASE WHEN media_id % 17 = 0
+              THEN substr(hex(content), 5) ELSE hex(content) END AS hexc
+  FROM media
+),
+sniffed AS (
+  SELECT media_id, declared_type,
+         CASE
+           WHEN substr(hexc, 1, 8) = '89504E47' THEN 'image/png'
+           WHEN substr(hexc, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+           WHEN substr(hexc, 1, 8) = '52494646' THEN 'audio/wav'
+           WHEN substr(hexc, 1, 8) IN ('00000018', '00000020')
+             THEN 'video/mp4'
+           ELSE 'application/octet-stream'
+         END AS sniffed_type
+  FROM damaged
+)
+SELECT declared_type, sniffed_type,
+       CASE WHEN sniffed_type = declared_type THEN 'ok'
+            ELSE 'header_mismatch' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_media
+FROM sniffed
+GROUP BY 1, 2, 3
+"""
+
+
 def dedup_lsh_eval(spark, sf_dir):
     """LSH INDEX EVALUATION on a ground-truthable sample (doc_id <
     200): exact all-pairs jaccard >= 0.5 is the truth set (affordable
@@ -1272,6 +1359,7 @@ QUERIES = {
     "dedup_rate_curve": dedup_rate_curve,
     "dedup_lsh_eval": dedup_lsh_eval,
     "multimodal_dedup": multimodal_dedup,
+    "multimodal_integrity": multimodal_integrity,
     "text_langid_confusion": text_langid_confusion,
     "text_keywords": text_keywords,
     "text_readability": text_readability,
@@ -1360,6 +1448,7 @@ ORACLES = {
     "dedup_rate_curve": _dedup_rate_curve_sql(),
     "dedup_lsh_eval": _dedup_lsh_eval_sql(),
     "multimodal_dedup": MULTIMODAL_DEDUP_SQL,
+    "multimodal_integrity": MULTIMODAL_INTEGRITY_SQL,
     "text_langid_confusion": _langid_confusion_sql(),
     "text_keywords": T.keyword_topk_sql(),
     "text_readability": READABILITY_SQL,

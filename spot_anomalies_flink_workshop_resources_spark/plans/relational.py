@@ -1256,6 +1256,92 @@ pair_support AS MATERIALIZED (
 edges AS MATERIALIZED (SELECT x, y FROM pair_support)"""
 
 
+def events_score_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 THRESHOLD SWEEP for ``value`` as an 'error'
+    detector — the operating-point table a threshold decision actually
+    reads (AUC's companion: events_score_auc ranks, this one picks).
+    One pass builds per-cents-bucket (pos, neg) counts (bounded
+    frame); each of the four candidate thresholds then reduces that
+    frame with conditional int64 sums — the raw table is scanned
+    once, and every metric is a division of exact integers evaluated
+    identically cross-engine. F1 = 2tp/(2tp+fp+fn) avoids the
+    precision*recall float product."""
+    thresholds = [5000, 10000, 20000, 40000]  # cents
+    e = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("pos"),
+    )
+    b = e.groupBy("cents").agg(
+        F.sum("pos").cast("long").alias("np_"),
+        F.sum(1 - F.col("pos")).cast("long").alias("nn_"),
+    )
+    t = spark.createDataFrame(
+        [(x,) for x in thresholds], "threshold_cents long"
+    )
+    j = b.crossJoin(F.broadcast(t))
+    flagged = F.col("cents") >= F.col("threshold_cents")
+    agg = j.groupBy("threshold_cents").agg(
+        F.sum(F.when(flagged, F.col("np_")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(flagged, F.col("nn_")).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~flagged, F.col("np_")).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    def _safe_div(num, den):
+        return F.when(den > 0, num.cast("double") / den.cast("double"))
+
+    return agg.select(
+        "threshold_cents",
+        "tp",
+        "fp",
+        "fn",
+        _safe_div(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        _safe_div(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+        _safe_div(
+            (2 * F.col("tp")), 2 * F.col("tp") + F.col("fp") + F.col("fn")
+        ).alias("f1"),
+    )
+
+
+EVENTS_SCORE_PR_SQL = """
+WITH b AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np_,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+              AS BIGINT) AS nn_
+  FROM events GROUP BY 1
+),
+t AS (SELECT UNNEST([5000, 10000, 20000, 40000]) AS threshold_cents),
+agg AS (
+  SELECT CAST(t.threshold_cents AS BIGINT) AS threshold_cents,
+         CAST(SUM(CASE WHEN b.cents >= t.threshold_cents THEN b.np_
+                       ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN b.cents >= t.threshold_cents THEN b.nn_
+                       ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN b.cents < t.threshold_cents THEN b.np_
+                       ELSE 0 END) AS BIGINT) AS fn
+  FROM b CROSS JOIN t
+  GROUP BY 1
+)
+SELECT threshold_cents, tp, fp, fn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+         AS precision,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+         AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END
+         AS f1
+FROM agg
+"""
+
+
 def sql_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts over the frequent co-purchase graph
     (operators/graph.triangle_counts, degree-oriented node-iterator —
@@ -2944,6 +3030,7 @@ QUERIES = {
     "events_quantile_transform": events_quantile_transform,
     "events_session_paths": events_session_paths,
     "events_score_auc": events_score_auc,
+    "events_score_pr": events_score_pr,
     "sql_copurchase_triangles": sql_copurchase_triangles,
     "sql_copurchase_kcore": sql_copurchase_kcore,
     "sql_copurchase_recs": sql_copurchase_recs,
@@ -2981,6 +3068,7 @@ ORACLES = {
     "events_quantile_transform": EVENTS_QUANTILE_TRANSFORM_SQL,
     "events_session_paths": EVENTS_SESSION_PATHS_SQL,
     "events_score_auc": EVENTS_SCORE_AUC_SQL,
+    "events_score_pr": EVENTS_SCORE_PR_SQL,
     "sql_copurchase_triangles": _sql_copurchase_triangles_sql(),
     "sql_copurchase_kcore": _sql_copurchase_kcore_sql(),
     "sql_copurchase_recs": _SQL_COPURCHASE_RECS_SQL,

@@ -1272,3 +1272,65 @@ def test_copurchase_recs_rank_and_support_floor(spark, tmp_path):
         .collect()
     ]
     assert got == [(1, 2, 3), (2, 3, 2), (3, 4, 2)]
+
+
+def test_score_pr_hand_computed_sweep(spark, tmp_path):
+    """pos values {450, 90}, neg {30, 250} against the $50/$100/$200/
+    $400 thresholds — hand-checked confusion cells and exact ratios."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_score_pr,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [("error", 450.0), ("error", 90.0),
+            ("click", 30.0), ("view", 250.0)]
+    rows = [
+        Row(event_id=i, ts=t0, user_id=1, event_type=t, value=v, props="{}")
+        for i, (t, v) in enumerate(vals)
+    ]
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{p}/events.parquet"
+    )
+    got = {
+        r.threshold_cents: (r.tp, r.fp, r.fn, r.precision, r.recall, r.f1)
+        for r in events_score_pr(spark, p).collect()
+    }
+    assert got[5000] == (2, 1, 0, 2 / 3, 1.0, 0.8)
+    assert got[10000] == (1, 1, 1, 0.5, 0.5, 0.5)
+    assert got[20000] == (1, 1, 1, 0.5, 0.5, 0.5)
+    assert got[40000] == (1, 0, 1, 1.0, 0.5, 2 / 3)
+
+
+def test_multimodal_integrity_flags_planted_truncation(spark, tmp_path):
+    """doc 0 (%17==0) loses its PNG header -> header_mismatch sniffed
+    as octet-stream; the undamaged docs all sniff as declared."""
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.pipeline_ops import (
+        multimodal_integrity,
+    )
+
+    rows = [
+        Row(doc_id=i, text=f"doc body {i}", lang="en", source="s0",
+            n_chars=10)
+        for i in range(8)
+    ]
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{p}/documents.parquet"
+    )
+    out = multimodal_integrity(spark, p).collect()
+    bad = [r for r in out if r.status == "header_mismatch"]
+    ok = [r for r in out if r.status == "ok"]
+    assert len(bad) == 1
+    assert bad[0].declared_type == "image/png"
+    assert bad[0].sniffed_type == "application/octet-stream"
+    assert bad[0].n_media == 1
+    # 7 undamaged docs across the other cells, all sniff == declared
+    assert sum(r.n_media for r in ok) == 7
+    assert all(r.declared_type == r.sniffed_type for r in ok)

@@ -525,6 +525,16 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("sql_copurchase_recs")
     assert "SinglePartition" not in p, p
     assert "CartesianProduct" not in p, p
+    # PR sweep: the only data-sized stage is the bucket hash agg; the
+    # 4-row threshold frame joins the BOUNDED bucket frame
+    p = plan("events_score_pr")
+    assert p.count("HashAggregate") >= 4, p
+    assert "SortMergeJoin" not in p, p
+    # media integrity: narrow map + one hash agg; binary payloads
+    # never cross an exchange (only type strings and counts do)
+    p = plan("multimodal_integrity")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
