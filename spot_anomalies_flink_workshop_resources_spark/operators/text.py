@@ -785,3 +785,109 @@ FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def cms_error_profile(
+    docs: DataFrame, d: int = 4, w: int = 1024, k: int = 20
+) -> DataFrame:
+    """COUNT-MIN SKETCH term counts — with an EXACT oracle.
+
+    Unlike HLL/KLL (engine-internal randomized state, rows-only by
+    design), a Count-Min sketch with FIXED hash rows is a pure integer
+    program: bucket ``h_i(tok) = md5(i ':' tok)[0:8] mod w``, table
+    cell = int64 sum of colliding counts, estimate = min over the
+    ``d`` rows. Both engines fold the identical structure, so the
+    sketch itself — not just its inputs — is value-checkable, and the
+    registered profile measures what a production CMS actually
+    guarantees: ``estimate >= truth`` always (min of sums that each
+    include the term), overestimate = collision mass, here reported
+    for the exact top-``k`` terms.
+
+    Scale shape: the corpus collapses to the (tok, n) vocab frame
+    once; the table build is vocab x d rows into d*w cells (map-side
+    combinable, CONSTANT output size — the whole point of a sketch);
+    probes are k*d lookups against the broadcast table. At 100 TB the
+    d*w table is the only thing that leaves the executors.
+    """
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spark = docs.sparkSession
+    rows = spark.range(d).select(F.col("id").cast("long").alias("ri"))
+
+    def bucket(tok_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("ri").cast("string"), F.lit(":"), tok_col)),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        )
+
+    hashed = counts.crossJoin(F.broadcast(rows)).select(
+        "tok", "n", "ri", bucket(F.col("tok")).alias("bucket")
+    )
+    table = hashed.groupBy("ri", "bucket").agg(
+        F.sum("n").cast("long").alias("bucket_n")
+    )
+    topk = counts.orderBy(F.col("n").desc(), F.col("tok")).limit(k)
+    probe = topk.crossJoin(F.broadcast(rows)).select(
+        "tok", "n", "ri", bucket(F.col("tok")).alias("bucket")
+    )
+    est = (
+        probe.join(F.broadcast(table), ["ri", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("bucket_n").cast("long").alias("cms_n"))
+    )
+    return est.select(
+        F.col("tok").alias("term"),
+        F.col("n").alias("true_n"),
+        "cms_n",
+        (F.col("cms_n") - F.col("n")).cast("long").alias("overestimate"),
+    )
+
+
+def cms_error_profile_sql(d: int = 4, w: int = 1024, k: int = 20) -> str:
+    rows = ", ".join(str(i) for i in range(d))
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+),
+hash_rows AS (SELECT UNNEST([{rows}]) AS ri),
+hashed AS MATERIALIZED (
+  SELECT c.tok, c.n, r.ri,
+         ('0x' || substr(md5(CAST(r.ri AS VARCHAR) || ':' || c.tok), 1, 8))
+           ::BIGINT % {w} AS bucket
+  FROM counts c CROSS JOIN hash_rows r
+),
+cms_table AS MATERIALIZED (
+  SELECT ri, bucket, CAST(SUM(n) AS BIGINT) AS bucket_n
+  FROM hashed GROUP BY ri, bucket
+),
+topk AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT {k}),
+probe AS (
+  SELECT t.tok, t.n, h.ri, h.bucket
+  FROM topk t JOIN hashed h ON h.tok = t.tok
+),
+est AS (
+  SELECT p.tok, p.n, CAST(MIN(tb.bucket_n) AS BIGINT) AS cms_n
+  FROM probe p
+  JOIN cms_table tb ON tb.ri = p.ri AND tb.bucket = p.bucket
+  GROUP BY p.tok, p.n
+)
+SELECT tok AS term, n AS true_n, cms_n,
+       CAST(cms_n - n AS BIGINT) AS overestimate
+FROM est
+"""

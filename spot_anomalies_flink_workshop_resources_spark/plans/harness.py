@@ -1045,6 +1045,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_bpe_fertility",        # NEW: tokenizer fairness eval
     "events_score_pr",             # NEW: precision/recall threshold sweep
     "multimodal_integrity",        # NEW: declared-vs-sniffed media audit
+    "corpus_cms_error",            # NEW: value-oracled Count-Min sketch
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

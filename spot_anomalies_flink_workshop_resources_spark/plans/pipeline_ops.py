@@ -500,6 +500,15 @@ def text_keywords(spark, sf_dir):
     return T.keyword_topk(_docs(spark, sf_dir))
 
 
+def corpus_cms_error(spark, sf_dir):
+    """Count-Min sketch term counts with an EXACT oracle
+    (operators.text.cms_error_profile): fixed md5 hash rows make the
+    sketch a pure integer fold, so — unlike HLL/KLL — the structure
+    itself is value-checked, including the estimate>=truth guarantee
+    and the collision overestimate on the exact top-20 terms."""
+    return T.cms_error_profile(_docs(spark, sf_dir))
+
+
 def text_langid_confusion(spark, sf_dir):
     """Language-ID confusion matrix: declared label x heuristic
     prediction with counts — the eval artifact a lang-ID cleanup pass
@@ -1360,6 +1369,7 @@ QUERIES = {
     "dedup_lsh_eval": dedup_lsh_eval,
     "multimodal_dedup": multimodal_dedup,
     "multimodal_integrity": multimodal_integrity,
+    "corpus_cms_error": corpus_cms_error,
     "text_langid_confusion": text_langid_confusion,
     "text_keywords": text_keywords,
     "text_readability": text_readability,
@@ -1449,6 +1459,7 @@ ORACLES = {
     "dedup_lsh_eval": _dedup_lsh_eval_sql(),
     "multimodal_dedup": MULTIMODAL_DEDUP_SQL,
     "multimodal_integrity": MULTIMODAL_INTEGRITY_SQL,
+    "corpus_cms_error": T.cms_error_profile_sql(),
     "text_langid_confusion": _langid_confusion_sql(),
     "text_keywords": T.keyword_topk_sql(),
     "text_readability": READABILITY_SQL,

@@ -1334,3 +1334,31 @@ def test_multimodal_integrity_flags_planted_truncation(spark, tmp_path):
     # 7 undamaged docs across the other cells, all sniff == declared
     assert sum(r.n_media for r in ok) == 7
     assert all(r.declared_type == r.sniffed_type for r in ok)
+
+
+def test_cms_overestimates_only_and_matches_reference(spark):
+    """CMS guarantee on a forced-collision config (w=2, d=1): every
+    estimate >= truth, and each equals the Python-reference bucket sum."""
+    import hashlib
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.text import (
+        cms_error_profile,
+    )
+
+    df = _docs(spark, ["a a a b b c", "c d d d d e"])
+    out = {
+        r.term: (r.true_n, r.cms_n, r.overestimate)
+        for r in cms_error_profile(df, d=1, w=2, k=10).collect()
+    }
+    truth = {"a": 3, "b": 2, "c": 2, "d": 4, "e": 1}
+
+    def bucket(tok):
+        return int(hashlib.md5(f"0:{tok}".encode()).hexdigest()[:8], 16) % 2
+
+    sums = {0: 0, 1: 0}
+    for t, n in truth.items():
+        sums[bucket(t)] += n
+    for t, (tn, cn, over) in out.items():
+        assert tn == truth[t]
+        assert cn == sums[bucket(t)]
+        assert cn >= tn and over == cn - tn

@@ -535,6 +535,12 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("multimodal_integrity")
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 2, p
+    # CMS: table + probes join via broadcast (the d*w table is the only
+    # data that leaves the executors); top-k is a heap, not a sort
+    p = plan("corpus_cms_error")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
