@@ -177,3 +177,63 @@ def test_kcore_k3_on_k4(spark):
     )
     got = {r.node: r.core_deg for r in kcore(e, k=3).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def _py_triangles(pairs):
+    import itertools
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def _py_kcore(pairs, k):
+    edges = set(pairs)
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            return deg
+        edges = {(a, b) for a, b in edges if a not in bad and b not in bad}
+
+
+def test_triangles_and_kcore_match_reference_on_random_graphs(spark):
+    """Seeded Erdos-Renyi graphs vs brute-force Python references —
+    the orientation/peel machinery can't silently drop or double-count
+    on shapes the hand fixtures don't cover."""
+    import itertools
+    import random
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import (
+        kcore,
+        triangle_counts,
+    )
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        n = rng.randint(8, 22)
+        p = rng.uniform(0.15, 0.45)
+        pairs = [
+            (a, b)
+            for a, b in itertools.combinations(range(n), 2)
+            if rng.random() < p
+        ]
+        if not pairs:
+            continue
+        e = _tri_edges(spark, pairs)
+        got_tri = {
+            r.node: r.n_tri for r in triangle_counts(e).collect()
+        }
+        assert got_tri == _py_triangles(pairs), (trial, pairs)
+        got_core = {r.node: r.core_deg for r in kcore(e, k=3).collect()}
+        assert got_core == _py_kcore(pairs, 3), (trial, pairs)
