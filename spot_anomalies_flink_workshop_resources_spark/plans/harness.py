@@ -1046,6 +1046,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_score_pr",             # NEW: precision/recall threshold sweep
     "multimodal_integrity",        # NEW: declared-vs-sniffed media audit
     "corpus_cms_error",            # NEW: value-oracled Count-Min sketch
+    "sql_rfm_segments",            # NEW: RFM customer segmentation
+    "dq_rollup_reconciliation",    # NEW: header/detail audit
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train

@@ -1256,6 +1256,156 @@ pair_support AS MATERIALIZED (
 edges AS MATERIALIZED (SELECT x, y FROM pair_support)"""
 
 
+def sql_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the CRM workhorse: per customer
+    recency (last order date vs fixed cut dates), frequency (order
+    count bands), monetary (lifetime revenue bands), rolled up to
+    segment cells with population and exact-decimal revenue. Fixed
+    thresholds keep the segmentation deterministic and the whole plan
+    two hash aggs (customer rollup -> segment rollup); the quantile
+    twin of the thresholds is events_quantile_transform's grid trick
+    if data-driven bands are ever needed."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(_dec(F.col("o_totalprice"))).alias("revenue_dec"),
+    )
+    r_seg = (
+        F.when(F.col("last_order") >= "1999-07-01", "active")
+        .when(F.col("last_order") >= "1997-01-01", "warm")
+        .otherwise("lapsed")
+    )
+    f_seg = (
+        F.when(F.col("n_orders") > 15, "frequent")
+        .when(F.col("n_orders") > 5, "regular")
+        .otherwise("rare")
+    )
+    m_seg = (
+        F.when(F.col("revenue_dec") > 3000000, "high")
+        .when(F.col("revenue_dec") > 1500000, "mid")
+        .otherwise("low")
+    )
+    return (
+        cust.select(
+            r_seg.alias("recency"),
+            f_seg.alias("frequency"),
+            m_seg.alias("monetary"),
+            "revenue_dec",
+        )
+        .groupBy("recency", "frequency", "monetary")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            _d2d(F.sum("revenue_dec")).alias("revenue"),
+        )
+    )
+
+
+SQL_RFM_SEGMENTS_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue_dec
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT CASE WHEN last_order >= TIMESTAMP '1999-07-01' THEN 'active'
+              WHEN last_order >= TIMESTAMP '1997-01-01' THEN 'warm'
+              ELSE 'lapsed' END AS recency,
+         CASE WHEN n_orders > 15 THEN 'frequent'
+              WHEN n_orders > 5 THEN 'regular'
+              ELSE 'rare' END AS frequency,
+         CASE WHEN revenue_dec > 3000000 THEN 'high'
+              WHEN revenue_dec > 1500000 THEN 'mid'
+              ELSE 'low' END AS monetary,
+         revenue_dec
+  FROM cust
+)
+SELECT recency, frequency, monetary,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(revenue_dec) AS VARCHAR) AS DOUBLE) AS revenue
+FROM seg GROUP BY 1, 2, 3
+"""
+
+
+def dq_rollup_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail RECONCILIATION report — the dq check every
+    warehouse runs between a rollup column and its detail table: per
+    order status, how many headers have no detail lines, how many
+    reconcile to the cent against sum(extendedprice*(1-disc)*(1+tax)),
+    and the exact-decimal header/detail totals whose gap quantifies
+    the drift. (On the synthetic data the drift is 100% — that IS the
+    report's finding, and the counts pin it.) One orderkey-spine
+    shuffle + a status rollup; all money through the decimal route."""
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.sum(
+            _dec(F.col("l_extendedprice"))
+            * (F.lit(1) - _dec(F.col("l_discount")))
+            * (F.lit(1) + _dec(F.col("l_tax")))
+        ).alias("detail_dec")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    diff_cents = F.floor(
+        (F.col("o_totalprice").cast("double") * 100) + F.lit(0.5)
+    ).cast("long") - F.floor(
+        (F.col("detail_dec").cast("string").cast("double") * 100) + F.lit(0.5)
+    ).cast("long")
+    return (
+        j.select(
+            "o_orderstatus",
+            F.col("detail_dec").isNull().cast("int").alias("no_detail"),
+            F.when(F.col("detail_dec").isNotNull() & (diff_cents == 0), 1)
+            .otherwise(0)
+            .alias("reconciled"),
+            _dec(F.col("o_totalprice")).alias("header_dec"),
+            F.coalesce(F.col("detail_dec"), F.lit(0).cast("decimal(18,4)")).alias(
+                "detail_filled"
+            ),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("no_detail").cast("long").alias("n_no_detail"),
+            F.sum("reconciled").cast("long").alias("n_reconciled"),
+            _d2d(F.sum("header_dec")).alias("header_total"),
+            _d2d(F.sum("detail_filled")).alias("detail_total"),
+        )
+    )
+
+
+DQ_ROLLUP_RECONCILIATION_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))
+             * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS detail_dec
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderstatus,
+         CASE WHEN li.detail_dec IS NULL THEN 1 ELSE 0 END AS no_detail,
+         CASE WHEN li.detail_dec IS NOT NULL
+                   AND CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE) * 100 + 0.5)
+                            AS BIGINT)
+                     = CAST(FLOOR(CAST(CAST(li.detail_dec AS VARCHAR)
+                                       AS DOUBLE) * 100 + 0.5) AS BIGINT)
+              THEN 1 ELSE 0 END AS reconciled,
+         CAST(o.o_totalprice AS DECIMAL(18,4)) AS header_dec,
+         COALESCE(li.detail_dec, CAST(0 AS DECIMAL(18,4))) AS detail_filled
+  FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(no_detail) AS BIGINT) AS n_no_detail,
+       CAST(SUM(reconciled) AS BIGINT) AS n_reconciled,
+       CAST(CAST(SUM(header_dec) AS VARCHAR) AS DOUBLE) AS header_total,
+       CAST(CAST(SUM(detail_filled) AS VARCHAR) AS DOUBLE) AS detail_total
+FROM j GROUP BY o_orderstatus
+"""
+
+
 def events_score_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall/F1 THRESHOLD SWEEP for ``value`` as an 'error'
     detector — the operating-point table a threshold decision actually
@@ -3031,6 +3181,8 @@ QUERIES = {
     "events_session_paths": events_session_paths,
     "events_score_auc": events_score_auc,
     "events_score_pr": events_score_pr,
+    "sql_rfm_segments": sql_rfm_segments,
+    "dq_rollup_reconciliation": dq_rollup_reconciliation,
     "sql_copurchase_triangles": sql_copurchase_triangles,
     "sql_copurchase_kcore": sql_copurchase_kcore,
     "sql_copurchase_recs": sql_copurchase_recs,
@@ -3069,6 +3221,8 @@ ORACLES = {
     "events_session_paths": EVENTS_SESSION_PATHS_SQL,
     "events_score_auc": EVENTS_SCORE_AUC_SQL,
     "events_score_pr": EVENTS_SCORE_PR_SQL,
+    "sql_rfm_segments": SQL_RFM_SEGMENTS_SQL,
+    "dq_rollup_reconciliation": DQ_ROLLUP_RECONCILIATION_SQL,
     "sql_copurchase_triangles": _sql_copurchase_triangles_sql(),
     "sql_copurchase_kcore": _sql_copurchase_kcore_sql(),
     "sql_copurchase_recs": _SQL_COPURCHASE_RECS_SQL,

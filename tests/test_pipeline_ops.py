@@ -1362,3 +1362,83 @@ def test_cms_overestimates_only_and_matches_reference(spark):
         assert tn == truth[t]
         assert cn == sums[bucket(t)]
         assert cn >= tn and over == cn - tn
+
+
+def test_rfm_segments_fixture(spark, tmp_path):
+    """One active/frequent/high customer vs one lapsed/rare/low."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        sql_rfm_segments,
+    )
+
+    rows = [
+        Row(o_orderkey=k, o_custkey=1, o_orderstatus="F",
+            o_totalprice=250000.0,
+            o_orderdate=dt.datetime(2000, 1, 1) + dt.timedelta(days=k),
+            o_orderpriority="1-URGENT")
+        for k in range(16)  # 16 orders, 4M revenue, recent
+    ] + [
+        Row(o_orderkey=100, o_custkey=2, o_orderstatus="F",
+            o_totalprice=5000.0, o_orderdate=dt.datetime(1995, 6, 1),
+            o_orderpriority="5-LOW"),
+    ]
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{p}/orders.parquet"
+    )
+    got = {
+        (r.recency, r.frequency, r.monetary): (r.n_customers, r.revenue)
+        for r in sql_rfm_segments(spark, p).collect()
+    }
+    assert got[("active", "frequent", "high")] == (1, 4000000.0)
+    assert got[("lapsed", "rare", "low")] == (1, 5000.0)
+    assert len(got) == 2
+
+
+def test_rollup_reconciliation_fixture(spark, tmp_path):
+    """One order reconciles to the cent, one drifts, one has no
+    detail lines — the three report legs, hand-checked."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        dq_rollup_reconciliation,
+    )
+
+    li = [
+        # order 1: 100 * (1-0.1) * (1+0.05) = 94.50 exactly
+        Row(l_orderkey=1, l_partkey=1, l_linenumber=1,
+            l_extendedprice=100.0, l_discount=0.1, l_tax=0.05),
+        # order 2: detail sums to 200, header says 210 -> drift
+        Row(l_orderkey=2, l_partkey=2, l_linenumber=1,
+            l_extendedprice=200.0, l_discount=0.0, l_tax=0.0),
+    ]
+    orders = [
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="F",
+            o_totalprice=94.50, o_orderdate=dt.datetime(1999, 1, 1),
+            o_orderpriority="1-URGENT"),
+        Row(o_orderkey=2, o_custkey=1, o_orderstatus="F",
+            o_totalprice=210.0, o_orderdate=dt.datetime(1999, 1, 2),
+            o_orderpriority="1-URGENT"),
+        Row(o_orderkey=3, o_custkey=2, o_orderstatus="O",
+            o_totalprice=50.0, o_orderdate=dt.datetime(1999, 1, 3),
+            o_orderpriority="1-URGENT"),  # headerless of detail
+    ]
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(li).write.mode("overwrite").parquet(
+        f"{p}/lineitem.parquet"
+    )
+    spark.createDataFrame(orders).write.mode("overwrite").parquet(
+        f"{p}/orders.parquet"
+    )
+    got = {r.o_orderstatus: r for r in dq_rollup_reconciliation(spark, p).collect()}
+    f = got["F"]
+    assert (f.n_orders, f.n_no_detail, f.n_reconciled) == (2, 0, 1)
+    assert f.header_total == 304.5 and f.detail_total == 294.5
+    o = got["O"]
+    assert (o.n_orders, o.n_no_detail, o.n_reconciled) == (1, 1, 0)
+    assert o.detail_total == 0.0

@@ -541,6 +541,16 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "TakeOrderedAndProject" in p, p
+    # RFM: two hash aggs, the second over the |customers| frame; no
+    # join and no single-partition stage
+    p = plan("sql_rfm_segments")
+    assert "Join" not in p, p
+    assert "SinglePartition" not in p, p
+    # reconciliation: one orderkey-spine join (detail pre-aggregated
+    # before the join, so the join is order-sized on both sides)
+    p = plan("dq_rollup_reconciliation")
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 4, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
