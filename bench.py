@@ -192,7 +192,7 @@ def main() -> None:
 
 _FAMILY_PREFIXES = (
     "cep", "stream", "ml", "asof", "pivot", "ocsf", "events", "text",
-    "corpus", "dedup", "multimodal", "simsearch", "sql", "approx",
+    "corpus", "dedup", "multimodal", "simsearch", "sql", "approx", "dq",
 )
 
 
