@@ -1370,3 +1370,145 @@ FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def top_eigen(embeddings: DataFrame, iters: int = 8) -> DataFrame:
+    """Top PRINCIPAL COMPONENT of the embedding set by power iteration
+    — the whitening/ABD-projection primitive a vector pipeline runs
+    before indexing — made hash-oracle-able with the repo's fixed-point
+    contract (the k-means/PageRank/IVF-PQ pattern applied to
+    eigendecomposition):
+
+    1. Distributed pass: embeddings quantize onto the 2^-20 grid as
+       int64; per-partition partial sums of S_i and the Gram matrix
+       C_ij = sum x_i x_j are PURE INT64 (associative-commutative, so
+       partitioning cannot matter). One mapInPandas pass; only
+       (d + d^2) integers leave the executors.
+    2. Driver: covariance cells quantize once —
+       A_ij = floor((C_ij/N - (S_i/N)(S_j/N)) / 2^20 + 0.5) — an
+       identical correctly-rounded IEEE op sequence to the oracle's
+       per-cell SQL expression.
+    3. ``iters`` power-iteration rounds, each exact: u = A v is an
+       int64 matvec, and the renormalization
+       v' = floor(u/max|u| * 2^20 + 0.5) divides exact int64 operands
+       once, then scales by a power of two. The oracle unrolls the
+       same rounds as CTEs over the (i, j, a) cell frame, so both
+       engines walk the identical integer trajectory whether or not
+       it has converged.
+
+    Returns one row per dimension: (idx, component, lambda_inf) with
+    the component in the infinity-norm-1 convention and lambda_inf
+    the A-units eigenvalue estimate from the final round.
+    """
+    import numpy as np
+    import pandas as pd
+
+    scale = 1 << 20
+    dim = DIM
+    e = embeddings.select(F.col("embedding").cast("array<double>").alias("emb"))
+
+    def partial(batches):
+        S = np.zeros(dim, dtype=np.int64)
+        C = np.zeros((dim, dim), dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            X = np.stack(pdf["emb"].to_numpy())
+            Xq = np.floor(X * scale + 0.5).astype(np.int64)
+            S += Xq.sum(axis=0)
+            C += Xq.T @ Xq
+            n += len(Xq)
+        yield pd.DataFrame(
+            {"n": [n], "s": [S.tolist()], "c": [C.reshape(-1).tolist()]}
+        )
+
+    parts = e.mapInPandas(partial, "n long, s array<long>, c array<long>").collect()
+    N = sum(int(r["n"]) for r in parts)
+    S = np.zeros(dim, dtype=np.int64)
+    C = np.zeros((dim, dim), dtype=np.int64)
+    for r in parts:
+        S += np.asarray(r["s"], dtype=np.int64)
+        C += np.asarray(r["c"], dtype=np.int64).reshape(dim, dim)
+    # identical op sequence to the oracle's per-cell expression
+    Sn = S.astype(np.float64) / float(N)
+    A = np.floor(
+        (C.astype(np.float64) / float(N) - np.outer(Sn, Sn)) / float(scale)
+        + 0.5
+    ).astype(np.int64)
+    v = np.full(dim, scale, dtype=np.int64)
+    m = 0
+    for _ in range(iters):
+        u = A @ v
+        m = int(np.abs(u).max())
+        if m == 0:  # degenerate all-zero covariance; identity trajectory
+            break
+        v = np.floor(
+            u.astype(np.float64) / float(m) * float(scale) + 0.5
+        ).astype(np.int64)
+    spark = embeddings.sparkSession
+    lam = float(m) / float(1 << 40)
+    rows = [
+        (int(i), float(v[i]) / float(scale), lam) for i in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows, "idx long, component double, lambda_inf double"
+    )
+
+
+def top_eigen_sql(dim: int = DIM, iters: int = 8) -> str:
+    """DuckDB twin of :func:`top_eigen` — re-derives the quantized
+    covariance from scratch (N x d^2 self-join) and unrolls the same
+    power-iteration rounds."""
+    scale = 1 << 20
+    parts = [
+        f"""WITH exq AS MATERIALIZED (
+  SELECT e.vec_id, CAST(u.i - 1 AS BIGINT) AS i,
+         CAST(FLOOR(CAST(e.embedding[u.i] AS DOUBLE) * {scale} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings e, UNNEST(generate_series(1, {dim})) AS u(i)
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+sv AS MATERIALIZED (
+  SELECT i, CAST(SUM(q) AS BIGINT) AS s FROM exq GROUP BY i
+),
+gram AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS c
+  FROM exq a JOIN exq b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+amat AS MATERIALIZED (
+  SELECT g.i, g.j,
+         CAST(FLOOR((CAST(g.c AS DOUBLE) / nn.n
+                     - (CAST(si.s AS DOUBLE) / nn.n)
+                       * (CAST(sj.s AS DOUBLE) / nn.n))
+                    / {float(scale)!r} + 0.5) AS BIGINT) AS a
+  FROM gram g CROSS JOIN nn
+  JOIN sv si ON si.i = g.i
+  JOIN sv sj ON sj.i = g.j
+),
+v0 AS (SELECT i, CAST({scale} AS BIGINT) AS v FROM sv)"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"v{t - 1}"
+        parts.append(
+            f""",
+u{t} AS MATERIALIZED (
+  SELECT amat.i, CAST(SUM(amat.a * p.v) AS BIGINT) AS u
+  FROM amat JOIN {prev} p ON p.i = amat.j
+  GROUP BY amat.i
+),
+m{t} AS (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS m FROM u{t}),
+v{t} AS MATERIALIZED (
+  SELECT u{t}.i,
+         CAST(FLOOR(CAST(u{t}.u AS DOUBLE) / CAST(m{t}.m AS DOUBLE)
+                    * {float(scale)!r} + 0.5) AS BIGINT) AS v
+  FROM u{t} CROSS JOIN m{t}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT v{iters}.i AS idx,
+       CAST(v{iters}.v AS DOUBLE) / {float(scale)!r} AS component,
+       CAST(m{iters}.m AS DOUBLE) / {float(1 << 40)!r} AS lambda_inf
+FROM v{iters} CROSS JOIN m{iters}"""
+    )
+    return "".join(parts)

@@ -610,6 +610,33 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _restore_source_ts(out, spark, sf_dir)
 
 
+def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously maintained histogram: the fixed-width (type, bin)
+    counts as a COMPLETE-mode streaming aggregation — the live
+    monitoring twin of events_value_histogram, state O(|types|x|bins|)
+    regardless of event volume. Run to completion over the bounded
+    source it must equal the batch histogram, hence the SAME oracle."""
+    from pyspark.sql import functions as F
+
+    e = _events_stream(spark, sf_dir)
+    bin_ = F.least(
+        F.greatest(F.floor((F.col("value") - 0.0) / 25.0), F.lit(0)),
+        F.lit(19),
+    ).cast("long")
+    hist = (
+        e.groupBy(F.col("event_type"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * 25.0).alias("bin_lo"),
+            ((F.col("bin") + 1) * 25.0).alias("bin_hi"),
+            "n",
+        )
+    )
+    return _run_to_completion(hist, spark, output_mode="complete")
+
+
 def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER stream-stream interval join run to completion
     (VERDICT r3 #8): matched pairs emit as both sides arrive; an
@@ -1048,6 +1075,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_cms_error",            # NEW: value-oracled Count-Min sketch
     "sql_rfm_segments",            # NEW: RFM customer segmentation
     "dq_rollup_reconciliation",    # NEW: header/detail audit
+    "events_theil_sen",            # NEW: robust pairwise-median trend
+    "simsearch_top_eigen",         # NEW: integer-exact power iteration
+    "stream_value_histogram",      # NEW: complete-mode live histogram
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)
     "sql_part_name_similarity",    # (brand, len-bucket) blocking key
     "simsearch_ivfpq",             # NEW oracle: integer-exact IVF-PQ re-train
@@ -1179,6 +1209,7 @@ def build_queries() -> dict[str, QueryFn]:
         "stream_interval_join_semi": stream_interval_join_semi,
         "stream_interval_join_anti": stream_interval_join_anti,
         "stream_cdc_snapshot": stream_cdc_snapshot,
+        "stream_value_histogram": stream_value_histogram,
         "batch_interval_join_bucketed": batch_interval_join_bucketed,
         "stream_distinct_pairs": stream_distinct_pairs,
         "stream_static_enrich": stream_static_enrich,
@@ -1227,6 +1258,7 @@ def build_oracles() -> dict[str, str]:
         "stream_interval_join_anti": STREAM_INTERVAL_JOIN_ANTI_ORACLE,
         # complete-mode streaming snapshot == batch compaction: same oracle
         "stream_cdc_snapshot": relational.ORACLES["events_cdc_snapshot"],
+        "stream_value_histogram": relational.ORACLES["events_value_histogram"],
         # bucketized batch twin: identical semantics, same oracle
         "batch_interval_join_bucketed": STREAM_INTERVAL_JOIN_ORACLE,
         "stream_distinct_pairs": STREAM_DISTINCT_ORACLE,

@@ -1030,6 +1030,16 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+def simsearch_top_eigen(spark, sf_dir):
+    """Top principal component of the embedding corpus by integer-
+    exact power iteration (operators.simsearch.top_eigen) — the
+    whitening/projection preprocessor; ONE distributed pass of int64
+    sufficient statistics, the d x d eigen math on the driver, and a
+    DuckDB twin that re-derives the quantized covariance from scratch
+    and unrolls the identical 8 rounds."""
+    return S.top_eigen(_embs(spark, sf_dir))
+
+
 def simsearch_brute_force(spark, sf_dir):
     return S.brute_force_topk(_embs(spark, sf_dir))
 
@@ -1382,6 +1392,7 @@ QUERIES = {
     "simsearch_ivf_probe2": simsearch_ivf_probe2,
     "simsearch_ivf_kmeans": simsearch_ivf_kmeans,
     "simsearch_index_quality": simsearch_index_quality,
+    "simsearch_top_eigen": simsearch_top_eigen,
     "simsearch_pq": simsearch_pq,
     "simsearch_ivfpq": simsearch_ivfpq,
     "simsearch_label_centroids": simsearch_label_centroids,
@@ -1484,5 +1495,6 @@ FROM documents
     "simsearch_ivf_kmeans": S.ivf_topk_trained_sql(),
     "simsearch_ivfpq": S.ivfpq_exact_sql(),
     "simsearch_index_quality": S.index_quality_sql(),
+    "simsearch_top_eigen": S.top_eigen_sql(),
     "simsearch_label_centroids": S.label_centroids_long_sql(),
 }

@@ -551,6 +551,12 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("dq_rollup_reconciliation")
     assert "CartesianProduct" not in p, p
     assert p.count("HashAggregate") >= 4, p
+    # theil-sen: the raw table collapses to (type, day) BEFORE the
+    # pair self-join, so the join inputs are calendar-bounded; the
+    # rank window partitions per type
+    p = plan("events_theil_sen")
+    assert "CartesianProduct" not in p, p
+    assert "SinglePartition" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
