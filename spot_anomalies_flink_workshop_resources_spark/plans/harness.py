@@ -1076,6 +1076,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_rfm_segments",            # NEW: RFM customer segmentation
     "dq_rollup_reconciliation",    # NEW: header/detail audit
     "events_theil_sen",            # NEW: robust pairwise-median trend
+    "events_holt_trend",           # NEW: two-state exact Holt forecast
+    "sql_ship_survival",           # NEW: censored Kaplan-Meier curve
     "simsearch_top_eigen",         # NEW: integer-exact power iteration
     "stream_value_histogram",      # NEW: complete-mode live histogram
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)

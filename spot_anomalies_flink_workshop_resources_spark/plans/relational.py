@@ -2152,6 +2152,209 @@ FROM daily GROUP BY event_type
 """
 
 
+def sql_ship_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve of order -> first-ship delay, with
+    right-censoring — the time-to-event estimator (SLA/fulfilment
+    analytics) handling the orders that never shipped: they stay in
+    the at-risk set until their censoring horizon (dataset max ship
+    date) instead of biasing the curve.
+
+    Exactness: each step factor 1 - d_t/n_t divides exact int64
+    counts once; the survival prefix PRODUCT is an ordered fold over
+    the delay-day frame (left-to-right, identical IEEE sequence both
+    engines — the EWMA/BM25 recipe with * instead of +). Scale: the
+    data-sized work is one per-order min-shipdate agg; steps live on
+    the bounded delay-day domain and the O(days^2) prefix re-fold is
+    the cusum cost contract."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+    )
+    horizon = li.agg(F.max("first_ship").alias("h"))
+    subj = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.coalesce(
+                F.datediff(F.col("first_ship"), F.col("o_orderdate")),
+                F.datediff(F.col("h"), F.col("o_orderdate")),
+            ).cast("long").alias("t_obs"),
+            F.col("first_ship").isNotNull().cast("int").alias("evented"),
+        )
+        .where(F.col("t_obs") >= 0)
+    )
+    n_total = subj.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
+    # per-day observation exits and events on the bounded delay domain
+    per_day = subj.groupBy("t_obs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exit"),
+        F.sum("evented").cast("long").alias("d"),
+    )
+    w = Window.orderBy("t_obs").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_day.crossJoin(F.broadcast(n_total)).select(
+        "t_obs",
+        "d",
+        (F.col("n") - F.coalesce(F.sum("n_exit").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n_risk"),
+    )
+    steps = risk.where(F.col("d") > 0).select(
+        "t_obs",
+        "n_risk",
+        "d",
+        (
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        ).alias("factor"),
+    )
+    # prefix product per step: ordered fold over all steps <= t
+    a = steps.select(F.col("t_obs").alias("t"), "n_risk", "d")
+    b = steps.select(F.col("t_obs").alias("u"), F.col("factor").alias("fu"))
+    surv = (
+        a.join(F.broadcast(b), F.col("u") <= F.col("t"))
+        .groupBy("t", "n_risk", "d")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("u", "fu"))),
+                    lambda p: p["fu"],
+                ),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            ).alias("survival")
+        )
+    )
+    return surv.select(
+        F.col("t").alias("delay_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        "survival",
+    )
+
+
+SQL_SHIP_SURVIVAL_SQL = """
+WITH li AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+h AS (SELECT MAX(first_ship) AS h FROM li),
+subj AS (
+  SELECT CAST(COALESCE(
+           CAST(first_ship AS DATE) - CAST(o.o_orderdate AS DATE),
+           CAST(h.h AS DATE) - CAST(o.o_orderdate AS DATE))
+         AS BIGINT) AS t_obs,
+         CASE WHEN li.first_ship IS NOT NULL THEN 1 ELSE 0 END AS evented
+  FROM orders o
+  LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+  CROSS JOIN h
+),
+subj_ok AS (SELECT * FROM subj WHERE t_obs >= 0),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj_ok),
+per_day AS (
+  SELECT t_obs, CAST(COUNT(*) AS BIGINT) AS n_exit,
+         CAST(SUM(evented) AS BIGINT) AS d
+  FROM subj_ok GROUP BY t_obs
+),
+risk AS (
+  SELECT t_obs, d,
+         CAST(nt.n - COALESCE(SUM(n_exit) OVER (ORDER BY t_obs
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM per_day CROSS JOIN nt
+),
+steps AS (
+  SELECT t_obs, n_risk, d,
+         1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+  FROM risk WHERE d > 0
+),
+surv AS (
+  SELECT a.t_obs, a.n_risk, a.d,
+         list_reduce(
+           list_prepend(1.0, list(b.factor ORDER BY b.t_obs)),
+           (acc, x) -> acc * x) AS survival
+  FROM steps a JOIN steps b ON b.t_obs <= a.t_obs
+  GROUP BY a.t_obs, a.n_risk, a.d
+)
+SELECT t_obs AS delay_days, n_risk AS n_at_risk, d AS n_events, survival
+FROM surv
+"""
+
+
+def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt DOUBLE-exponential smoothing (level + trend) of the daily
+    mean value per type, with the one-step-ahead forecast — the
+    forecasting upgrade of events_ewma for drifting baselines.
+
+    Exactness: a TWO-STATE ordered fold with the identical IEEE op
+    sequence on both engines — alpha = 2^-2 and beta = 2^-3 are exact
+    binary fractions, Spark folds a struct accumulator through
+    ``aggregate(array_sort(collect_list(...)))`` and DuckDB folds a
+    two-element LIST through ``list_reduce`` (elements lifted to
+    single-element lists because the accumulator must share the
+    element type), so level and trend are bit-identical, not merely
+    close. Scale: the fold runs over the calendar-bounded day series
+    (the EWMA contract); the only data-sized stage is the (type, day)
+    hash agg."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(_davg(F.col("value")).alias("mu"))
+
+    def step(acc, x):
+        lvl = x * F.lit(0.25) + (acc["l"] + acc["b"]) * F.lit(0.75)
+        trend = (lvl - acc["l"]) * F.lit(0.125) + acc["b"] * F.lit(0.875)
+        return F.struct(lvl.alias("l"), trend.alias("b"))
+
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "mu"))),
+            lambda p: p["mu"],
+        ),
+        F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("b")),
+        step,
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        fold.alias("hb"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.col("hb.l").alias("level"),
+        F.col("hb.b").alias("trend"),
+        (F.col("hb.l") + F.col("hb.b")).alias("forecast_next"),
+    )
+
+
+EVENTS_HOLT_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           / COUNT(value) AS mu
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+folded AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         list_reduce(
+           list_prepend([0.0, 0.0],
+             list_transform(list(mu ORDER BY day), m -> [m])),
+           (acc, x) -> [
+             x[1] * 0.25 + (acc[1] + acc[2]) * 0.75,
+             ((x[1] * 0.25 + (acc[1] + acc[2]) * 0.75) - acc[1]) * 0.125
+               + acc[2] * 0.875
+           ]
+         ) AS hb
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days, hb[1] AS level, hb[2] AS trend,
+       hb[1] + hb[2] AS forecast_next
+FROM folded
+"""
+
+
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch / last-touch revenue attribution: every ``purchase``
     attributes its value to the user's FIRST and LAST non-purchase
@@ -3291,8 +3494,10 @@ QUERIES = {
     "events_session_paths": events_session_paths,
     "events_score_auc": events_score_auc,
     "events_score_pr": events_score_pr,
+    "events_holt_trend": events_holt_trend,
     "events_theil_sen": events_theil_sen,
     "sql_rfm_segments": sql_rfm_segments,
+    "sql_ship_survival": sql_ship_survival,
     "dq_rollup_reconciliation": dq_rollup_reconciliation,
     "sql_copurchase_triangles": sql_copurchase_triangles,
     "sql_copurchase_kcore": sql_copurchase_kcore,
@@ -3332,8 +3537,10 @@ ORACLES = {
     "events_session_paths": EVENTS_SESSION_PATHS_SQL,
     "events_score_auc": EVENTS_SCORE_AUC_SQL,
     "events_score_pr": EVENTS_SCORE_PR_SQL,
+    "events_holt_trend": EVENTS_HOLT_TREND_SQL,
     "events_theil_sen": EVENTS_THEIL_SEN_SQL,
     "sql_rfm_segments": SQL_RFM_SEGMENTS_SQL,
+    "sql_ship_survival": SQL_SHIP_SURVIVAL_SQL,
     "dq_rollup_reconciliation": DQ_ROLLUP_RECONCILIATION_SQL,
     "sql_copurchase_triangles": _sql_copurchase_triangles_sql(),
     "sql_copurchase_kcore": _sql_copurchase_kcore_sql(),

@@ -1503,3 +1503,80 @@ def test_top_eigen_recovers_planted_direction(spark):
         v[r.idx] = r.component
     cos = abs(v @ d1) / np.linalg.norm(v)
     assert cos > 0.999, cos
+
+
+def test_holt_trend_matches_python_fold_on_line(spark, tmp_path):
+    """Daily means on an exact line 100 + 10d: the Spark fold must
+    equal the bit-identical Python replica, and after 20 days the
+    trend tracks the slope closely enough to forecast the next point."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_holt_trend,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 6)
+    rows = [
+        Row(event_id=d, ts=t0 + dt.timedelta(days=d), user_id=1,
+            event_type="click", value=100.0 + 10.0 * d, props="{}")
+        for d in range(20)
+    ]
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{p}/events.parquet"
+    )
+    lvl = tr = 0.0
+    for d in range(20):
+        x = 100.0 + 10.0 * d
+        new = x * 0.25 + (lvl + tr) * 0.75
+        tr = (new - lvl) * 0.125 + tr * 0.875
+        lvl = new
+    r = events_holt_trend(spark, p).collect()[0]
+    assert (r.level, r.trend) == (lvl, tr)  # bit-identical fold
+    nxt = 100.0 + 10.0 * 20
+    assert abs(r.forecast_next - nxt) / nxt < 0.15
+
+
+def test_ship_survival_km_with_censoring(spark, tmp_path):
+    """Three orders: events at t=1, t=2, and one never-shipped order
+    censored at the horizon (t=2). KM: S(1)=2/3, S(2)=(2/3)*(1/2) —
+    the censored order holds the at-risk set at 2 for the second step
+    without ever counting as an event."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        sql_ship_survival,
+    )
+
+    d0 = dt.datetime(2024, 1, 1)
+    orders = [
+        Row(o_orderkey=k, o_custkey=1, o_orderstatus="F", o_totalprice=1.0,
+            o_orderdate=d0, o_orderpriority="1-URGENT")
+        for k in (1, 2, 3)
+    ]
+    li = [
+        Row(l_orderkey=1, l_partkey=1, l_linenumber=1, l_quantity=1.0,
+            l_extendedprice=1.0, l_discount=0.0, l_tax=0.0,
+            l_returnflag="N", l_linestatus="O",
+            l_shipdate=d0 + dt.timedelta(days=1)),
+        Row(l_orderkey=2, l_partkey=1, l_linenumber=1, l_quantity=1.0,
+            l_extendedprice=1.0, l_discount=0.0, l_tax=0.0,
+            l_returnflag="N", l_linestatus="O",
+            l_shipdate=d0 + dt.timedelta(days=2)),
+        # order 3 has no lineitems -> censored at horizon (t=2)
+    ]
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(orders).write.mode("overwrite").parquet(
+        f"{p}/orders.parquet"
+    )
+    spark.createDataFrame(li).write.mode("overwrite").parquet(
+        f"{p}/lineitem.parquet"
+    )
+    got = {r.delay_days: (r.n_at_risk, r.n_events, r.survival)
+           for r in sql_ship_survival(spark, p).collect()}
+    s1 = 1.0 * (1.0 - 1.0 / 3.0)
+    assert got == {1: (3, 1, s1), 2: (2, 1, s1 * (1.0 - 1.0 / 2.0))}
