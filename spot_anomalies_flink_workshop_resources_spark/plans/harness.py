@@ -1078,6 +1078,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_theil_sen",            # NEW: robust pairwise-median trend
     "events_holt_trend",           # NEW: two-state exact Holt forecast
     "sql_ship_survival",           # NEW: censored Kaplan-Meier curve
+    "events_score_isotonic",       # NEW: PAVA calibration via minimax
     "simsearch_top_eigen",         # NEW: integer-exact power iteration
     "stream_value_histogram",      # NEW: complete-mode live histogram
     "simsearch_label_centroids",   # reshaped to long/scalar form (r4 red row)

@@ -2152,6 +2152,116 @@ FROM daily GROUP BY event_type
 """
 
 
+def events_score_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC CALIBRATION of the error-score (PAVA): the monotone
+    error-rate curve over score buckets — what turns a raw anomaly
+    score into a usable probability (the calibration stage after the
+    AUC/PR evals). Computed via the classical minimax characterization
+    of the pool-adjacent-violators solution:
+    ``iso[k] = max_{i<=k} min_{j>=k} avg(rate over buckets i..j)``.
+
+    Exactness: interval averages divide exact int64 prefix sums once
+    (correctly rounded, identical cross-engine), and the minimax is
+    PURE SELECTION over those identically-computed doubles — no
+    further arithmetic — so both engines pick identical values even
+    at rational near-ties. Scale: events collapse to ~113 five-dollar
+    buckets; the straddling-(i,k,j) frame is O(B^3/6) ~ 240k tiny
+    rows, CONSTANT in corpus size (the equi-depth/cusum bounded-domain
+    contract, cubic flavor)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.least(F.floor(F.col("value") / 5.0).cast("long"), F.lit(112)).alias(
+            "b"
+        ),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("pos"),
+    )
+    buckets = e.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("np_"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pre = buckets.select(
+        "b",
+        "n",
+        "np_",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("np_").over(w).cast("long").alias("cp"),
+    )
+    lo = pre.select(
+        F.col("b").alias("i"),
+        (F.col("cn") - F.col("n")).alias("cn_lo"),
+        (F.col("cp") - F.col("np_")).alias("cp_lo"),
+    )
+    hi = pre.select(
+        F.col("b").alias("j"), F.col("cn").alias("cn_hi"),
+        F.col("cp").alias("cp_hi"),
+    )
+    segs = lo.join(hi, F.col("j") >= F.col("i")).select(
+        "i",
+        "j",
+        (
+            (F.col("cp_hi") - F.col("cp_lo")).cast("double")
+            / (F.col("cn_hi") - F.col("cn_lo")).cast("double")
+        ).alias("avg_rate"),
+    )
+    ks = buckets.select(F.col("b").alias("k"))
+    straddle = segs.join(
+        F.broadcast(ks),
+        (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")),
+    )
+    inner = straddle.groupBy("k", "i").agg(F.min("avg_rate").alias("mn"))
+    iso = inner.groupBy("k").agg(F.max("mn").alias("rate_iso"))
+    return (
+        buckets.join(iso, buckets.b == iso.k)
+        .select(
+            F.col("b").alias("bucket"),
+            "n",
+            F.col("np_").alias("n_pos"),
+            (F.col("np_").cast("double") / F.col("n").cast("double")).alias(
+                "rate_raw"
+            ),
+            "rate_iso",
+        )
+    )
+
+
+EVENTS_SCORE_ISOTONIC_SQL = """
+WITH e AS (
+  SELECT LEAST(CAST(FLOOR(value / 5.0) AS BIGINT), 112) AS b,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pos
+  FROM events
+),
+buckets AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS np_
+  FROM e GROUP BY b
+),
+pre AS (
+  SELECT b, n, np_,
+         CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+         CAST(SUM(np_) OVER (ORDER BY b) AS BIGINT) AS cp
+  FROM buckets
+),
+segs AS (
+  SELECT lo.b AS i, hi.b AS j,
+         CAST(hi.cp - (lo.cp - lo.np_) AS DOUBLE)
+           / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS avg_rate
+  FROM pre lo JOIN pre hi ON hi.b >= lo.b
+),
+inner_min AS (
+  SELECT k.b AS k, s.i, MIN(s.avg_rate) AS mn
+  FROM segs s JOIN buckets k ON s.i <= k.b AND s.j >= k.b
+  GROUP BY k.b, s.i
+),
+iso AS (SELECT k, MAX(mn) AS rate_iso FROM inner_min GROUP BY k)
+SELECT b.b AS bucket, b.n, b.np_ AS n_pos,
+       CAST(b.np_ AS DOUBLE) / CAST(b.n AS DOUBLE) AS rate_raw,
+       iso.rate_iso
+FROM buckets b JOIN iso ON iso.k = b.b
+"""
+
+
 def sql_ship_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KAPLAN-MEIER survival curve of order -> first-ship delay, with
     right-censoring — the time-to-event estimator (SLA/fulfilment
@@ -3498,6 +3608,7 @@ QUERIES = {
     "events_theil_sen": events_theil_sen,
     "sql_rfm_segments": sql_rfm_segments,
     "sql_ship_survival": sql_ship_survival,
+    "events_score_isotonic": events_score_isotonic,
     "dq_rollup_reconciliation": dq_rollup_reconciliation,
     "sql_copurchase_triangles": sql_copurchase_triangles,
     "sql_copurchase_kcore": sql_copurchase_kcore,
@@ -3541,6 +3652,7 @@ ORACLES = {
     "events_theil_sen": EVENTS_THEIL_SEN_SQL,
     "sql_rfm_segments": SQL_RFM_SEGMENTS_SQL,
     "sql_ship_survival": SQL_SHIP_SURVIVAL_SQL,
+    "events_score_isotonic": EVENTS_SCORE_ISOTONIC_SQL,
     "dq_rollup_reconciliation": DQ_ROLLUP_RECONCILIATION_SQL,
     "sql_copurchase_triangles": _sql_copurchase_triangles_sql(),
     "sql_copurchase_kcore": _sql_copurchase_kcore_sql(),

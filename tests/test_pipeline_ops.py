@@ -1580,3 +1580,85 @@ def test_ship_survival_km_with_censoring(spark, tmp_path):
            for r in sql_ship_survival(spark, p).collect()}
     s1 = 1.0 * (1.0 - 1.0 / 3.0)
     assert got == {1: (3, 1, s1), 2: (2, 1, s1 * (1.0 - 1.0 / 2.0))}
+
+
+def _pava_fitted(rates, weights):
+    """Weighted PAVA returning the fitted value per input position."""
+    blocks = []  # (count, sum_w, sum_wy)
+    for r, w in zip(rates, weights):
+        blocks.append([1, w, w * r])
+        while len(blocks) > 1 and (
+            blocks[-2][2] / blocks[-2][1] >= blocks[-1][2] / blocks[-1][1]
+        ):
+            c2, w2, s2 = blocks.pop()
+            c1, w1, s1 = blocks.pop()
+            blocks.append([c1 + c2, w1 + w2, s1 + s2])
+    out = []
+    for c, w, s in blocks:
+        out.extend([s / w] * c)
+    return out
+
+
+def test_isotonic_minimax_equals_pava_reference(spark, sf_dir):
+    """The query's max-min-average form must match the textbook
+    stack-based weighted PAVA on the real bucket frame (values up to
+    float tolerance — the two algorithms order float ops differently,
+    pooled averages vs interval averages)."""
+    import duckdb
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_score_isotonic,
+    )
+
+    out = {r.bucket: r for r in events_score_isotonic(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT LEAST(CAST(FLOOR(value / 5.0) AS BIGINT), 112) AS b,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS p
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    rates = [p / n for _, n, p in rows]
+    weights = [n for _, n, _ in rows]
+    fitted = _pava_fitted(rates, weights)
+    for (b, n, p), f in zip(rows, fitted):
+        assert out[b].rate_iso == pytest.approx(f, rel=1e-9), (b, f)
+    # monotone non-decreasing by construction
+    got = [out[b].rate_iso for b, _, _ in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(got, got[1:]))
+
+
+def test_isotonic_pools_violation_fixture(spark, tmp_path):
+    """Buckets with raw rates 0, 1, 0 (equal weights) must pool the
+    violating pair to 1/2 while the leading 0 stays."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_score_isotonic,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for b, (n_pos, n_neg) in {0: (0, 2), 1: (2, 0), 2: (0, 2)}.items():
+        for _ in range(n_pos):
+            eid += 1
+            rows.append(Row(event_id=eid, ts=t0, user_id=1,
+                            event_type="error", value=2.0 + 5.0 * b,
+                            props="{}"))
+        for _ in range(n_neg):
+            eid += 1
+            rows.append(Row(event_id=eid, ts=t0, user_id=1,
+                            event_type="click", value=2.0 + 5.0 * b,
+                            props="{}"))
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{p}/events.parquet"
+    )
+    got = {r.bucket: (r.rate_raw, r.rate_iso)
+           for r in events_score_isotonic(spark, p).collect()}
+    assert got[0] == (0.0, 0.0)
+    assert got[1] == (1.0, 0.5)
+    assert got[2] == (0.0, 0.5)
