@@ -1,12 +1,16 @@
 """Differential expression fuzzing: random scalar-expression trees
 evaluated row-for-row in Spark AND DuckDB over identical data.
 
-The oracle harness checks ~114 hand-written queries; this widens the
-net to the expression grammar itself — arithmetic, comparisons,
-boolean logic, CASE, guarded modulo, and string functions drawn from
-the dialect-compatible subset both engines define identically. A
-divergence here is an engine-semantics bug the curated queries might
-never reach.
+The oracle harness checks the hand-written query surface; this widens
+the net to the expression grammar itself — arithmetic, comparisons,
+boolean logic, CASE, guarded modulo, string functions, and (since
+round 5) HIGHER-ORDER functions: random integer folds (plain and over
+sorted arrays — the grammar the ordered-fold operators are built
+from) and transform/filter/join pipelines, generated as PAIRED
+per-dialect spellings from one spec because HOFs share semantics but
+not names. A divergence here is an engine-semantics bug the curated
+queries might never reach — the paired grammar found one on its first
+run (empty-list join: '' in Spark, NULL in DuckDB; pinned below).
 
 Deterministic: seeded generator, fixed row sample; expressions are
 evaluated in BATCHES (one query per 40 expressions per engine) so the
@@ -156,3 +160,118 @@ def test_mixed_case_over_strings(frames):
         for _ in range(40)
     ]
     _run_batch(frames, exprs)
+
+
+def _run_batch_paired(frames, spark_exprs, duck_exprs):
+    """Like _run_batch, but with per-dialect spellings generated from
+    ONE spec (higher-order functions share semantics, not names:
+    transform/list_transform, array(..)/[..], aggregate/list_reduce)."""
+    spark, con = frames
+    ssel = ", ".join(f"({e}) AS e{i}" for i, e in enumerate(spark_exprs))
+    dsel = ", ".join(f"({e}) AS e{i}" for i, e in enumerate(duck_exprs))
+    order = "ORDER BY k, c, a, b, s"
+    srows = [
+        tuple(r)
+        for r in spark.sql(f"SELECT {ssel} FROM fuzz_t {order}").collect()
+    ]
+    orows = [
+        tuple(r)
+        for r in con.execute(f"SELECT {dsel} FROM fuzz_t {order}").fetchall()
+    ]
+    assert len(srows) == len(orows)
+    for ridx, (sr, orr) in enumerate(zip(srows, orows)):
+        for eidx, (sv, ov) in enumerate(zip(sr, orr)):
+            assert sv == ov, (
+                f"spec {spark_exprs[eidx]!r} / {duck_exprs[eidx]!r} "
+                f"diverges at row {ridx}: spark={sv!r} duckdb={ov!r}"
+            )
+
+
+def _fold_spec(rng: random.Random, sort: bool):
+    """One random integer fold over a 3-element array of column
+    expressions; acc appears linearly so values stay far from int64
+    edges. Returns (spark_sql, duck_sql)."""
+    elems = [f"(({_int_expr(rng, 1)}) % 13)" for _ in range(3)]
+    init = rng.randint(-9, 99)
+    g = f"(({_int_expr(rng, 1)}) % 13)"
+    body = rng.choice(
+        [
+            f"(acc * {rng.choice([2, 3])} + x)",
+            "(acc + x)",
+            "(acc - x)",
+            "LEAST(acc, x)",
+            "GREATEST(acc, x)",
+            f"(CASE WHEN x > {rng.randint(-5, 5)} THEN (acc + {g}) "
+            f"ELSE (acc - x) END)",
+        ]
+    )
+    arr_s = f"array({', '.join(elems)})"
+    arr_d = f"[{', '.join(elems)}]"
+    if sort:
+        arr_s = f"array_sort({arr_s})"
+        arr_d = f"list_sort({arr_d})"
+    spark_e = (
+        f"aggregate({arr_s}, CAST({init} AS BIGINT), (acc, x) -> {body})"
+    )
+    duck_e = (
+        f"list_reduce(list_prepend(CAST({init} AS BIGINT), {arr_d}), "
+        f"(acc, x) -> {body})"
+    )
+    return spark_e, duck_e
+
+
+def _transform_spec(rng: random.Random):
+    """String transform/filter/join pipeline over a small array."""
+    suf = rng.choice(["q", "ab", ""])
+    minlen = rng.randint(0, 2)
+    elems = "s, 'x', upper(s)"
+    lam = rng.choice(
+        [f"(x || '{suf}')", "upper(x)", "lower(x)", "trim(x || ' ')"]
+    )
+    # COALESCE on the DuckDB side: array_to_string of an EMPTY list is
+    # NULL there while Spark's array_join is '' — a real dialect
+    # boundary this fuzzer FOUND (pinned in
+    # test_empty_list_join_dialect_boundary); oracle authors must
+    # normalize it, so the grammar does too.
+    spark_e = (
+        f"array_join(transform(filter(array({elems}), "
+        f"x -> length(x) > {minlen}), x -> {lam}), ',')"
+    )
+    duck_e = (
+        f"COALESCE(array_to_string(list_transform(list_filter([{elems}], "
+        f"x -> length(x) > {minlen}), x -> {lam}), ','), '')"
+    )
+    return spark_e, duck_e
+
+
+def test_higher_order_fold_grammar(frames):
+    """Random integer folds — plain and over sorted arrays — must walk
+    identical accumulator trajectories in both engines. This is the
+    grammar the engine's ordered-fold operators (EWMA, BM25, Holt,
+    Kaplan-Meier) are built from."""
+    rng = random.Random(515151)
+    specs = [_fold_spec(rng, sort=False) for _ in range(25)] + [
+        _fold_spec(rng, sort=True) for _ in range(15)
+    ]
+    _run_batch_paired(frames, [s for s, _ in specs], [d for _, d in specs])
+
+
+def test_higher_order_transform_filter_grammar(frames):
+    """transform/filter/join pipelines over string arrays agree."""
+    rng = random.Random(616161)
+    specs = [_transform_spec(rng) for _ in range(30)]
+    _run_batch_paired(frames, [s for s, _ in specs], [d for _, d in specs])
+
+
+def test_empty_list_join_dialect_boundary(frames):
+    """Found by the paired HOF fuzzer: joining an EMPTY list is '' in
+    Spark (array_join) but NULL in DuckDB (array_to_string). Pinned so
+    oracle authors know to COALESCE when a filtered list can drain."""
+    spark, con = frames
+    s = spark.sql(
+        "SELECT array_join(filter(array('a'), x -> length(x) > 5), ',')"
+    ).collect()[0][0]
+    d = con.execute(
+        "SELECT array_to_string(list_filter(['a'], x -> length(x) > 5), ',')"
+    ).fetchone()[0]
+    assert s == "" and d is None
