@@ -206,3 +206,38 @@ def test_scd2_null_op_upserts(spark):
         ("v1", False),
         ("v2", True),
     }
+
+
+def test_scd2_current_rows_equal_compaction(spark):
+    """Internal consistency: the SCD2 history's is_current slice IS the
+    last-writer-wins snapshot — on a randomized log the two operators
+    must agree exactly."""
+    import random
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.cdc import (
+        compact_log,
+        scd2_history,
+    )
+
+    rng = random.Random(99)
+    rows = []
+    for k in "abcdefgh":
+        for seq in range(1, rng.randint(2, 7)):
+            op = "delete" if rng.random() < 0.25 else "upsert"
+            rows.append((k, seq, op, f"{k}{seq}"))
+    df = spark.createDataFrame(rows, SCHEMA)
+    snap = {
+        r.k: r.payload
+        for r in compact_log(
+            df, key_cols=["k"], order_cols=["seq"], op_col="op"
+        ).collect()
+    }
+    current = {
+        r.k: r.payload
+        for r in scd2_history(
+            df, key_cols=["k"], order_cols=["seq"], op_col="op"
+        )
+        .where("is_current")
+        .collect()
+    }
+    assert current == snap

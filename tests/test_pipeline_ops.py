@@ -1662,3 +1662,43 @@ def test_isotonic_pools_violation_fixture(spark, tmp_path):
     assert got[0] == (0.0, 0.0)
     assert got[1] == (1.0, 0.5)
     assert got[2] == (0.0, 0.5)
+
+
+def test_isotonic_minimax_equals_pava_on_random_series(spark, tmp_path):
+    """Randomized rates/weights: the query's minimax must equal the
+    stack PAVA reference on shapes beyond the real bucket frame."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        events_score_isotonic,
+    )
+
+    rng = random.Random(31337)
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    spec = []  # (bucket, n, pos)
+    for b in range(12):
+        n = rng.randint(1, 6)
+        p = rng.randint(0, n)
+        spec.append((b, n, p))
+        for i in range(n):
+            eid += 1
+            rows.append(
+                Row(event_id=eid, ts=t0, user_id=1,
+                    event_type="error" if i < p else "click",
+                    value=2.0 + 5.0 * b, props="{}")
+            )
+    p_dir = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{p_dir}/events.parquet"
+    )
+    fitted = _pava_fitted(
+        [p / n for _, n, p in spec], [n for _, n, _ in spec]
+    )
+    got = {r.bucket: r.rate_iso
+           for r in events_score_isotonic(spark, p_dir).collect()}
+    for (b, n, p), f in zip(spec, fitted):
+        assert got[b] == pytest.approx(f, rel=1e-12), (b, f, got[b])
