@@ -148,6 +148,9 @@ def scd2_history_sql(
     keys = ", ".join(key_cols)
     order = ", ".join(order_cols)
     cols = ", ".join(select_cols) if select_cols else "*"
+    # With select_cols=None the outer projection must not re-emit the
+    # CTE's helper _op column or duplicate valid_to — EXCLUDE both.
+    outer = cols if select_cols else "* EXCLUDE (_op, valid_to)"
     return f"""
 WITH versioned AS (
   SELECT {cols}, {op_expr} AS _op,
@@ -155,7 +158,7 @@ WITH versioned AS (
            PARTITION BY {keys} ORDER BY {order}) AS valid_to
   FROM {table}
 )
-SELECT {cols}, valid_to, (valid_to IS NULL) AS is_current
+SELECT {outer}, valid_to, (valid_to IS NULL) AS is_current
 FROM versioned
 WHERE COALESCE(_op <> '{delete_value}', TRUE)
 """

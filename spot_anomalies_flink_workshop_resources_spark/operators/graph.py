@@ -229,14 +229,15 @@ def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 8) -> DataFrame:
 
     Bounded peel: up to ``max_rounds`` rounds with early stop at the
     fixpoint. Peeling is IDEMPOTENT past convergence, so the bounded
-    form equals the true k-core whenever convergence fits the bound —
-    the same fixed-unroll contract as :func:`pagerank` (its oracle
-    unrolls the identical count, and the three-scale oracle sweep
-    fails loudly if the bound is ever too small; measured max on the
-    harness graphs is 5 rounds, bound 8). Each round is one degree
-    agg + two broadcast anti-joins against the (small, shrinking)
-    peel set; the edge frame is checkpointed per round to cut lineage
-    exactly as the iterative component resolver does.
+    form equals the true k-core whenever convergence fits the bound.
+    Because the DuckDB oracle unrolls the SAME round count, an
+    insufficient bound would make both sides agree on nonconverged
+    output — so this function verifies the fixpoint itself after the
+    loop and raises if any node with degree < k survives (measured
+    max on the harness graphs is 5 rounds, bound 8). Each round is
+    one degree agg + two broadcast anti-joins against the (small,
+    shrinking) peel set; the edge frame is checkpointed per round to
+    cut lineage exactly as the iterative component resolver does.
 
     Returns ``(node, core_deg)`` for k-core members with their
     within-core degree.
@@ -253,9 +254,11 @@ def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 8) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
         )
 
+    converged = False
     for _ in range(max_rounds):
         bad = degrees(e).where(F.col("core_deg") < k).select("node")
         if bad.isEmpty():
+            converged = True
             break
         e = (
             e.join(
@@ -269,6 +272,13 @@ def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 8) -> DataFrame:
                 "left_anti",
             )
             .localCheckpoint(eager=True)
+        )
+    if not converged and not degrees(e).where(
+        F.col("core_deg") < k
+    ).isEmpty():
+        raise RuntimeError(
+            f"kcore did not reach its fixpoint within max_rounds="
+            f"{max_rounds}; raise the bound (and the oracle unroll)"
         )
     return degrees(e)
 

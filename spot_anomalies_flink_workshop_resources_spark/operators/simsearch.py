@@ -1499,9 +1499,12 @@ u{t} AS MATERIALIZED (
 m{t} AS (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS m FROM u{t}),
 v{t} AS MATERIALIZED (
   SELECT u{t}.i,
-         CAST(FLOOR(CAST(u{t}.u AS DOUBLE) / CAST(m{t}.m AS DOUBLE)
-                    * {float(scale)!r} + 0.5) AS BIGINT) AS v
-  FROM u{t} CROSS JOIN m{t}
+         CASE WHEN m{t}.m = 0 THEN p.v
+              ELSE CAST(FLOOR(CAST(u{t}.u AS DOUBLE)
+                              / CAST(m{t}.m AS DOUBLE)
+                              * {float(scale)!r} + 0.5) AS BIGINT)
+         END AS v
+  FROM u{t} CROSS JOIN m{t} JOIN {prev} p ON p.i = u{t}.i
 )"""
         )
     parts.append(

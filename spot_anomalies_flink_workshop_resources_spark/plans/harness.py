@@ -1117,12 +1117,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_ivf_trained",
     "events_zorder_balanced",
     "dedup_components_converged",
-    "corpus_bpe_merges",
-    "simsearch_ivfpq",
     "corpus_decontaminate_bloom",
     "stream_interval_join_full",
     "corpus_chunk_windows",
-    "corpus_bpe_encode",
     "corpus_prep_chunked",
     "corpus_sample_exact_k",
     "corpus_sample_exact_k_per_lang",
@@ -1149,8 +1146,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_top_terms_sketch",
     "stream_distinct_pairs",
     "simsearch_pq",
-    "simsearch_ivf_kmeans",
-    "dedup_embedding_ivf_trained",
     "text_ngram_profile",      # short-text guard changed results (ADVICE r2)
     "dedup_jaccard",           # df-cap oracle alignment (ADVICE r2)
     "ml_ipinsights_score",     # distributed vocab index rewrite

@@ -580,20 +580,26 @@ FROM documents
 def events_benford(spark, sf_dir):
     """First-significant-digit profile of ``value`` per event type vs
     the Benford expectation — the classic bookkeeping/fraud screen.
-    Digit extraction is string-based (first nonzero digit of the
-    canonical 2-decimal rendering) so both engines agree exactly;
-    counts are exact ints and the chi-square statistic folds in digit
-    order with identical IEEE ops (log10 differs <=1 ulp — within the
+    Digit extraction is ARITHMETIC, not string-formatted: quantize to
+    exact integer cents (floor(|v|*100 + 0.5) — one shared IEEE op
+    sequence) and take the first character of the integer's decimal
+    rendering, so no engine-specific rounding-tie/format behavior can
+    flip the digit (ADVICE r5: format_number is HALF_EVEN with
+    thousands separators vs DuckDB's format — ties like 0.095 could
+    diverge). Counts are exact ints and the chi-square statistic folds
+    with identical IEEE ops (log10 differs <=1 ulp — within the
     established exp/ln tolerance class)."""
     from pyspark.sql import functions as F
 
     e = load_table(spark, sf_dir, "events")
-    digits = F.regexp_extract(
-        F.format_number(F.abs(F.col("value")), 2), "[1-9]", 0
-    )
+    cents = F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5)).cast("long")
     cells = (
-        e.select("event_type", digits.alias("d"))
-        .where(F.col("d") != "")
+        e.select("event_type", cents.alias("cents"))
+        .where(F.col("cents") > 0)
+        .select(
+            "event_type",
+            F.substring(F.col("cents").cast("string"), 1, 1).alias("d"),
+        )
         .groupBy("event_type", "d")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
@@ -617,12 +623,14 @@ def events_benford(spark, sf_dir):
 BENFORD_SQL = """
 WITH digits AS (
   SELECT event_type,
-         regexp_extract(format('{:.2f}', abs(value)), '[1-9]') AS d
+         substr(CAST(CAST(FLOOR(abs(value) * 100 + 0.5) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS d
   FROM events
+  WHERE CAST(FLOOR(abs(value) * 100 + 0.5) AS BIGINT) > 0
 ),
 cells AS (
   SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n
-  FROM digits WHERE d <> '' GROUP BY event_type, d
+  FROM digits GROUP BY event_type, d
 ),
 tot AS (
   SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt FROM cells GROUP BY event_type

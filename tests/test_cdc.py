@@ -241,3 +241,37 @@ def test_scd2_current_rows_equal_compaction(spark):
         .collect()
     }
     assert current == snap
+
+
+def test_scd2_history_sql_default_projection_is_clean():
+    """With select_cols=None the rendered SQL must not leak the helper
+    _op column or emit a duplicate valid_to (ADVICE r5) — verified by
+    actually running it in DuckDB."""
+    import duckdb
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.cdc import (
+        scd2_history_sql,
+    )
+
+    sql = scd2_history_sql(
+        "log", key_cols=["k"], order_cols=["seq"], op_expr="op"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE log AS SELECT * FROM (VALUES "
+        "('a', 1, 'upsert', 'v1'), ('a', 3, 'upsert', 'v3'), "
+        "('a', 5, 'delete', NULL), ('b', 2, 'upsert', 'w1')"
+        ") t(k, seq, op, payload)"
+    )
+    rel = con.sql(sql)
+    assert rel.columns == ["k", "seq", "op", "payload", "valid_to", "is_current"]
+    assert "_op" not in rel.columns
+    got = {
+        (r[0], r[3]): (r[4], r[5])
+        for r in rel.fetchall()
+    }
+    assert got == {
+        ("a", "v1"): (3, False),
+        ("a", "v3"): (5, False),
+        ("b", "w1"): (None, True),
+    }

@@ -237,3 +237,23 @@ def test_triangles_and_kcore_match_reference_on_random_graphs(spark):
         assert got_tri == _py_triangles(pairs), (trial, pairs)
         got_core = {r.node: r.core_deg for r in kcore(e, k=3).collect()}
         assert got_core == _py_kcore(pairs, 3), (trial, pairs)
+
+
+def test_kcore_raises_when_bound_too_small(spark):
+    """An insufficient max_rounds must FAIL LOUDLY (ADVICE r5): engine
+    and oracle unroll the same round count, so silent nonconvergence
+    would make them agree on wrong output. A 4-node pendant chain off
+    a triangle needs 4 peel rounds; bound 2 must raise."""
+    import pytest
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import kcore
+
+    e = _tri_edges(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (3, 10), (10, 11), (11, 12), (12, 13)],
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(e, k=2, max_rounds=2)
+    # with enough rounds the same graph converges to the triangle
+    got = {r.node: r.core_deg for r in kcore(e, k=2, max_rounds=8).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}

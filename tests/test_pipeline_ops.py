@@ -1702,3 +1702,38 @@ def test_isotonic_minimax_equals_pava_on_random_series(spark, tmp_path):
            for r in events_score_isotonic(spark, p_dir).collect()}
     for (b, n, p), f in zip(spec, fitted):
         assert got[b] == pytest.approx(f, rel=1e-12), (b, f, got[b])
+
+
+def test_top_eigen_degenerate_constant_corpus_matches_oracle(spark):
+    """All-constant embeddings give a zero covariance: the Python loop
+    breaks at m=0 and the SQL twin must carry v forward via its m=0
+    guard (ADVICE r5) instead of emitting NULLs — both sides land on
+    the identity trajectory (component 1.0, lambda 0)."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.simsearch import (
+        DIM,
+        top_eigen,
+        top_eigen_sql,
+    )
+
+    rows = [
+        Row(vec_id=i, embedding=[0.25] * DIM, label=0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.idx: (r.component, r.lambda_inf) for r in top_eigen(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT i AS vec_id, "
+        f"array_value({', '.join(['0.25'] * DIM)}) AS embedding, "
+        "0 AS label FROM generate_series(0, 4) t(i)"
+    )
+    want = {
+        int(r[0]): (float(r[1]), float(r[2]))
+        for r in con.sql(top_eigen_sql()).fetchall()
+    }
+    assert got == want
+    assert all(v == (1.0, 0.0) for v in got.values())
