@@ -372,3 +372,159 @@ pr{t} AS MATERIALIZED (
 )"""
         )
     return "".join(parts)
+
+
+HSCALE = 1 << 20  # hub/authority fixed-point grid
+
+
+def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """HITS hubs-and-authorities over a weighted directed edge list
+    ``edges(src, dst, w)`` — the bipartite-centrality complement of
+    :func:`pagerank` ("which event types feed activity (hubs) vs
+    receive it (authorities)?").
+
+    Same integer-exact iteration contract as pagerank/top_eigen:
+    scores live on the 2^-20 grid as int64; each half-round is a pure
+    int64 weighted sum over edges (``a_raw(j) = sum w * h(i)``,
+    partition-order free) followed by ONE infinity-norm
+    renormalization — ``floor(raw/max * 2^20 + 0.5)`` — dividing
+    exact int64 operands first, then scaling by a power of two. A
+    zero max carries the previous vector forward (the top_eigen m=0
+    guard), keeping engine and oracle on the identical trajectory on
+    degenerate graphs. The oracle unrolls the same round count.
+
+    At scale: each half-round is edges ⋈ |V|-sized score frame
+    (broadcast) + a destination-keyed agg — the Pregel shape.
+
+    Returns ``(node, authority, hub)``.
+    """
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        F.col("w").cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    init = F.lit(int(HSCALE)).cast("long")
+    a = nodes.select("node", init.alias("a"))
+    h = nodes.select("node", init.alias("h"))
+
+    def _renorm(raw: DataFrame, prev: DataFrame, col: str) -> DataFrame:
+        m = raw.agg(F.max("v").cast("long").alias("m"))
+        return (
+            raw.crossJoin(F.broadcast(m))
+            .join(prev.withColumnRenamed(col, "p"), "node")
+            .select(
+                "node",
+                F.when(F.col("m") == 0, F.col("p"))
+                .otherwise(
+                    F.floor(
+                        F.col("v").cast("double")
+                        / F.col("m").cast("double")
+                        * F.lit(float(HSCALE))
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                .alias(col),
+            )
+        )
+
+    for _ in range(iters):
+        a_raw = (
+            nodes.join(
+                e.join(
+                    F.broadcast(h.withColumnRenamed("node", "src")), "src"
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("w") * F.col("h")).alias("v"),
+                )
+                .groupBy("node")
+                .agg(F.sum("v").cast("long").alias("v")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("v"), F.lit(0)).alias("v"))
+        )
+        a = _renorm(a_raw, a, "a").localCheckpoint(eager=False)
+        h_raw = (
+            nodes.join(
+                e.join(
+                    F.broadcast(a.withColumnRenamed("node", "dst")), "dst"
+                )
+                .select(
+                    F.col("src").alias("node"),
+                    (F.col("w") * F.col("a")).alias("v"),
+                )
+                .groupBy("node")
+                .agg(F.sum("v").cast("long").alias("v")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("v"), F.lit(0)).alias("v"))
+        )
+        h = _renorm(h_raw, h, "h").localCheckpoint(eager=False)
+    return (
+        a.join(h, "node")
+        .select(
+            "node",
+            (F.col("a").cast("double") / F.lit(float(HSCALE))).alias(
+                "authority"
+            ),
+            (F.col("h").cast("double") / F.lit(float(HSCALE))).alias("hub"),
+        )
+    )
+
+
+def hits_ctes(edges_cte: str, iters: int = 5) -> str:
+    """DuckDB twin of :func:`hits` — ``iters`` rounds unrolled over
+    ``{edges_cte}`` (must define ``edges(src, dst, w)``); ends with
+    ``a{iters}(node, a)`` and ``h{iters}(node, h)``."""
+    s = float(HSCALE)
+    parts = [
+        f"""{edges_cte},
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+a0 AS (SELECT node, CAST({HSCALE} AS BIGINT) AS a FROM nodes),
+h0 AS (SELECT node, CAST({HSCALE} AS BIGINT) AS h FROM nodes)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+araw{t} AS (
+  SELECT n.node, CAST(COALESCE(SUM(c.v), 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, e.w * p.h AS v
+    FROM edges e JOIN h{t - 1} p ON p.node = e.src) c ON c.node = n.node
+  GROUP BY n.node
+),
+ma{t} AS (SELECT CAST(MAX(v) AS BIGINT) AS m FROM araw{t}),
+a{t} AS MATERIALIZED (
+  SELECT r.node,
+         CASE WHEN m.m = 0 THEN p.a
+              ELSE CAST(FLOOR(CAST(r.v AS DOUBLE) / CAST(m.m AS DOUBLE)
+                              * {s!r} + 0.5) AS BIGINT) END AS a
+  FROM araw{t} r CROSS JOIN ma{t} m JOIN a{t - 1} p ON p.node = r.node
+),
+hraw{t} AS (
+  SELECT n.node, CAST(COALESCE(SUM(c.v), 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, e.w * p.a AS v
+    FROM edges e JOIN a{t} p ON p.node = e.dst) c ON c.node = n.node
+  GROUP BY n.node
+),
+mh{t} AS (SELECT CAST(MAX(v) AS BIGINT) AS m FROM hraw{t}),
+h{t} AS MATERIALIZED (
+  SELECT r.node,
+         CASE WHEN m.m = 0 THEN p.h
+              ELSE CAST(FLOOR(CAST(r.v AS DOUBLE) / CAST(m.m AS DOUBLE)
+                              * {s!r} + 0.5) AS BIGINT) END AS h
+  FROM hraw{t} r CROSS JOIN mh{t} m JOIN h{t - 1} p ON p.node = r.node
+)"""
+        )
+    return "".join(parts)

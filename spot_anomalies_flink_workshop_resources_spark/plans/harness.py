@@ -1033,6 +1033,16 @@ WHERE src_endpoint.ip LIKE '10.%'
 # order behind them. The full surface (all oracles) is still verified
 # locally each round via tools/check_oracles.py — see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- round 6: new statistical / association / centrality surface --
+    "events_mannwhitney",          # NEW: exact midrank rank-sum U test
+    "events_ks_2samp",             # NEW: integer cross-mult KS selection
+    "events_chi2_independence",    # NEW: grid-quantized chi-squared
+    "events_runs_test",            # NEW: Wald-Wolfowitz randomness screen
+    "sql_gini_revenue",            # NEW: integer rank-weighted Gini
+    "sql_pareto_abc",              # NEW: cross-mult ABC classification
+    "events_hits",                 # NEW: integer-exact HITS rounds
+    "events_itemsets3",            # NEW: apriori size-3 itemsets
+    "text_ngram_novelty",          # NEW: reference-slice bigram novelty
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --
@@ -1220,9 +1230,10 @@ def build_queries() -> dict[str, QueryFn]:
     }
     registry.update(relational.QUERIES)
     registry.update(pipeline_ops.QUERIES)
-    from . import relational_sql
+    from . import relational_sql, stattests
 
     registry.update(relational_sql.QUERIES)
+    registry.update(stattests.QUERIES)
 
     out: dict[str, QueryFn] = {}
     for name in DRIVER_PRIORITY:
@@ -1272,7 +1283,8 @@ def build_oracles() -> dict[str, str]:
     }
     out.update(relational.ORACLES)
     out.update(pipeline_ops.ORACLES)
-    from . import relational_sql
+    from . import relational_sql, stattests
 
     out.update(relational_sql.ORACLES)
+    out.update(stattests.ORACLES)
     return out

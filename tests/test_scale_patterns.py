@@ -557,6 +557,46 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_theil_sen")
     assert "CartesianProduct" not in p, p
     assert "SinglePartition" not in p, p
+    # round-6 additions --------------------------------------------
+    # mann-whitney: the only single-partition window runs over the
+    # DOMAIN-BOUNDED distinct-cents frame; the raw stage is a plain
+    # hash agg, and the below-counts frame broadcasts back
+    p = plan("events_mannwhitney")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("Exchange SinglePartition") <= 3, p
+    # KS: same domain-bounded shape — distinct-cents cumulative only
+    p = plan("events_ks_2samp")
+    assert "SortMergeJoin" not in p, p
+    # chi2: three dimension-sized rollups broadcast onto the cell
+    # frame; no data-sized join and no sort anywhere
+    p = plan("events_chi2_independence")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    # gini: the rank window partitions per nation; dims broadcast
+    p = plan("sql_gini_revenue")
+    assert "BroadcastHashJoin" in p, p
+    assert "SinglePartition" not in p, p
+    # pareto: the cumulative window runs over the |parts| frame, after
+    # the revenue agg — one bounded single-partition stage, no join
+    # beyond the broadcast total
+    p = plan("sql_pareto_abc")
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 4, p
+    # itemsets3: baskets collapse to distinct items BEFORE the triple
+    # join, so join fan-out is capped by |types| choose 3 per basket
+    p = plan("events_itemsets3")
+    assert "CartesianProduct" not in p, p
+    # bigram novelty: reference vocabulary joins on the bigram hash
+    # key — a shuffled hash join is acceptable (vocab may exceed
+    # broadcast at corpus scale); never a nested-loop
+    p = plan("text_ngram_novelty")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # hits: past the per-round checkpoint boundaries only the final
+    # authority/hub join of two |V|-sized frames remains
+    p = plan("events_hits")
+    assert "CartesianProduct" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):

@@ -1,0 +1,228 @@
+"""Unit tests for the hypothesis-testing / concentration / HITS
+operators (operators/stats.py, operators/graph.hits) against
+independent pure-Python references on randomized fixtures — the same
+reference-replica strategy the graph family uses."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _events_df(spark, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)"""
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=ts,
+                user_id=u,
+                event_type=t,
+                value=float(v),
+            )
+            for (i, ts, u, t, v) in rows
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _py_midranks(cents):
+    """value -> average rank over the pooled sorted multiset."""
+    s = sorted(cents)
+    ranks = {}
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[s[i]] = (i + 1 + j) / 2  # average of ranks i+1..j
+        i = j
+    return ranks
+
+
+def test_mannwhitney_matches_python_reference(spark):
+    from spot_anomalies_flink_workshop_resources_spark.operators.stats import (
+        mannwhitney,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(300):
+        t = rng.choice(["a", "b", "c"])
+        # coarse grid to force plenty of ties
+        v = rng.randint(0, 40) / 4.0
+        rows.append((i, "2024-01-01 00:00:00", i % 7, t, v))
+    df = _events_df(spark, rows)
+    got = {r.event_type: r for r in mannwhitney(df).collect()}
+
+    cents = [round(v * 100) for (_, _, _, _, v) in rows]
+    ranks = _py_midranks(cents)
+    n = len(cents)
+    tie_counts = {}
+    for c in cents:
+        tie_counts[c] = tie_counts.get(c, 0) + 1
+    tie_t = sum(t**3 - t for t in tie_counts.values())
+    for typ in ["a", "b", "c"]:
+        grp = [
+            round(v * 100)
+            for (_, _, _, t, v) in rows
+            if t == typ
+        ]
+        na, nb = len(grp), n - len(grp)
+        s = sum(ranks[c] for c in grp)
+        u = s - na * (na + 1) / 2
+        mu = na * nb / 2
+        var = (
+            na * nb / 12 * ((n + 1) - tie_t / (n * (n - 1)))
+        )
+        z = (u - mu) / math.sqrt(var)
+        r = got[typ]
+        assert r.n_a == na and r.n_b == nb
+        assert r.u_stat == pytest.approx(u, abs=1e-9)
+        assert r.z == pytest.approx(z, rel=1e-12)
+
+
+def test_ks_matches_python_reference(spark):
+    from spot_anomalies_flink_workshop_resources_spark.operators.stats import (
+        ks_2samp,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(400):
+        if rng.random() < 0.5:
+            rows.append((i, "2024-01-01 00:00:00", 1, "x", rng.randint(0, 50) / 4.0))
+        else:
+            # shifted distribution
+            rows.append((i, "2024-01-01 00:00:00", 1, "y", rng.randint(5, 60) / 4.0))
+    df = _events_df(spark, rows)
+    r = ks_2samp(df, "x", "y").collect()[0]
+    xa = sorted(round(v * 100) for (_, _, _, t, v) in rows if t == "x")
+    xb = sorted(round(v * 100) for (_, _, _, t, v) in rows if t == "y")
+    na, nb = len(xa), len(xb)
+    best, at = -1, None
+    for c in sorted(set(xa) | set(xb)):
+        ca = sum(1 for v in xa if v <= c)
+        cb = sum(1 for v in xb if v <= c)
+        d = abs(ca * nb - cb * na)
+        if d > best:
+            best, at = d, c
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert r.d_stat == pytest.approx(best / (na * nb), rel=1e-12)
+    assert r.at_cents == at
+
+
+def test_ks_identical_distributions_is_zero(spark):
+    from spot_anomalies_flink_workshop_resources_spark.operators.stats import (
+        ks_2samp,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, "2024-01-01 00:00:00", 1, "x", i % 5))
+        rows.append((2 * i + 1, "2024-01-01 00:00:00", 1, "y", i % 5))
+    r = ks_2samp(_events_df(spark, rows), "x", "y").collect()[0]
+    assert r.d_stat == 0.0
+
+
+def test_chi2_uniform_table_is_zero_and_shifted_is_positive(spark):
+    from spot_anomalies_flink_workshop_resources_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    # perfectly independent: every (type, hour) cell equal
+    rows = []
+    i = 0
+    for t in ["a", "b"]:
+        for h in [0, 1, 2]:
+            for _ in range(10):
+                rows.append((i, f"2024-01-01 0{h}:00:00", 1, t, 1.0))
+                i += 1
+    r = chi2_independence(_events_df(spark, rows)).collect()[0]
+    assert r.n == 60 and r.dof == 2
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0
+
+    # concentrate type 'a' in hour 0 -> positive statistic
+    rows2 = []
+    i = 0
+    for _ in range(30):
+        rows2.append((i, "2024-01-01 00:00:00", 1, "a", 1.0)); i += 1
+    for _ in range(30):
+        rows2.append((i, "2024-01-01 01:00:00", 1, "b", 1.0)); i += 1
+    r2 = chi2_independence(_events_df(spark, rows2)).collect()[0]
+    # fully dependent 2x2 -> chi2 = n, cramers_v = 1
+    assert r2.chi2 == pytest.approx(60.0, abs=1e-4)
+    assert r2.cramers_v == pytest.approx(1.0, abs=1e-6)
+
+
+def test_runs_test_alternating_and_blocked(spark):
+    from spot_anomalies_flink_workshop_resources_spark.operators.stats import (
+        runs_test,
+    )
+
+    # alternating low/high -> maximal runs (R = n), z > 0
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "alt", 1.0 if i % 2 else 9.0)
+        for i in range(40)
+    ]
+    # blocked: all lows then all highs -> R = 2, z < 0
+    rows += [
+        (100 + i, f"2024-01-01 01:{i:02d}:00", 1, "blk",
+         1.0 if i < 20 else 9.0)
+        for i in range(40)
+    ]
+    got = {r.event_type: r for r in runs_test(_events_df(spark, rows)).collect()}
+    alt, blk = got["alt"], got["blk"]
+    assert alt.n_above == 20 and alt.n_below == 20
+    assert alt.n_runs == 40 and alt.z > 0
+    assert blk.n_runs == 2 and blk.z < 0
+    # closed-form z for n1 = n0 = 20: mu = 21, var = 20*380/39/40
+    mu = 1 + 2 * 20 * 20 / 40
+    var = 2 * 20 * 20 * (2 * 20 * 20 - 40) / (40 * 40 * 39)
+    assert alt.z == pytest.approx((40 - mu) / math.sqrt(var), rel=1e-12)
+
+
+def test_gini_extremes(spark):
+    from spot_anomalies_flink_workshop_resources_spark.operators.stats import gini
+
+    # perfectly equal: G = 0; one-holder concentration: G -> (n-1)/n
+    rows = [Row(g="eq", k=i, cents=500) for i in range(10)]
+    rows += [Row(g="one", k=i, cents=0) for i in range(9)]
+    rows += [Row(g="one", k=9, cents=1000)]
+    df = spark.createDataFrame(rows)
+    got = {r.g: r for r in gini(df, "g", "k", "cents").collect()}
+    assert got["eq"].gini == 0.0
+    assert got["one"].gini == pytest.approx(0.9, rel=1e-12)
+    assert got["eq"].n_members == 10
+    assert got["eq"].total_value == pytest.approx(50.0)
+
+
+def test_hits_star_graph_roles(spark):
+    """Directed star center->leaves: the center is the sole hub, the
+    leaves are the (equal) authorities; the center has authority 0."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [Row(src="c", dst=f"l{i}", w=1) for i in range(4)]
+    )
+    got = {r.node: r for r in hits(edges, iters=3).collect()}
+    assert got["c"].hub == 1.0 and got["c"].authority == 0.0
+    for i in range(4):
+        assert got[f"l{i}"].authority == 1.0
+        assert got[f"l{i}"].hub == 0.0
+
+
+def test_hits_weight_tilts_authority(spark):
+    """Two authorities fed by the same hub with weights 3:1 — the
+    heavier target must dominate and normalize to 1.0."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [Row(src="h", dst="a", w=3), Row(src="h", dst="b", w=1)]
+    )
+    got = {r.node: r for r in hits(edges, iters=4).collect()}
+    assert got["a"].authority == 1.0
+    assert 0.3 < got["b"].authority < 0.4  # ~1/3 on the quantized grid
