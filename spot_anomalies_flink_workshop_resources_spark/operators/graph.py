@@ -528,3 +528,174 @@ h{t} AS MATERIALIZED (
 )"""
         )
     return "".join(parts)
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Community detection by deterministic label propagation over an
+    undirected edge list ``edges(x, y)`` — the cheap modularity-free
+    community primitive (product-affinity groups, fraud rings).
+
+    Semi-synchronous LPA made DETERMINISTIC and oracle-able: every
+    node starts with its own id as label; each round it adopts the
+    most frequent label among its neighbors PLUS ITSELF, ties to the
+    smallest label. Including the self-label breaks the classic
+    two-node oscillation (a-b swaps forever under pure
+    neighbor-majority) and makes every step a pure integer argmax —
+    count desc, label asc — so both engines walk the identical
+    trajectory whether or not it has converged; the oracle unrolls the
+    same ``rounds``.
+
+    Per round: one edge ⋈ |V|-label join (both directions) + a
+    (node, label) count + an argmax window partitioned per node —
+    Pregel shape, lineage-capped per round.
+
+    Returns ``(node, community)``.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col("x").cast("long"), F.col("y").cast("long")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("x").alias("node"))
+        .union(e.select(F.col("y").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    both = e.select(F.col("x").alias("node"), F.col("y").alias("nbr")).union(
+        e.select(F.col("y").alias("node"), F.col("x").alias("nbr"))
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("lab")
+    )
+    for _ in range(rounds):
+        nbr_labs = both.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "lab")
+        votes = (
+            nbr_labs.union(labels.select("node", "lab"))
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("lab").alias("community"))
+
+
+def label_propagation_ctes(edges_cte: str, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`label_propagation` — ends with
+    ``lab{rounds}(node, lab)``."""
+    parts = [
+        f"""{edges_cte},
+nodes AS MATERIALIZED (
+  SELECT x AS node FROM edges UNION SELECT y FROM edges
+),
+both_dirs AS MATERIALIZED (
+  SELECT x AS node, y AS nbr FROM edges
+  UNION ALL SELECT y, x FROM edges
+),
+lab0 AS (SELECT node, node AS lab FROM nodes)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+votes{t} AS (
+  SELECT node, lab, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT b.node, p.lab
+    FROM both_dirs b JOIN lab{t - 1} p ON p.node = b.nbr
+    UNION ALL SELECT node, lab FROM lab{t - 1}
+  ) GROUP BY node, lab
+),
+lab{t} AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, lab ASC) AS rn
+    FROM votes{t}
+  ) WHERE rn = 1
+)"""
+        )
+    return "".join(parts)
+
+
+def bfs_hops(
+    edges: DataFrame, seed_mod: int, max_hops: int = 6
+) -> DataFrame:
+    """Multi-source BFS hop distance over an undirected edge list:
+    distance from each node to its NEAREST seed (nodes with
+    ``node % seed_mod == 0``) — the reachability/radius primitive
+    behind influence propagation and recall-set expansion.
+
+    Frontier expansion, ``max_hops`` bounded rounds with early stop:
+    each round joins the (shrinking) frontier against the adjacency
+    list and anti-joins already-settled nodes — pure set algebra on
+    integers, so bounded unrolls agree exactly with the oracle's CTE
+    chain. Unreached nodes are absent from the output (their distance
+    is > max_hops), matching the oracle by construction.
+
+    Returns ``(node, hops)``.
+    """
+    e = edges.select(
+        F.col("x").cast("long"), F.col("y").cast("long")
+    ).localCheckpoint(eager=True)
+    both = e.select(F.col("x").alias("node"), F.col("y").alias("nbr")).union(
+        e.select(F.col("y").alias("node"), F.col("x").alias("nbr"))
+    ).localCheckpoint(eager=True)
+    nodes = both.select("node").distinct()
+    settled = nodes.where(F.col("node") % seed_mod == 0).select(
+        "node", F.lit(0).cast("long").alias("hops")
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    for t in range(1, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        new = (
+            both.join(
+                frontier.withColumnRenamed("node", "nbr").select("nbr"),
+                "nbr",
+            )
+            .select("node")
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .select("node", F.lit(t).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        settled = settled.union(new).localCheckpoint(eager=True)
+        frontier = new
+    return settled
+
+
+def bfs_hops_ctes(edges_cte: str, seed_mod: int, max_hops: int = 6) -> str:
+    """DuckDB twin of :func:`bfs_hops` — ends with
+    ``dist{max_hops}(node, hops)``."""
+    parts = [
+        f"""{edges_cte},
+both_dirs AS MATERIALIZED (
+  SELECT x AS node, y AS nbr FROM edges
+  UNION ALL SELECT y, x FROM edges
+),
+dist0 AS MATERIALIZED (
+  SELECT DISTINCT node, CAST(0 AS BIGINT) AS hops
+  FROM both_dirs WHERE node % {seed_mod} = 0
+)"""
+    ]
+    for t in range(1, max_hops + 1):
+        parts.append(
+            f""",
+new{t} AS MATERIALIZED (
+  SELECT DISTINCT b.node, CAST({t} AS BIGINT) AS hops
+  FROM both_dirs b
+  JOIN dist{t - 1} f ON f.node = b.nbr AND f.hops = {t - 1}
+  WHERE NOT EXISTS (SELECT 1 FROM dist{t - 1} s WHERE s.node = b.node)
+),
+dist{t} AS MATERIALIZED (
+  SELECT node, hops FROM dist{t - 1}
+  UNION ALL SELECT node, hops FROM new{t}
+)"""
+        )
+    return "".join(parts)

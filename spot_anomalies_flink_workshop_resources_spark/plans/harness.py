@@ -1043,6 +1043,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_hits",                 # NEW: integer-exact HITS rounds
     "events_itemsets3",            # NEW: apriori size-3 itemsets
     "text_ngram_novelty",          # NEW: reference-slice bigram novelty
+    "sql_copurchase_communities",  # NEW: deterministic label propagation
+    "sql_copurchase_reach",        # NEW: multi-source BFS hop distance
+    "events_mann_kendall",         # NEW: pairwise-sign trend test
+    "events_trend_ols",            # NEW: exact-sufficient-stats OLS + R2
+    "text_kappa_langid",           # NEW: one-division Cohen's kappa
+    "events_mutual_information",   # NEW: grid-quantized MI + NMI
+    "events_bootstrap_ci",         # NEW: deterministic Poisson bootstrap
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --

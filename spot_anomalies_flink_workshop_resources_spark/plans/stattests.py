@@ -361,6 +361,588 @@ GROUP BY d.doc_id
 """
 
 
+# ----------------------------------------------- graph communities
+
+
+def sql_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities over the frequent
+    co-purchase graph (operators/graph.label_propagation): 4 rounds,
+    self-label tiebreak, oracle unrolls the same."""
+    from .relational import _copurchase_edges
+    from ..operators.graph import label_propagation
+
+    return label_propagation(_copurchase_edges(spark, sf_dir), rounds=4)
+
+
+def _sql_copurchase_communities_sql() -> str:
+    from .relational import _COPURCHASE_EDGES_CTE
+    from ..operators.graph import label_propagation_ctes
+
+    return f"""
+{label_propagation_ctes(_COPURCHASE_EDGES_CTE, rounds=4)}
+SELECT node, lab AS community FROM lab4
+"""
+
+
+def sql_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance to the nearest seed part
+    (partkey % 97 == 0) over the co-purchase graph
+    (operators/graph.bfs_hops): 6 bounded frontier rounds."""
+    from .relational import _copurchase_edges
+    from ..operators.graph import bfs_hops
+
+    return bfs_hops(_copurchase_edges(spark, sf_dir), seed_mod=97, max_hops=6)
+
+
+def _sql_copurchase_reach_sql() -> str:
+    from .relational import _COPURCHASE_EDGES_CTE
+    from ..operators.graph import bfs_hops_ctes
+
+    return f"""
+{bfs_hops_ctes(_COPURCHASE_EDGES_CTE, seed_mod=97, max_hops=6)}
+SELECT node, hops FROM dist6
+"""
+
+
+# ------------------------------------------------------ trend tests
+
+_DAILY_CENTS = (
+    "SELECT event_type,"
+    " CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)"
+    " AS d,"
+    " CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+def _daily_cents(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+
+
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily value volume per event type —
+    the nonparametric monotone-trend screen (is daily spend drifting?).
+    S folds pairwise integer sign comparisons over the CALENDAR-bounded
+    day pairs (the Theil-Sen cost contract); tie groups count by exact
+    int64 equality of daily sums; z applies the standard continuity
+    correction in one shared float expression."""
+    daily = _daily_cents(spark, sf_dir)
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("d").alias("db"), F.col("y").alias("yb"))
+    s = (
+        a.join(b, "event_type")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("t").cast("long").alias("n_days"),
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tsum"),
+        )
+    )
+    n = F.col("n_days")
+    var = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tsum")).cast("double")
+        / F.lit(18.0)
+    )
+    sd = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (sd - 1) / F.sqrt(var))
+        .when(F.col("s_stat") < 0, (sd + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return s.join(F.broadcast(ties), "event_type").select(
+        "event_type", "n_days", "s_stat", z.alias("z")
+    )
+
+
+EVENTS_MANN_KENDALL_SQL = f"""
+WITH daily AS ({_DAILY_CENTS}),
+s AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+  GROUP BY a.event_type
+),
+ties AS (
+  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n_days,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+  FROM (SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, y)
+  GROUP BY event_type
+)
+SELECT s.event_type, t.n_days, s.s_stat,
+       CASE WHEN s.s_stat > 0 THEN
+              (CAST(s.s_stat AS DOUBLE) - 1)
+              / sqrt(CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+                          - t.tsum AS DOUBLE) / 18.0)
+            WHEN s.s_stat < 0 THEN
+              (CAST(s.s_stat AS DOUBLE) + 1)
+              / sqrt(CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+                          - t.tsum AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS z
+FROM s JOIN ties t ON t.event_type = s.event_type
+"""
+
+
+def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend of daily value volume (cents) on
+    the day index, with R^2 — the parametric complement of Theil-Sen /
+    Mann-Kendall. All five sufficient statistics are int64 sums over
+    the calendar-bounded daily frame (day indexes are re-based per
+    type, keeping every power sum far under 2^53); slope / intercept /
+    R^2 are one shared float expression; a degenerate regressor or
+    constant response yields NULLs via the same CASE on both engines."""
+    daily = _daily_cents(spark, sf_dir)
+    base = daily.groupBy("event_type").agg(F.min("d").cast("long").alias("d0"))
+    dd = daily.join(F.broadcast(base), "event_type").select(
+        "event_type", (F.col("d") - F.col("d0")).alias("x"), "y"
+    )
+    agg = dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = F.when(den_x > 0, num / den_x)
+    intercept = F.when(
+        den_x > 0,
+        (F.col("sy").cast("double") - num / den_x * F.col("sx").cast("double"))
+        / F.col("n").cast("double"),
+    )
+    r2 = F.when((den_x > 0) & (den_y > 0), num * num / (den_x * den_y))
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        slope.alias("slope_cents_per_day"),
+        intercept.alias("intercept_cents"),
+        r2.alias("r2"),
+    )
+
+
+EVENTS_TREND_OLS_SQL = f"""
+WITH daily AS ({_DAILY_CENTS}),
+based AS (
+  SELECT d.event_type, d.d - m.d0 AS x, d.y
+  FROM daily d JOIN (SELECT event_type, MIN(d) AS d0
+                     FROM daily GROUP BY event_type) m
+    ON m.event_type = d.event_type
+),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM based GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cents_per_day,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+         (CAST(sy AS DOUBLE)
+          - CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) END AS intercept_cents,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         * CAST(n * sxy - sx * sy AS DOUBLE)
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+FROM agg
+"""
+
+
+# -------------------------------------------------------- agreement
+
+
+def text_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the lang-ID heuristic against declared labels
+    — chance-corrected agreement over the confusion matrix. The whole
+    statistic reduces to ONE division of exact int64s:
+    kappa = (N*sum(diag) - sum_k row_k*col_k) / (N^2 - sum_k row_k*col_k)."""
+    from ..operators import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    conf = (
+        T.lang_id(d)
+        .groupBy("declared_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = conf.groupBy("declared_lang").agg(F.sum("n").cast("long").alias("r"))
+    cols = conf.groupBy("pred_lang").agg(F.sum("n").cast("long").alias("c"))
+    tot = conf.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("declared_lang") == F.col("pred_lang"), F.col("n"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rc = (
+        rows.join(
+            cols, rows.declared_lang == cols.pred_lang, "inner"
+        )
+        .agg(F.sum(F.col("r") * F.col("c")).cast("long").alias("src"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(rc))
+        .select(
+            "n_docs",
+            "n_agree",
+            (
+                (F.col("n_docs") * F.col("n_agree") - F.col("src")).cast(
+                    "double"
+                )
+                / (
+                    F.col("n_docs") * F.col("n_docs") - F.col("src")
+                ).cast("double")
+            ).alias("kappa"),
+        )
+    )
+
+
+def _text_kappa_langid_sql() -> str:
+    from ..operators.text import LANG_ID_SQL
+
+    return f"""
+WITH preds AS ({LANG_ID_SQL}),
+conf AS (
+  SELECT declared_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM preds GROUP BY declared_lang, pred_lang
+),
+rws AS (SELECT declared_lang AS l, CAST(SUM(n) AS BIGINT) AS r
+        FROM conf GROUP BY declared_lang),
+cls AS (SELECT pred_lang AS l, CAST(SUM(n) AS BIGINT) AS c
+        FROM conf GROUP BY pred_lang),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN declared_lang = pred_lang THEN n ELSE 0 END)
+              AS BIGINT) AS n_agree
+  FROM conf
+),
+rc AS (
+  SELECT CAST(SUM(r.r * c.c) AS BIGINT) AS src
+  FROM rws r JOIN cls c ON c.l = r.l
+)
+SELECT t.n_docs, t.n_agree,
+       CAST(t.n_docs * t.n_agree - rc.src AS DOUBLE)
+         / CAST(t.n_docs * t.n_docs - rc.src AS DOUBLE) AS kappa
+FROM tot t CROSS JOIN rc
+"""
+
+
+# ------------------------------------------------ mutual information
+
+
+def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) and normalized MI between event_type
+    and hour-of-day — the information-theoretic companion to the
+    chi-squared screen. Each cell/margin term quantizes its
+    n*ln(exact-int ratio) onto the 2^-20 grid (the events_user_entropy
+    defense), so the sums are int64 folds; empty cells contribute 0 by
+    definition and never materialize."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rows = cells.groupBy("event_type").agg(F.sum("n").cast("long").alias("r"))
+    cols = cells.groupBy("h").agg(F.sum("n").cast("long").alias("c"))
+    tot = cells.agg(F.sum("n").cast("long").alias("nn"))
+    grid = float(1 << 20)
+    j = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "h")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = F.floor(
+        F.col("n").cast("double")
+        * F.log(
+            (F.col("n") * F.col("nn")).cast("double")
+            / (F.col("r") * F.col("c")).cast("double")
+        )
+        * F.lit(grid)
+        + F.lit(0.5)
+    ).cast("long")
+    mi_q = j.groupBy("nn").agg(F.sum(mi_term).cast("long").alias("mi_q"))
+    h_term_r = F.floor(
+        F.col("r").cast("double")
+        * F.log(F.col("nn").cast("double") / F.col("r").cast("double"))
+        * F.lit(grid)
+        + F.lit(0.5)
+    ).cast("long")
+    ht = (
+        rows.crossJoin(F.broadcast(tot))
+        .agg(F.sum(h_term_r).cast("long").alias("ht_q"))
+    )
+    h_term_c = F.floor(
+        F.col("c").cast("double")
+        * F.log(F.col("nn").cast("double") / F.col("c").cast("double"))
+        * F.lit(grid)
+        + F.lit(0.5)
+    ).cast("long")
+    hh = (
+        cols.crossJoin(F.broadcast(tot))
+        .agg(F.sum(h_term_c).cast("long").alias("hh_q"))
+    )
+    out = mi_q.crossJoin(F.broadcast(ht)).crossJoin(F.broadcast(hh))
+    nd = F.col("nn").cast("double") * F.lit(grid)
+    mi = F.col("mi_q").cast("double") / nd
+    hty = F.col("ht_q").cast("double") / nd
+    hho = F.col("hh_q").cast("double") / nd
+    return out.select(
+        F.col("nn").alias("n"),
+        mi.alias("mi_nats"),
+        hty.alias("h_type"),
+        hho.alias("h_hour"),
+        F.when(
+            F.least(F.col("ht_q"), F.col("hh_q")) > 0,
+            mi / F.least(hty, hho),
+        ).alias("nmi"),
+    )
+
+
+EVENTS_MI_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour(ts)
+),
+rws AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS r
+        FROM cells GROUP BY event_type),
+cls AS (SELECT h, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY h),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+mi AS (
+  SELECT t.nn,
+         CAST(SUM(CAST(FLOOR(CAST(c.n AS DOUBLE)
+              * ln(CAST(c.n * t.nn AS DOUBLE)
+                   / CAST(r.r * l.c AS DOUBLE))
+              * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS mi_q
+  FROM cells c
+  JOIN rws r ON r.event_type = c.event_type
+  JOIN cls l ON l.h = c.h
+  CROSS JOIN tot t
+  GROUP BY t.nn
+),
+ht AS (
+  SELECT CAST(SUM(CAST(FLOOR(CAST(r.r AS DOUBLE)
+              * ln(CAST(t.nn AS DOUBLE) / CAST(r.r AS DOUBLE))
+              * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS ht_q
+  FROM rws r CROSS JOIN tot t
+),
+hh AS (
+  SELECT CAST(SUM(CAST(FLOOR(CAST(l.c AS DOUBLE)
+              * ln(CAST(t.nn AS DOUBLE) / CAST(l.c AS DOUBLE))
+              * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS hh_q
+  FROM cls l CROSS JOIN tot t
+)
+SELECT mi.nn AS n,
+       CAST(mi.mi_q AS DOUBLE) / (CAST(mi.nn AS DOUBLE) * 1048576.0)
+         AS mi_nats,
+       CAST(ht.ht_q AS DOUBLE) / (CAST(mi.nn AS DOUBLE) * 1048576.0)
+         AS h_type,
+       CAST(hh.hh_q AS DOUBLE) / (CAST(mi.nn AS DOUBLE) * 1048576.0)
+         AS h_hour,
+       CASE WHEN LEAST(ht.ht_q, hh.hh_q) > 0 THEN
+         (CAST(mi.mi_q AS DOUBLE) / (CAST(mi.nn AS DOUBLE) * 1048576.0))
+         / (CAST(LEAST(ht.ht_q, hh.hh_q) AS DOUBLE)
+            / (CAST(mi.nn AS DOUBLE) * 1048576.0)) END AS nmi
+FROM mi CROSS JOIN ht CROSS JOIN hh
+"""
+
+
+# ------------------------------------------------ bootstrap CI
+
+# Poisson(1) CDF thresholds, embedded as identical literals on both
+# engines (P(X<=k) for k = 0..4; anything above caps at weight 5)
+_POIS = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+_B = 40  # bootstrap replicates
+
+
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI of the mean value per event type — the
+    standard DISTRIBUTED bootstrap (resample weights ~ Poisson(1)
+    independently per row, no global resample pass). Replicate weights
+    derive from the md5 coin (event_id : replicate) against embedded
+    Poisson CDF literals, so the whole procedure is deterministic and
+    cross-engine exact: per-replicate sums are int64, replicate means
+    are single exact divisions, and the CI bounds are RANK-SELECTED
+    (2nd smallest / 2nd largest of 40) — selection-only, no float
+    accumulation. Scale: one x40 narrow explode + a (type, replicate)
+    hash agg; the rank window runs over 40 rows per type."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    grid = float(16 ** 13)
+    reps = e.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("event_id").cast("string"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(grid)
+    w = (
+        F.when(u < _POIS[0], 0)
+        .when(u < _POIS[1], 1)
+        .when(u < _POIS[2], 2)
+        .when(u < _POIS[3], 3)
+        .when(u < _POIS[4], 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    per_rep = (
+        reps.select("event_type", "rep", w.alias("w"), "c")
+        .groupBy("event_type", "rep")
+        .agg(
+            F.sum("w").cast("long").alias("sw"),
+            F.sum(F.col("w") * F.col("c")).cast("long").alias("swc"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "rep",
+            (F.col("swc").cast("double") / F.col("sw").cast("double")).alias(
+                "m"
+            ),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("m", "rep")
+    ranked = per_rep.withColumn("rn", F.row_number().over(wr))
+    base = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_cents"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        F.min(F.when(F.col("rn") == 2, F.col("m"))).alias("lo"),
+        F.min(F.when(F.col("rn") == _B - 1, F.col("m"))).alias("hi"),
+    )
+    return base.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n",
+        "n_reps",
+        (F.col("mean_cents") / F.lit(100.0)).alias("mean_value"),
+        (F.col("lo") / F.lit(100.0)).alias("ci_lo"),
+        (F.col("hi") / F.lit(100.0)).alias("ci_hi"),
+    )
+
+
+EVENTS_BOOTSTRAP_SQL = f"""
+WITH reps AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         u.rep
+  FROM events, UNNEST(generate_series(0, {_B - 1})) AS u(rep)
+),
+coined AS (
+  SELECT event_type, rep, c,
+         CASE WHEN uu < {_POIS[0]!r} THEN 0
+              WHEN uu < {_POIS[1]!r} THEN 1
+              WHEN uu < {_POIS[2]!r} THEN 2
+              WHEN uu < {_POIS[3]!r} THEN 3
+              WHEN uu < {_POIS[4]!r} THEN 4
+              ELSE 5 END AS w
+  FROM (
+    SELECT event_type, rep, c,
+           ((('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                             || CAST(rep AS VARCHAR)), 1, 13))::BIGINT
+             ::DOUBLE + 0.5) / {float(16 ** 13)!r}) AS uu
+    FROM reps
+  )
+),
+per_rep AS (
+  SELECT event_type, rep,
+         CAST(SUM(w * c) AS BIGINT) AS swc,
+         CAST(SUM(w) AS BIGINT) AS sw
+  FROM coined GROUP BY event_type, rep
+),
+means AS (
+  SELECT event_type, rep,
+         CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) AS m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY
+           CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE), rep) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_reps
+  FROM per_rep WHERE sw > 0
+),
+base AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_cents
+  FROM events GROUP BY event_type
+)
+SELECT b.event_type, b.n,
+       CAST(MAX(m.n_reps) AS BIGINT) AS n_reps,
+       b.mean_cents / 100.0 AS mean_value,
+       MIN(CASE WHEN m.rn = 2 THEN m.m END) / 100.0 AS ci_lo,
+       MIN(CASE WHEN m.rn = {_B - 1} THEN m.m END) / 100.0 AS ci_hi
+FROM base b JOIN means m ON m.event_type = b.event_type
+GROUP BY b.event_type, b.n, b.mean_cents
+"""
+
+
 QUERIES = {
     "events_mannwhitney": events_mannwhitney,
     "events_ks_2samp": events_ks_2samp,
@@ -371,6 +953,13 @@ QUERIES = {
     "events_hits": events_hits,
     "events_itemsets3": events_itemsets3,
     "text_ngram_novelty": text_ngram_novelty,
+    "sql_copurchase_communities": sql_copurchase_communities,
+    "sql_copurchase_reach": sql_copurchase_reach,
+    "events_mann_kendall": events_mann_kendall,
+    "events_trend_ols": events_trend_ols,
+    "text_kappa_langid": text_kappa_langid,
+    "events_mutual_information": events_mutual_information,
+    "events_bootstrap_ci": events_bootstrap_ci,
 }
 
 ORACLES = {
@@ -383,4 +972,11 @@ ORACLES = {
     "events_hits": _events_hits_sql(),
     "events_itemsets3": EVENTS_ITEMSETS3_SQL,
     "text_ngram_novelty": TEXT_NGRAM_NOVELTY_SQL,
+    "sql_copurchase_communities": _sql_copurchase_communities_sql(),
+    "sql_copurchase_reach": _sql_copurchase_reach_sql(),
+    "events_mann_kendall": EVENTS_MANN_KENDALL_SQL,
+    "events_trend_ols": EVENTS_TREND_OLS_SQL,
+    "text_kappa_langid": _text_kappa_langid_sql(),
+    "events_mutual_information": EVENTS_MI_SQL,
+    "events_bootstrap_ci": EVENTS_BOOTSTRAP_SQL,
 }

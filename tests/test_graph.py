@@ -257,3 +257,44 @@ def test_kcore_raises_when_bound_too_small(spark):
     # with enough rounds the same graph converges to the triangle
     got = {r.node: r.core_deg for r in kcore(e, k=2, max_rounds=8).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two disconnected triangles collapse to their min labels; the
+    self-label tiebreak keeps a lone edge stable at its min node."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import (
+        label_propagation,
+    )
+
+    e = _tri_edges(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+    )
+    got = {r.node: r.community for r in label_propagation(e, rounds=4).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12] == 10
+    assert got[20] == got[21] == 20
+
+
+def test_bfs_hops_path_and_bound(spark):
+    """Path 0-1-2-...-8 seeded at nodes % 9 == 0 (0 only within the
+    path, but 9 is absent): hop = node index, truncated at max_hops."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    e = _tri_edges(spark, [(i, i + 1) for i in range(8)])
+    got = {r.node: r.hops for r in bfs_hops(e, seed_mod=9, max_hops=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # 5..8 beyond the bound
+
+
+def test_bfs_hops_picks_nearest_seed(spark):
+    """Two seeds (0 and 6): node 3 is 3 hops from both; node 5 is 1
+    hop from seed 6, not 5 hops from seed 0."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    e = _tri_edges(spark, [(i, i + 1) for i in range(6)])
+    got = {r.node: r.hops for r in bfs_hops(e, seed_mod=6, max_hops=6).collect()}
+    assert got == {0: 0, 6: 0, 1: 1, 5: 1, 2: 2, 4: 2, 3: 3}

@@ -597,6 +597,28 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     # authority/hub join of two |V|-sized frames remains
     p = plan("events_hits")
     assert "CartesianProduct" not in p, p
+    # mann-kendall / OLS: the raw table collapses to (type, day) in
+    # the one data-sized agg; pair join and power sums run on the
+    # calendar-bounded frame; per-type scalars broadcast back
+    p = plan("events_mann_kendall")
+    assert "CartesianProduct" not in p, p
+    assert "SinglePartition" not in p, p
+    p = plan("events_trend_ols")
+    assert "BroadcastHashJoin" in p, p
+    assert "SinglePartition" not in p, p
+    # kappa / MI: dimension-sized margin rollups re-broadcast; the
+    # only data-sized stage is the first counting agg
+    p = plan("text_kappa_langid")
+    assert "CartesianProduct" not in p, p
+    p = plan("events_mutual_information")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+    # bootstrap: x40 narrow explode + (type, replicate) hash agg; the
+    # rank window partitions per type over 40 rows — no global sort
+    p = plan("events_bootstrap_ci")
+    assert "Generate" in p, p  # the replicate explode is narrow
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):

@@ -226,3 +226,99 @@ def test_hits_weight_tilts_authority(spark):
     got = {r.node: r for r in hits(edges, iters=4).collect()}
     assert got["a"].authority == 1.0
     assert 0.3 < got["b"].authority < 0.4  # ~1/3 on the quantized grid
+
+
+def _write_events(spark, tmp_path, rows):
+    """Write an events.parquet a stattests query can load via sf_dir."""
+    import os
+
+    df = _events_df(spark, rows)
+    out = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    return out
+
+
+def test_mann_kendall_monotone_and_flat(spark, tmp_path):
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        events_mann_kendall,
+    )
+
+    rows = []
+    i = 0
+    # "up": strictly increasing daily sums over 6 days; "flat": constant
+    for d in range(6):
+        for _ in range(d + 1):
+            rows.append((i, f"2024-01-{d+1:02d} 10:00:00", 1, "up", 10.0)); i += 1
+        rows.append((i, f"2024-01-{d+1:02d} 11:00:00", 1, "flat", 5.0)); i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in events_mann_kendall(spark, sf).collect()}
+    up, flat = got["up"], got["flat"]
+    assert up.n_days == 6 and up.s_stat == 15 and up.z > 0  # all 15 pairs rise
+    assert flat.s_stat == 0 and flat.z == 0.0
+
+
+def test_trend_ols_exact_line(spark, tmp_path):
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        events_trend_ols,
+    )
+
+    # one event per day with value 2 + 3*d -> daily cents 200 + 300*d
+    rows = [
+        (d, f"2024-02-{d+1:02d} 09:00:00", 1, "lin", 2.0 + 3.0 * d)
+        for d in range(8)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = events_trend_ols(spark, sf).collect()[0]
+    assert r.n_days == 8
+    assert r.slope_cents_per_day == pytest.approx(300.0, rel=1e-12)
+    assert r.intercept_cents == pytest.approx(200.0, rel=1e-12)
+    assert r.r2 == pytest.approx(1.0, rel=1e-12)
+
+
+def test_mutual_information_independent_and_dependent(spark, tmp_path):
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        events_mutual_information,
+    )
+
+    # independent: both types uniform over both hours -> MI = 0
+    rows = []
+    i = 0
+    for t in ["a", "b"]:
+        for h in [0, 1]:
+            for _ in range(5):
+                rows.append((i, f"2024-01-01 0{h}:00:00", 1, t, 1.0)); i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = events_mutual_information(spark, sf).collect()[0]
+    assert r.mi_nats == 0.0 and r.nmi == 0.0
+
+    # fully dependent 2x2 -> MI = H = ln 2
+    rows2 = [(i, "2024-01-01 00:00:00", 1, "a", 1.0) for i in range(10)]
+    rows2 += [(100 + i, "2024-01-01 01:00:00", 1, "b", 1.0) for i in range(10)]
+    sf2 = _write_events(spark, tmp_path.joinpath("dep"), rows2)
+    r2 = events_mutual_information(spark, sf2).collect()[0]
+    assert r2.mi_nats == pytest.approx(math.log(2), rel=1e-5)
+    assert r2.nmi == pytest.approx(1.0, rel=1e-5)
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark, tmp_path):
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        events_bootstrap_ci,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, "m", rng.randint(100, 300) / 10.0)
+        for i in range(500)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r1 = events_bootstrap_ci(spark, sf).collect()[0]
+    r2 = events_bootstrap_ci(spark, sf).collect()[0]
+    assert (r1.ci_lo, r1.mean_value, r1.ci_hi) == (
+        r2.ci_lo,
+        r2.mean_value,
+        r2.ci_hi,
+    )
+    assert r1.n_reps == 40
+    assert r1.ci_lo < r1.mean_value < r1.ci_hi
+    # CI half-width should be in the right ballpark (sd/sqrt(n) ~ 0.26)
+    assert (r1.ci_hi - r1.ci_lo) < 2.0
