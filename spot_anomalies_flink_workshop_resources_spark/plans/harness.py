@@ -1050,6 +1050,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_kappa_langid",           # NEW: one-division Cohen's kappa
     "events_mutual_information",   # NEW: grid-quantized MI + NMI
     "events_bootstrap_ci",         # NEW: deterministic Poisson bootstrap
+    "corpus_split_stratified",     # NEW: exact 80/10/10 per-stratum split
+    "corpus_cross_source_leak",    # NEW: cross-source duplicate audit
+    "sql_monthly_growth",          # NEW: MoM revenue growth lag window
+    "events_trimmed_mean",         # NEW: sort-free exact trimmed mean
+    "simsearch_knn_eval",          # NEW: kNN majority-vote label accuracy
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --

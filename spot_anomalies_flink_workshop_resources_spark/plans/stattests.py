@@ -943,6 +943,359 @@ GROUP BY b.event_type, b.n, b.mean_cents
 """
 
 
+# --------------------------------------------------- corpus / splits
+
+
+def corpus_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 80/10/10 train/val/test split per
+    language — the dataset-versioning primitive every training corpus
+    needs. Documents rank by the md5 coin WITHIN their language, and
+    split boundaries are decided by integer cross-multiplication
+    (rank*10 <= n*8), so proportions are EXACT per stratum, stable
+    under reshuffles, and identical cross-engine (md5 hex strings
+    compare identically; doc_id breaks impossible ties)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    coin = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(coin.asc(), F.col("doc_id").asc())
+    n_w = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(n_w).cast("long").alias("n"),
+    )
+    split = (
+        F.when(F.col("rnk") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("rnk") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+    )
+    return ranked.select("doc_id", "lang", split.alias("split"))
+
+
+CORPUS_SPLIT_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+              AS BIGINT) AS rnk,
+         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN rnk * 10 <= n * 8 THEN 'train'
+            WHEN rnk * 10 <= n * 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked
+"""
+
+
+def corpus_cross_source_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-exposure audit: for each source, how many
+    of its documents share normalized content with ANY other document,
+    and how many with a document from a DIFFERENT source — the
+    train/eval-leakage and attribution-conflict screen (exact-dedup's
+    reporting twin). Always one row per source (counts are 0 on a
+    clean corpus; the harness corpus has cross-source dups at sf0.1).
+    Two hash aggs on the content digest; exact counts."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    docs = d.select("doc_id", "source", h.alias("h"))
+    grp = docs.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("g_docs"),
+        F.countDistinct("source").cast("long").alias("g_sources"),
+    )
+    return (
+        docs.join(grp, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("g_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum(F.when(F.col("g_sources") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cross_source_docs"),
+        )
+    )
+
+
+CORPUS_LEAK_SQL = """
+WITH docs AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents
+),
+grp AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS g_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS g_sources
+  FROM docs GROUP BY h
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN g.g_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(SUM(CASE WHEN g.g_sources >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_source_docs
+FROM docs d JOIN grp g ON g.h = d.h
+GROUP BY d.source
+"""
+
+
+# --------------------------------------------------------- kpi
+
+
+def sql_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation — the lag-window KPI
+    report. Revenue sums exact integer cents; the growth ratio divides
+    exact int64s once; the first month reports NULL growth on both
+    engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                F.year("o_orderdate") * 100 + F.month("o_orderdate")
+            )
+            .cast("long")
+            .alias("ym"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("ym")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "nation",
+        "ym",
+        (F.col("rev").cast("double") / F.lit(100.0)).alias("revenue"),
+        F.when(
+            prev > 0,
+            (F.col("rev") - prev).cast("double") / prev.cast("double"),
+        ).alias("growth"),
+    )
+
+
+SQL_MONTHLY_GROWTH_SQL = """
+WITH monthly AS (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT)
+           AS ym,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, year(o.o_orderdate) * 100 + month(o.o_orderdate)
+)
+SELECT nation, ym, CAST(rev AS DOUBLE) / 100.0 AS revenue,
+       CASE WHEN LAG(rev) OVER (PARTITION BY nation ORDER BY ym) > 0 THEN
+         CAST(rev - LAG(rev) OVER (PARTITION BY nation ORDER BY ym)
+              AS DOUBLE)
+         / CAST(LAG(rev) OVER (PARTITION BY nation ORDER BY ym) AS DOUBLE)
+       END AS growth
+FROM monthly
+"""
+
+
+# ----------------------------------------------------- robust stats
+
+
+def events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of value per event type WITHOUT a data-sized
+    sort: on the domain-bounded distinct-cents frame, each value's
+    kept multiplicity is the integer overlap of its rank interval
+    [below, below+t) with the kept band [lo, n-lo) — pure int64
+    clipping, so the trimmed sum/count are exact and the final means
+    are single divisions. The robust-location companion to the
+    median/MAD outlier screen."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    per = e.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.withColumn(
+        "below", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long")
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("t")).cast("long").alias("s_all"),
+    )
+    j = cum.join(F.broadcast(tot), "event_type")
+    lo = F.expr("n div 10")
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("below") + F.col("t"), F.col("n") - lo)
+        - F.greatest(F.col("below"), lo),
+    )
+    agg = j.groupBy("event_type", "n", "s_all").agg(
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(kept * F.col("c")).cast("long").alias("s_kept"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "n_kept",
+        (
+            F.col("s_all").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(100.0)
+        ).alias("mean_value"),
+        (
+            F.col("s_kept").cast("double")
+            / F.col("n_kept").cast("double")
+            / F.lit(100.0)
+        ).alias("trimmed_mean"),
+    )
+
+
+EVENTS_TRIMMED_MEAN_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+per AS (
+  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS t
+  FROM e GROUP BY event_type, c
+),
+cum AS (
+  SELECT event_type, c, t,
+         CAST(COALESCE(SUM(t) OVER (PARTITION BY event_type ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM per
+),
+tot AS (
+  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(c * t) AS BIGINT) AS s_all
+  FROM per GROUP BY event_type
+),
+clipped AS (
+  SELECT c.event_type, t.n, t.s_all, c.c,
+         GREATEST(0, LEAST(c.below + c.t, t.n - t.n // 10)
+                     - GREATEST(c.below, t.n // 10)) AS kept
+  FROM cum c JOIN tot t ON t.event_type = c.event_type
+)
+SELECT event_type, n,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_value,
+       CAST(SUM(kept * c) AS DOUBLE) / CAST(SUM(kept) AS DOUBLE) / 100.0
+         AS trimmed_mean
+FROM clipped
+GROUP BY event_type, n, s_all
+"""
+
+
+# ------------------------------------------------------- knn eval
+
+
+def simsearch_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification eval over the embedding table: 64 query
+    vectors predict their label by 5-nearest-neighbor majority (tie ->
+    smallest label), reported as per-label accuracy — the
+    embedding-quality metric a retrieval corpus tracks. Composes the
+    already-oracled exact brute-force top-k; the vote argmax is pure
+    integer (count desc, label asc)."""
+    from pyspark.sql import Window
+
+    from ..operators.simsearch import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bf = brute_force_topk(emb, n_queries=64, k=5)
+    labs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("long").alias("nlabel"),
+    )
+    votes = (
+        bf.join(labs, "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("cnt"), F.asc("nlabel")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("nlabel").alias("pred"))
+    )
+    truth = emb.where(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("label"),
+    )
+    return (
+        truth.join(pred, "query_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(
+                F.when(F.col("pred") == F.col("label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double")
+                / F.col("n_queries").cast("double")
+            ).alias("accuracy"),
+        )
+    )
+
+
+def _simsearch_knn_eval_sql() -> str:
+    from ..operators.simsearch import brute_force_topk_sql
+
+    return f"""
+WITH bf AS ({brute_force_topk_sql(n_queries=64, k=5)}),
+votes AS (
+  SELECT bf.query_id, CAST(e.label AS BIGINT) AS nlabel,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bf JOIN embeddings e ON e.vec_id = bf.neighbor_id
+  GROUP BY bf.query_id, e.label
+),
+pred AS (
+  SELECT query_id, nlabel AS pred FROM (
+    SELECT query_id, nlabel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cnt DESC, nlabel ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT CAST(t.label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN p.pred = t.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN p.pred = t.label THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM embeddings t JOIN pred p ON p.query_id = t.vec_id
+WHERE t.vec_id < 64
+GROUP BY t.label
+"""
+
+
 QUERIES = {
     "events_mannwhitney": events_mannwhitney,
     "events_ks_2samp": events_ks_2samp,
@@ -960,6 +1313,11 @@ QUERIES = {
     "text_kappa_langid": text_kappa_langid,
     "events_mutual_information": events_mutual_information,
     "events_bootstrap_ci": events_bootstrap_ci,
+    "corpus_split_stratified": corpus_split_stratified,
+    "corpus_cross_source_leak": corpus_cross_source_leak,
+    "sql_monthly_growth": sql_monthly_growth,
+    "events_trimmed_mean": events_trimmed_mean,
+    "simsearch_knn_eval": simsearch_knn_eval,
 }
 
 ORACLES = {
@@ -979,4 +1337,9 @@ ORACLES = {
     "text_kappa_langid": _text_kappa_langid_sql(),
     "events_mutual_information": EVENTS_MI_SQL,
     "events_bootstrap_ci": EVENTS_BOOTSTRAP_SQL,
+    "corpus_split_stratified": CORPUS_SPLIT_SQL,
+    "corpus_cross_source_leak": CORPUS_LEAK_SQL,
+    "sql_monthly_growth": SQL_MONTHLY_GROWTH_SQL,
+    "events_trimmed_mean": EVENTS_TRIMMED_MEAN_SQL,
+    "simsearch_knn_eval": _simsearch_knn_eval_sql(),
 }

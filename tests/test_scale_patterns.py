@@ -619,6 +619,30 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     assert "Generate" in p, p  # the replicate explode is narrow
     assert "SinglePartition" not in p, p
     assert "CartesianProduct" not in p, p
+    # stratified split: windows partition per language stratum only
+    p = plan("corpus_split_stratified")
+    assert "SinglePartition" not in p, p
+    assert "Join" not in p, p
+    # leak audit: content-hash group stats join back on the hash key;
+    # two hash aggs, no nested loop
+    p = plan("corpus_cross_source_leak")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("HashAggregate") >= 4, p
+    # monthly growth: dims broadcast; the lag window partitions per
+    # nation over the month-bounded rollup
+    p = plan("sql_monthly_growth")
+    assert "BroadcastHashJoin" in p, p
+    assert "SinglePartition" not in p, p
+    # trimmed mean: domain-bounded cumulative window (per-type cents),
+    # no data-sized sort
+    p = plan("events_trimmed_mean")
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    # knn eval: queries broadcast onto the corpus scan (the brute-force
+    # contract); votes/rank windows partition per query
+    p = plan("simsearch_knn_eval")
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):

@@ -322,3 +322,83 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark, tmp_path):
     assert r1.ci_lo < r1.mean_value < r1.ci_hi
     # CI half-width should be in the right ballpark (sd/sqrt(n) ~ 0.26)
     assert (r1.ci_hi - r1.ci_lo) < 2.0
+
+
+def test_trimmed_mean_matches_python_reference(spark, tmp_path):
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        events_trimmed_mean,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, "m", rng.randint(0, 5000) / 100.0)
+        for i in range(237)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = events_trimmed_mean(spark, sf).collect()[0]
+    cents = sorted(round(v * 100) for (_, _, _, _, v) in rows)
+    n = len(cents)
+    lo = n // 10
+    kept = cents[lo : n - lo]
+    assert r.n == n and r.n_kept == len(kept)
+    assert r.mean_value == pytest.approx(sum(cents) / n / 100.0, rel=1e-12)
+    assert r.trimmed_mean == pytest.approx(
+        sum(kept) / len(kept) / 100.0, rel=1e-12
+    )
+
+
+def test_stratified_split_exact_proportions(spark, sf_dir):
+    from collections import Counter
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        corpus_split_stratified,
+    )
+
+    rows = corpus_split_stratified(spark, sf_dir).collect()
+    per_lang = Counter((r.lang, r.split) for r in rows)
+    n_lang = Counter(r.lang for r in rows)
+    for lang, n in n_lang.items():
+        n_train = 8 * n // 10
+        n_val = 9 * n // 10 - n_train
+        assert per_lang[(lang, "train")] == n_train, lang
+        assert per_lang[(lang, "val")] == n_val, lang
+        assert per_lang[(lang, "test")] == n - n_train - n_val, lang
+
+
+def test_cross_source_leak_counts_planted_dup(spark, tmp_path):
+    import os
+
+    from pyspark.sql import Row
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        corpus_cross_source_leak,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Same Text", lang="en", source="a", n_chars=9),
+            Row(doc_id=2, text="  same text ", lang="en", source="b", n_chars=12),
+            Row(doc_id=3, text="same text", lang="en", source="a", n_chars=9),
+            Row(doc_id=4, text="unique", lang="en", source="b", n_chars=6),
+        ]
+    )
+    out = str(tmp_path)
+    docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    got = {r.source: r for r in corpus_cross_source_leak(spark, out).collect()}
+    # normalization (lower/trim) makes docs 1, 2, 3 one group across a+b
+    assert got["a"].n_docs == 2 and got["a"].n_dup_docs == 2
+    assert got["a"].n_cross_source_docs == 2
+    assert got["b"].n_docs == 2 and got["b"].n_dup_docs == 1
+    assert got["b"].n_cross_source_docs == 1
+
+
+def test_knn_eval_shape_and_bounds(spark, sf_dir):
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        simsearch_knn_eval,
+    )
+
+    rows = simsearch_knn_eval(spark, sf_dir).collect()
+    assert sum(r.n_queries for r in rows) == 64
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_queries
+        assert r.accuracy == pytest.approx(r.n_correct / r.n_queries)
