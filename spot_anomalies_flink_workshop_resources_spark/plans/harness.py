@@ -1055,6 +1055,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_monthly_growth",          # NEW: MoM revenue growth lag window
     "events_trimmed_mean",         # NEW: sort-free exact trimmed mean
     "simsearch_knn_eval",          # NEW: kNN majority-vote label accuracy
+    "events_funnel_significance",  # NEW: funnel conversion CIs
+    "events_changepoint",          # NEW: binary-segmentation split
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --

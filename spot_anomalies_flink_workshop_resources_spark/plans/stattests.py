@@ -1296,6 +1296,173 @@ GROUP BY t.label
 """
 
 
+# ------------------------------------------------- funnel inference
+
+
+def events_funnel_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion rates with binomial-proportion 95% CIs — the
+    inference layer over the ordered funnel (composes the already-
+    oracled funnel counts; the oracle composes the same funnel SQL).
+    Each step's rate divides exact int64 stage counts; the normal-
+    approximation CI is one shared float expression; the entry stage
+    reports NULL rate (no base population) on both engines."""
+    from pyspark.sql import Window
+
+    from ..operators.funnel import funnel
+
+    f = funnel(load_table(spark, sf_dir, "events"))
+    w = Window.orderBy("stage_idx")
+    j = f.withColumn("n_base", F.lag("n_users").over(w))
+    p_hat = F.col("n_users").cast("double") / F.col("n_base").cast("double")
+    se = F.sqrt(
+        p_hat * (F.lit(1.0) - p_hat) / F.col("n_base").cast("double")
+    )
+    return j.select(
+        "stage_idx",
+        "stage",
+        F.col("n_users").alias("n_reached"),
+        "n_base",
+        F.when(F.col("n_base") > 0, p_hat).alias("conv_rate"),
+        F.when(F.col("n_base") > 0, p_hat - F.lit(1.96) * se).alias("ci_lo"),
+        F.when(F.col("n_base") > 0, p_hat + F.lit(1.96) * se).alias("ci_hi"),
+    )
+
+
+def _events_funnel_significance_sql() -> str:
+    from ..operators.funnel import funnel_sql
+
+    return f"""
+WITH f AS ({funnel_sql()}),
+j AS (
+  SELECT stage_idx, stage, n_users,
+         LAG(n_users) OVER (ORDER BY stage_idx) AS n_base
+  FROM f
+)
+SELECT stage_idx, stage, n_users AS n_reached, n_base,
+       CASE WHEN n_base > 0 THEN
+         CAST(n_users AS DOUBLE) / CAST(n_base AS DOUBLE) END AS conv_rate,
+       CASE WHEN n_base > 0 THEN
+         CAST(n_users AS DOUBLE) / CAST(n_base AS DOUBLE)
+         - 1.96 * sqrt(CAST(n_users AS DOUBLE) / CAST(n_base AS DOUBLE)
+                       * (1.0 - CAST(n_users AS DOUBLE)
+                                / CAST(n_base AS DOUBLE))
+                       / CAST(n_base AS DOUBLE)) END AS ci_lo,
+       CASE WHEN n_base > 0 THEN
+         CAST(n_users AS DOUBLE) / CAST(n_base AS DOUBLE)
+         + 1.96 * sqrt(CAST(n_users AS DOUBLE) / CAST(n_base AS DOUBLE)
+                       * (1.0 - CAST(n_users AS DOUBLE)
+                                / CAST(n_base AS DOUBLE))
+                       / CAST(n_base AS DOUBLE)) END AS ci_hi
+FROM j
+"""
+
+
+# -------------------------------------------------- change point
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation change point of daily value volume per
+    event type: the split maximizing the between-segment SSE reduction
+    (S1*n2 - S2*n1)^2 / (n1*n2*n) — the one-split CART/BinSeg step and
+    the offline complement of the CUSUM monitor. The score's operands
+    are exact int64 prefix sums over the calendar-bounded daily frame;
+    both engines compute bit-identical doubles (3 shared IEEE ops), so
+    the argmax (score desc, day asc) is deterministic. Output reports
+    the last day of the left segment and the two segment means."""
+    from pyspark.sql import Window
+
+    daily = _daily_cents(spark, sf_dir)
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("y").over(wc).cast("long").alias("s1"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n1"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("y").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    j = (
+        cum.join(F.broadcast(tot), "event_type")
+        .where(F.col("n1") < F.col("n"))
+        .withColumn("n2", F.col("n") - F.col("n1"))
+        .withColumn("s2", F.col("s") - F.col("s1"))
+    )
+    num = (
+        F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1")
+    ).cast("double")
+    score = (
+        num
+        * num
+        / (F.col("n1") * F.col("n2") * F.col("n")).cast("double")
+    )
+    ws = Window.partitionBy("event_type").orderBy(
+        F.desc("score"), F.asc("d")
+    )
+    return (
+        j.withColumn("score", score)
+        .withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("d").alias("split_last_day"),
+            (
+                F.col("s1").cast("double")
+                / F.col("n1").cast("double")
+                / F.lit(100.0)
+            ).alias("mean_before"),
+            (
+                F.col("s2").cast("double")
+                / F.col("n2").cast("double")
+                / F.lit(100.0)
+            ).alias("mean_after"),
+            (F.col("score") / F.lit(10000.0)).alias("sse_reduction"),
+        )
+    )
+
+
+EVENTS_CHANGEPOINT_SQL = f"""
+WITH daily AS ({_DAILY_CENTS}),
+cum AS (
+  SELECT event_type, d,
+         CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS s1,
+         CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS n1
+  FROM daily
+),
+tot AS (
+  SELECT event_type, CAST(SUM(y) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily GROUP BY event_type
+),
+scored AS (
+  SELECT c.event_type, t.n, c.d, c.s1, c.n1,
+         t.s - c.s1 AS s2, t.n - c.n1 AS n2,
+         CAST(c.s1 * (t.n - c.n1) - (t.s - c.s1) * c.n1 AS DOUBLE)
+         * CAST(c.s1 * (t.n - c.n1) - (t.s - c.s1) * c.n1 AS DOUBLE)
+         / CAST(c.n1 * (t.n - c.n1) * t.n AS DOUBLE) AS score
+  FROM cum c JOIN tot t ON t.event_type = c.event_type
+  WHERE c.n1 < t.n
+)
+SELECT event_type, n AS n_days, d AS split_last_day,
+       CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS mean_before,
+       CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 AS mean_after,
+       score / 10000.0 AS sse_reduction
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY score DESC, d ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "events_mannwhitney": events_mannwhitney,
     "events_ks_2samp": events_ks_2samp,
@@ -1318,6 +1485,8 @@ QUERIES = {
     "sql_monthly_growth": sql_monthly_growth,
     "events_trimmed_mean": events_trimmed_mean,
     "simsearch_knn_eval": simsearch_knn_eval,
+    "events_funnel_significance": events_funnel_significance,
+    "events_changepoint": events_changepoint,
 }
 
 ORACLES = {
@@ -1342,4 +1511,6 @@ ORACLES = {
     "sql_monthly_growth": SQL_MONTHLY_GROWTH_SQL,
     "events_trimmed_mean": EVENTS_TRIMMED_MEAN_SQL,
     "simsearch_knn_eval": _simsearch_knn_eval_sql(),
+    "events_funnel_significance": _events_funnel_significance_sql(),
+    "events_changepoint": EVENTS_CHANGEPOINT_SQL,
 }

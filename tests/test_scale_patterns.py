@@ -643,6 +643,11 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("simsearch_knn_eval")
     assert "SinglePartition" not in p, p
     assert "CartesianProduct" not in p, p
+    # changepoint: cumulative + argmax windows partition per type over
+    # the calendar-bounded daily frame; no data-sized sort
+    p = plan("events_changepoint")
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):

@@ -402,3 +402,40 @@ def test_knn_eval_shape_and_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_correct <= r.n_queries
         assert r.accuracy == pytest.approx(r.n_correct / r.n_queries)
+
+
+def test_changepoint_finds_planted_level_shift(spark, tmp_path):
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        events_changepoint,
+    )
+
+    # 10 days at 5.00, then 10 days at 50.00: split after day 10
+    rows = []
+    i = 0
+    for d in range(20):
+        v = 5.0 if d < 10 else 50.0
+        rows.append((i, f"2024-03-{d+1:02d} 12:00:00", 1, "shift", v)); i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = events_changepoint(spark, sf).collect()[0]
+    import datetime
+
+    d10 = (datetime.date(2024, 3, 10) - datetime.date(1970, 1, 1)).days
+    assert r.split_last_day == d10
+    assert r.mean_before == pytest.approx(5.0)
+    assert r.mean_after == pytest.approx(50.0)
+    assert r.n_days == 20
+
+
+def test_funnel_significance_rates_and_ci(spark, sf_dir):
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        events_funnel_significance,
+    )
+
+    rows = sorted(
+        events_funnel_significance(spark, sf_dir).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert rows[0].conv_rate is None and rows[0].n_base is None
+    for r in rows[1:]:
+        assert r.conv_rate == pytest.approx(r.n_reached / r.n_base)
+        assert r.ci_lo <= r.conv_rate <= r.ci_hi
