@@ -1463,6 +1463,102 @@ FROM (
 """
 
 
+# ----------------------------------------------------- time series
+
+
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily value volume per event type at lags
+    1..7 — the seasonality/persistence diagnostic feeding forecast
+    model choice (companion to the Holt and EWMA folds). Exactness:
+    deviations rescale to integers (dev = n*y - S, so no rational mean
+    is ever materialized) and every product/sum runs in DECIMAL —
+    the events_moments big-power-sum route — with ONE decimal->string
+    ->double conversion per aggregate before the final division.
+    The lag join is a self-join on the calendar-bounded daily frame."""
+    daily = _daily_cents(spark, sf_dir)
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    dev = (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "d",
+            (F.col("n") * F.col("y") - F.col("s"))
+            .cast("decimal(18,0)")
+            .alias("dev"),
+        )
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("den_dec"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
+    a = dev.select("event_type", "d", F.col("dev").alias("dev_a"))
+    b = dev.select("event_type", F.col("d").alias("db"), F.col("dev").alias("dev_b"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (a.event_type == b.event_type) & (b.db == a.d + F.col("lag")),
+        )
+        .drop(b.event_type)
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("dev_a") * F.col("dev_b")).alias("num_dec"),
+        )
+    )
+    d2d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return (
+        num.join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "n_pairs",
+            F.when(
+                d2d(F.col("den_dec")) > 0,
+                d2d(F.col("num_dec")) / d2d(F.col("den_dec")),
+            ).alias("acf"),
+        )
+    )
+
+
+EVENTS_ACF_SQL = f"""
+WITH daily AS ({_DAILY_CENTS}),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.d,
+         CAST(t.n * d.y - t.s AS DECIMAL(18,0)) AS dev
+  FROM daily d JOIN tot t ON t.event_type = d.event_type
+),
+den AS (
+  SELECT event_type, SUM(dev * dev) AS den_dec,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM dev GROUP BY event_type
+),
+num AS (
+  SELECT a.event_type, l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(a.dev * b.dev) AS num_dec
+  FROM dev a
+  CROSS JOIN (SELECT CAST(x AS BIGINT) AS lag
+              FROM UNNEST(generate_series(1, 7)) AS u(x)) l
+  JOIN dev b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+  GROUP BY a.event_type, l.lag
+)
+SELECT n.event_type, n.lag, n.n_pairs,
+       CASE WHEN CAST(CAST(d.den_dec AS VARCHAR) AS DOUBLE) > 0 THEN
+         CAST(CAST(n.num_dec AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(d.den_dec AS VARCHAR) AS DOUBLE) END AS acf
+FROM num n JOIN den d ON d.event_type = n.event_type
+"""
+
+
 QUERIES = {
     "events_mannwhitney": events_mannwhitney,
     "events_ks_2samp": events_ks_2samp,
@@ -1487,6 +1583,7 @@ QUERIES = {
     "simsearch_knn_eval": simsearch_knn_eval,
     "events_funnel_significance": events_funnel_significance,
     "events_changepoint": events_changepoint,
+    "events_acf": events_acf,
 }
 
 ORACLES = {
@@ -1513,4 +1610,5 @@ ORACLES = {
     "simsearch_knn_eval": _simsearch_knn_eval_sql(),
     "events_funnel_significance": _events_funnel_significance_sql(),
     "events_changepoint": EVENTS_CHANGEPOINT_SQL,
+    "events_acf": EVENTS_ACF_SQL,
 }

@@ -648,6 +648,11 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_changepoint")
     assert "SinglePartition" not in p, p
     assert "CartesianProduct" not in p, p
+    # acf: the lag fan-out is a broadcast of the 7-row lag dim; the
+    # self-join runs on the calendar-bounded daily frame
+    p = plan("events_acf")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):

@@ -439,3 +439,41 @@ def test_funnel_significance_rates_and_ci(spark, sf_dir):
     for r in rows[1:]:
         assert r.conv_rate == pytest.approx(r.n_reached / r.n_base)
         assert r.ci_lo <= r.conv_rate <= r.ci_hi
+
+
+def test_acf_matches_python_reference(spark, tmp_path):
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        events_acf,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    i = 0
+    # alternating-heavy series: strong negative lag-1, positive lag-2
+    for d in range(20):
+        base = 30.0 if d % 2 == 0 else 5.0
+        for _ in range(3):
+            rows.append(
+                (i, f"2024-04-{d+1:02d} 10:00:00", 1, "alt",
+                 base + rng.randint(0, 100) / 100.0)
+            )
+            i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.lag: r.acf for r in events_acf(spark, sf).collect()}
+
+    # python reference over the same integer-rescaled deviations
+    from collections import defaultdict
+
+    daily = defaultdict(int)
+    for (_, ts, _, _, v) in rows:
+        d = int(ts[8:10])
+        daily[d] += round(v * 100)
+    days = sorted(daily)
+    ys = [daily[d] for d in days]
+    n, s = len(ys), sum(ys)
+    dev = [n * y - s for y in ys]
+    den = sum(x * x for x in dev)
+    for lag in range(1, 8):
+        num = sum(dev[t] * dev[t + lag] for t in range(n - lag))
+        assert got[lag] == pytest.approx(num / den, rel=1e-12), lag
+    assert got[1] < -0.5 and got[2] > 0.5
