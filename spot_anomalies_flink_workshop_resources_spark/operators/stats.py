@@ -542,3 +542,226 @@ SELECT {group_col}, n AS n_members,
          / CAST(n * sx AS DOUBLE) AS gini
 FROM agg
 """
+
+
+def anova(events: DataFrame) -> DataFrame:
+    """One-way ANOVA F-test of value across event types — the
+    parametric k-group mean-comparison (Mann-Whitney's omnibus
+    cousin). Sufficient statistics only: per-group (n, sum, sum-sq) on
+    the cents grid are exact int64; SSB/SSW and F combine them in one
+    shared float expression (grand terms via exact-int cross products
+    kept under 2^53 by the double cast AFTER each int64 product).
+
+    Output: one row (n, k, f_stat, ss_between, ss_within).
+    """
+    e = events.select(
+        "event_type", _cents().alias("c")
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("c").cast("long").alias("sg"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("qg"),
+    )
+    # SSB = sum_g sg^2/ng - S^2/N ; SSW = sum_g (qg - sg^2/ng)
+    per = g.select(
+        "ng",
+        "sg",
+        "qg",
+        F.floor(
+            F.col("sg").cast("double")
+            * F.col("sg").cast("double")
+            / F.col("ng").cast("double")
+            * F.lit(1024.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("sq_over_n_q"),
+    )
+    tot = per.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("qg").cast("long").alias("q"),
+        (F.sum("sq_over_n_q").cast("double") / F.lit(1024.0)).alias(
+            "sum_sq_over_n"
+        ),
+    )
+    grand = (
+        F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    ssb = F.col("sum_sq_over_n") - grand
+    ssw = F.col("q").cast("double") - F.col("sum_sq_over_n")
+    f_stat = (
+        (ssb / (F.col("k") - 1).cast("double"))
+        / (ssw / (F.col("n") - F.col("k")).cast("double"))
+    )
+    cents2 = F.lit(10000.0)
+    return tot.select(
+        "n",
+        "k",
+        f_stat.alias("f_stat"),
+        (ssb / cents2).alias("ss_between"),
+        (ssw / cents2).alias("ss_within"),
+    )
+
+
+ANOVA_SQL = f"""
+WITH e AS (SELECT event_type, {CENTS} AS c FROM events),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(c) AS BIGINT) AS sg,
+         CAST(SUM(c * c) AS BIGINT) AS qg
+  FROM e GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(sg) AS BIGINT) AS s,
+         CAST(SUM(qg) AS BIGINT) AS q,
+         CAST(SUM(CAST(FLOOR(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                             / CAST(ng AS DOUBLE) * 1024.0 + 0.5)
+                  AS BIGINT)) AS DOUBLE) / 1024.0 AS sum_sq_over_n
+  FROM g
+)
+SELECT n, k,
+       ((sum_sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+        / CAST(k - 1 AS DOUBLE))
+       / ((CAST(q AS DOUBLE) - sum_sq_over_n)
+          / CAST(n - k AS DOUBLE)) AS f_stat,
+       (sum_sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / 10000.0 AS ss_between,
+       (CAST(q AS DOUBLE) - sum_sq_over_n) / 10000.0 AS ss_within
+FROM tot
+"""
+
+
+def brown_forsythe(events: DataFrame) -> DataFrame:
+    """Brown-Forsythe test of variance equality across event types —
+    Levene's test with the MEDIAN center (robust to the skew these
+    value distributions have). Per-type medians are exact integer-rank
+    selections on the cents grid; the spread scores |c - median| are
+    integers; the F statistic is the one-way ANOVA expression over
+    their exact int64 sufficient statistics (same 2^-10-grid-quantized
+    cross-group fold as :func:`anova`).
+
+    Output: one row (n, k, f_stat).
+    """
+    e = events.select("event_type", _cents().alias("c"))
+    per = e.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        "event_type", "c", "t", F.sum("t").over(wv).cast("long").alias("cumt")
+    )
+    nper = per.groupBy("event_type").agg(F.sum("t").cast("long").alias("ng"))
+    med = (
+        cum.join(F.broadcast(nper), "event_type")
+        .where(F.col("cumt") * 2 >= F.col("ng"))
+        .groupBy("event_type")
+        .agg(F.min("c").alias("med"))
+    )
+    # spread scores stay on the (type, cents) frame — |c-med| weighted
+    # by the tie count t, so no second pass over raw events is needed
+    z = per.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "t",
+        F.abs(F.col("c") - F.col("med")).alias("z"),
+    )
+    g = z.groupBy("event_type").agg(
+        F.sum("t").cast("long").alias("ng"),
+        F.sum(F.col("t") * F.col("z")).cast("long").alias("sg"),
+        F.sum(F.col("t") * F.col("z") * F.col("z")).cast("long").alias("qg"),
+    )
+    per2 = g.select(
+        "ng",
+        "sg",
+        "qg",
+        F.floor(
+            F.col("sg").cast("double")
+            * F.col("sg").cast("double")
+            / F.col("ng").cast("double")
+            * F.lit(1024.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("sq_over_n_q"),
+    )
+    tot = per2.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("qg").cast("long").alias("q"),
+        (F.sum("sq_over_n_q").cast("double") / F.lit(1024.0)).alias(
+            "sum_sq_over_n"
+        ),
+    )
+    grand = (
+        F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    ssb = F.col("sum_sq_over_n") - grand
+    ssw = F.col("q").cast("double") - F.col("sum_sq_over_n")
+    f_stat = (
+        (ssb / (F.col("k") - 1).cast("double"))
+        / (ssw / (F.col("n") - F.col("k")).cast("double"))
+    )
+    return tot.select("n", "k", f_stat.alias("f_stat"))
+
+
+BROWN_FORSYTHE_SQL = f"""
+WITH e AS (SELECT event_type, {CENTS} AS c FROM events),
+per AS (
+  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS t
+  FROM e GROUP BY event_type, c
+),
+cum AS (
+  SELECT event_type, c, t,
+         CAST(SUM(t) OVER (PARTITION BY event_type ORDER BY c)
+              AS BIGINT) AS cumt
+  FROM per
+),
+nper AS (
+  SELECT event_type, CAST(SUM(t) AS BIGINT) AS ng
+  FROM per GROUP BY event_type
+),
+med AS (
+  SELECT c.event_type, MIN(c.c) AS med
+  FROM cum c JOIN nper n ON n.event_type = c.event_type
+  WHERE c.cumt * 2 >= n.ng
+  GROUP BY c.event_type
+),
+g AS (
+  SELECT p.event_type, CAST(SUM(p.t) AS BIGINT) AS ng,
+         CAST(SUM(p.t * ABS(p.c - m.med)) AS BIGINT) AS sg,
+         CAST(SUM(p.t * ABS(p.c - m.med) * ABS(p.c - m.med)) AS BIGINT)
+           AS qg
+  FROM per p JOIN med m ON m.event_type = p.event_type
+  GROUP BY p.event_type
+),
+tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(sg) AS BIGINT) AS s,
+         CAST(SUM(qg) AS BIGINT) AS q,
+         CAST(SUM(CAST(FLOOR(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                             / CAST(ng AS DOUBLE) * 1024.0 + 0.5)
+                  AS BIGINT)) AS DOUBLE) / 1024.0 AS sum_sq_over_n
+  FROM g
+)
+SELECT n, k,
+       ((sum_sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+        / CAST(k - 1 AS DOUBLE))
+       / ((CAST(q AS DOUBLE) - sum_sq_over_n)
+          / CAST(n - k AS DOUBLE)) AS f_stat
+FROM tot
+"""

@@ -1559,6 +1559,19 @@ FROM num n JOIN den d ON d.event_type = n.event_type
 """
 
 
+def events_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across event types (operators/stats.anova):
+    exact int64 sufficient statistics, one shared float expression."""
+    return ST.anova(load_table(spark, sf_dir, "events"))
+
+
+def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-equality test
+    (operators/stats.brown_forsythe): median-centered Levene, exact
+    integer medians and spread scores."""
+    return ST.brown_forsythe(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_mannwhitney": events_mannwhitney,
     "events_ks_2samp": events_ks_2samp,
@@ -1584,6 +1597,8 @@ QUERIES = {
     "events_funnel_significance": events_funnel_significance,
     "events_changepoint": events_changepoint,
     "events_acf": events_acf,
+    "events_anova": events_anova,
+    "events_brown_forsythe": events_brown_forsythe,
 }
 
 ORACLES = {
@@ -1611,4 +1626,6 @@ ORACLES = {
     "events_funnel_significance": _events_funnel_significance_sql(),
     "events_changepoint": EVENTS_CHANGEPOINT_SQL,
     "events_acf": EVENTS_ACF_SQL,
+    "events_anova": ST.ANOVA_SQL,
+    "events_brown_forsythe": ST.BROWN_FORSYTHE_SQL,
 }

@@ -653,6 +653,14 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_acf")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+    # anova / brown-forsythe: data collapses to (type[, cents]) hash
+    # aggs; every later frame is |types|-sized
+    p = plan("events_anova")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 4, p
+    p = plan("events_brown_forsythe")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):

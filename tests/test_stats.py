@@ -477,3 +477,63 @@ def test_acf_matches_python_reference(spark, tmp_path):
         num = sum(dev[t] * dev[t + lag] for t in range(n - lag))
         assert got[lag] == pytest.approx(num / den, rel=1e-12), lag
     assert got[1] < -0.5 and got[2] > 0.5
+
+
+def test_anova_matches_python_reference(spark):
+    from spot_anomalies_flink_workshop_resources_spark.operators.stats import anova
+
+    rng = random.Random(31)
+    rows = []
+    i = 0
+    for t, base in [("a", 10.0), ("b", 12.0), ("c", 30.0)]:
+        for _ in range(60):
+            rows.append(
+                (i, "2024-01-01 00:00:00", 1, t,
+                 base + rng.randint(0, 400) / 100.0)
+            )
+            i += 1
+    r = anova(_events_df(spark, rows)).collect()[0]
+    groups = {}
+    for (_, _, _, t, v) in rows:
+        groups.setdefault(t, []).append(round(v * 100))
+    n = sum(len(g) for g in groups.values())
+    k = len(groups)
+    s = sum(sum(g) for g in groups.values())
+    q = sum(x * x for g in groups.values() for x in g)
+    sq = sum(sum(g) ** 2 / len(g) for g in groups.values())
+    ssb = sq - s * s / n
+    ssw = q - sq
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (r.n, r.k) == (n, k)
+    # the 2^-10 grid quantization perturbs at most k/1024 cents^2
+    assert r.f_stat == pytest.approx(f, rel=1e-6)
+    assert r.ss_between == pytest.approx(ssb / 10000, rel=1e-6)
+    assert r.ss_within == pytest.approx(ssw / 10000, rel=1e-6)
+
+
+def test_brown_forsythe_detects_unequal_spread(spark):
+    from spot_anomalies_flink_workshop_resources_spark.operators.stats import (
+        brown_forsythe,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    i = 0
+    # same center, very different spread -> large F
+    for _ in range(80):
+        rows.append((i, "2024-01-01 00:00:00", 1, "tight",
+                     50.0 + rng.randint(-100, 100) / 100.0)); i += 1
+    for _ in range(80):
+        rows.append((i, "2024-01-01 00:00:00", 1, "wide",
+                     50.0 + rng.randint(-4000, 4000) / 100.0)); i += 1
+    r = brown_forsythe(_events_df(spark, rows)).collect()[0]
+    assert r.n == 160 and r.k == 2
+    assert r.f_stat > 50  # wildly unequal spreads
+
+    # equal distributions -> F near 0
+    rows2 = []
+    for i in range(100):
+        rows2.append((2 * i, "2024-01-01 00:00:00", 1, "p", float(i % 10)))
+        rows2.append((2 * i + 1, "2024-01-01 00:00:00", 1, "q", float(i % 10)))
+    r2 = brown_forsythe(_events_df(spark, rows2)).collect()[0]
+    assert r2.f_stat == pytest.approx(0.0, abs=1e-9)
