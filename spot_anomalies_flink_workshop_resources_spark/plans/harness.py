@@ -1094,6 +1094,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_topk_cells",           # NEW: complete-mode sort+limit stream
     "events_anova",                # NEW: one-way ANOVA from int sums
     "events_brown_forsythe",       # NEW: median-centered Levene test
+    "events_qq_drift",             # NEW: per-decile distribution drift
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --

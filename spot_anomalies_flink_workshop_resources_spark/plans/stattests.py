@@ -1572,6 +1572,136 @@ def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.brown_forsythe(load_table(spark, sf_dir, "events"))
 
 
+# ---------------------------------------------------- quantile drift
+
+
+def events_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile drift report per event type: exact decile
+    boundaries of the FIRST time half vs the SECOND (split at the
+    epoch midpoint) — the distribution-shift monitor a metrics
+    pipeline runs week-over-week, upgrading the scalar KS answer to a
+    per-decile profile. Boundaries are integer-rank selections on the
+    cents grid (min c with cum*10 >= i*n — integer cross-mult, no
+    float rank), the equi-depth technique applied per (type, half)."""
+    from pyspark.sql import Window
+
+    from ..functions.timeutil import ts_seconds
+
+    e = load_table(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(ts_seconds(F.col("ts"))).alias("lo"),
+        F.max(ts_seconds(F.col("ts"))).alias("hi"),
+    )
+    halves = (
+        e.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.when(
+                ts_seconds(F.col("ts"))
+                <= (F.col("lo") + F.col("hi")) / 2,
+                1,
+            )
+            .otherwise(2)
+            .cast("long")
+            .alias("half"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    per = halves.groupBy("event_type", "half", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    wv = (
+        Window.partitionBy("event_type", "half")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        "event_type", "half", "c",
+        F.sum("t").over(wv).cast("long").alias("cumt"),
+    )
+    nper = per.groupBy("event_type", "half").agg(
+        F.sum("t").cast("long").alias("n")
+    )
+    deciles = spark.range(1, 10).select(
+        F.col("id").cast("long").alias("decile")
+    )
+    bounds = (
+        cum.join(F.broadcast(nper), ["event_type", "half"])
+        .crossJoin(F.broadcast(deciles))
+        .where(F.col("cumt") * 10 >= F.col("decile") * F.col("n"))
+        .groupBy("event_type", "half", "decile")
+        .agg(F.min("c").alias("q"))
+    )
+    return (
+        bounds.groupBy("event_type", "decile")
+        .agg(
+            F.min(F.when(F.col("half") == 1, F.col("q"))).alias("q1c"),
+            F.min(F.when(F.col("half") == 2, F.col("q"))).alias("q2c"),
+        )
+        .select(
+            "event_type",
+            "decile",
+            (F.col("q1c").cast("double") / F.lit(100.0)).alias("q_first"),
+            (F.col("q2c").cast("double") / F.lit(100.0)).alias("q_second"),
+            (
+                (F.col("q2c") - F.col("q1c")).cast("double")
+                / F.lit(100.0)
+            ).alias("shift"),
+        )
+    )
+
+
+EVENTS_QQ_DRIFT_SQL = """
+WITH span AS (
+  SELECT MIN(EXTRACT(EPOCH FROM ts)) AS lo,
+         MAX(EXTRACT(EPOCH FROM ts)) AS hi
+  FROM events
+),
+halves AS (
+  SELECT event_type,
+         CASE WHEN EXTRACT(EPOCH FROM ts) <= (s.lo + s.hi) / 2
+              THEN 1 ELSE 2 END AS half,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events CROSS JOIN span s
+),
+per AS (
+  SELECT event_type, half, c, CAST(COUNT(*) AS BIGINT) AS t
+  FROM halves GROUP BY event_type, half, c
+),
+cum AS (
+  SELECT event_type, half, c,
+         CAST(SUM(t) OVER (PARTITION BY event_type, half ORDER BY c)
+              AS BIGINT) AS cumt
+  FROM per
+),
+nper AS (
+  SELECT event_type, half, CAST(SUM(t) AS BIGINT) AS n
+  FROM per GROUP BY event_type, half
+),
+bounds AS (
+  SELECT c.event_type, c.half, d.decile, MIN(c.c) AS q
+  FROM cum c
+  JOIN nper n ON n.event_type = c.event_type AND n.half = c.half
+  CROSS JOIN (SELECT CAST(x AS BIGINT) AS decile
+              FROM UNNEST(generate_series(1, 9)) AS u(x)) d
+  WHERE c.cumt * 10 >= d.decile * n.n
+  GROUP BY c.event_type, c.half, d.decile
+)
+SELECT event_type, decile,
+       CAST(MIN(CASE WHEN half = 1 THEN q END) AS DOUBLE) / 100.0
+         AS q_first,
+       CAST(MIN(CASE WHEN half = 2 THEN q END) AS DOUBLE) / 100.0
+         AS q_second,
+       CAST(MIN(CASE WHEN half = 2 THEN q END)
+            - MIN(CASE WHEN half = 1 THEN q END) AS DOUBLE) / 100.0
+         AS shift
+FROM bounds
+GROUP BY event_type, decile
+"""
+
+
 QUERIES = {
     "events_mannwhitney": events_mannwhitney,
     "events_ks_2samp": events_ks_2samp,
@@ -1599,6 +1729,7 @@ QUERIES = {
     "events_acf": events_acf,
     "events_anova": events_anova,
     "events_brown_forsythe": events_brown_forsythe,
+    "events_qq_drift": events_qq_drift,
 }
 
 ORACLES = {
@@ -1628,4 +1759,5 @@ ORACLES = {
     "events_acf": EVENTS_ACF_SQL,
     "events_anova": ST.ANOVA_SQL,
     "events_brown_forsythe": ST.BROWN_FORSYTHE_SQL,
+    "events_qq_drift": EVENTS_QQ_DRIFT_SQL,
 }

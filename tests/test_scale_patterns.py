@@ -661,6 +661,12 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_brown_forsythe")
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin" not in p, p
+    # qq drift: windows partition per (type, half) over the
+    # domain-bounded cents frame; the decile dim broadcasts; the only
+    # single-partition stages belong to the one-row epoch-span scalar
+    p = plan("events_qq_drift")
+    assert p.count("Exchange SinglePartition") <= 2, p
+    assert "SortMergeJoin" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):

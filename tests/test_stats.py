@@ -537,3 +537,29 @@ def test_brown_forsythe_detects_unequal_spread(spark):
         rows2.append((2 * i + 1, "2024-01-01 00:00:00", 1, "q", float(i % 10)))
     r2 = brown_forsythe(_events_df(spark, rows2)).collect()[0]
     assert r2.f_stat == pytest.approx(0.0, abs=1e-9)
+
+
+def test_qq_drift_detects_planted_shift(spark, tmp_path):
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        events_qq_drift,
+    )
+
+    rng = random.Random(53)
+    rows = []
+    i = 0
+    # first half centered at 10, second half centered at 20
+    for d in range(10):
+        for _ in range(30):
+            base = 10.0 if d < 5 else 20.0
+            rows.append(
+                (i, f"2024-05-{d+1:02d} 12:00:00", 1, "s",
+                 base + rng.randint(0, 200) / 100.0)
+            )
+            i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    rows_out = events_qq_drift(spark, sf).collect()
+    assert len(rows_out) == 9
+    for r in rows_out:
+        assert r.shift == pytest.approx(r.q_second - r.q_first, abs=1e-9)
+        assert 9.0 < r.shift < 11.0  # the planted +10 level shift
+        assert r.q_first < r.q_second
