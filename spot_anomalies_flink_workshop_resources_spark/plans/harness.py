@@ -1095,6 +1095,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_anova",                # NEW: one-way ANOVA from int sums
     "events_brown_forsythe",       # NEW: median-centered Levene test
     "events_qq_drift",             # NEW: per-decile distribution drift
+    "events_burst_hours",          # NEW: Poisson burst gate + score
+    "text_pmi_pairs",              # NEW: df-capped PMI collocations
+    "simsearch_range_search",      # NEW: cosine radius search
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --

@@ -1702,6 +1702,222 @@ GROUP BY event_type, decile
 """
 
 
+# -------------------------------------------------- burst anomalies
+
+
+def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly burst detection per event type — the batch twin of the
+    reference's core anomaly question (AD.java:200's threshold gate)
+    done statistically: hours whose count is at least DOUBLE the
+    type's mean hourly rate, scored by the Poisson/Chernoff exponent
+    n*ln(n/lambda) - n + lambda. The burst GATE is pure integer
+    arithmetic (n >= 5 AND 2 * n * n_hours >= 3 * total — at least
+    1.5x the mean hourly rate; no float rate is ever compared), so the
+    emitted row set is deterministic; the score
+    is a reporting column (ln on exact-int ratios, the established
+    <=1-ulp class). The hour span counts from the global min/max like
+    events_hourly_corr."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    span = e.agg(
+        (
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.max("ts")))
+                - F.unix_timestamp(F.date_trunc("hour", F.min("ts")))
+            )
+            / 3600
+            + 1
+        )
+        .cast("long")
+        .alias("n_hours")
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    j = cells.join(F.broadcast(tot), "event_type").crossJoin(
+        F.broadcast(span)
+    )
+    lam = F.col("total").cast("double") / F.col("n_hours").cast("double")
+    nd = F.col("n").cast("double")
+    score = nd * F.log(nd / lam) - nd + lam
+    return j.where(
+        (F.col("n") >= 5)
+        & (2 * F.col("n") * F.col("n_hours") >= 3 * F.col("total"))
+    ).select(
+        "event_type",
+        "h",
+        "n",
+        lam.alias("hourly_rate"),
+        score.alias("burst_score"),
+    )
+
+
+EVENTS_BURST_SQL = """
+WITH cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+span AS (
+  SELECT CAST(date_diff('hour', date_trunc('hour', MIN(ts)),
+                        date_trunc('hour', MAX(ts))) + 1 AS BIGINT)
+           AS n_hours
+  FROM events
+),
+tot AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+  FROM cells GROUP BY event_type
+)
+SELECT c.event_type, c.h, c.n,
+       CAST(t.total AS DOUBLE) / CAST(s.n_hours AS DOUBLE) AS hourly_rate,
+       CAST(c.n AS DOUBLE)
+       * ln(CAST(c.n AS DOUBLE)
+            / (CAST(t.total AS DOUBLE) / CAST(s.n_hours AS DOUBLE)))
+       - CAST(c.n AS DOUBLE)
+       + CAST(t.total AS DOUBLE) / CAST(s.n_hours AS DOUBLE)
+         AS burst_score
+FROM cells c
+JOIN tot t ON t.event_type = c.event_type
+CROSS JOIN span s
+WHERE c.n >= 5 AND 2 * c.n * s.n_hours >= 3 * t.total
+"""
+
+
+# ------------------------------------------------------ collocation
+
+
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: pointwise mutual information of
+    co-occurring term pairs (document-level, distinct terms,
+    document frequency >= 5) — the classic phrase/topic-signal
+    extractor. A production corpus would ALSO cap high-df stopwords
+    (df <= N/5, the dedup_jaccard contract); the harness vocabulary is
+    31 terms with ~78% df, which that cap would empty, so the
+    registered query keeps only the lower bound and bounds fan-out by
+    the (tiny) vocabulary instead. Counts are exact ints; PMI is one
+    ln(exact-int ratio) per surviving pair (support >= 5 — integer
+    gate, deterministic row set)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "filter(split(lower(text), '[^a-z0-9]+'),"
+                        " x -> x != '')"
+                    )
+                )
+            ).alias("tok"),
+        )
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    kept = (
+        toks.join(df, "tok")
+        .where(F.col("df") >= 5)
+        .select("doc_id", "tok", "df")
+    )
+    a = kept.select("doc_id", F.col("tok").alias("ta"), F.col("df").alias("dfa"))
+    b = kept.select("doc_id", F.col("tok").alias("tb"), F.col("df").alias("dfb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb", "dfa", "dfb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    pmi = F.log(
+        (F.col("n_ab") * F.col("nd")).cast("double")
+        / (F.col("dfa") * F.col("dfb")).cast("double")
+    )
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "ta", "tb", "n_ab",
+        F.col("dfa").alias("df_a"),
+        F.col("dfb").alias("df_b"),
+        pmi.alias("pmi"),
+    )
+
+
+TEXT_PMI_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           UNNEST(list_filter(string_split_regex(lower(text),
+                  '[^a-z0-9]+'), x -> x <> '')) AS tok
+    FROM documents
+  )
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+kept AS (
+  SELECT t.doc_id, t.tok, d.df
+  FROM toks t JOIN df d ON d.tok = t.tok
+  WHERE d.df >= 5
+),
+pairs AS (
+  SELECT a.tok AS ta, b.tok AS tb, a.df AS df_a, b.df AS df_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok, a.df, b.df
+  HAVING COUNT(*) >= 5
+)
+SELECT ta, tb, n_ab, df_a, df_b,
+       ln(CAST(n_ab * nd.nd AS DOUBLE) / CAST(df_a * df_b AS DOUBLE))
+         AS pmi
+FROM pairs CROSS JOIN nd
+"""
+
+
+# ------------------------------------------------------ range search
+
+
+def simsearch_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search: for 16 query vectors, every neighbor with
+    similarity above the radius — the other half of the ANN API
+    surface (top-k's fixed-k contract vs radius recall). The gate
+    compares the cosine (identical fold order on both engines, the
+    brute-force contract — identical doubles) against the literal
+    0.35, chosen inside the harness similarity range (max ~0.49), and
+    emits the neighbor set unranked with the score."""
+    from ..operators.simsearch import _dot, _with_norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _with_norm(emb)
+    q = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("emb")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    return (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.35)
+    )
+
+
+def _simsearch_range_search_sql() -> str:
+    from ..operators.simsearch import DIM, _cos_sql
+
+    return f"""
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       {_cos_sql('q', 'e', DIM)} AS cosine
+FROM embeddings q
+JOIN embeddings e ON q.vec_id <> e.vec_id
+WHERE q.vec_id < 16 AND {_cos_sql('q', 'e', DIM)} >= 0.35
+"""
+
+
 QUERIES = {
     "events_mannwhitney": events_mannwhitney,
     "events_ks_2samp": events_ks_2samp,
@@ -1730,6 +1946,9 @@ QUERIES = {
     "events_anova": events_anova,
     "events_brown_forsythe": events_brown_forsythe,
     "events_qq_drift": events_qq_drift,
+    "events_burst_hours": events_burst_hours,
+    "text_pmi_pairs": text_pmi_pairs,
+    "simsearch_range_search": simsearch_range_search,
 }
 
 ORACLES = {
@@ -1760,4 +1979,7 @@ ORACLES = {
     "events_anova": ST.ANOVA_SQL,
     "events_brown_forsythe": ST.BROWN_FORSYTHE_SQL,
     "events_qq_drift": EVENTS_QQ_DRIFT_SQL,
+    "events_burst_hours": EVENTS_BURST_SQL,
+    "text_pmi_pairs": TEXT_PMI_SQL,
+    "simsearch_range_search": _simsearch_range_search_sql(),
 }

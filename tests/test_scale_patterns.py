@@ -667,6 +667,21 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_qq_drift")
     assert p.count("Exchange SinglePartition") <= 2, p
     assert "SortMergeJoin" not in p, p
+    # burst: the hour-cell agg is the only data-sized stage; totals
+    # and the one-row span broadcast back
+    p = plan("events_burst_hours")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # pmi: df stats join on the token key; the pair join runs on the
+    # vocabulary-bounded kept frame; the only nested-loop is the
+    # one-row n_docs scalar broadcast
+    p = plan("text_pmi_pairs")
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 4, p
+    # range search: queries broadcast (the brute-force contract)
+    p = plan("simsearch_range_search")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):

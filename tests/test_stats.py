@@ -563,3 +563,66 @@ def test_qq_drift_detects_planted_shift(spark, tmp_path):
         assert r.shift == pytest.approx(r.q_second - r.q_first, abs=1e-9)
         assert 9.0 < r.shift < 11.0  # the planted +10 level shift
         assert r.q_first < r.q_second
+
+
+def test_burst_hours_gate_and_score(spark, tmp_path):
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        events_burst_hours,
+    )
+
+    # 24 quiet hours with 2 events each, one hour with 30 -> only the
+    # burst hour passes (floor 5 and 1.5x-rate gates)
+    rows = []
+    i = 0
+    for h in range(24):
+        for _ in range(2):
+            rows.append((i, f"2024-06-01 {h:02d}:15:00", 1, "t", 1.0)); i += 1
+    for _ in range(30):
+        rows.append((i, "2024-06-02 00:30:00", 1, "t", 1.0)); i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = events_burst_hours(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 30
+    lam = 78 / 25  # 78 events over 25 hours spanned
+    assert r.hourly_rate == pytest.approx(lam)
+    assert r.burst_score == pytest.approx(
+        30 * math.log(30 / lam) - 30 + lam, rel=1e-12
+    )
+
+
+def test_pmi_pairs_signs(spark, sf_dir):
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        text_pmi_pairs,
+    )
+
+    rows = text_pmi_pairs(spark, sf_dir).collect()
+    assert rows, "harness corpus must produce collocation pairs"
+    for r in rows:
+        # PMI must equal the count identity on every row
+        assert r.pmi == pytest.approx(
+            math.log(r.n_ab * 500 / (r.df_a * r.df_b)), rel=1e-9
+        )
+    assert all(r.n_ab >= 5 for r in rows)
+
+
+def test_range_search_agrees_with_brute_force_filter(spark, sf_dir):
+    from spot_anomalies_flink_workshop_resources_spark.operators.simsearch import (
+        brute_force_topk,
+    )
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        simsearch_range_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in simsearch_range_search(spark, sf_dir).collect()
+    }
+    # every top-5 neighbor above the radius must be in the range result
+    bf = brute_force_topk(emb, n_queries=16, k=5).collect()
+    expected_subset = {
+        (r.query_id, r.neighbor_id) for r in bf if r.cosine >= 0.35
+    }
+    assert expected_subset <= got
+    assert got, "harness embeddings have neighbors above the radius"
