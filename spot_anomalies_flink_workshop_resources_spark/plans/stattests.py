@@ -1918,6 +1918,84 @@ WHERE q.vec_id < 16 AND {_cos_sql('q', 'e', DIM)} >= 0.35
 """
 
 
+# ------------------------------------------------ point-in-time join
+
+
+def events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature join — the feature-store correctness
+    primitive: each purchase fact is enriched with the user's latest
+    profile state (non-purchase event) AS OF the purchase time,
+    honoring CDC deletes ('error' closes the profile: the fact
+    enriches to NULLs, not to the stale pre-delete state). Built on
+    the one-shuffle asof_join; the whole change row travels as ONE
+    struct so the delete marker and its payload can never decouple
+    in the last-non-null carry. Tie at equal ts: the greatest
+    event_id change applies (both engines order identically)."""
+    from ..operators.asof import asof_join
+    from .relational import events_cdc_log
+
+    e = load_table(spark, sf_dir, "events")
+    log = events_cdc_log(e).where(F.col("event_type") != "purchase")
+    timeline = log.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.struct("op", "event_type", "value", "event_id").alias("state"),
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        facts,
+        timeline,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["state"],
+        right_order="event_id",
+    )
+    live = F.col("asof_state").isNotNull() & (
+        F.col("asof_state.op") != "delete"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(live, F.col("asof_state.event_id")).alias("dim_event_id"),
+        F.when(live, F.col("asof_state.event_type")).alias("dim_event_type"),
+        F.when(live, F.col("asof_state.value")).alias("dim_value"),
+    )
+
+
+EVENTS_PIT_SQL = """
+WITH tl AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              ELSE 'upsert' END AS op
+  FROM events WHERE event_type <> 'purchase'
+),
+facts AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts, f.value,
+       CASE WHEN c.op IS NOT NULL AND c.op <> 'delete'
+            THEN c.event_id END AS dim_event_id,
+       CASE WHEN c.op IS NOT NULL AND c.op <> 'delete'
+            THEN c.event_type END AS dim_event_type,
+       CASE WHEN c.op IS NOT NULL AND c.op <> 'delete'
+            THEN c.value END AS dim_value
+FROM facts f LEFT JOIN LATERAL (
+  SELECT op, event_type, value, event_id
+  FROM tl c
+  WHERE c.user_id = f.user_id AND c.ts <= f.ts
+  ORDER BY c.ts DESC, c.event_id DESC
+  LIMIT 1
+) c ON TRUE
+"""
+
+
 QUERIES = {
     "events_mannwhitney": events_mannwhitney,
     "events_ks_2samp": events_ks_2samp,
@@ -1949,6 +2027,7 @@ QUERIES = {
     "events_burst_hours": events_burst_hours,
     "text_pmi_pairs": text_pmi_pairs,
     "simsearch_range_search": simsearch_range_search,
+    "events_pit_enrich": events_pit_enrich,
 }
 
 ORACLES = {
@@ -1982,4 +2061,5 @@ ORACLES = {
     "events_burst_hours": EVENTS_BURST_SQL,
     "text_pmi_pairs": TEXT_PMI_SQL,
     "simsearch_range_search": _simsearch_range_search_sql(),
+    "events_pit_enrich": EVENTS_PIT_SQL,
 }

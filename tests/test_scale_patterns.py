@@ -682,6 +682,11 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("simsearch_range_search")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+    # PIT enrich: the asof union-window shape — ONE user_id hash
+    # partitioning, no join operator at all
+    p = plan("events_pit_enrich")
+    assert "Join" not in p, p
+    assert p.count("hashpartitioning(") == 1, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):

@@ -626,3 +626,28 @@ def test_range_search_agrees_with_brute_force_filter(spark, sf_dir):
     }
     assert expected_subset <= got
     assert got, "harness embeddings have neighbors above the radius"
+
+
+def test_pit_enrich_delete_yields_nulls_not_stale_state(spark, tmp_path):
+    """The feature-store correctness case: a purchase AFTER the user's
+    profile was deleted ('error') must enrich to NULLs — not to the
+    stale pre-delete state a naive last-non-null carry would leak."""
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        events_pit_enrich,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "signup", 1.0),   # profile v1
+        (2, "2024-01-01 11:00:00", 7, "purchase", 9.0), # sees v1
+        (3, "2024-01-01 12:00:00", 7, "error", 0.0),    # delete
+        (4, "2024-01-01 13:00:00", 7, "purchase", 8.0), # sees NOTHING
+        (5, "2024-01-01 14:00:00", 7, "click", 2.0),    # profile v2
+        (6, "2024-01-01 15:00:00", 7, "purchase", 7.0), # sees v2
+        (7, "2024-01-01 09:00:00", 8, "purchase", 5.0), # no profile yet
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.event_id: r for r in events_pit_enrich(spark, sf).collect()}
+    assert got[2].dim_event_id == 1 and got[2].dim_event_type == "signup"
+    assert got[4].dim_event_id is None and got[4].dim_event_type is None
+    assert got[6].dim_event_id == 5 and got[6].dim_event_type == "click"
+    assert got[7].dim_event_id is None
