@@ -1515,3 +1515,188 @@ SELECT v{iters}.i AS idx,
 FROM v{iters} CROSS JOIN m{iters}"""
     )
     return "".join(parts)
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    pool: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k — the RAG/retrieval
+    reranker: greedily pick k results from each query's top-``pool``
+    cosine candidates, each round maximizing
+    ``lam*cos(q,c) - (1-lam)*max_{s in selected} cos(c,s)`` so near-
+    duplicate hits cannot crowd the result list.
+
+    Determinism/oracle contract: relevance and pairwise cosines use
+    the SAME fold order as :func:`brute_force_topk` (identical doubles
+    on both engines), the greedy argmax tiebreaks on the neighbor id,
+    and the oracle unrolls the identical ``k`` rounds — the bounded-
+    unroll pattern of kcore/pagerank applied to a greedy selection.
+
+    Scale: the iteration runs on the (n_queries x pool) candidate
+    frame and its (pool^2) pairwise-cosine frame — both bounded by
+    parameters, never by the corpus; the corpus is touched once by the
+    top-pool scan. Returns (query_id, sel_round, neighbor_id,
+    mmr_score).
+    """
+    bf = brute_force_topk(embeddings, n_queries=n_queries, k=pool)
+    cand = bf.select("query_id", "neighbor_id", "cosine").localCheckpoint(
+        eager=True
+    )
+    e = _with_norm(embeddings)
+    ea = e.select(
+        F.col("vec_id").alias("ca"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("cb"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    a = cand.select("query_id", F.col("neighbor_id").alias("ca"))
+    b = cand.select("query_id", F.col("neighbor_id").alias("cb"))
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("ca") != F.col("cb"))
+        .join(F.broadcast(ea), "ca")
+        .join(F.broadcast(eb), "cb")
+        .select(
+            "query_id",
+            "ca",
+            "cb",
+            (
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("pc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wpick = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    first = (
+        cand.withColumn(
+            "score", F.lit(lam) * F.col("cosine") - F.lit(1.0 - lam) * F.lit(0.0)
+        )
+        .withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("long").alias("sel_round"),
+            "neighbor_id",
+            F.col("score").alias("mmr_score"),
+        )
+    )
+    sel = first.localCheckpoint(eager=True)
+    for r in range(2, k + 1):
+        remaining = cand.join(
+            sel.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        pen = (
+            pairs.join(
+                sel.select(
+                    "query_id", F.col("neighbor_id").alias("cb")
+                ),
+                ["query_id", "cb"],
+            )
+            .groupBy("query_id", "ca")
+            .agg(F.max("pc").alias("pen"))
+        )
+        scored = remaining.join(
+            pen,
+            (remaining.query_id == pen.query_id)
+            & (remaining.neighbor_id == pen.ca),
+        ).select(
+            remaining.query_id,
+            "neighbor_id",
+            (
+                F.lit(lam) * F.col("cosine")
+                - F.lit(1.0 - lam) * F.col("pen")
+            ).alias("score"),
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wpick))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(r).cast("long").alias("sel_round"),
+                "neighbor_id",
+                F.col("score").alias("mmr_score"),
+            )
+        )
+        sel = sel.union(pick).localCheckpoint(eager=True)
+    return sel
+
+
+def mmr_topk_sql(
+    n_queries: int = 8, pool: int = 20, k: int = 5, lam: float = 0.7
+) -> str:
+    """DuckDB twin of :func:`mmr_topk` — pool + pairwise cosines, then
+    ``k`` unrolled greedy rounds."""
+    parts = [
+        f"""WITH pool AS MATERIALIZED ({brute_force_topk_sql(n_queries=n_queries, k=pool)}),
+pairs AS MATERIALIZED (
+  SELECT p1.query_id, p1.neighbor_id AS ca, p2.neighbor_id AS cb,
+         {_cos_sql('a', 'b')} AS pc
+  FROM pool p1
+  JOIN pool p2 ON p2.query_id = p1.query_id
+              AND p2.neighbor_id <> p1.neighbor_id
+  JOIN embeddings a ON a.vec_id = p1.neighbor_id
+  JOIN embeddings b ON b.vec_id = p2.neighbor_id
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, CAST(1 AS BIGINT) AS sel_round, neighbor_id,
+         {lam!r} * cosine - {1.0 - lam!r} * 0.0 AS mmr_score
+  FROM (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY {lam!r} * cosine - {1.0 - lam!r} * 0.0 DESC,
+                      neighbor_id ASC) AS rn
+    FROM pool
+  ) WHERE rn = 1
+),
+acc1 AS (SELECT * FROM sel1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+scored{r} AS (
+  SELECT p.query_id, p.neighbor_id,
+         {lam!r} * p.cosine - {1.0 - lam!r} * pen.pen AS score
+  FROM pool p
+  JOIN (
+    SELECT pr.query_id, pr.ca, MAX(pr.pc) AS pen
+    FROM pairs pr
+    JOIN acc{r - 1} s ON s.query_id = pr.query_id
+                     AND s.neighbor_id = pr.cb
+    GROUP BY pr.query_id, pr.ca
+  ) pen ON pen.query_id = p.query_id AND pen.ca = p.neighbor_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM acc{r - 1} s
+    WHERE s.query_id = p.query_id AND s.neighbor_id = p.neighbor_id)
+),
+sel{r} AS MATERIALIZED (
+  SELECT query_id, CAST({r} AS BIGINT) AS sel_round, neighbor_id,
+         score AS mmr_score
+  FROM (
+    SELECT query_id, neighbor_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id ASC) AS rn
+    FROM scored{r}
+  ) WHERE rn = 1
+),
+acc{r} AS MATERIALIZED (
+  SELECT * FROM acc{r - 1} UNION ALL SELECT * FROM sel{r}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, sel_round, neighbor_id, mmr_score FROM acc{k}"""
+    )
+    return "".join(parts)

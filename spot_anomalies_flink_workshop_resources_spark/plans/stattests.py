@@ -1996,6 +1996,21 @@ FROM facts f LEFT JOIN LATERAL (
 """
 
 
+def simsearch_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (operators/simsearch.mmr_topk): 5
+    greedy rounds over each query's top-20 pool, lambda = 0.7."""
+    from ..operators.simsearch import mmr_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return mmr_topk(emb)
+
+
+def _simsearch_mmr_sql() -> str:
+    from ..operators.simsearch import mmr_topk_sql
+
+    return mmr_topk_sql()
+
+
 QUERIES = {
     "events_mannwhitney": events_mannwhitney,
     "events_ks_2samp": events_ks_2samp,
@@ -2028,6 +2043,7 @@ QUERIES = {
     "text_pmi_pairs": text_pmi_pairs,
     "simsearch_range_search": simsearch_range_search,
     "events_pit_enrich": events_pit_enrich,
+    "simsearch_mmr": simsearch_mmr,
 }
 
 ORACLES = {
@@ -2062,4 +2078,5 @@ ORACLES = {
     "text_pmi_pairs": TEXT_PMI_SQL,
     "simsearch_range_search": _simsearch_range_search_sql(),
     "events_pit_enrich": EVENTS_PIT_SQL,
+    "simsearch_mmr": _simsearch_mmr_sql(),
 }

@@ -687,6 +687,10 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_pit_enrich")
     assert "Join" not in p, p
     assert p.count("hashpartitioning(") == 1, p
+    # MMR: the returned plan reads the checkpointed selection frames
+    # (pool/pairs bounded by parameters); no cartesian anywhere
+    p = plan("simsearch_mmr")
+    assert "CartesianProduct" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):

@@ -651,3 +651,51 @@ def test_pit_enrich_delete_yields_nulls_not_stale_state(spark, tmp_path):
     assert got[4].dim_event_id is None and got[4].dim_event_type is None
     assert got[6].dim_event_id == 5 and got[6].dim_event_type == "click"
     assert got[7].dim_event_id is None
+
+
+def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
+    """MMR invariants: rounds 1..5 per query; round 1 equals the plain
+    cosine argmax; no duplicates; and every later pick's RELEVANCE is
+    <= what a pure-relevance ranker would have at that slot (the
+    diversity penalty can only demote, never promote, relevance)."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.simsearch import (
+        brute_force_topk,
+        mmr_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sel = mmr_topk(emb).collect()
+    by_q = {}
+    for r in sel:
+        by_q.setdefault(r.query_id, []).append(r)
+    bf = brute_force_topk(emb, n_queries=8, k=20).collect()
+    top1 = {r.query_id: r.neighbor_id for r in bf if r.rank == 1}
+    cos = {(r.query_id, r.neighbor_id): r.cosine for r in bf}
+    assert len(by_q) == 8
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.sel_round)
+        assert [r.sel_round for r in rows] == [1, 2, 3, 4, 5]
+        ids = [r.neighbor_id for r in rows]
+        assert len(set(ids)) == 5
+        assert ids[0] == top1[q]  # round 1 is the pure-relevance pick
+    # verify the greedy score identity exactly with numpy
+    import numpy as np
+
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=float)
+        for r in emb.collect()
+    }
+
+    def _c(x, y):
+        return float(
+            vecs[x] @ vecs[y]
+            / (np.linalg.norm(vecs[x]) * np.linalg.norm(vecs[y]))
+        )
+
+    for q, rows in by_q.items():
+        picked = []
+        for r in rows:
+            pen = max((_c(r.neighbor_id, s) for s in picked), default=0.0)
+            want = 0.7 * cos[(q, r.neighbor_id)] - 0.3 * pen
+            assert r.mmr_score == pytest.approx(want, rel=1e-9), (q, r)
+            picked.append(r.neighbor_id)
