@@ -1100,6 +1100,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "simsearch_range_search",      # NEW: cosine radius search
     "events_pit_enrich",           # NEW: point-in-time feature join
     "simsearch_mmr",               # NEW: MMR diversified retrieval
+    "events_holt_winters",         # NEW: 9-state seasonal fold
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --

@@ -2011,6 +2011,131 @@ def _simsearch_mmr_sql() -> str:
     return mmr_topk_sql()
 
 
+# -------------------------------------------------- holt-winters
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (level + trend + a
+    7-slot day-of-week seasonal state) of the daily mean value per
+    type — completing the forecasting family above EWMA and Holt.
+
+    Exactness: a NINE-state ordered fold (the Holt two-state recipe
+    extended): alpha = 2^-2, beta = gamma = 2^-3 are exact binary
+    fractions; each element carries (mu, dow) so calendar gaps cannot
+    misalign the seasonal slot; Spark folds a 9-field struct through
+    aggregate(array_sort(collect_list)), DuckDB a 9-element list
+    through list_reduce with elements lifted to [mu, dow] — the same
+    IEEE op sequence step for step, so all nine states are
+    bit-identical. The fold runs over the calendar-bounded day series.
+    """
+    e = load_table(spark, sf_dir, "events")
+    from .relational import _davg
+
+    dd = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    daily = e.groupBy(
+        "event_type",
+        dd.cast("long").alias("d"),
+        ((dd + 4) % 7).cast("double").alias("dow"),
+    ).agg(_davg(F.col("value")).alias("mu"))
+
+    def step(acc, x):
+        sl = [acc[f"s{i}"] for i in range(7)]
+        s_cur = sl[0]
+        for i in range(1, 7):
+            s_cur = F.when(x["dow"] == float(i), sl[i]).otherwise(s_cur)
+        lp = (x["mu"] - s_cur) * F.lit(0.25) + (acc["l"] + acc["b"]) * F.lit(
+            0.75
+        )
+        bp = (lp - acc["l"]) * F.lit(0.125) + acc["b"] * F.lit(0.875)
+        fields = [lp.alias("l"), bp.alias("b")]
+        for i in range(7):
+            fields.append(
+                F.when(
+                    x["dow"] == float(i),
+                    (x["mu"] - lp) * F.lit(0.125) + sl[i] * F.lit(0.875),
+                )
+                .otherwise(sl[i])
+                .alias(f"s{i}")
+            )
+        return F.struct(*fields)
+
+    init = F.struct(
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        *[F.lit(0.0).alias(f"s{i}") for i in range(7)],
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mu", "dow"))),
+            lambda p: F.struct(p["mu"].alias("mu"), p["dow"].alias("dow")),
+        ),
+        init,
+        step,
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"), fold.alias("hw")
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.col("hw.l").alias("level"),
+        F.col("hw.b").alias("trend"),
+        *[F.col(f"hw.s{i}").alias(f"season_{i}") for i in range(7)],
+    )
+
+
+def _hw_sql() -> str:
+    gam = "0.125"
+    season_cases = ", ".join(
+        f"CASE WHEN x[2] = {float(i)!r} THEN "
+        f"(x[1] - acc[{i + 3}]) * {gam} + acc[{i + 3}] * 0.875 "
+        f"ELSE acc[{i + 3}] END"
+        for i in range(7)
+    )
+    s_cur = "".join(
+        f"CASE WHEN x[2] = {float(i)!r} THEN acc[{i + 3}] ELSE "
+        for i in range(1, 7)
+    ) + "acc[3]" + " END" * 6
+    # lp must be textually identical everywhere it appears
+    lp = f"(x[1] - ({s_cur})) * 0.25 + (acc[1] + acc[2]) * 0.75"
+    season_cases = ", ".join(
+        f"CASE WHEN x[2] = {float(i)!r} THEN "
+        f"(x[1] - ({lp})) * {gam} + acc[{i + 3}] * 0.875 "
+        f"ELSE acc[{i + 3}] END"
+        for i in range(7)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4)
+              % 7 AS DOUBLE) AS dow,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           / COUNT(value) AS mu
+  FROM events GROUP BY 1, 2, 3
+),
+folded AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         list_reduce(
+           list_prepend([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+             list_transform(list([mu, dow] ORDER BY d), m -> m)),
+           (acc, x) -> [
+             {lp},
+             (({lp}) - acc[1]) * 0.125 + acc[2] * 0.875,
+             {season_cases}
+           ]
+         ) AS hw
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days, hw[1] AS level, hw[2] AS trend,
+       hw[3] AS season_0, hw[4] AS season_1, hw[5] AS season_2,
+       hw[6] AS season_3, hw[7] AS season_4, hw[8] AS season_5,
+       hw[9] AS season_6
+FROM folded
+"""
+
+
 QUERIES = {
     "events_mannwhitney": events_mannwhitney,
     "events_ks_2samp": events_ks_2samp,
@@ -2044,6 +2169,7 @@ QUERIES = {
     "simsearch_range_search": simsearch_range_search,
     "events_pit_enrich": events_pit_enrich,
     "simsearch_mmr": simsearch_mmr,
+    "events_holt_winters": events_holt_winters,
 }
 
 ORACLES = {
@@ -2079,4 +2205,5 @@ ORACLES = {
     "simsearch_range_search": _simsearch_range_search_sql(),
     "events_pit_enrich": EVENTS_PIT_SQL,
     "simsearch_mmr": _simsearch_mmr_sql(),
+    "events_holt_winters": _hw_sql(),
 }

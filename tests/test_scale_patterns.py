@@ -691,6 +691,11 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     # (pool/pairs bounded by parameters); no cartesian anywhere
     p = plan("simsearch_mmr")
     assert "CartesianProduct" not in p, p
+    # holt-winters: one (type, day) hash agg feeds the bounded fold —
+    # no join, no window over raw events
+    p = plan("events_holt_winters")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 4, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):

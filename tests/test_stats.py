@@ -699,3 +699,42 @@ def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
             want = 0.7 * cos[(q, r.neighbor_id)] - 0.3 * pen
             assert r.mmr_score == pytest.approx(want, rel=1e-9), (q, r)
             picked.append(r.neighbor_id)
+
+
+def test_holt_winters_matches_python_fold(spark, tmp_path):
+    """The 9-state fold must replay bit-identically in Python, and on
+    a pure weekly pattern the seasonal slots must separate by dow."""
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        events_holt_winters,
+    )
+
+    rows = []
+    i = 0
+    series = []
+    import datetime
+
+    for d in range(28):
+        day = datetime.date(2024, 1, 1) + datetime.timedelta(days=d)
+        dow = (day.toordinal() - datetime.date(1970, 1, 1).toordinal() + 4) % 7
+        mu = 10.0 + (5.0 if dow in (0, 6) else 0.0)  # weekend lift
+        series.append((mu, float(dow)))
+        rows.append((i, f"{day} 12:00:00", 1, "hw", mu)); i += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = events_holt_winters(spark, sf).collect()[0]
+    # python replica of the identical op sequence
+    l = b = 0.0
+    s = [0.0] * 7
+    for mu, dow in series:
+        dw = int(dow)
+        lp = (mu - s[dw]) * 0.25 + (l + b) * 0.75
+        bp = (lp - l) * 0.125 + b * 0.875
+        s[dw] = (mu - lp) * 0.125 + s[dw] * 0.875
+        l, b = lp, bp
+    assert r.n_days == 28
+    assert r.level == l and r.trend == b
+    for idx in range(7):
+        assert getattr(r, f"season_{idx}") == s[idx], idx
+    # weekend slots learned a higher seasonal component
+    assert min(r.season_0, r.season_6) > max(
+        r.season_1, r.season_2, r.season_3, r.season_4, r.season_5
+    )
