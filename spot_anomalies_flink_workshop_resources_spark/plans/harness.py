@@ -1101,6 +1101,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_pit_enrich",           # NEW: point-in-time feature join
     "simsearch_mmr",               # NEW: MMR diversified retrieval
     "events_holt_winters",         # NEW: 9-state seasonal fold
+    "sql_region_share",            # NEW: two-level share-of-parent KPI
+    "sql_supplier_hhi",            # NEW: quantized-fold HHI concentration
+    "multimodal_entropy",          # NEW: hex-space byte entropy
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --

@@ -2136,6 +2136,267 @@ FROM folded
 """
 
 
+# ----------------------------------------------- share / concentration
+
+
+def sql_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent KPI: each nation's order revenue as a share of
+    its region, plus the region's share of the world — the two-level
+    drill-down report. Exact integer cents at every level; each share
+    is ONE int64 division."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("region")
+    ww = Window.partitionBy()
+    return base.select(
+        "region",
+        "nation",
+        (F.col("rev").cast("double") / F.lit(100.0)).alias("revenue"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(wr).cast("double")
+        ).alias("share_of_region"),
+        (
+            F.sum("rev").over(wr).cast("double")
+            / F.sum("rev").over(ww).cast("double")
+        ).alias("region_share_of_world"),
+    )
+
+
+SQL_REGION_SHARE_SQL = """
+WITH base AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation,
+       CAST(rev AS DOUBLE) / 100.0 AS revenue,
+       CAST(rev AS DOUBLE)
+         / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+         AS share_of_region,
+       CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+         / CAST(SUM(rev) OVER () AS DOUBLE) AS region_share_of_world
+FROM base
+"""
+
+
+def sql_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation:
+    HHI = sum_i share_i^2 over each supplier nation's lineitem revenue
+    by supplier — the market-concentration KPI. Computed EXACTLY as
+    (sum s_i^2) / S^2 with integer cents: each s_i^2 goes through a
+    double AFTER the exact int64 sum (under 2^53 per factor), the
+    cross-supplier fold is quantized onto a 2^-20 grid (the ANOVA
+    defense), and the statistic is one final division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    per_supp = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(F.sum(cents).cast("long").alias("rev"))
+    )
+    grid = float(1 << 20)
+    # normalized share-squared term, quantized so the fold is int64:
+    # (rev/S)^2 * 2^20 — rev/S <= 1 so terms stay tiny and exact
+    per_nation = per_supp.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("rev").cast("long").alias("s_tot"),
+        F.collect_list(F.struct("s_suppkey", "rev")).alias("rows_"),
+    )
+    # fold deterministically over the collected per-supplier list (a
+    # nation has ~hundreds of suppliers; order by suppkey both sides)
+    term = F.aggregate(
+        F.transform(
+            F.array_sort(F.col("rows_")),
+            lambda r: F.floor(
+                (
+                    r["rev"].cast("double") / F.col("s_tot").cast("double")
+                )
+                * (
+                    r["rev"].cast("double") / F.col("s_tot").cast("double")
+                )
+                * F.lit(grid)
+                + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return per_nation.select(
+        "nation",
+        "n_suppliers",
+        (F.col("s_tot").cast("double") / F.lit(100.0)).alias("total_revenue"),
+        (term.cast("double") / F.lit(grid)).alias("hhi"),
+    )
+
+
+SQL_SUPPLIER_HHI_SQL = """
+WITH per_supp AS (
+  SELECT n.n_name AS nation, s.s_suppkey,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                             * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_name, s.s_suppkey
+),
+tot AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(rev) AS BIGINT) AS s_tot
+  FROM per_supp GROUP BY nation
+)
+SELECT t.nation, t.n_suppliers,
+       CAST(t.s_tot AS DOUBLE) / 100.0 AS total_revenue,
+       CAST(SUM(CAST(FLOOR((CAST(p.rev AS DOUBLE) / CAST(t.s_tot AS DOUBLE))
+                           * (CAST(p.rev AS DOUBLE)
+                              / CAST(t.s_tot AS DOUBLE))
+                           * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1048576.0 AS hhi
+FROM per_supp p JOIN tot t ON t.nation = p.nation
+GROUP BY t.nation, t.n_suppliers, t.s_tot
+"""
+
+
+# ---------------------------------------------------- media entropy
+
+
+def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level Shannon entropy per sniffed media container — the
+    compressibility / already-encoded signal a media-ingest pipeline
+    uses to route transcode work (real codec payloads sit near 8
+    bits/byte; text-ish payloads far lower). Byte histograms are
+    exact integer counts extracted in HEX SPACE (DuckDB cannot
+    substring BLOBs — the repo's binary-surgery recipe); the entropy
+    fold quantizes each n*ln(N/n) term onto the 2^-20 grid (the MI
+    defense); bits convert by one shared /ln(2)."""
+    from ..operators import multimodal as M
+
+    media = M.sniff_media_type(_media_frame(spark, sf_dir))
+    hexed = media.select(
+        "sniffed_type", F.hex(F.col("content")).alias("hx")
+    )
+    bytes_ = hexed.select(
+        "sniffed_type",
+        F.explode(
+            F.expr("transform(sequence(1, length(hx) div 2), "
+                   "i -> substr(hx, 2*i - 1, 2))")
+        ).alias("b"),
+    )
+    counts = bytes_.groupBy("sniffed_type", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.groupBy("sniffed_type").agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bytes"),
+    )
+    grid = float(1 << 20)
+    term = F.floor(
+        F.col("n").cast("double")
+        * F.log(F.col("nn").cast("double") / F.col("n").cast("double"))
+        * F.lit(grid)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        counts.join(F.broadcast(tot), "sniffed_type")
+        .groupBy("sniffed_type", "nn", "n_distinct_bytes")
+        .agg(F.sum(term).cast("long").alias("hq"))
+    )
+    h_nats = F.col("hq").cast("double") / (
+        F.col("nn").cast("double") * F.lit(grid)
+    )
+    return agg.select(
+        "sniffed_type",
+        F.col("nn").alias("total_bytes"),
+        "n_distinct_bytes",
+        (h_nats / F.lit(float(__import__("math").log(2)))).alias(
+            "entropy_bits"
+        ),
+    )
+
+
+def _media_frame(spark, sf_dir):
+    from .pipeline_ops import _media
+
+    return _media(spark, sf_dir)
+
+
+MULTIMODAL_ENTROPY_SQL = r"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         (CASE doc_id % 4
+            WHEN 0 THEN '\x89\x50\x4E\x47'::BLOB
+            WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+            WHEN 2 THEN '\x52\x49\x46\x46'::BLOB
+            ELSE '\x00\x00\x00\x18'::BLOB END) || encode(text) AS content
+  FROM documents
+),
+sniffed AS (
+  SELECT media_id, hex(content) AS hx,
+         CASE
+           WHEN substr(hex(content), 1, 8) = '89504E47' THEN 'image/png'
+           WHEN substr(hex(content), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+           WHEN substr(hex(content), 1, 8) = '52494646' THEN 'audio/wav'
+           WHEN substr(hex(content), 1, 8) IN ('00000018', '00000020')
+             THEN 'video/mp4'
+           ELSE 'application/octet-stream'
+         END AS sniffed_type
+  FROM media
+),
+bytes_ AS (
+  SELECT sniffed_type, substr(hx, 2 * i.i - 1, 2) AS b
+  FROM sniffed, UNNEST(generate_series(1, len(hx) // 2)) AS i(i)
+),
+counts AS (
+  SELECT sniffed_type, b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bytes_ GROUP BY sniffed_type, b
+),
+tot AS (
+  SELECT sniffed_type, CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes
+  FROM counts GROUP BY sniffed_type
+)
+SELECT c.sniffed_type, t.nn AS total_bytes, t.n_distinct_bytes,
+       (CAST(SUM(CAST(FLOOR(CAST(c.n AS DOUBLE)
+                            * ln(CAST(t.nn AS DOUBLE)
+                                 / CAST(c.n AS DOUBLE))
+                            * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        / (CAST(t.nn AS DOUBLE) * 1048576.0))
+       / 0.6931471805599453 AS entropy_bits
+FROM counts c JOIN tot t ON t.sniffed_type = c.sniffed_type
+GROUP BY c.sniffed_type, t.nn, t.n_distinct_bytes
+"""
+
+
 QUERIES = {
     "events_mannwhitney": events_mannwhitney,
     "events_ks_2samp": events_ks_2samp,
@@ -2170,6 +2431,9 @@ QUERIES = {
     "events_pit_enrich": events_pit_enrich,
     "simsearch_mmr": simsearch_mmr,
     "events_holt_winters": events_holt_winters,
+    "sql_region_share": sql_region_share,
+    "sql_supplier_hhi": sql_supplier_hhi,
+    "multimodal_entropy": multimodal_entropy,
 }
 
 ORACLES = {
@@ -2206,4 +2470,7 @@ ORACLES = {
     "events_pit_enrich": EVENTS_PIT_SQL,
     "simsearch_mmr": _simsearch_mmr_sql(),
     "events_holt_winters": _hw_sql(),
+    "sql_region_share": SQL_REGION_SHARE_SQL,
+    "sql_supplier_hhi": SQL_SUPPLIER_HHI_SQL,
+    "multimodal_entropy": MULTIMODAL_ENTROPY_SQL,
 }

@@ -696,6 +696,19 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_holt_winters")
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 4, p
+    # region share: dims broadcast; share windows partition per region
+    p = plan("sql_region_share")
+    assert "BroadcastHashJoin" in p, p
+    # HHI: supplier rollup then a bounded per-nation fold; dims
+    # broadcast onto the lineitem scan
+    p = plan("sql_supplier_hhi")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+    # media entropy: narrow hex explode + two hash aggs; the byte
+    # histogram is the only exchange (256 x |types| cells)
+    p = plan("multimodal_entropy")
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):

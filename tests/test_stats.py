@@ -738,3 +738,50 @@ def test_holt_winters_matches_python_fold(spark, tmp_path):
     assert min(r.season_0, r.season_6) > max(
         r.season_1, r.season_2, r.season_3, r.season_4, r.season_5
     )
+
+
+def test_region_share_sums_to_one(spark, sf_dir):
+    from collections import defaultdict
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        sql_region_share,
+    )
+
+    rows = sql_region_share(spark, sf_dir).collect()
+    per_region = defaultdict(float)
+    region_world = {}
+    for r in rows:
+        per_region[r.region] += r.share_of_region
+        region_world[r.region] = r.region_share_of_world
+    for reg, s in per_region.items():
+        assert s == pytest.approx(1.0, rel=1e-9), reg
+    assert sum(region_world.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_hhi_bounds_and_monopoly(spark, sf_dir):
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        sql_supplier_hhi,
+    )
+
+    rows = sql_supplier_hhi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HHI in (1/n, 1]; equals 1 only for a single supplier
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-6, r
+        if r.n_suppliers == 1:
+            assert r.hhi == pytest.approx(1.0, abs=1e-5)
+
+
+def test_media_entropy_bounds(spark, sf_dir):
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        multimodal_entropy,
+    )
+
+    rows = multimodal_entropy(spark, sf_dir).collect()
+    assert {r.sniffed_type for r in rows} == {
+        "image/png", "image/jpeg", "audio/wav", "video/mp4",
+    }
+    for r in rows:
+        # text-backed payloads: entropy well under 8 bits, over 1 bit
+        assert 1.0 < r.entropy_bits < 8.0
+        assert r.n_distinct_bytes <= 256
