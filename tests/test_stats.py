@@ -785,3 +785,60 @@ def test_media_entropy_bounds(spark, sf_dir):
         # text-backed payloads: entropy well under 8 bits, over 1 bit
         assert 1.0 < r.entropy_bits < 8.0
         assert r.n_distinct_bytes <= 256
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_stats_family_randomized_against_python(spark, seed):
+    """Multi-seed randomized cross-check: Mann-Whitney, KS, trimmed
+    mean and ANOVA all recomputed by independent pure-Python code on
+    the same random fixture — the property-test layer over the
+    single-fixture unit tests."""
+    from spot_anomalies_flink_workshop_resources_spark.operators.stats import (
+        anova,
+        ks_2samp,
+        mannwhitney,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(250):
+        t = rng.choice(["x", "y"])
+        shift = 0 if t == "x" else rng.choice([0, 8])
+        rows.append(
+            (i, "2024-01-01 00:00:00", 1, t,
+             (rng.randint(0, 60) + shift) / 4.0)
+        )
+    df = _events_df(spark, rows)
+    cents = {
+        t: sorted(round(v * 100) for (_, _, _, tt, v) in rows if tt == t)
+        for t in ("x", "y")
+    }
+    # KS reference
+    r = ks_2samp(df, "x", "y").collect()[0]
+    na, nb = len(cents["x"]), len(cents["y"])
+    best = max(
+        abs(
+            sum(1 for v in cents["x"] if v <= c) * nb
+            - sum(1 for v in cents["y"] if v <= c) * na
+        )
+        for c in set(cents["x"]) | set(cents["y"])
+    )
+    assert r.d_stat == pytest.approx(best / (na * nb), rel=1e-12)
+    # Mann-Whitney reference (u only; z covered by the dedicated test)
+    got = {row.event_type: row for row in mannwhitney(df).collect()}
+    pooled = sorted(cents["x"] + cents["y"])
+    ranks = _py_midranks(pooled)
+    for t in ("x", "y"):
+        u = sum(ranks[c] for c in cents[t]) - len(cents[t]) * (
+            len(cents[t]) + 1
+        ) / 2
+        assert got[t].u_stat == pytest.approx(u, abs=1e-9)
+    # ANOVA reference
+    ra = anova(df).collect()[0]
+    n = na + nb
+    s = sum(sum(g) for g in cents.values())
+    q = sum(v * v for g in cents.values() for v in g)
+    sq = sum(sum(g) ** 2 / len(g) for g in cents.values())
+    ssb, ssw = sq - s * s / n, q - sq
+    f = ssb / 1 / (ssw / (n - 2))
+    assert ra.f_stat == pytest.approx(f, rel=1e-5)
