@@ -1066,6 +1066,13 @@ WHERE src_endpoint.ip LIKE '10.%'
 # order behind them. The full surface (all oracles) is still verified
 # locally each round via tools/check_oracles.py — see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- round 6 second wave: drift / dispersion / frontier surface --
+    "events_psi_drift",            # NEW: quantized-fold PSI drift gate
+    "events_jsd_profile",          # NEW: hour-profile Jensen-Shannon
+    "events_fano",                 # NEW: hourly overdispersion screen
+    "sql_part_skyline",            # NEW: window-frame Pareto frontier
+    "sql_weighted_median",         # NEW: selection-only weighted median
+    "sql_copurchase_linkpred",     # NEW: Adamic-Adar wedge-join scoring
     # -- round 6: new statistical / association / centrality surface --
     "events_mannwhitney",          # NEW: exact midrank rank-sum U test
     "events_ks_2samp",             # NEW: integer cross-mult KS selection
@@ -1292,10 +1299,11 @@ def build_queries() -> dict[str, QueryFn]:
     }
     registry.update(relational.QUERIES)
     registry.update(pipeline_ops.QUERIES)
-    from . import relational_sql, stattests
+    from . import insights, relational_sql, stattests
 
     registry.update(relational_sql.QUERIES)
     registry.update(stattests.QUERIES)
+    registry.update(insights.QUERIES)
 
     out: dict[str, QueryFn] = {}
     for name in DRIVER_PRIORITY:
@@ -1346,8 +1354,9 @@ def build_oracles() -> dict[str, str]:
     }
     out.update(relational.ORACLES)
     out.update(pipeline_ops.ORACLES)
-    from . import relational_sql, stattests
+    from . import insights, relational_sql, stattests
 
     out.update(relational_sql.ORACLES)
     out.update(stattests.ORACLES)
+    out.update(insights.ORACLES)
     return out

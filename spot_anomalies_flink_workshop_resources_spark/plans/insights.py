@@ -1,0 +1,675 @@
+"""Round-6 second-wave surface: distribution drift (PSI / JSD),
+overdispersion, dominance frontiers, link prediction, survival hazard,
+intermittent-demand forecasting, interval-union coverage, and lexical
+growth — the monitoring / curation layer a platform user runs on the
+same tables after the detection core (reference scope ends at
+fixed-threshold detection, AD.java:200).
+
+Every query follows the repo's oracle contract: scalar-only result
+columns, identical aliases both sides, and exactness by the proven
+recipes (integer sufficient statistics, per-term 2^-20 quantization
+before any float sum, selection by integer cross-multiplication,
+ordered folds with identical IEEE op sequences — see
+memory's cross-engine recipes and operators/stats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+_SCALE = 1 << 20  # shared quantization grid for per-term float folds
+
+# Shared cents/day framing of events (the _daily_cents idiom).
+_EV_CENTS_DAY = """
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM events
+"""
+
+
+def _ev_cents_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    )
+
+
+# ------------------------------------------------------------------ PSI
+
+
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX of each event type's value
+    distribution, first half of the observed period vs the second —
+    the standard model-monitoring drift gate (PSI > 0.1 = investigate).
+
+    Semantics: 10 equal-width cent buckets spanning the type's full
+    observed range; Laplace +1 smoothing keeps every bucket's ratio
+    finite.  Exactness: bucket ids are pure integer division, the
+    half-split day is an integer midpoint, and each bucket's
+    (p-q)*ln(p/q) term quantizes onto the 2^-20 grid before an int64
+    sum — the drift flag compares that integer against floor(0.1*2^20),
+    so the discrete decision is exact.  Scale: one data-sized pass to
+    (type, bucket, half) counts; everything after lives on a
+    10-bucket-per-type frame.
+    """
+    ev = _ev_cents_day(spark, sf_dir)
+    md = ev.agg(
+        F.expr("(min(d) + max(d) + 1) div 2").cast("long").alias("md")
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("c").cast("long").alias("mn"), F.max("c").cast("long").alias("mx")
+    )
+    bucketed = (
+        ev.join(F.broadcast(rng), "event_type")
+        .crossJoin(F.broadcast(md))
+        .select(
+            "event_type",
+            F.expr("((c - mn) * 10) div (mx - mn + 1)").alias("bucket"),
+            F.when(F.col("d") < F.col("md"), F.lit(0)).otherwise(F.lit(1)).alias("half"),
+        )
+    )
+    counts = bucketed.groupBy("event_type", "bucket", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket"))
+        .select("event_type", F.col("bucket").cast("long").alias("bucket"))
+    )
+    p = counts.where(F.col("half") == 0).select(
+        "event_type", "bucket", F.col("cnt").alias("cnt_p")
+    )
+    q = counts.where(F.col("half") == 1).select(
+        "event_type", "bucket", F.col("cnt").alias("cnt_q")
+    )
+    cells = (
+        spine.join(p, ["event_type", "bucket"], "left")
+        .join(q, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            (F.coalesce(F.col("cnt_p"), F.lit(0)) + 1).cast("long").alias("cp"),
+            (F.coalesce(F.col("cnt_q"), F.lit(0)) + 1).cast("long").alias("cq"),
+        )
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("cp").cast("long").alias("tp"), F.sum("cq").cast("long").alias("tq")
+    )
+    pr = F.col("cp").cast("double") / F.col("tp").cast("double")
+    qr = F.col("cq").cast("double") / F.col("tq").cast("double")
+    term_q = F.floor((pr - qr) * F.log(pr / qr) * F.lit(float(_SCALE)) + F.lit(0.5)).cast(
+        "long"
+    )
+    terms = cells.join(F.broadcast(tots), "event_type").select(
+        "event_type", "tp", "tq", term_q.alias("term_q")
+    )
+    psi_q = F.sum("term_q").cast("long")
+    return (
+        terms.groupBy("event_type", "tp", "tq")
+        .agg(psi_q.alias("psi_q"))
+        .select(
+            "event_type",
+            (F.col("tp") - 10).alias("n_first"),
+            (F.col("tq") - 10).alias("n_second"),
+            (F.col("psi_q").cast("double") / F.lit(float(_SCALE))).alias("psi"),
+            (F.col("psi_q") > F.lit(_SCALE // 10)).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PSI_SQL = f"""
+WITH ev AS MATERIALIZED ({_EV_CENTS_DAY}),
+md AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS md FROM ev),
+rng AS (SELECT event_type, MIN(c) AS mn, MAX(c) AS mx
+        FROM ev GROUP BY event_type),
+bucketed AS (
+  SELECT e.event_type,
+         ((e.c - r.mn) * 10) // (r.mx - r.mn + 1) AS bucket,
+         CASE WHEN e.d < md.md THEN 0 ELSE 1 END AS half
+  FROM ev e JOIN rng r ON r.event_type = e.event_type CROSS JOIN md
+),
+counts AS (
+  SELECT event_type, bucket, half, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bucketed GROUP BY event_type, bucket, half
+),
+spine AS (
+  SELECT t.event_type, CAST(r.range AS BIGINT) AS bucket
+  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN range(10) r
+),
+cells AS (
+  SELECT s.event_type, s.bucket,
+         CAST(COALESCE(p.cnt, 0) + 1 AS BIGINT) AS cp,
+         CAST(COALESCE(q.cnt, 0) + 1 AS BIGINT) AS cq
+  FROM spine s
+  LEFT JOIN counts p ON p.event_type = s.event_type
+                    AND p.bucket = s.bucket AND p.half = 0
+  LEFT JOIN counts q ON q.event_type = s.event_type
+                    AND q.bucket = s.bucket AND q.half = 1
+),
+tots AS (
+  SELECT event_type, CAST(SUM(cp) AS BIGINT) AS tp,
+         CAST(SUM(cq) AS BIGINT) AS tq
+  FROM cells GROUP BY event_type
+),
+terms AS (
+  SELECT c.event_type, t.tp, t.tq,
+         CAST(FLOOR(
+           (CAST(c.cp AS DOUBLE) / CAST(t.tp AS DOUBLE)
+            - CAST(c.cq AS DOUBLE) / CAST(t.tq AS DOUBLE))
+           * ln((CAST(c.cp AS DOUBLE) / CAST(t.tp AS DOUBLE))
+                / (CAST(c.cq AS DOUBLE) / CAST(t.tq AS DOUBLE)))
+           * {float(_SCALE)} + 0.5) AS BIGINT) AS term_q
+  FROM cells c JOIN tots t ON t.event_type = c.event_type
+)
+SELECT event_type,
+       CAST(tp - 10 AS BIGINT) AS n_first,
+       CAST(tq - 10 AS BIGINT) AS n_second,
+       CAST(CAST(SUM(term_q) AS BIGINT) AS DOUBLE) / {float(_SCALE)} AS psi,
+       CAST(SUM(term_q) AS BIGINT) > {_SCALE // 10} AS drifted
+FROM terms
+GROUP BY event_type, tp, tq
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------------------ JSD
+
+
+def events_jsd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON divergence between each event type's hour-of-day
+    activity profile and the global all-events profile — "which event
+    types keep unusual hours", the symmetric, always-finite complement
+    of the PSI gate.  The peak hour is the hour with the largest
+    absolute share excess, selected by integer cross-multiplication
+    (|cp*tq - cq*tp|), so the discrete output is exact; the divergence
+    itself folds per-hour terms quantized onto the 2^-20 grid.  Scale:
+    one pass to (type, hour) counts, then a 24-row-per-type frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hc = e.groupBy("event_type", F.hour("ts").cast("long").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    spine = (
+        hc.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hr"),
+        )
+        .select("event_type", F.col("hr").cast("long").alias("hr"))
+    )
+    glob = hc.groupBy("hr").agg(F.sum("cnt").cast("long").alias("cg"))
+    cells = (
+        spine.join(hc, ["event_type", "hr"], "left")
+        .join(F.broadcast(glob), "hr", "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cp"),
+            F.coalesce(F.col("cg"), F.lit(0)).cast("long").alias("cq"),
+        )
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("cp").cast("long").alias("tp"), F.sum("cq").cast("long").alias("tq")
+    )
+    pr = F.col("cp").cast("double") / F.col("tp").cast("double")
+    qr = F.col("cq").cast("double") / F.col("tq").cast("double")
+    p_term = F.when(
+        F.col("cp") > 0, pr * F.log(F.lit(2.0) * pr / (pr + qr))
+    ).otherwise(F.lit(0.0))
+    q_term = F.when(
+        F.col("cq") > 0, qr * F.log(F.lit(2.0) * qr / (pr + qr))
+    ).otherwise(F.lit(0.0))
+    term_q = F.floor(
+        (F.lit(0.5) * p_term + F.lit(0.5) * q_term) * F.lit(float(_SCALE))
+        + F.lit(0.5)
+    ).cast("long")
+    excess = F.abs(F.col("cp") * F.col("tq") - F.col("cq") * F.col("tp"))
+    scored = cells.join(F.broadcast(tots), "event_type").select(
+        "event_type", "hr", "tp", term_q.alias("term_q"), excess.alias("excess")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("excess").desc(), F.col("hr").asc()
+    )
+    peak = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("hr").alias("peak_hour"))
+    )
+    return (
+        scored.groupBy("event_type", "tp")
+        .agg(F.sum("term_q").cast("long").alias("jsd_q"))
+        .join(F.broadcast(peak), "event_type")
+        .select(
+            "event_type",
+            F.col("tp").alias("n_events"),
+            (F.col("jsd_q").cast("double") / F.lit(float(_SCALE))).alias("jsd_nats"),
+            "peak_hour",
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSD_SQL = f"""
+WITH hc AS MATERIALIZED (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, hour(ts)
+),
+spine AS (
+  SELECT t.event_type, CAST(r.range AS BIGINT) AS hr
+  FROM (SELECT DISTINCT event_type FROM hc) t CROSS JOIN range(24) r
+),
+gprof AS (SELECT hr, CAST(SUM(cnt) AS BIGINT) AS cg FROM hc GROUP BY hr),
+cells AS (
+  SELECT s.event_type, s.hr,
+         CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cp,
+         CAST(COALESCE(g.cg, 0) AS BIGINT) AS cq
+  FROM spine s
+  LEFT JOIN hc h ON h.event_type = s.event_type AND h.hr = s.hr
+  LEFT JOIN gprof g ON g.hr = s.hr
+),
+tots AS (
+  SELECT event_type, CAST(SUM(cp) AS BIGINT) AS tp,
+         CAST(SUM(cq) AS BIGINT) AS tq
+  FROM cells GROUP BY event_type
+),
+scored AS (
+  SELECT c.event_type, c.hr, t.tp,
+         CAST(FLOOR(
+           (0.5 * (CASE WHEN c.cp > 0 THEN
+                     (CAST(c.cp AS DOUBLE) / CAST(t.tp AS DOUBLE))
+                     * ln(2.0 * (CAST(c.cp AS DOUBLE) / CAST(t.tp AS DOUBLE))
+                          / ((CAST(c.cp AS DOUBLE) / CAST(t.tp AS DOUBLE))
+                             + (CAST(c.cq AS DOUBLE) / CAST(t.tq AS DOUBLE))))
+                   ELSE 0.0 END)
+            + 0.5 * (CASE WHEN c.cq > 0 THEN
+                     (CAST(c.cq AS DOUBLE) / CAST(t.tq AS DOUBLE))
+                     * ln(2.0 * (CAST(c.cq AS DOUBLE) / CAST(t.tq AS DOUBLE))
+                          / ((CAST(c.cp AS DOUBLE) / CAST(t.tp AS DOUBLE))
+                             + (CAST(c.cq AS DOUBLE) / CAST(t.tq AS DOUBLE))))
+                   ELSE 0.0 END))
+           * {float(_SCALE)} + 0.5) AS BIGINT) AS term_q,
+         abs(c.cp * t.tq - c.cq * t.tp) AS excess
+  FROM cells c JOIN tots t ON t.event_type = c.event_type
+),
+peak AS (
+  SELECT event_type, hr AS peak_hour
+  FROM (SELECT event_type, hr,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY excess DESC, hr ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT s.event_type, s.tp AS n_events,
+       CAST(CAST(SUM(s.term_q) AS BIGINT) AS DOUBLE) / {float(_SCALE)}
+         AS jsd_nats,
+       p.peak_hour
+FROM scored s JOIN peak p ON p.event_type = s.event_type
+GROUP BY s.event_type, s.tp, p.peak_hour
+ORDER BY s.event_type
+"""
+
+
+# ----------------------------------------------------------------- Fano
+
+
+def events_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FANO FACTOR (index of dispersion, var/mean) of each event type's
+    hourly arrival counts over the full observed hour span — the
+    burstiness screen separating Poisson-like traffic from clustered
+    arrivals.  Hours with zero arrivals are real observations: n is the
+    global span length (a scalar), and zero cells contribute nothing to
+    either power sum, so no spine join is needed (the hourly_corr
+    contract).  fano = (n*Σc² - (Σc)²) / ((n-1)*Σc) divides two exact
+    int64s once; the overdispersed flag compares the same integers.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "event_type",
+        (F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600")).alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    span = e.agg(
+        (
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.max("ts")))
+                - F.unix_timestamp(F.date_trunc("hour", F.min("ts")))
+            )
+            / 3600
+            + 1
+        )
+        .cast("long")
+        .alias("n")
+    )
+    agg = hc.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("sc"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("scc"),
+    )
+    num = F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")
+    den = (F.col("n") - 1) * F.col("sc")
+    return (
+        agg.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            (F.col("sc").cast("double") / F.col("n").cast("double")).alias(
+                "mean_per_hour"
+            ),
+            (num.cast("double") / den.cast("double")).alias("fano"),
+            (num > den).alias("overdispersed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_FANO_SQL = """
+WITH hc AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT)
+),
+span AS (
+  SELECT CAST(FLOOR(epoch(MAX(ts)) / 3600) AS BIGINT)
+         - CAST(FLOOR(epoch(MIN(ts)) / 3600) AS BIGINT) + 1 AS n
+  FROM events
+),
+agg AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS sc,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS scc
+  FROM hc GROUP BY event_type
+)
+SELECT event_type, span.n AS n_hours,
+       CAST(sc AS DOUBLE) / CAST(span.n AS DOUBLE) AS mean_per_hour,
+       CAST(span.n * scc - sc * sc AS DOUBLE)
+         / CAST((span.n - 1) * sc AS DOUBLE) AS fano,
+       (span.n * scc - sc * sc) > ((span.n - 1) * sc) AS overdispersed
+FROM agg CROSS JOIN span
+ORDER BY event_type
+"""
+
+
+
+
+# ------------------------------------------------------- skyline
+
+
+def sql_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO FRONTIER (skyline) of parts per brand: the parts no other
+    part of the brand dominates on (bigger size, cheaper price) — the
+    multi-criteria "best offers" operator classical SQL lacks.
+
+    q dominates p iff q.size >= p.size AND q.price <= p.price with one
+    strict.  Rather than the quadratic NOT EXISTS the oracle states, the
+    engine computes two running minima: the min price over STRICTLY
+    LARGER sizes (a RANGE frame on the size axis) and the min price at
+    EQUAL size — p survives iff it beats the first strictly and ties the
+    second.  All comparisons are int64 (size, cents), so the frontier
+    membership decision is exact.  Scale: per-brand windows partition
+    the work; no self-join ever materializes (the N^2 pairs exist only
+    in the oracle's spelling).
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    w_gt = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("p_size").asc())
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_eq = Window.partitionBy("p_brand", "p_size")
+    out = (
+        p.withColumn("m_gt", F.min("price_cents").over(w_gt))
+        .withColumn("m_eq", F.min("price_cents").over(w_eq))
+        .where(
+            (F.col("m_gt").isNull() | (F.col("price_cents") < F.col("m_gt")))
+            & (F.col("price_cents") == F.col("m_eq"))
+        )
+        .select("p_brand", "p_partkey", "p_size", "price_cents")
+        .orderBy("p_brand", F.col("p_size").desc(), "price_cents", "p_partkey")
+    )
+    return out
+
+
+SQL_PART_SKYLINE_SQL = """
+WITH pp AS MATERIALIZED (
+  SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS p_size,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM part
+)
+SELECT p.p_brand, p.p_partkey, p.p_size, p.price_cents
+FROM pp p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pp q
+  WHERE q.p_brand = p.p_brand
+    AND q.p_size >= p.p_size AND q.price_cents <= p.price_cents
+    AND (q.p_size > p.p_size OR q.price_cents < p.price_cents)
+)
+ORDER BY p.p_brand, p.p_size DESC, p.price_cents, p.p_partkey
+"""
+
+
+# ----------------------------------------------- weighted median
+
+
+def sql_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE-WEIGHTED MEDIAN order quantity per brand — the quantity
+    level at which half the brand's lineitem revenue sits below — plus
+    the plain row count and total weight.  Selection-only exactness:
+    weights are cent int64s, the cumulative fold is an integer window
+    sum ordered by the integer quantity grid, and the median is the
+    first quantity whose doubled cumulative weight reaches the total
+    (no division at all until the final cents->units rescale).  Scale:
+    one data-sized (brand, qty) agg; the window runs on the tiny
+    per-brand quantity grid.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    grid = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("qty_c"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("w"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    wcum = Window.partitionBy("p_brand").orderBy("qty_c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("p_brand")
+    ranked = (
+        grid.withColumn("cum", F.sum("w").over(wcum).cast("long"))
+        .withColumn("tot", F.sum("w").over(wtot).cast("long"))
+        .withColumn("n_items", F.sum("n").over(wtot).cast("long"))
+        .where(2 * F.col("cum") >= F.col("tot"))
+    )
+    wpick = Window.partitionBy("p_brand").orderBy("qty_c")
+    return (
+        ranked.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            (F.col("qty_c").cast("double") / F.lit(100.0)).alias("w_median_qty"),
+            F.col("tot").alias("total_weight_cents"),
+            "n_items",
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_WEIGHTED_MEDIAN_SQL = """
+WITH grid AS (
+  SELECT p.p_brand,
+         CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand, CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT)
+),
+ranked AS (
+  SELECT p_brand, qty_c,
+         CAST(SUM(w) OVER (PARTITION BY p_brand ORDER BY qty_c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(SUM(w) OVER (PARTITION BY p_brand) AS BIGINT) AS tot,
+         CAST(SUM(n) OVER (PARTITION BY p_brand) AS BIGINT) AS n_items
+  FROM grid
+),
+hit AS (
+  SELECT p_brand, qty_c, tot, n_items,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY qty_c) AS rn
+  FROM ranked WHERE 2 * cum >= tot
+)
+SELECT p_brand, CAST(qty_c AS DOUBLE) / 100.0 AS w_median_qty,
+       tot AS total_weight_cents, n_items
+FROM hit WHERE rn = 1
+ORDER BY p_brand
+"""
+
+
+# ------------------------------------------------ link prediction
+
+
+def sql_copurchase_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION on the frequent co-purchase graph: for part
+    pairs NOT yet co-purchased (>= 2 orders) that share neighbors,
+    score the top 50 candidates by ADAMIC-ADAR (common neighbors
+    discounted by their degree), with the raw common-neighbor count
+    and neighborhood Jaccard — the "customers also bought" candidate
+    generator.
+
+    Exactness: each neighbor's 1/ln(deg) contribution quantizes onto
+    the 2^-20 grid before the int64 sum (deg >= 2 always — a common
+    neighbor of two distinct nodes has two edges — so ln > 0); ranking
+    and the LIMIT boundary order by the quantized integer with full
+    tiebreaks.  Scale: candidates come from the wedge join (per-node
+    fan-out deg^2, bounded by the edge-support threshold exactly like
+    the triangle/k-core family); no all-pairs step exists.
+    """
+    from .relational import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir).select("x", "y")
+    und = e.union(e.select(F.col("y"), F.col("x")))
+    adj = und.select(F.col("x").alias("node"), F.col("y").alias("z"))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    a = adj.select(F.col("node").alias("a"), "z")
+    b = adj.select(F.col("node").alias("b"), "z")
+    term_q = F.floor(
+        F.lit(float(_SCALE)) / F.log(F.col("deg").cast("double")) + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        a.join(b, "z")
+        .where(F.col("a") < F.col("b"))
+        .join(deg.select(F.col("node").alias("z"), "deg"), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(term_q).cast("long").alias("aa_q"),
+        )
+        .join(e, (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")), "left_anti")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    return (
+        scored.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            F.col("cn").alias("common_neighbors"),
+            (F.col("aa_q").cast("double") / F.lit(float(_SCALE))).alias(
+                "adamic_adar"
+            ),
+            (
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+            F.col("aa_q"),
+        )
+        .orderBy(F.col("aa_q").desc(), F.col("common_neighbors").desc(), "node_a", "node_b")
+        .limit(50)
+        .drop("aa_q")
+    )
+
+
+def _sql_copurchase_linkpred_sql() -> str:
+    from .relational import _COPURCHASE_EDGES_CTE
+
+    return (
+        _COPURCHASE_EDGES_CTE
+        + f""",
+und AS MATERIALIZED (
+  SELECT x, y FROM edges UNION ALL SELECT y AS x, x AS y FROM edges
+),
+deg AS MATERIALIZED (
+  SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY x
+),
+scored AS (
+  SELECT a.x AS a, b.x AS b, CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(CAST(FLOOR({float(_SCALE)}
+                / ln(CAST(d.deg AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT)
+           AS aa_q
+  FROM und a
+  JOIN und b ON a.y = b.y AND a.x < b.x
+  JOIN deg d ON d.node = a.y
+  GROUP BY a.x, b.x
+),
+new_pairs AS (
+  SELECT s.a, s.b, s.cn, s.aa_q FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.x = s.a AND e.y = s.b)
+)
+SELECT n.a AS node_a, n.b AS node_b, n.cn AS common_neighbors,
+       CAST(n.aa_q AS DOUBLE) / {float(_SCALE)} AS adamic_adar,
+       CAST(n.cn AS DOUBLE) / CAST(da.deg + db.deg - n.cn AS DOUBLE)
+         AS jaccard
+FROM new_pairs n
+JOIN deg da ON da.node = n.a
+JOIN deg db ON db.node = n.b
+ORDER BY n.aa_q DESC, n.cn DESC, n.a, n.b
+LIMIT 50
+"""
+    )
+
+
+QUERIES = {
+    "events_psi_drift": events_psi_drift,
+    "events_jsd_profile": events_jsd_profile,
+    "events_fano": events_fano,
+    "sql_part_skyline": sql_part_skyline,
+    "sql_weighted_median": sql_weighted_median,
+    "sql_copurchase_linkpred": sql_copurchase_linkpred,
+}
+
+ORACLES = {
+    "events_psi_drift": EVENTS_PSI_SQL,
+    "events_jsd_profile": EVENTS_JSD_SQL,
+    "events_fano": EVENTS_FANO_SQL,
+    "sql_part_skyline": SQL_PART_SKYLINE_SQL,
+    "sql_weighted_median": SQL_WEIGHTED_MEDIAN_SQL,
+    "sql_copurchase_linkpred": _sql_copurchase_linkpred_sql(),
+}
