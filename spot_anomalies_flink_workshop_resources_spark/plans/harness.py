@@ -1073,6 +1073,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_part_skyline",            # NEW: window-frame Pareto frontier
     "sql_weighted_median",         # NEW: selection-only weighted median
     "sql_copurchase_linkpred",     # NEW: Adamic-Adar wedge-join scoring
+    "sql_ship_hazard",             # NEW: Nelson-Aalen additive hazard
+    "events_croston",              # NEW: intermittent-demand two-state fold
+    "events_session_coverage",     # NEW: interval-union sweep coverage
+    "text_heaps_fit",              # NEW: vocabulary-growth exponent OLS
     # -- round 6: new statistical / association / centrality surface --
     "events_mannwhitney",          # NEW: exact midrank rank-sum U test
     "events_ks_2samp",             # NEW: integer cross-mult KS selection

@@ -656,6 +656,426 @@ LIMIT 50
     )
 
 
+# ------------------------------------------------ cumulative hazard
+
+
+def sql_ship_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative hazard of the order -> first-ship delay
+    (right-censored exactly like sql_ship_survival, relational.py:2265)
+    plus the Fleming-Harrington survival exp(-H) — the additive
+    companion the KM product curve: hazard increments are easier to
+    compare across cohorts and the estimator is the one used for
+    hazard-ratio eyeballing.
+
+    Exactness: the subject/risk framing is IDENTICAL to the KM query
+    (same integer exits / at-risk counts); H(t) folds the d/n step
+    terms left-to-right in event-day order with + (the KM recipe with
+    + instead of *), so both engines run the same IEEE sequence;
+    exp(-H) is one final shared op (<= 1 ulp, tolerated continuous
+    output).  Scale: data-sized work is one per-order min-shipdate agg;
+    the fold lives on the bounded delay-day domain.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+    )
+    horizon = li.agg(F.max("first_ship").alias("h"))
+    subj = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.coalesce(
+                F.datediff(F.col("first_ship"), F.col("o_orderdate")),
+                F.datediff(F.col("h"), F.col("o_orderdate")),
+            ).cast("long").alias("t_obs"),
+            F.col("first_ship").isNotNull().cast("int").alias("evented"),
+        )
+        .where(F.col("t_obs") >= 0)
+    )
+    n_total = subj.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
+    per_day = subj.groupBy("t_obs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exit"),
+        F.sum("evented").cast("long").alias("d"),
+    )
+    w = Window.orderBy("t_obs").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_day.crossJoin(F.broadcast(n_total)).select(
+        "t_obs",
+        "d",
+        (F.col("n") - F.coalesce(F.sum("n_exit").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n_risk"),
+    )
+    steps = risk.where(F.col("d") > 0).select(
+        "t_obs",
+        "n_risk",
+        "d",
+        (F.col("d").cast("double") / F.col("n_risk").cast("double")).alias(
+            "step"
+        ),
+    )
+    a = steps.select(F.col("t_obs").alias("t"), "n_risk", "d")
+    b = steps.select(F.col("t_obs").alias("u"), F.col("step").alias("su"))
+    haz = (
+        a.join(F.broadcast(b), F.col("u") <= F.col("t"))
+        .groupBy("t", "n_risk", "d")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("u", "su"))),
+                    lambda p: p["su"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("cum_hazard")
+        )
+    )
+    return haz.select(
+        F.col("t").alias("delay_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        "cum_hazard",
+        F.exp(-F.col("cum_hazard")).alias("fh_survival"),
+    )
+
+
+SQL_SHIP_HAZARD_SQL = """
+WITH li AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+h AS (SELECT MAX(first_ship) AS h FROM li),
+subj AS (
+  SELECT CAST(COALESCE(
+           CAST(first_ship AS DATE) - CAST(o.o_orderdate AS DATE),
+           CAST(h.h AS DATE) - CAST(o.o_orderdate AS DATE))
+         AS BIGINT) AS t_obs,
+         CASE WHEN li.first_ship IS NOT NULL THEN 1 ELSE 0 END AS evented
+  FROM orders o
+  LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+  CROSS JOIN h
+),
+subj_ok AS (SELECT * FROM subj WHERE t_obs >= 0),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj_ok),
+per_day AS (
+  SELECT t_obs, CAST(COUNT(*) AS BIGINT) AS n_exit,
+         CAST(SUM(evented) AS BIGINT) AS d
+  FROM subj_ok GROUP BY t_obs
+),
+risk AS (
+  SELECT t_obs, d,
+         CAST(nt.n - COALESCE(SUM(n_exit) OVER (ORDER BY t_obs
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM per_day CROSS JOIN nt
+),
+steps AS (
+  SELECT t_obs, n_risk, d,
+         CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS step
+  FROM risk WHERE d > 0
+),
+haz AS (
+  SELECT a.t_obs, a.n_risk, a.d,
+         list_reduce(
+           list_prepend(0.0, list(b.step ORDER BY b.t_obs)),
+           (acc, x) -> acc + x) AS cum_hazard
+  FROM steps a JOIN steps b ON b.t_obs <= a.t_obs
+  GROUP BY a.t_obs, a.n_risk, a.d
+)
+SELECT t_obs AS delay_days, n_risk AS n_at_risk, d AS n_events,
+       cum_hazard, exp(-cum_hazard) AS fh_survival
+FROM haz
+"""
+
+
+# --------------------------------------------------------- Croston
+
+
+def events_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON'S METHOD for intermittent demand, per event type: the
+    spiky-series forecaster that smooths demand SIZE and demand
+    INTERVAL separately (plain EWMA on a mostly-zero series collapses
+    toward zero between spikes).  Demand days are days whose count of
+    near-peak events (value cents >= 90% of the type's max, an integer
+    threshold) is positive.
+
+    Exactness: the two-state fold runs over the ordered demand days
+    with alpha = 0.125 (exact binary); the first demand day IS the
+    initial state (DuckDB list_reduce's no-init convention, mirrored in
+    Spark by folding slice(2..) from element 1), so both engines run
+    the identical IEEE sequence — bit-exact, no quantization.  Scale:
+    one data-sized filter+agg to (type, day); the fold is
+    calendar-bounded (the EWMA/Holt cost contract).
+    """
+    ev = _ev_cents_day(spark, sf_dir)
+    thr = ev.groupBy("event_type").agg(
+        F.expr("(9 * max(c)) div 10").cast("long").alias("thr")
+    )
+    daily = (
+        ev.join(F.broadcast(thr), "event_type")
+        .where(F.col("c") >= F.col("thr"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("dem"))
+    )
+    base = daily.groupBy("event_type").agg(F.min("d").cast("long").alias("d0"))
+    pts = daily.join(F.broadcast(base), "event_type")
+    w = Window.partitionBy("event_type").orderBy("d")
+    gapped = pts.select(
+        "event_type",
+        "d",
+        "dem",
+        F.coalesce(
+            (F.col("d") - F.lag("d").over(w)).cast("double"), F.lit(1.0)
+        ).alias("gap"),
+    )
+    # element = [demand_size, interval]; fold starts AT element 1
+    folded = gapped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_demand_days"),
+        F.aggregate(
+            F.expr(
+                "slice(transform(array_sort(collect_list(struct(d as k, "
+                "array(cast(dem as double), gap) as v))), p -> p.v), 2, "
+                "greatest(size(collect_list(d)) - 1, 0))"
+            ),
+            F.expr(
+                "element_at(transform(array_sort(collect_list(struct(d as k, "
+                "array(cast(dem as double), gap) as v))), p -> p.v), 1)"
+            ),
+            lambda acc, x: F.array(
+                acc[0] + F.lit(0.125) * (x[0] - acc[0]),
+                acc[1] + F.lit(0.125) * (x[1] - acc[1]),
+            ),
+        ).alias("zx"),
+    )
+    return folded.select(
+        "event_type",
+        "n_demand_days",
+        F.col("zx")[0].alias("smoothed_size"),
+        F.col("zx")[1].alias("smoothed_interval"),
+        (F.col("zx")[0] / F.col("zx")[1]).alias("demand_per_day"),
+    ).orderBy("event_type")
+
+
+EVENTS_CROSTON_SQL = f"""
+WITH ev AS MATERIALIZED ({_EV_CENTS_DAY}),
+thr AS (SELECT event_type, (9 * MAX(c)) // 10 AS thr
+        FROM ev GROUP BY event_type),
+daily AS (
+  SELECT e.event_type, e.d, CAST(COUNT(*) AS BIGINT) AS dem
+  FROM ev e JOIN thr t ON t.event_type = e.event_type
+  WHERE e.c >= t.thr
+  GROUP BY e.event_type, e.d
+),
+gapped AS (
+  SELECT event_type, d, dem,
+         COALESCE(CAST(d - LAG(d) OVER (PARTITION BY event_type ORDER BY d)
+                       AS DOUBLE), 1.0) AS gap
+  FROM daily
+),
+folded AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_demand_days,
+         list_reduce(
+           list_transform(
+             list({{'a': CAST(dem AS DOUBLE), 'b': gap}} ORDER BY d),
+             p -> [p.a, p.b]),
+           (acc, x) -> [acc[1] + 0.125 * (x[1] - acc[1]),
+                        acc[2] + 0.125 * (x[2] - acc[2])]) AS zx
+  FROM gapped GROUP BY event_type
+)
+SELECT event_type, n_demand_days,
+       zx[1] AS smoothed_size,
+       zx[2] AS smoothed_interval,
+       zx[1] / zx[2] AS demand_per_day
+FROM folded
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------- interval-union coverage
+
+
+def events_session_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-UNION coverage per user: each event opens a 300-second
+    activity window; overlapping windows merge (the classic sweep-line
+    union, distributed as a per-user gaps-and-islands window) and the
+    query reports burst count, union-covered seconds, span, and the
+    covered share — the "how continuous is this user's activity"
+    operator behind billing meters and bot screens.
+
+    Exactness: timestamps truncate to integer epoch seconds on both
+    engines (Spark timestamp->long cast == DuckDB floor(epoch())); all
+    island arithmetic is int64; the coverage share is one final
+    division.  Scale: one hash exchange on user_id, then linear windows
+    — no self-join; island ids come from a running sum of break flags.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("s"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    brk = F.when(
+        F.lag("s").over(w).isNull() | (F.col("s") - F.lag("s").over(w) > 300),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    isl = pts.withColumn(
+        "island",
+        F.sum(brk).over(
+            Window.partitionBy("user_id")
+            .orderBy("s", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_island = isl.groupBy("user_id", "island").agg(
+        F.min("s").cast("long").alias("lo"),
+        F.max("s").cast("long").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_bursts"),
+            F.sum(F.col("hi") - F.col("lo") + 300).cast("long").alias(
+                "covered_seconds"
+            ),
+            (F.max("hi") - F.min("lo") + 300).cast("long").alias("span_seconds"),
+        )
+        .withColumn(
+            "covered_share",
+            F.col("covered_seconds").cast("double")
+            / F.col("span_seconds").cast("double"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SESSION_COVERAGE_SQL = """
+WITH pts AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, event_id
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, event_id,
+         CASE WHEN LAG(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+                   IS NULL
+               OR s - LAG(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+                   > 300
+              THEN 1 ELSE 0 END AS brk
+  FROM pts
+),
+islands AS (
+  SELECT user_id, s,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+),
+per_island AS (
+  SELECT user_id, island, CAST(MIN(s) AS BIGINT) AS lo,
+         CAST(MAX(s) AS BIGINT) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_bursts,
+       CAST(SUM(hi - lo + 300) AS BIGINT) AS covered_seconds,
+       CAST(MAX(hi) - MIN(lo) + 300 AS BIGINT) AS span_seconds,
+       CAST(CAST(SUM(hi - lo + 300) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(MAX(hi) - MIN(lo) + 300 AS BIGINT) AS DOUBLE)
+         AS covered_share
+FROM per_island
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ------------------------------------------------------ Heaps' law
+
+
+def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW fit per language: regress ln(vocabulary size) on
+    ln(token count) across documents — the vocabulary-growth exponent
+    (beta ~ 0.5 for natural text) that flags template/boilerplate
+    corpora (low beta) before they poison a training mix.
+
+    Exactness: token counts and distinct-token counts are exact
+    integers with the repo's shared whitespace tokenizer; each ln
+    quantizes onto the 2^-10 grid (coarse enough that n*sxx products
+    stay far under 2^53) and the OLS closed form then runs on int64
+    sufficient statistics in the trend_ols op order.  Scale: one
+    narrow map over documents, one tiny per-language agg.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    vocab = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))
+    grid = float(1 << 10)
+    pts = d.where(F.col("n_chars") > 0).select(
+        "lang",
+        F.floor(
+            F.log(F.size(toks).cast("double")) * F.lit(grid) + F.lit(0.5)
+        ).cast("long").alias("x"),
+        F.floor(
+            F.log(F.size(vocab).cast("double")) * F.lit(grid) + F.lit(0.5)
+        ).cast("long").alias("y"),
+    )
+    agg = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    beta = F.when(den_x > 0, num / den_x)
+    r2 = F.when((den_x > 0) & (den_y > 0), num * num / (den_x * den_y))
+    return agg.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        beta.alias("heaps_beta"),
+        r2.alias("r2"),
+    ).orderBy("lang")
+
+
+TEXT_HEAPS_SQL = """
+WITH pts AS (
+  SELECT lang,
+         CAST(FLOOR(ln(CAST(len(string_split_regex(trim(text), '\\s+'))
+                            AS DOUBLE)) * 1024.0 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(len(list_distinct(
+                  string_split_regex(lower(trim(text)), '\\s+')))
+                            AS DOUBLE)) * 1024.0 + 0.5) AS BIGINT) AS y
+  FROM documents WHERE n_chars > 0
+),
+agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY lang
+)
+SELECT lang, n AS n_docs,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) END AS heaps_beta,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         * CAST(n * sxy - sx * sy AS DOUBLE)
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+FROM agg
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "events_psi_drift": events_psi_drift,
     "events_jsd_profile": events_jsd_profile,
@@ -663,6 +1083,10 @@ QUERIES = {
     "sql_part_skyline": sql_part_skyline,
     "sql_weighted_median": sql_weighted_median,
     "sql_copurchase_linkpred": sql_copurchase_linkpred,
+    "sql_ship_hazard": sql_ship_hazard,
+    "events_croston": events_croston,
+    "events_session_coverage": events_session_coverage,
+    "text_heaps_fit": text_heaps_fit,
 }
 
 ORACLES = {
@@ -672,4 +1096,8 @@ ORACLES = {
     "sql_part_skyline": SQL_PART_SKYLINE_SQL,
     "sql_weighted_median": SQL_WEIGHTED_MEDIAN_SQL,
     "sql_copurchase_linkpred": _sql_copurchase_linkpred_sql(),
+    "sql_ship_hazard": SQL_SHIP_HAZARD_SQL,
+    "events_croston": EVENTS_CROSTON_SQL,
+    "events_session_coverage": EVENTS_SESSION_COVERAGE_SQL,
+    "text_heaps_fit": TEXT_HEAPS_SQL,
 }
