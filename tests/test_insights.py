@@ -1,0 +1,244 @@
+"""Unit tests for the round-6 second-wave surface (plans/insights.py):
+drift gates, dispersion, dominance frontier, link prediction, hazard,
+Croston, interval-union coverage, and the Heaps fit — each on a
+hand-computable fixture, the same strategy as test_stats.py."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spot_anomalies_flink_workshop_resources_spark.plans import insights as I
+
+
+def _write(df, tmp_path, name):
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), f"{name}.parquet"))
+
+
+def _events(spark, tmp_path, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)"""
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, ts=ts, user_id=u, event_type=t, value=float(v))
+            for (i, ts, u, t, v) in rows
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    _write(df, tmp_path, "events")
+    return str(tmp_path)
+
+
+# ----------------------------------------------------------------- PSI
+
+
+def test_psi_identical_halves_zero_and_shift_drifts(spark, tmp_path):
+    rows, i = [], 0
+    # "same": identical value multisets in both halves -> every bucket
+    # has cp == cq, every term exactly 0
+    for d in (1, 2, 3, 4):
+        for v in (10.0, 20.0, 30.0):
+            rows.append((i, f"2024-03-{d:02d} 10:00:00", 1, "same", v)); i += 1
+    # "shift": low values first half, high second -> large PSI
+    for d in (1, 2):
+        for _ in range(20):
+            rows.append((i, f"2024-03-{d:02d} 11:00:00", 1, "shift", 10.0)); i += 1
+    for d in (3, 4):
+        for _ in range(20):
+            rows.append((i, f"2024-03-{d:02d} 11:00:00", 1, "shift", 90.0)); i += 1
+    sf = _events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in I.events_psi_drift(spark, sf).collect()}
+    assert got["same"].psi == 0.0 and not got["same"].drifted
+    assert got["shift"].psi > 0.1 and got["shift"].drifted
+    assert got["shift"].n_first == 40 and got["shift"].n_second == 40
+
+
+# ----------------------------------------------------------------- JSD
+
+
+def test_jsd_single_type_matches_global_exactly(spark, tmp_path):
+    rows = [
+        (i, f"2024-03-01 {h:02d}:00:00", 1, "only", 1.0)
+        for i, h in enumerate([1, 1, 5, 9])
+    ]
+    sf = _events(spark, tmp_path, rows)
+    r = I.events_jsd_profile(spark, sf).collect()[0]
+    # the sole type IS the global profile -> divergence exactly zero,
+    # peak tie resolves to the smallest hour
+    assert r.jsd_nats == 0.0 and r.peak_hour == 0 and r.n_events == 4
+
+
+def test_jsd_concentrated_type_diverges_at_its_hour(spark, tmp_path):
+    rows = [(i, "2024-03-01 03:00:00", 1, "narrow", 1.0) for i in range(8)]
+    rows += [
+        (100 + i, f"2024-03-01 {h:02d}:00:00", 1, "wide", 1.0)
+        for i, h in enumerate([0, 6, 12, 18] * 2)
+    ]
+    sf = _events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in I.events_jsd_profile(spark, sf).collect()}
+    assert got["narrow"].jsd_nats > 0.0
+    assert got["narrow"].peak_hour == 3  # its excess concentrates there
+    assert got["narrow"].jsd_nats <= math.log(2.0) + 1e-9  # JSD upper bound
+
+
+# ---------------------------------------------------------------- Fano
+
+
+def test_fano_constant_zero_bursty_high(spark, tmp_path):
+    rows, i = [], 0
+    for h in range(10):  # one event every hour -> variance 0
+        rows.append((i, f"2024-03-01 {h:02d}:00:00", 1, "const", 1.0)); i += 1
+    for _ in range(10):  # all ten in one hour, same global span
+        rows.append((i, "2024-03-01 00:00:00", 1, "burst", 1.0)); i += 1
+    sf = _events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in I.events_fano(spark, sf).collect()}
+    assert got["const"].fano == 0.0 and not got["const"].overdispersed
+    assert got["burst"].fano == 10.0 and got["burst"].overdispersed
+    assert got["const"].n_hours == 10 and got["const"].mean_per_hour == 1.0
+
+
+# ------------------------------------------------------------- skyline
+
+
+def test_skyline_drops_dominated_keeps_ties(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            Row(p_partkey=1, p_name="a", p_brand="B", p_type="t", p_size=10,
+                p_retailprice=5.0),
+            Row(p_partkey=2, p_name="b", p_brand="B", p_type="t", p_size=5,
+                p_retailprice=4.0),
+            Row(p_partkey=3, p_name="c", p_brand="B", p_type="t", p_size=5,
+                p_retailprice=6.0),  # dominated by part 1 (bigger, cheaper)
+            Row(p_partkey=4, p_name="d", p_brand="B", p_type="t", p_size=10,
+                p_retailprice=5.0),  # exact tie with part 1 -> both stay
+        ]
+    )
+    _write(df, tmp_path, "part")
+    got = I.sql_part_skyline(spark, str(tmp_path)).collect()
+    assert sorted(r.p_partkey for r in got) == [1, 2, 4]
+
+
+# ------------------------------------------------------ weighted median
+
+
+def test_weighted_median_heavy_row_wins(spark, tmp_path):
+    part = spark.createDataFrame(
+        [Row(p_partkey=k, p_name="x", p_brand="B", p_type="t", p_size=1,
+             p_retailprice=1.0) for k in (1, 2, 3)]
+    )
+    li = spark.createDataFrame(
+        [
+            Row(l_orderkey=1, l_partkey=1, l_quantity=1.0, l_extendedprice=1.0),
+            Row(l_orderkey=1, l_partkey=2, l_quantity=2.0, l_extendedprice=1.0),
+            Row(l_orderkey=2, l_partkey=3, l_quantity=3.0, l_extendedprice=10.0),
+        ]
+    )
+    _write(part, tmp_path, "part")
+    _write(li, tmp_path, "lineitem")
+    r = I.sql_weighted_median(spark, str(tmp_path)).collect()[0]
+    # 10/12 of the weight sits at qty 3 -> weighted median 3, not 2
+    assert r.w_median_qty == 3.0
+    assert r.total_weight_cents == 1200 and r.n_items == 3
+
+
+# ------------------------------------------------------ link prediction
+
+
+def test_linkpred_scores_shared_neighbor_pair(spark, tmp_path):
+    # orders: {1,2} x2, {1,3} x2 -> edges (1,2), (1,3); candidate (2,3)
+    rows = []
+    for o, pk in [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (4, 1), (4, 3)]:
+        rows.append(Row(l_orderkey=o, l_partkey=pk, l_quantity=1.0,
+                        l_extendedprice=1.0))
+    _write(spark.createDataFrame(rows), tmp_path, "lineitem")
+    got = I.sql_copurchase_linkpred(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.node_a, r.node_b) == (2, 3) and r.common_neighbors == 1
+    assert r.adamic_adar == pytest.approx(1.0 / math.log(2.0), abs=2e-6)
+    assert r.jaccard == 1.0  # N(2) = N(3) = {1}
+
+
+# -------------------------------------------------------------- hazard
+
+
+def test_nelson_aalen_bounds_km_survival(spark, sf_dir):
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        sql_ship_survival,
+    )
+
+    haz = {r.delay_days: r for r in I.sql_ship_hazard(spark, sf_dir).collect()}
+    km = {r.delay_days: r for r in sql_ship_survival(spark, sf_dir).collect()}
+    assert set(haz) == set(km) and haz
+    prev = 0.0
+    for t in sorted(haz):
+        h, k = haz[t], km[t]
+        assert (h.n_at_risk, h.n_events) == (k.n_at_risk, k.n_events)
+        assert h.cum_hazard >= prev - 1e-12  # nondecreasing
+        prev = h.cum_hazard
+        # H = sum d/n <= -ln(prod(1 - d/n)) = -ln(S_km)
+        assert h.cum_hazard <= -math.log(k.survival) + 1e-9
+        assert h.fh_survival >= k.survival - 1e-9
+
+
+# ------------------------------------------------------------- Croston
+
+
+def test_croston_constant_demand_is_fixed_point(spark, tmp_path):
+    rows, i = [], 0
+    for d in range(1, 7):  # two near-peak events every day
+        for _ in range(2):
+            rows.append((i, f"2024-03-{d:02d} 08:00:00", 1, "steady", 50.0)); i += 1
+    sf = _events(spark, tmp_path, rows)
+    r = I.events_croston(spark, sf).collect()[0]
+    assert r.n_demand_days == 6
+    assert r.smoothed_size == 2.0 and r.smoothed_interval == 1.0
+    assert r.demand_per_day == 2.0
+
+
+def test_croston_sparse_interval_above_one(spark, tmp_path):
+    rows, i = [], 0
+    for d in (1, 4, 7, 10):  # demand every third day
+        rows.append((i, f"2024-03-{d:02d} 08:00:00", 1, "sparse", 50.0)); i += 1
+    sf = _events(spark, tmp_path, rows)
+    r = I.events_croston(spark, sf).collect()[0]
+    assert r.n_demand_days == 4
+    # init interval 1.0 moves toward the true gap 3 but stays between
+    assert 1.0 < r.smoothed_interval < 3.0
+    assert r.demand_per_day == r.smoothed_size / r.smoothed_interval
+
+
+# ------------------------------------------------------------ coverage
+
+
+def test_session_coverage_merges_overlap_splits_gap(spark, tmp_path):
+    rows = [
+        (1, "2024-03-01 00:00:00", 7, "click", 1.0),
+        (2, "2024-03-01 00:01:40", 7, "click", 1.0),  # +100 s -> merges
+        (3, "2024-03-01 00:16:40", 7, "click", 1.0),  # +1000 s -> new burst
+    ]
+    sf = _events(spark, tmp_path, rows)
+    r = I.events_session_coverage(spark, sf).collect()[0]
+    assert r.user_id == 7 and r.n_events == 3 and r.n_bursts == 2
+    assert r.covered_seconds == 400 + 300
+    assert r.span_seconds == 1000 + 300
+    assert r.covered_share == pytest.approx(700 / 1300, rel=1e-12)
+
+
+# --------------------------------------------------------------- Heaps
+
+
+def test_heaps_all_unique_tokens_beta_one(spark, tmp_path):
+    def doc(did, n):
+        words = " ".join(f"w{did}_{j}" for j in range(n))
+        return Row(doc_id=did, text=words, lang="aa", source="s",
+                   n_chars=len(words))
+
+    df = spark.createDataFrame([doc(1, 5), doc(2, 10), doc(3, 20), doc(4, 40)])
+    _write(df, tmp_path, "documents")
+    r = I.text_heaps_fit(spark, str(tmp_path)).collect()[0]
+    # vocab == tokens for every doc -> x == y -> slope exactly 1, R^2 1
+    assert r.n_docs == 4
+    assert r.heaps_beta == 1.0 and r.r2 == 1.0
