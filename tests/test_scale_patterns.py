@@ -709,6 +709,55 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("multimodal_entropy")
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
+    # round-6 second wave ------------------------------------------
+    # PSI / JSD: per-type range/total scalars broadcast onto the one
+    # data-sized counting agg; divergence terms live on 10/24-cell
+    # frames — no sort-merge join, no cartesian
+    p = plan("events_psi_drift")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    p = plan("events_jsd_profile")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+    assert "SinglePartition" not in p, p  # peak window partitions per type
+    # fano: one hash agg + one broadcast scalar — no equi-join at all
+    p = plan("events_fano")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+    # skyline: dominance via windows — the oracle's quadratic self-join
+    # NEVER materializes; per-brand partitions, no single-partition sort
+    p = plan("sql_part_skyline")
+    assert "Join" not in p, p
+    assert "SinglePartition" not in p, p
+    assert p.count("hashpartitioning(") == 1, p
+    # weighted median: part dim broadcasts; windows run per brand over
+    # the (brand, quantity) grid
+    p = plan("sql_weighted_median")
+    assert "BroadcastHashJoin" in p, p
+    assert "SinglePartition" not in p, p
+    # link prediction: wedge join fan-out is support-bounded; large-
+    # large stages may sort-merge, but nothing nested-loops
+    p = plan("sql_copurchase_linkpred")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, p  # top-50 is a heap
+    # hazard: the KM frame — folds on the bounded delay-day domain
+    p = plan("sql_ship_hazard")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    # croston: per-type threshold broadcast; fold agg per type
+    p = plan("events_croston")
+    assert "BroadcastHashJoin" in p, p
+    assert "SinglePartition" not in p, p
+    # session coverage: the sessionization shape — exactly one
+    # user_id exchange feeds windows and both rollups; no join
+    p = plan("events_session_coverage")
+    assert "Join" not in p, p
+    assert p.count("hashpartitioning(") == 1, p
+    assert "SinglePartition" not in p, p
+    # heaps: narrow tokenizing map + one |langs|-sized agg; no join
+    p = plan("text_heaps_fit")
+    assert "Join" not in p, p
+    assert p.count("hashpartitioning(") == 1, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
