@@ -1077,6 +1077,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_croston",              # NEW: intermittent-demand two-state fold
     "events_session_coverage",     # NEW: interval-union sweep coverage
     "text_heaps_fit",              # NEW: vocabulary-growth exponent OLS
+    "events_spc_control",          # NEW: integer-algebra Shewhart chart
+    "events_winsorized_mean",      # NEW: order-stat-clamped robust mean
+    "events_peak_days",            # NEW: local-peak + prominence report
+    "corpus_token_coverage",       # NEW: top-k vocab coverage curve
+    "sql_spend_tier_migration",    # NEW: median-thresholded tier flows
+    "sql_rapid_reorders",          # NEW: bounded same-customer pair audit
     # -- round 6: new statistical / association / centrality surface --
     "events_mannwhitney",          # NEW: exact midrank rank-sum U test
     "events_ks_2samp",             # NEW: integer cross-mult KS selection

@@ -1076,6 +1076,514 @@ ORDER BY lang
 """
 
 
+# ------------------------------------------------------ SPC control
+
+
+def events_spc_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHEWHART CONTROL CHART on daily arrival counts per event type:
+    flag days outside the 3-sigma band around the per-type mean — the
+    classic SPC gate (and the reference's fixed-threshold detection
+    generalized to a learned band; AD.java:200 hardcodes its limits).
+
+    Exactness: the out-of-control decision is pure integer algebra —
+    (x - S/n)^2 > 9 * (nQ - S^2)/n^2  <=>  (n*x - S)^2 > 9*(nQ - S^2)
+    with daily counts x and int64 power sums S, Q (all products far
+    under 2^53 on the calendar-bounded frame); z is one shared float
+    expression for reporting only.  Scale: one data-sized hash agg to
+    (type, day); the chart lives on the bounded day frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("q"),
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")  # n^2 * var
+    z = F.when(
+        var_n2 > 0,
+        dev.cast("double") / F.sqrt(var_n2.cast("double")),
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "d",
+            "cnt",
+            (dev * dev > 9 * var_n2).alias("beyond_3sigma"),
+            z.alias("z"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+EVENTS_SPC_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cnt) AS BIGINT) AS s,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS q
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.d, d.cnt,
+       (st.n * d.cnt - st.s) * (st.n * d.cnt - st.s)
+         > 9 * (st.n * st.q - st.s * st.s) AS beyond_3sigma,
+       CASE WHEN st.n * st.q - st.s * st.s > 0 THEN
+         CAST(st.n * d.cnt - st.s AS DOUBLE)
+         / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE)) END AS z
+FROM daily d JOIN stats st ON st.event_type = d.event_type
+ORDER BY d.event_type, d.d
+"""
+
+
+# ------------------------------------------------- winsorized mean
+
+
+def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED MEAN (5%/95%) of event values per type: clamp the
+    tails to the exact order statistics instead of dropping them (the
+    trimmed-mean sibling; keeps n constant so types stay comparable).
+
+    Exactness: the p5/p95 cut points are SELECTED order statistics —
+    the smallest cents value whose cumulative count reaches
+    k = ceil(p*n), computed on the domain-bounded distinct-cents frame
+    (the equi-depth recipe); clamping and the final sum are int64, one
+    division at the end.  Scale: one data-sized hash agg to the cents
+    grid, windows over the bounded grid, one broadcast of the cut
+    points back onto the grid.
+    """
+    ev = _ev_cents_day(spark, sf_dir)
+    grid = ev.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("event_type")
+    cum = (
+        grid.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+        .withColumn("n", F.sum("cnt").over(tot).cast("long"))
+    )
+    # k_lo = ceil(0.05 n), k_hi = ceil(0.95 n): first cents with cum >= k
+    lo = (
+        cum.where(F.col("cum") * 100 >= F.col("n") * 5)
+        .groupBy("event_type")
+        .agg(F.min("c").cast("long").alias("lo"))
+    )
+    hi = (
+        cum.where(F.col("cum") * 100 >= F.col("n") * 95)
+        .groupBy("event_type")
+        .agg(F.min("c").cast("long").alias("hi"))
+    )
+    clamped = (
+        grid.join(F.broadcast(lo), "event_type")
+        .join(F.broadcast(hi), "event_type")
+        .select(
+            "event_type",
+            "cnt",
+            F.greatest(F.least(F.col("c"), F.col("hi")), F.col("lo")).alias("cc"),
+            "lo",
+            "hi",
+        )
+    )
+    return (
+        clamped.groupBy("event_type", "lo", "hi")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.col("cc") * F.col("cnt")).cast("long").alias("sc"),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            (F.col("lo").cast("double") / 100.0).alias("p5_value"),
+            (F.col("hi").cast("double") / 100.0).alias("p95_value"),
+            (
+                F.col("sc").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(100.0)
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_WINSORIZED_SQL = f"""
+WITH ev AS MATERIALIZED ({_EV_CENTS_DAY}),
+grid AS (
+  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY event_type, c
+),
+cum AS (
+  SELECT event_type, c, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM grid
+),
+lo AS (SELECT event_type, CAST(MIN(c) AS BIGINT) AS lo
+       FROM cum WHERE cum * 100 >= n * 5 GROUP BY event_type),
+hi AS (SELECT event_type, CAST(MIN(c) AS BIGINT) AS hi
+       FROM cum WHERE cum * 100 >= n * 95 GROUP BY event_type),
+clamped AS (
+  SELECT g.event_type, g.cnt, l.lo, h.hi,
+         GREATEST(LEAST(g.c, h.hi), l.lo) AS cc
+  FROM grid g
+  JOIN lo l ON l.event_type = g.event_type
+  JOIN hi h ON h.event_type = g.event_type
+)
+SELECT event_type,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       CAST(lo AS DOUBLE) / 100.0 AS p5_value,
+       CAST(hi AS DOUBLE) / 100.0 AS p95_value,
+       CAST(CAST(SUM(cc * cnt) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) / 100.0
+         AS winsorized_mean
+FROM clamped
+GROUP BY event_type, lo, hi
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------- peak days
+
+
+def events_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL-PEAK DETECTION on the daily volume series per event type:
+    days strictly above both calendar neighbors, reported with their
+    prominence (excess over the taller neighbor) — the "what spiked"
+    report that follows any drift alarm.  Pure integer lag/lead
+    comparisons on exact daily counts; boundary days cannot qualify
+    (NULL neighbor).  Scale: one data-sized agg, then per-type lag/lead
+    windows on the calendar-bounded frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    with_nb = daily.select(
+        "event_type",
+        "d",
+        "cnt",
+        F.lag("cnt").over(w).alias("prev"),
+        F.lead("cnt").over(w).alias("nxt"),
+    )
+    return (
+        with_nb.where(
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("cnt") > F.col("prev"))
+            & (F.col("cnt") > F.col("nxt"))
+        )
+        .select(
+            "event_type",
+            "d",
+            "cnt",
+            (F.col("cnt") - F.greatest("prev", "nxt")).cast("long").alias(
+                "prominence"
+            ),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+EVENTS_PEAKS_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+nb AS (
+  SELECT event_type, d, cnt,
+         LAG(cnt) OVER (PARTITION BY event_type ORDER BY d) AS prev,
+         LEAD(cnt) OVER (PARTITION BY event_type ORDER BY d) AS nxt
+  FROM daily
+)
+SELECT event_type, d, cnt,
+       CAST(cnt - GREATEST(prev, nxt) AS BIGINT) AS prominence
+FROM nb
+WHERE prev IS NOT NULL AND nxt IS NOT NULL AND cnt > prev AND cnt > nxt
+ORDER BY event_type, d
+"""
+
+
+# -------------------------------------------------- token coverage
+
+
+def corpus_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE CURVE: what share of all corpus tokens the
+    top-k vocabulary words cover, for k in (100, 1000, 10000) — the
+    tokenizer-budget sizing curve (complements the Zipf fit and the
+    Heaps exponent).  Exactness: token counts are exact int64s with
+    the shared whitespace tokenizer; ranking orders by (count DESC,
+    token ASC) so rank boundaries are deterministic; shares are one
+    final division.  Scale: the data-sized stage is the token count
+    agg (map-side combinable); the ranking window runs over the VOCAB
+    frame only — the equi-depth contract — and collapses to three rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.where(F.col("n_chars") > 0).select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    tot = counts.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    ks = spark.range(0, 3).select(
+        F.element_at(
+            F.array(F.lit(100), F.lit(1000), F.lit(10000)), (F.col("id") + 1).cast("int")
+        ).cast("long").alias("k")
+    )
+    cov = (
+        ks.join(ranked, F.col("rn") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("covered"))
+    )
+    return (
+        cov.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "vocab_size",
+            "covered",
+            (F.col("covered").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("coverage_share"),
+        )
+        .orderBy("k")
+    )
+
+
+CORPUS_TOKEN_COVERAGE_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE n_chars > 0
+),
+counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rn
+  FROM counts
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM counts
+),
+ks AS (SELECT CAST(k AS BIGINT) AS k
+       FROM (VALUES (100), (1000), (10000)) v(k)),
+cov AS (
+  SELECT ks.k,
+         CAST(COALESCE(SUM(r.cnt), 0) AS BIGINT) AS covered
+  FROM ks LEFT JOIN ranked r ON r.rn <= ks.k
+  GROUP BY ks.k
+)
+SELECT c.k, t.vocab_size, c.covered,
+       CAST(c.covered AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+         AS coverage_share
+FROM cov c CROSS JOIN tot t
+ORDER BY c.k
+"""
+
+
+# -------------------------------------------- spend-tier migration
+
+
+def sql_spend_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOMER SPEND-TIER MIGRATION matrix: classify every customer's
+    order spend in the first and second halves of the calendar against
+    the FIRST-half median spend (0 = inactive, 1 = at-or-below median,
+    2 = above), and count customers per (from_tier, to_tier) cell —
+    the churn / upsell flow report.
+
+    Exactness: the half split is the integer day midpoint; per-half
+    spends are cent int64s; the median threshold is a SELECTED order
+    statistic (first distinct spend whose doubled cumulative count
+    reaches the active-customer total); tier assignment and the matrix
+    are integer comparisons and counts.  Scale: one orders-sized agg
+    per half, the median selection on the distinct-spend frame, one
+    broadcast scalar back.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("pc"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    )
+    md = base.agg(F.expr("(min(d) + max(d) + 1) div 2").cast("long").alias("md"))
+    spend = (
+        base.crossJoin(F.broadcast(md))
+        .withColumn("half", F.when(F.col("d") < F.col("md"), 0).otherwise(1))
+        .groupBy("o_custkey", "half")
+        .agg(F.sum("pc").cast("long").alias("spend"))
+    )
+    first = spend.where(F.col("half") == 0).select("o_custkey", "spend")
+    # median of first-half spends over ACTIVE first-half customers
+    sgrid = first.groupBy("spend").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wc = Window.orderBy("spend").rowsBetween(Window.unboundedPreceding, 0)
+    thr = (
+        sgrid.withColumn("cum", F.sum("cnt").over(wc).cast("long"))
+        .crossJoin(
+            F.broadcast(first.agg(F.count(F.lit(1)).cast("long").alias("na")))
+        )
+        .where(2 * F.col("cum") >= F.col("na"))
+        .agg(F.min("spend").cast("long").alias("med"))
+    )
+    halves = (
+        spend.groupBy("o_custkey")
+        .pivot("half", [0, 1])
+        .agg(F.first("spend"))
+        .select(
+            "o_custkey",
+            F.coalesce(F.col("0"), F.lit(0)).cast("long").alias("s0"),
+            F.coalesce(F.col("1"), F.lit(0)).cast("long").alias("s1"),
+        )
+    )
+    tier = lambda c: (
+        F.when(F.col(c) == 0, 0)
+        .when(F.col(c) <= F.col("med"), 1)
+        .otherwise(2)
+    )
+    return (
+        halves.crossJoin(F.broadcast(thr))
+        .select(tier("s0").alias("from_tier"), tier("s1").alias("to_tier"))
+        .groupBy("from_tier", "to_tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("from_tier", "to_tier")
+    )
+
+
+SQL_TIER_MIGRATION_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS pc,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM orders
+),
+md AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS md FROM base),
+spend AS MATERIALIZED (
+  SELECT o_custkey, CASE WHEN d < md.md THEN 0 ELSE 1 END AS half,
+         CAST(SUM(pc) AS BIGINT) AS spend
+  FROM base CROSS JOIN md
+  GROUP BY o_custkey, CASE WHEN d < md.md THEN 0 ELSE 1 END
+),
+first AS MATERIALIZED (SELECT o_custkey, spend FROM spend WHERE half = 0),
+sgrid AS (
+  SELECT spend, CAST(COUNT(*) AS BIGINT) AS cnt FROM first GROUP BY spend
+),
+na AS (SELECT CAST(COUNT(*) AS BIGINT) AS na FROM first),
+thr AS (
+  SELECT CAST(MIN(spend) AS BIGINT) AS med
+  FROM (SELECT spend,
+               CAST(SUM(cnt) OVER (ORDER BY spend
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM sgrid) c CROSS JOIN na
+  WHERE 2 * c.cum >= na.na
+),
+halves AS (
+  SELECT o_custkey,
+         CAST(COALESCE(MAX(CASE WHEN half = 0 THEN spend END), 0) AS BIGINT)
+           AS s0,
+         CAST(COALESCE(MAX(CASE WHEN half = 1 THEN spend END), 0) AS BIGINT)
+           AS s1
+  FROM spend GROUP BY o_custkey
+)
+SELECT CASE WHEN s0 = 0 THEN 0 WHEN s0 <= thr.med THEN 1 ELSE 2 END
+         AS from_tier,
+       CASE WHEN s1 = 0 THEN 0 WHEN s1 <= thr.med THEN 1 ELSE 2 END
+         AS to_tier,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM halves CROSS JOIN thr
+GROUP BY 1, 2
+ORDER BY from_tier, to_tier
+"""
+
+
+# --------------------------------------------- rapid reorders
+
+
+def sql_rapid_reorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAPID-REORDER audit: order pairs from the same customer placed
+    within 7 days of each other, with the cent-exact amount delta and
+    an exact-duplicate flag — the double-billing / split-shipment
+    screen.  The self-join is blocked on the customer equi-key (pair
+    count per customer is C(orders, 2) gated by the 7-day band — the
+    bounded-interval-join shape, never all-pairs across customers);
+    every output column is integer arithmetic on cents and day
+    indexes, and the sort carries a full tiebreak.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("ok"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("pc"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    )
+    a = base.select(
+        "o_custkey", F.col("ok").alias("ok_a"), F.col("pc").alias("pa"),
+        F.col("d").alias("da"),
+    )
+    b = base.select(
+        "o_custkey", F.col("ok").alias("ok_b"), F.col("pc").alias("pb"),
+        F.col("d").alias("db"),
+    )
+    return (
+        a.join(b, "o_custkey")
+        .where(
+            (F.col("ok_a") < F.col("ok_b"))
+            & (F.abs(F.col("da") - F.col("db")) <= 7)
+        )
+        .select(
+            "o_custkey",
+            "ok_a",
+            "ok_b",
+            F.abs(F.col("da") - F.col("db")).cast("long").alias("day_gap"),
+            F.abs(F.col("pa") - F.col("pb")).cast("long").alias(
+                "amount_delta_cents"
+            ),
+            (F.col("pa") == F.col("pb")).alias("exact_duplicate"),
+        )
+        .orderBy("o_custkey", "ok_a", "ok_b")
+    )
+
+
+SQL_RAPID_REORDERS_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT o_custkey, o_orderkey AS ok,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS pc,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM orders
+)
+SELECT a.o_custkey, a.ok AS ok_a, b.ok AS ok_b,
+       CAST(abs(a.d - b.d) AS BIGINT) AS day_gap,
+       CAST(abs(a.pc - b.pc) AS BIGINT) AS amount_delta_cents,
+       a.pc = b.pc AS exact_duplicate
+FROM base a
+JOIN base b ON a.o_custkey = b.o_custkey AND a.ok < b.ok
+WHERE abs(a.d - b.d) <= 7
+ORDER BY a.o_custkey, ok_a, ok_b
+"""
+
+
 QUERIES = {
     "events_psi_drift": events_psi_drift,
     "events_jsd_profile": events_jsd_profile,
@@ -1087,6 +1595,12 @@ QUERIES = {
     "events_croston": events_croston,
     "events_session_coverage": events_session_coverage,
     "text_heaps_fit": text_heaps_fit,
+    "events_spc_control": events_spc_control,
+    "events_winsorized_mean": events_winsorized_mean,
+    "events_peak_days": events_peak_days,
+    "corpus_token_coverage": corpus_token_coverage,
+    "sql_spend_tier_migration": sql_spend_tier_migration,
+    "sql_rapid_reorders": sql_rapid_reorders,
 }
 
 ORACLES = {
@@ -1100,4 +1614,10 @@ ORACLES = {
     "events_croston": EVENTS_CROSTON_SQL,
     "events_session_coverage": EVENTS_SESSION_COVERAGE_SQL,
     "text_heaps_fit": TEXT_HEAPS_SQL,
+    "events_spc_control": EVENTS_SPC_SQL,
+    "events_winsorized_mean": EVENTS_WINSORIZED_SQL,
+    "events_peak_days": EVENTS_PEAKS_SQL,
+    "corpus_token_coverage": CORPUS_TOKEN_COVERAGE_SQL,
+    "sql_spend_tier_migration": SQL_TIER_MIGRATION_SQL,
+    "sql_rapid_reorders": SQL_RAPID_REORDERS_SQL,
 }

@@ -242,3 +242,121 @@ def test_heaps_all_unique_tokens_beta_one(spark, tmp_path):
     # vocab == tokens for every doc -> x == y -> slope exactly 1, R^2 1
     assert r.n_docs == 4
     assert r.heaps_beta == 1.0 and r.r2 == 1.0
+
+
+# ----------------------------------------------------------- SPC
+
+
+def test_spc_flags_only_the_outlier_day(spark, tmp_path):
+    rows, i = [], 0
+    # 14 baseline days of 10 plus one 40-spike: with n=15 the spike's
+    # self-inflated sigma still leaves z = 420/sqrt(12600) = 3.74 > 3
+    for d in range(1, 16):
+        n = 40 if d == 5 else 10
+        for _ in range(n):
+            rows.append((i, f"2024-03-{d:02d} 10:00:00", 1, "spiky", 1.0)); i += 1
+    sf = _events(spark, tmp_path, rows)
+    got = {r.d: r for r in I.events_spc_control(spark, sf).collect()}
+    flagged = [d for d, r in got.items() if r.beyond_3sigma]
+    day5 = [d for d in got if got[d].cnt == 40]
+    assert flagged == day5
+    assert got[day5[0]].z > 2.0
+
+
+# ------------------------------------------------------ winsorized
+
+
+def test_winsorized_mean_clamps_tails(spark, tmp_path):
+    # 18 values of 10.0, one 0.01 low tail, one 1000.0 high tail
+    rows = [(i, "2024-03-01 10:00:00", 1, "w", 10.0) for i in range(18)]
+    rows += [(18, "2024-03-01 10:00:00", 1, "w", 0.01),
+             (19, "2024-03-01 10:00:00", 1, "w", 1000.0)]
+    sf = _events(spark, tmp_path, rows)
+    r = I.events_winsorized_mean(spark, sf).collect()[0]
+    # k_lo = 1 -> p5 = 0.01 (the low value itself); k_hi = 19 -> p95 = 10
+    assert r.p5_value == 0.01 and r.p95_value == 10.0
+    # high tail clamps to 10, low tail stays: (19*10 + 0.01)/20
+    assert r.winsorized_mean == pytest.approx((19 * 10.0 + 0.01) / 20, rel=1e-12)
+
+
+# ----------------------------------------------------------- peaks
+
+
+def test_peak_days_strict_local_maxima_only(spark, tmp_path):
+    counts = {1: 1, 2: 5, 3: 2, 4: 2, 5: 7, 6: 7, 7: 1}  # peak only at d=2
+    rows, i = [], 0
+    for d, n in counts.items():
+        for _ in range(n):
+            rows.append((i, f"2024-03-{d:02d} 10:00:00", 1, "p", 1.0)); i += 1
+    sf = _events(spark, tmp_path, rows)
+    got = I.events_peak_days(spark, sf).collect()
+    assert len(got) == 1 and got[0].cnt == 5
+    assert got[0].prominence == 3  # 5 - max(1, 2)
+
+
+# -------------------------------------------------- token coverage
+
+
+def test_token_coverage_is_monotone_and_exact(spark, tmp_path):
+    docs = [Row(doc_id=1, text="a a a a b b c", lang="aa", source="s",
+                n_chars=13),
+            Row(doc_id=2, text="a b d", lang="aa", source="s", n_chars=5)]
+    _write(spark.createDataFrame(docs), tmp_path, "documents")
+    got = {r.k: r for r in I.corpus_token_coverage(spark, str(tmp_path)).collect()}
+    assert got[100].vocab_size == 4
+    # k=100 covers everything -> share exactly 1
+    assert got[100].covered == 10 and got[100].coverage_share == 1.0
+    assert got[1000].coverage_share == 1.0 and got[10000].coverage_share == 1.0
+
+
+# -------------------------------------------------- tier migration
+
+
+def test_tier_migration_classifies_against_first_half_median(spark, tmp_path):
+    rows = []
+    # first half (days 1-2): cust 1 spends 100, cust 2 spends 300,
+    # cust 3 inactive; second half: cust 1 spends 900 (upsell),
+    # cust 2 inactive (churn), cust 3 spends 50 (new, below median)
+    rows.append(Row(o_orderkey=1, o_custkey=1, o_orderstatus="F",
+                    o_totalprice=100.0, o_orderdate="2024-03-01",
+                    o_orderpriority="1"))
+    rows.append(Row(o_orderkey=2, o_custkey=2, o_orderstatus="F",
+                    o_totalprice=300.0, o_orderdate="2024-03-02",
+                    o_orderpriority="1"))
+    rows.append(Row(o_orderkey=3, o_custkey=1, o_orderstatus="F",
+                    o_totalprice=900.0, o_orderdate="2024-03-04",
+                    o_orderpriority="1"))
+    rows.append(Row(o_orderkey=4, o_custkey=3, o_orderstatus="F",
+                    o_totalprice=50.0, o_orderdate="2024-03-04",
+                    o_orderpriority="1"))
+    df = spark.createDataFrame(rows).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    _write(df, tmp_path, "orders")
+    got = {(r.from_tier, r.to_tier): r.n_customers
+           for r in I.sql_spend_tier_migration(spark, str(tmp_path)).collect()}
+    # median of first-half spends {100, 300} -> 100 (first 2*cum >= n)
+    assert got == {(1, 2): 1, (2, 0): 1, (0, 1): 1}
+
+
+# ----------------------------------------------------- rapid reorders
+
+
+def test_rapid_reorders_band_and_exact_flag(spark, tmp_path):
+    rows = [
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="F", o_totalprice=50.0,
+            o_orderdate="2024-03-01", o_orderpriority="1"),
+        Row(o_orderkey=2, o_custkey=1, o_orderstatus="F", o_totalprice=50.0,
+            o_orderdate="2024-03-05", o_orderpriority="1"),  # exact dup, 4d
+        Row(o_orderkey=3, o_custkey=1, o_orderstatus="F", o_totalprice=60.0,
+            o_orderdate="2024-03-20", o_orderpriority="1"),  # outside band
+        Row(o_orderkey=4, o_custkey=2, o_orderstatus="F", o_totalprice=70.0,
+            o_orderdate="2024-03-05", o_orderpriority="1"),  # other customer
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    _write(df, tmp_path, "orders")
+    got = I.sql_rapid_reorders(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.ok_a, r.ok_b, r.day_gap) == (1, 2, 4)
+    assert r.amount_delta_cents == 0 and r.exact_duplicate

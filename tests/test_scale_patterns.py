@@ -758,6 +758,33 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("text_heaps_fit")
     assert "Join" not in p, p
     assert p.count("hashpartitioning(") == 1, p
+    # SPC: per-type limits broadcast back onto the bounded day frame
+    p = plan("events_spc_control")
+    assert "BroadcastHashJoin" in p, p
+    assert "SinglePartition" not in p and "SortMergeJoin" not in p, p
+    # winsorized mean: windows over the distinct-cents grid, cut
+    # points broadcast back — no single-partition stage anywhere
+    p = plan("events_winsorized_mean")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SinglePartition" not in p, p
+    # peaks: one agg + per-type lag/lead windows, no join
+    p = plan("events_peak_days")
+    assert "Join" not in p, p
+    assert "SinglePartition" not in p, p
+    # token coverage: the only single-partition window runs over the
+    # VOCAB frame; the data-sized stage is the token-count hash agg
+    p = plan("corpus_token_coverage")
+    assert p.count("Exchange SinglePartition") <= 1, p
+    assert "CartesianProduct" not in p, p
+    # tier migration: scalar midpoint/median broadcast; the pivot and
+    # matrix aggs are plain hash aggs
+    p = plan("sql_spend_tier_migration")
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p, p
+    # rapid reorders: customer-blocked equi-join only — at scale this
+    # shuffles both sides on custkey; never a nested loop
+    p = plan("sql_rapid_reorders")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
