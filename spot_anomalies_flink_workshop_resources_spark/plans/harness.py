@@ -1083,6 +1083,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_token_coverage",       # NEW: top-k vocab coverage curve
     "sql_spend_tier_migration",    # NEW: median-thresholded tier flows
     "sql_rapid_reorders",          # NEW: bounded same-customer pair audit
+    "simsearch_dim_audit",         # NEW: dead-dimension embedding screen
+    "sql_copurchase_assortativity",  # NEW: degree-mixing graph health
+    "corpus_lexical_diversity",    # NEW: TTR + Simpson repeat-prob rollup
     # -- round 6: new statistical / association / centrality surface --
     "events_mannwhitney",          # NEW: exact midrank rank-sum U test
     "events_ks_2samp",             # NEW: integer cross-mult KS selection

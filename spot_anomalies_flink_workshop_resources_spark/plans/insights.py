@@ -1584,6 +1584,277 @@ ORDER BY a.o_custkey, ok_a, ok_b
 """
 
 
+# -------------------------------------------- embedding dim audit
+
+
+def simsearch_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DIMENSION AUDIT: per-component mean / variance /
+    range and a constant-dimension flag over the embedding corpus —
+    the "dead dims" screen run before training an ANN index or a
+    projection (a constant dimension carries no information and
+    degrades PQ codebooks).
+
+    Exactness: components quantize onto the 2^-20 grid once (the
+    label_centroids recipe, simsearch.py:526); sums/min/max are int64;
+    mean and variance are shared float expressions over exact integer
+    inputs (variance as sqq/n - (sq/n)^2 keeps every operand far under
+    2^53 regardless of corpus size); the constant flag compares int64
+    min == max.  Scale: posexplode is a narrow x-dim map; ONE hash agg
+    on idx — 64 output rows whatever N is.
+    """
+    scale = 1 << 20
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode(F.col("embedding")).alias("idx", "v")
+    ).select(
+        F.col("idx").cast("long").alias("idx"),
+        F.floor(F.col("v").cast("double") * F.lit(float(scale)) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    agg = ex.groupBy("idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+        F.min("q").cast("long").alias("mn"),
+        F.max("q").cast("long").alias("mx"),
+    )
+    nd = F.col("n").cast("double")
+    mean_q = F.col("sq").cast("double") / nd
+    var_q = F.col("sqq").cast("double") / nd - mean_q * mean_q
+    return agg.select(
+        "idx",
+        F.col("n").alias("n_vecs"),
+        (mean_q / F.lit(float(scale))).alias("mean"),
+        (var_q / F.lit(float(scale * scale))).alias("variance"),
+        (F.col("mn").cast("double") / F.lit(float(scale))).alias("min_v"),
+        (F.col("mx").cast("double") / F.lit(float(scale))).alias("max_v"),
+        (F.col("mn") == F.col("mx")).alias("constant_dim"),
+    ).orderBy("idx")
+
+
+SIMSEARCH_DIM_AUDIT_SQL = """
+WITH ex AS (
+  SELECT CAST(u.i - 1 AS BIGINT) AS idx,
+         CAST(FLOOR(CAST(e.embedding[u.i] AS DOUBLE) * 1048576.0 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings e, UNNEST(generate_series(1, 64)) AS u(i)
+),
+agg AS (
+  SELECT idx, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(SUM(q * q) AS BIGINT) AS sqq,
+         CAST(MIN(q) AS BIGINT) AS mn,
+         CAST(MAX(q) AS BIGINT) AS mx
+  FROM ex GROUP BY idx
+)
+SELECT idx, n AS n_vecs,
+       (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0 AS mean,
+       (CAST(sqq AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)))
+         / 1099511627776.0 AS variance,
+       CAST(mn AS DOUBLE) / 1048576.0 AS min_v,
+       CAST(mx AS DOUBLE) / 1048576.0 AS max_v,
+       mn = mx AS constant_dim
+FROM agg
+ORDER BY idx
+"""
+
+
+# ---------------------------------------------- assortativity
+
+
+def sql_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the frequent co-purchase graph: the
+    Pearson correlation of endpoint degrees over directed edge stubs —
+    one number telling whether popular parts co-sell with popular
+    parts (assortative > 0) or act as hubs for the long tail
+    (disassortative < 0); the standard graph-health diagnostic next to
+    the triangle count.
+
+    Exactness: degrees are exact int64; all five power sums over the
+    stub list are int64; the correlation is the hourly_corr op order
+    (den = sqrt(a)*sqrt(b), never sqrt(a*b)).  Scale: one degree agg +
+    one broadcast of the degree map onto edges; sums are map-side
+    combinable; a single scalar row comes out.
+    """
+    from .relational import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir).select("x", "y")
+    und = e.union(e.select(F.col("y"), F.col("x")))
+    deg = und.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    stubs = (
+        und.join(deg.select(F.col("x"), F.col("deg").alias("dx")), "x")
+        .join(
+            deg.select(F.col("x").alias("y"), F.col("deg").alias("dy")), "y"
+        )
+        .select("dx", "dy")
+    )
+    agg = stubs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    va = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vb = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = F.when((va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb)))
+    return agg.crossJoin(F.broadcast(nodes)).select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        "n_nodes",
+        r.alias("assortativity"),
+    )
+
+
+def _sql_copurchase_assortativity_sql() -> str:
+    from .relational import _COPURCHASE_EDGES_CTE
+
+    return (
+        _COPURCHASE_EDGES_CTE
+        + """,
+und AS MATERIALIZED (
+  SELECT x, y FROM edges UNION ALL SELECT y AS x, x AS y FROM edges
+),
+deg AS MATERIALIZED (
+  SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY x
+),
+stubs AS (
+  SELECT da.deg AS dx, db.deg AS dy
+  FROM und u JOIN deg da ON da.node = u.x JOIN deg db ON db.node = u.y
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM stubs
+),
+nodes AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges, nodes.n_nodes,
+       CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(m * syy - sy * sy AS DOUBLE) > 0 THEN
+         CAST(m * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) END AS assortativity
+FROM agg CROSS JOIN nodes
+"""
+    )
+
+
+# ------------------------------------------- lexical diversity
+
+
+def corpus_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL DIVERSITY rollup per language: mean type-token ratio and
+    mean repeated-token probability (Simpson's index over tokens) —
+    the complementary pair behind boilerplate detection: low TTR and
+    high repeat-probability both flag templated text before it skews a
+    training mix.
+
+    Exactness: per-doc T (tokens), V (types) and rep = sum c(c-1) are
+    exact int64s from the shared whitespace tokenizer; each per-doc
+    ratio quantizes onto the 2^-20 grid BEFORE the per-language mean
+    (the user-entropy lesson — the reduction must be int64), and the
+    mean is one final division.  Scale: token counting is the only
+    data-sized stage (hash agg on (doc, token)); everything after is
+    doc-sized then language-sized.
+    """
+    scale = 1 << 20
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.where(F.col("n_chars") > 0).select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok"),
+    )
+    tc = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = tc.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("rep"),
+    )
+    ttr_q = F.floor(
+        F.col("v").cast("double") / F.col("t").cast("double")
+        * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("long")
+    rep_q = F.when(
+        F.col("t") > 1,
+        F.floor(
+            F.col("rep").cast("double")
+            / (F.col("t") * (F.col("t") - 1)).cast("double")
+            * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        per_doc.select("lang", ttr_q.alias("ttr_q"), rep_q.alias("rep_q"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ttr_q").cast("long").alias("sttr"),
+            F.sum("rep_q").cast("long").alias("srep"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            (
+                F.col("sttr").cast("double")
+                / F.col("n_docs").cast("double")
+                / F.lit(float(scale))
+            ).alias("mean_ttr"),
+            (
+                F.col("srep").cast("double")
+                / F.col("n_docs").cast("double")
+                / F.lit(float(scale))
+            ).alias("mean_repeat_prob"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_LEXDIV_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE n_chars > 0
+),
+tc AS (
+  SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY doc_id, lang, tok
+),
+per_doc AS (
+  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS rep
+  FROM tc GROUP BY doc_id, lang
+),
+q AS (
+  SELECT lang,
+         CAST(FLOOR(CAST(v AS DOUBLE) / CAST(t AS DOUBLE)
+              * 1048576.0 + 0.5) AS BIGINT) AS ttr_q,
+         CASE WHEN t > 1 THEN
+           CAST(FLOOR(CAST(rep AS DOUBLE) / CAST(t * (t - 1) AS DOUBLE)
+                * 1048576.0 + 0.5) AS BIGINT)
+         ELSE 0 END AS rep_q
+  FROM per_doc
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CAST(SUM(ttr_q) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         / 1048576.0 AS mean_ttr,
+       CAST(CAST(SUM(rep_q) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         / 1048576.0 AS mean_repeat_prob
+FROM q
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "events_psi_drift": events_psi_drift,
     "events_jsd_profile": events_jsd_profile,
@@ -1601,6 +1872,9 @@ QUERIES = {
     "corpus_token_coverage": corpus_token_coverage,
     "sql_spend_tier_migration": sql_spend_tier_migration,
     "sql_rapid_reorders": sql_rapid_reorders,
+    "simsearch_dim_audit": simsearch_dim_audit,
+    "sql_copurchase_assortativity": sql_copurchase_assortativity,
+    "corpus_lexical_diversity": corpus_lexical_diversity,
 }
 
 ORACLES = {
@@ -1620,4 +1894,7 @@ ORACLES = {
     "corpus_token_coverage": CORPUS_TOKEN_COVERAGE_SQL,
     "sql_spend_tier_migration": SQL_TIER_MIGRATION_SQL,
     "sql_rapid_reorders": SQL_RAPID_REORDERS_SQL,
+    "simsearch_dim_audit": SIMSEARCH_DIM_AUDIT_SQL,
+    "sql_copurchase_assortativity": _sql_copurchase_assortativity_sql(),
+    "corpus_lexical_diversity": CORPUS_LEXDIV_SQL,
 }

@@ -360,3 +360,57 @@ def test_rapid_reorders_band_and_exact_flag(spark, tmp_path):
     r = got[0]
     assert (r.ok_a, r.ok_b, r.day_gap) == (1, 2, 4)
     assert r.amount_delta_cents == 0 and r.exact_duplicate
+
+
+# ------------------------------------------------------ dim audit
+
+
+def test_dim_audit_flags_constant_dimension(spark, tmp_path):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.5], label=0),
+        Row(vec_id=1, embedding=[0.0, 0.0, 0.25], label=1),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>"))
+    _write(df, tmp_path, "embeddings")
+    got = {r.idx: r for r in I.simsearch_dim_audit(spark, str(tmp_path)).collect()}
+    assert got[0].mean == 0.5 and got[0].variance == pytest.approx(0.25, rel=1e-12)
+    assert got[1].constant_dim and got[1].variance == 0.0
+    assert not got[0].constant_dim and not got[2].constant_dim
+    assert got[2].min_v == 0.25 and got[2].max_v == 0.5
+
+
+# -------------------------------------------------- assortativity
+
+
+def test_assortativity_star_graph_is_minus_one(spark, tmp_path):
+    # star: hub part 1 with leaves 2,3,4; each edge needs >= 2 orders
+    rows = []
+    o = 0
+    for leaf in (2, 3, 4):
+        for _ in range(2):
+            o += 1
+            rows += [Row(l_orderkey=o, l_partkey=1, l_quantity=1.0,
+                         l_extendedprice=1.0),
+                     Row(l_orderkey=o, l_partkey=leaf, l_quantity=1.0,
+                         l_extendedprice=1.0)]
+    _write(spark.createDataFrame(rows), tmp_path, "lineitem")
+    r = I.sql_copurchase_assortativity(spark, str(tmp_path)).collect()[0]
+    assert r.n_edges == 3 and r.n_nodes == 4
+    assert r.assortativity == pytest.approx(-1.0, rel=1e-12)
+
+
+# --------------------------------------------- lexical diversity
+
+
+def test_lexical_diversity_hand_example(spark, tmp_path):
+    docs = [
+        Row(doc_id=1, text="a a b", lang="aa", source="s", n_chars=5),
+        Row(doc_id=2, text="x y", lang="aa", source="s", n_chars=3),
+    ]
+    _write(spark.createDataFrame(docs), tmp_path, "documents")
+    r = I.corpus_lexical_diversity(spark, str(tmp_path)).collect()[0]
+    assert r.n_docs == 2
+    # doc1: TTR 2/3, repeat 2/6; doc2: TTR 1, repeat 0
+    assert r.mean_ttr == pytest.approx((2 / 3 + 1.0) / 2, abs=2e-6)
+    assert r.mean_repeat_prob == pytest.approx((1 / 3) / 2, abs=2e-6)

@@ -785,6 +785,18 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("sql_rapid_reorders")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+    # dim audit: posexplode (narrow Generate) + ONE idx hash agg
+    p = plan("simsearch_dim_audit")
+    assert "Join" not in p, p
+    assert "Generate" in p, p
+    assert p.count("hashpartitioning(") == 1, p
+    # assortativity: degree map joined onto stubs; never a cartesian
+    p = plan("sql_copurchase_assortativity")
+    assert "CartesianProduct" not in p, p
+    # lexical diversity: token explode + three chained hash aggs; no join
+    p = plan("corpus_lexical_diversity")
+    assert "Join" not in p, p
+    assert "SinglePartition" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
