@@ -1086,6 +1086,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "simsearch_dim_audit",         # NEW: dead-dimension embedding screen
     "sql_copurchase_assortativity",  # NEW: degree-mixing graph health
     "corpus_lexical_diversity",    # NEW: TTR + Simpson repeat-prob rollup
+    "events_ccf",                  # NEW: lead/lag cross-correlation scan
+    "events_quantile_interp",      # NEW: type-7 interpolated deciles
+    "sql_copurchase_clustering",   # NEW: avg local CC + transitivity
+    "dq_uniqueness_audit",         # NEW: candidate-key violation report
     # -- round 6: new statistical / association / centrality surface --
     "events_mannwhitney",          # NEW: exact midrank rank-sum U test
     "events_ks_2samp",             # NEW: integer cross-mult KS selection

@@ -1855,6 +1855,462 @@ ORDER BY lang
 """
 
 
+# -------------------------------------------------- lagged CCF
+
+
+def events_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION FUNCTION between the click and purchase daily
+    series at lags -7..+7 — the lead/lag discovery tool ("do purchases
+    follow clicks by two days?") behind the single-lag hourly_corr
+    matrix.  Zero days are real: n at lag L is the calendar span minus
+    |L| (a scalar), and absent cells contribute nothing to any sum, so
+    only non-zero cells materialize (the hourly_corr contract).  All
+    five power sums per lag are int64 over window-filtered cells; the
+    correlation is the shared sqrt(a)*sqrt(b) op order.  Scale: one
+    data-sized agg to (type, day); the lag frame is 15 x days cells.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.where(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    span = e.agg(
+        F.min(F.datediff(F.to_date("ts"), F.lit("1970-01-01")))
+        .cast("long")
+        .alias("dmin"),
+        F.max(F.datediff(F.to_date("ts"), F.lit("1970-01-01")))
+        .cast("long")
+        .alias("dmax"),
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("long").alias("lag"))
+    a = daily.where(F.col("event_type") == "click").select(
+        F.col("d").alias("da"), F.col("cnt").alias("ca")
+    )
+    b = daily.where(F.col("event_type") == "purchase").select(
+        F.col("d").alias("db"), F.col("cnt").alias("cb")
+    )
+    # window for lag L: a-days d in [max(dmin, dmin-L), min(dmax, dmax-L)]
+    win = lags.crossJoin(F.broadcast(span)).select(
+        "lag",
+        F.greatest(F.col("dmin"), F.col("dmin") - F.col("lag")).alias("wlo"),
+        F.least(F.col("dmax"), F.col("dmax") - F.col("lag")).alias("whi"),
+        (F.col("dmax") - F.col("dmin") + 1 - F.abs(F.col("lag"))).alias("n"),
+    )
+    sa = (
+        win.join(
+            F.broadcast(a),
+            (F.col("da") >= F.col("wlo")) & (F.col("da") <= F.col("whi")),
+            "left",
+        )
+        .groupBy("lag", "n")
+        .agg(
+            F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("sx"),
+            F.coalesce(F.sum(F.col("ca") * F.col("ca")), F.lit(0))
+            .cast("long")
+            .alias("sxx"),
+        )
+    )
+    sb = (
+        win.join(
+            F.broadcast(b),
+            (F.col("db") >= F.col("wlo") + F.col("lag"))
+            & (F.col("db") <= F.col("whi") + F.col("lag")),
+            "left",
+        )
+        .groupBy("lag")
+        .agg(
+            F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("sy"),
+            F.coalesce(F.sum(F.col("cb") * F.col("cb")), F.lit(0))
+            .cast("long")
+            .alias("syy"),
+        )
+    )
+    sxy = (
+        lags.join(F.broadcast(a), F.lit(True))
+        .join(
+            F.broadcast(b), F.col("db") == F.col("da") + F.col("lag")
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("sxy0"))
+    )
+    j = (
+        sa.join(F.broadcast(sb), "lag")
+        .join(F.broadcast(sxy), "lag", "left")
+        .withColumn("sxy", F.coalesce(F.col("sxy0"), F.lit(0).cast("long")))
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    va = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vb = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = F.when((va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb)))
+    return j.select(
+        "lag", F.col("n").alias("n_days"), r.alias("ccf")
+    ).orderBy("lag")
+
+
+EVENTS_CCF_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+span AS (
+  SELECT CAST(MIN(CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT) AS dmin,
+         CAST(MAX(CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT) AS dmax
+  FROM events
+),
+lags AS (SELECT CAST(unnest(generate_series(-7, 7)) AS BIGINT) AS lag),
+win AS (
+  SELECT lag,
+         GREATEST(dmin, dmin - lag) AS wlo,
+         LEAST(dmax, dmax - lag) AS whi,
+         dmax - dmin + 1 - abs(lag) AS n
+  FROM lags CROSS JOIN span
+),
+a AS (SELECT d AS da, cnt AS ca FROM daily WHERE event_type = 'click'),
+b AS (SELECT d AS db, cnt AS cb FROM daily WHERE event_type = 'purchase'),
+sa AS (
+  SELECT w.lag, w.n,
+         CAST(COALESCE(SUM(a.ca), 0) AS BIGINT) AS sx,
+         CAST(COALESCE(SUM(a.ca * a.ca), 0) AS BIGINT) AS sxx
+  FROM win w LEFT JOIN a ON a.da >= w.wlo AND a.da <= w.whi
+  GROUP BY w.lag, w.n
+),
+sb AS (
+  SELECT w.lag,
+         CAST(COALESCE(SUM(b.cb), 0) AS BIGINT) AS sy,
+         CAST(COALESCE(SUM(b.cb * b.cb), 0) AS BIGINT) AS syy
+  FROM win w LEFT JOIN b ON b.db >= w.wlo + w.lag AND b.db <= w.whi + w.lag
+  GROUP BY w.lag
+),
+sxy AS (
+  SELECT l.lag, CAST(SUM(a.ca * b.cb) AS BIGINT) AS sxy0
+  FROM lags l JOIN a ON TRUE JOIN b ON b.db = a.da + l.lag
+  GROUP BY l.lag
+)
+SELECT sa.lag, sa.n AS n_days,
+       CASE WHEN CAST(sa.n * sa.sxx - sa.sx * sa.sx AS DOUBLE) > 0
+             AND CAST(sa.n * sb.syy - sb.sy * sb.sy AS DOUBLE) > 0 THEN
+         CAST(sa.n * COALESCE(x.sxy0, 0) - sa.sx * sb.sy AS DOUBLE)
+         / (sqrt(CAST(sa.n * sa.sxx - sa.sx * sa.sx AS DOUBLE))
+            * sqrt(CAST(sa.n * sb.syy - sb.sy * sb.sy AS DOUBLE))) END AS ccf
+FROM sa JOIN sb ON sb.lag = sa.lag
+LEFT JOIN sxy x ON x.lag = sa.lag
+ORDER BY sa.lag
+"""
+
+
+# ------------------------------------------- interpolated deciles
+
+
+def events_quantile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-7 INTERPOLATED DECILES of event values per type — the
+    numpy/pandas-default quantile definition (linear interpolation
+    between order statistics), complementing the exact-boundary
+    equi-depth operator.  Exactness: h = (n-1)k/10 splits into integer
+    rank j = h div 10-ths and an integer remainder; both bracketing
+    order statistics are SELECTED on the distinct-cents frame; the
+    interpolated value (x_j*(10-rem) + x_{j+1}*rem)/10 is exact
+    integer arithmetic until one final division.  Scale: data-sized
+    hash agg onto the cents grid, windows on the bounded grid, a
+    21-row-per-type rank frame joined back with min-selection.
+    """
+    ev = _ev_cents_day(spark, sf_dir)
+    grid = ev.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.withColumn("cum", F.sum("cnt").over(wcum).cast("long"))
+    ns = grid.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
+    ks = spark.range(0, 11).select(F.col("id").cast("long").alias("k"))
+    # 0-based h = (n-1)*k/10 -> j = h div 1, rem = (n-1)*k mod 10
+    ranks = (
+        ns.crossJoin(F.broadcast(ks))
+        .select(
+            "event_type",
+            "k",
+            "n",
+            F.expr("((n - 1) * k) div 10").alias("j"),
+            F.expr("((n - 1) * k) % 10").alias("rem"),
+        )
+        .select(
+            "event_type",
+            "k",
+            "n",
+            "rem",
+            (F.col("j") + 1).alias("r1"),
+            F.least(F.col("j") + 2, F.col("n")).alias("r2"),
+        )
+    )
+    x1 = (
+        F.broadcast(ranks).join(cum, "event_type")
+        .where(F.col("cum") >= F.col("r1"))
+        .groupBy("event_type", "k", "rem")
+        .agg(F.min("c").cast("long").alias("x1"))
+    )
+    x2 = (
+        F.broadcast(ranks).join(cum, "event_type")
+        .where(F.col("cum") >= F.col("r2"))
+        .groupBy("event_type", "k")
+        .agg(F.min("c").cast("long").alias("x2"))
+    )
+    return (
+        x1.join(F.broadcast(x2), ["event_type", "k"])
+        .select(
+            "event_type",
+            F.col("k").alias("decile"),
+            (
+                (
+                    F.col("x1") * (10 - F.col("rem"))
+                    + F.col("x2") * F.col("rem")
+                ).cast("double")
+                / F.lit(10.0)
+                / F.lit(100.0)
+            ).alias("value"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+EVENTS_QUANTILE_INTERP_SQL = f"""
+WITH ev AS MATERIALIZED ({_EV_CENTS_DAY}),
+grid AS (
+  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY event_type, c
+),
+cum AS (
+  SELECT event_type, c,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM grid
+),
+ns AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+       FROM grid GROUP BY event_type),
+ranks AS (
+  SELECT ns.event_type, CAST(k.k AS BIGINT) AS k, ns.n,
+         ((ns.n - 1) * k.k) % 10 AS rem,
+         ((ns.n - 1) * k.k) // 10 + 1 AS r1,
+         LEAST(((ns.n - 1) * k.k) // 10 + 2, ns.n) AS r2
+  FROM ns CROSS JOIN (SELECT unnest(generate_series(0, 10)) AS k) k
+),
+x1 AS (
+  SELECT r.event_type, r.k, r.rem, CAST(MIN(c.c) AS BIGINT) AS x1
+  FROM ranks r JOIN cum c ON c.event_type = r.event_type AND c.cum >= r.r1
+  GROUP BY r.event_type, r.k, r.rem
+),
+x2 AS (
+  SELECT r.event_type, r.k, CAST(MIN(c.c) AS BIGINT) AS x2
+  FROM ranks r JOIN cum c ON c.event_type = r.event_type AND c.cum >= r.r2
+  GROUP BY r.event_type, r.k
+)
+SELECT x1.event_type, x1.k AS decile,
+       CAST(x1.x1 * (10 - x1.rem) + x2.x2 * x1.rem AS DOUBLE) / 10.0 / 100.0
+         AS value
+FROM x1 JOIN x2 ON x2.event_type = x1.event_type AND x2.k = x1.k
+ORDER BY x1.event_type, decile
+"""
+
+
+# -------------------------------------------- clustering coefficient
+
+
+def sql_copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL CLUSTERING of the co-purchase graph in one row: average
+    local clustering coefficient and global transitivity (3 x triangles
+    / wedges) — the two standard (and deliberately different) cohesion
+    summaries.  Reuses the degree-oriented triangle operator
+    (operators/graph.py:123).
+
+    Exactness: triangles and wedges are exact integers; each node's
+    local coefficient 2*tri/(d(d-1)) quantizes onto the 2^-20 grid
+    before the mean (the lexical-diversity reduction); transitivity is
+    one division of exact int64s.  Scale: the triangle operator's
+    O(m^1.5) orientation bound carries over; everything after is
+    node-sized then scalar.
+    """
+    from ..operators.graph import triangle_counts
+    from .relational import _copurchase_edges
+
+    scale = 1 << 20
+    e = _copurchase_edges(spark, sf_dir).select("x", "y")
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .union(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    tri = triangle_counts(e)
+    per_node = deg.join(tri, "node", "left").select(
+        "node",
+        "d",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("t"),
+    )
+    eligible = per_node.where(F.col("d") >= 2)
+    cc_q = F.floor(
+        (2 * F.col("t")).cast("double")
+        / (F.col("d") * (F.col("d") - 1)).cast("double")
+        * F.lit(float(scale))
+        + F.lit(0.5)
+    ).cast("long")
+    agg = eligible.select("t", "d", cc_q.alias("cc_q")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes_deg2"),
+        F.sum("cc_q").cast("long").alias("scc"),
+        F.sum("t").cast("long").alias("t3"),  # 3 x triangle count
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("wedges"),
+    )
+    n_all = per_node.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return agg.crossJoin(F.broadcast(n_all)).select(
+        "n_nodes",
+        "n_nodes_deg2",
+        (F.col("t3") / 3).cast("long").alias("n_triangles"),
+        (
+            F.col("scc").cast("double")
+            / F.col("n_nodes_deg2").cast("double")
+            / F.lit(float(scale))
+        ).alias("avg_clustering"),
+        F.when(
+            F.col("wedges") > 0,
+            F.col("t3").cast("double") / F.col("wedges").cast("double"),
+        ).alias("transitivity"),
+    )
+
+
+def _sql_copurchase_clustering_sql() -> str:
+    from ..operators.graph import triangle_ctes
+    from .relational import _COPURCHASE_EDGES_CTE
+
+    return (
+        triangle_ctes(_COPURCHASE_EDGES_CTE)
+        + f""",
+per_node AS (
+  SELECT d.node, d.d, CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS t
+  FROM t_deg d LEFT JOIN tri_counts t ON t.node = d.node
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes_deg2,
+         CAST(SUM(CAST(FLOOR(CAST(2 * t AS DOUBLE)
+              / CAST(d * (d - 1) AS DOUBLE) * {float(1 << 20)} + 0.5)
+              AS BIGINT)) AS BIGINT) AS scc,
+         CAST(SUM(t) AS BIGINT) AS t3,
+         CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS wedges
+  FROM per_node WHERE d >= 2
+),
+n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM per_node)
+SELECT n_all.n_nodes, agg.n_nodes_deg2,
+       CAST(agg.t3 / 3 AS BIGINT) AS n_triangles,
+       CAST(agg.scc AS DOUBLE) / CAST(agg.n_nodes_deg2 AS DOUBLE)
+         / {float(1 << 20)} AS avg_clustering,
+       CASE WHEN agg.wedges > 0 THEN
+         CAST(agg.t3 AS DOUBLE) / CAST(agg.wedges AS DOUBLE)
+       END AS transitivity
+FROM agg CROSS JOIN n_all
+"""
+    )
+
+
+# ---------------------------------------------- uniqueness audit
+
+
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANDIDATE-KEY UNIQUENESS audit across the warehouse: for each
+    table's declared key, the row count, distinct-key count, duplicate
+    key count, and a uniqueness verdict — the first data-quality gate
+    any ingest runs.  (The synthetic lineitem's (l_orderkey,
+    l_linenumber) is known NOT unique — this audit is what surfaces
+    that class of defect.)  Pure integer counting per table, one
+    data-sized distinct-agg each, unioned into a fixed 6-row report.
+    """
+    specs = [
+        ("events", "event_id", lambda df: df.select(F.col("event_id").alias("k1"), F.lit(0).alias("k2"))),
+        ("orders", "o_orderkey", lambda df: df.select(F.col("o_orderkey").alias("k1"), F.lit(0).alias("k2"))),
+        ("customer", "c_custkey", lambda df: df.select(F.col("c_custkey").alias("k1"), F.lit(0).alias("k2"))),
+        ("part", "p_partkey", lambda df: df.select(F.col("p_partkey").alias("k1"), F.lit(0).alias("k2"))),
+        ("supplier", "s_suppkey", lambda df: df.select(F.col("s_suppkey").alias("k1"), F.lit(0).alias("k2"))),
+        (
+            "lineitem",
+            "l_orderkey,l_linenumber",
+            lambda df: df.select(
+                F.col("l_orderkey").alias("k1"),
+                F.col("l_linenumber").cast("long").alias("k2"),
+            ),
+        ),
+    ]
+    outs = []
+    for tname, key_cols, proj in specs:
+        keys = proj(load_table(spark, sf_dir, tname))
+        grouped = keys.groupBy("k1", "k2").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        outs.append(
+            grouped.agg(
+                F.lit(tname).alias("table_name"),
+                F.lit(key_cols).alias("key_cols"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct_keys"),
+                F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_dup_keys"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn(
+        "is_unique", F.col("n_dup_keys") == 0
+    ).orderBy("table_name")
+
+
+DQ_UNIQUENESS_SQL = """
+WITH per AS (
+  SELECT 'events' AS table_name, 'event_id' AS key_cols,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+         CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_keys
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+        GROUP BY event_id)
+  UNION ALL
+  SELECT 'orders', 'o_orderkey', CAST(SUM(cnt) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders
+        GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'customer', 'c_custkey', CAST(SUM(cnt) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM customer
+        GROUP BY c_custkey)
+  UNION ALL
+  SELECT 'part', 'p_partkey', CAST(SUM(cnt) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM part
+        GROUP BY p_partkey)
+  UNION ALL
+  SELECT 'supplier', 's_suppkey', CAST(SUM(cnt) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM supplier
+        GROUP BY s_suppkey)
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey,l_linenumber', CAST(SUM(cnt) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+        GROUP BY l_orderkey, l_linenumber)
+)
+SELECT table_name, key_cols, n_rows, n_distinct_keys, n_dup_keys,
+       n_dup_keys = 0 AS is_unique
+FROM per
+ORDER BY table_name
+"""
+
+
 QUERIES = {
     "events_psi_drift": events_psi_drift,
     "events_jsd_profile": events_jsd_profile,
@@ -1875,6 +2331,10 @@ QUERIES = {
     "simsearch_dim_audit": simsearch_dim_audit,
     "sql_copurchase_assortativity": sql_copurchase_assortativity,
     "corpus_lexical_diversity": corpus_lexical_diversity,
+    "events_ccf": events_ccf,
+    "events_quantile_interp": events_quantile_interp,
+    "sql_copurchase_clustering": sql_copurchase_clustering,
+    "dq_uniqueness_audit": dq_uniqueness_audit,
 }
 
 ORACLES = {
@@ -1897,4 +2357,8 @@ ORACLES = {
     "simsearch_dim_audit": SIMSEARCH_DIM_AUDIT_SQL,
     "sql_copurchase_assortativity": _sql_copurchase_assortativity_sql(),
     "corpus_lexical_diversity": CORPUS_LEXDIV_SQL,
+    "events_ccf": EVENTS_CCF_SQL,
+    "events_quantile_interp": EVENTS_QUANTILE_INTERP_SQL,
+    "sql_copurchase_clustering": _sql_copurchase_clustering_sql(),
+    "dq_uniqueness_audit": DQ_UNIQUENESS_SQL,
 }

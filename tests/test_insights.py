@@ -414,3 +414,97 @@ def test_lexical_diversity_hand_example(spark, tmp_path):
     # doc1: TTR 2/3, repeat 2/6; doc2: TTR 1, repeat 0
     assert r.mean_ttr == pytest.approx((2 / 3 + 1.0) / 2, abs=2e-6)
     assert r.mean_repeat_prob == pytest.approx((1 / 3) / 2, abs=2e-6)
+
+
+# ----------------------------------------------------------- CCF
+
+
+def test_ccf_detects_exact_two_day_lead(spark, tmp_path):
+    # purchases replicate the click pattern shifted +2 days
+    pattern = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows, i = [], 0
+    for d, n in enumerate(pattern, start=1):
+        for _ in range(n):
+            rows.append((i, f"2024-03-{d:02d} 10:00:00", 1, "click", 1.0)); i += 1
+    for d, n in enumerate(pattern, start=3):
+        for _ in range(n):
+            rows.append((i, f"2024-03-{d:02d} 11:00:00", 1, "purchase", 1.0)); i += 1
+    sf = _events(spark, tmp_path, rows)
+    got = {r.lag: r for r in I.events_ccf(spark, sf).collect()}
+    assert len(got) == 15
+    assert got[2].ccf == pytest.approx(1.0, rel=1e-12)
+    # span = days 1..10 -> n at lag L is 10 - |L|
+    assert got[0].n_days == 10 and got[7].n_days == 3 and got[-7].n_days == 3
+    assert all(got[L].ccf is None or got[L].ccf <= 1.0 + 1e-12 for L in got)
+
+
+# ------------------------------------------- interpolated deciles
+
+
+def test_quantile_interp_matches_numpy_type7(spark, tmp_path):
+    import numpy as np
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    rows = [(i, "2024-03-01 10:00:00", 1, "q", v) for i, v in enumerate(vals)]
+    sf = _events(spark, tmp_path, rows)
+    got = {r.decile: r.value for r in
+           I.events_quantile_interp(spark, sf).collect()}
+    for k in range(11):
+        assert got[k] == pytest.approx(
+            float(np.quantile(vals, k / 10)), rel=1e-12
+        ), k
+
+
+# ------------------------------------------- clustering coefficient
+
+
+def test_clustering_triangle_graph_is_one(spark, tmp_path):
+    # parts 1,2,3 pairwise co-purchased (each pair in 2 orders)
+    rows, o = [], 0
+    for pair in [(1, 2), (1, 3), (2, 3)]:
+        for _ in range(2):
+            o += 1
+            for pk in pair:
+                rows.append(Row(l_orderkey=o, l_partkey=pk, l_quantity=1.0,
+                                l_extendedprice=1.0))
+    _write(spark.createDataFrame(rows), tmp_path, "lineitem")
+    r = I.sql_copurchase_clustering(spark, str(tmp_path)).collect()[0]
+    assert r.n_nodes == 3 and r.n_nodes_deg2 == 3 and r.n_triangles == 1
+    assert r.avg_clustering == 1.0 and r.transitivity == 1.0
+
+
+# ------------------------------------------------ uniqueness audit
+
+
+def test_uniqueness_audit_flags_planted_duplicate(spark, tmp_path):
+    _write(spark.createDataFrame(
+        [Row(event_id=1, ts="2024-03-01", user_id=1, event_type="c",
+             value=1.0)]).withColumn("ts", F.col("ts").cast("timestamp")),
+        tmp_path, "events")
+    _write(spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=1, o_orderstatus="F", o_totalprice=1.0,
+             o_orderdate="2024-03-01", o_orderpriority="1")]).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")),
+        tmp_path, "orders")
+    _write(spark.createDataFrame([Row(c_custkey=1, c_name="x")]),
+           tmp_path, "customer")
+    _write(spark.createDataFrame([Row(p_partkey=1, p_name="x")]),
+           tmp_path, "part")
+    _write(spark.createDataFrame([Row(s_suppkey=1, s_name="x")]),
+           tmp_path, "supplier")
+    li = [Row(l_orderkey=1, l_linenumber=1, l_partkey=1, l_suppkey=1,
+              l_quantity=1.0, l_extendedprice=1.0),
+          Row(l_orderkey=1, l_linenumber=1, l_partkey=2, l_suppkey=1,
+              l_quantity=1.0, l_extendedprice=1.0),  # planted key dup
+          Row(l_orderkey=2, l_linenumber=1, l_partkey=1, l_suppkey=1,
+              l_quantity=1.0, l_extendedprice=1.0)]
+    _write(spark.createDataFrame(li), tmp_path, "lineitem")
+    got = {r.table_name: r for r in
+           I.dq_uniqueness_audit(spark, str(tmp_path)).collect()}
+    assert len(got) == 6
+    assert not got["lineitem"].is_unique
+    assert got["lineitem"].n_rows == 3
+    assert got["lineitem"].n_distinct_keys == 2
+    assert got["lineitem"].n_dup_keys == 1
+    for t in ("events", "orders", "customer", "part", "supplier"):
+        assert got[t].is_unique, t

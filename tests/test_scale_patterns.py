@@ -797,6 +797,23 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("corpus_lexical_diversity")
     assert "Join" not in p, p
     assert "SinglePartition" not in p, p
+    # CCF: daily frames broadcast onto the 15-lag spine; no cartesian
+    # beyond the lag broadcast (calendar-bounded on both sides)
+    p = plan("events_ccf")
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    # interpolated deciles: windows over the distinct-cents grid only;
+    # the rank spine joins back via broadcast
+    p = plan("events_quantile_interp")
+    assert "SinglePartition" not in p, p
+    assert "SortMergeJoin" not in p, p
+    # clustering: triangle checkpoints cut lineage; the node rollup is
+    # a hash agg; no cartesian
+    p = plan("sql_copurchase_clustering")
+    assert "CartesianProduct" not in p, p
+    # uniqueness audit: six independent distinct-aggs unioned; no join
+    p = plan("dq_uniqueness_audit")
+    assert "Join" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
