@@ -1090,6 +1090,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_quantile_interp",      # NEW: type-7 interpolated deciles
     "sql_copurchase_clustering",   # NEW: avg local CC + transitivity
     "dq_uniqueness_audit",         # NEW: candidate-key violation report
+    "text_jsd_lang_matrix",        # NEW: trigram-profile language distance
+    "sql_abc_xyz_matrix",          # NEW: revenue x variability grid
     # -- round 6: new statistical / association / centrality surface --
     "events_mannwhitney",          # NEW: exact midrank rank-sum U test
     "events_ks_2samp",             # NEW: integer cross-mult KS selection

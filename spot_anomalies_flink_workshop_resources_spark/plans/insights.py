@@ -2311,6 +2311,277 @@ ORDER BY table_name
 """
 
 
+# ------------------------------------------- language distance matrix
+
+
+def text_jsd_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE DISTANCE MATRIX: Jensen-Shannon divergence between
+    every pair of languages' character-trigram distributions — the
+    confusability map that explains lang-ID errors (close pairs
+    confuse) and guides mixture balancing.  Uses the lm_score trigram
+    framing (operators/text.py:456).
+
+    Exactness: trigram counts and totals are exact int64; the gram
+    spine is the DISTINCT-TRIGRAM x language grid, so zero cells are
+    enumerated, never sampled; each gram's JSD term quantizes onto the
+    2^-20 grid before the per-pair int64 fold (the events_jsd_profile
+    recipe).  Scale: the trigram domain is bounded by |charset|^3 —
+    a saturating frame — and the pair join runs on (gram, lang_pair)
+    cells, never on documents.
+    """
+    n = 3
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.selectExpr("lang", "lower(text) AS lt").selectExpr(
+        "lang",
+        f"explode(CASE WHEN length(lt) >= {n} THEN "
+        f"transform(sequence(1, length(lt) - {n - 1}),"
+        f" i -> substring(lt, i, {n})) "
+        f"ELSE array() END) AS gram",
+    )
+    model = grams.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tots = model.groupBy("lang").agg(F.sum("cnt").cast("long").alias("tot"))
+    spine = model.select("gram").distinct().crossJoin(
+        F.broadcast(tots.select("lang"))
+    )
+    grid = (
+        spine.join(model, ["lang", "gram"], "left")
+        .join(F.broadcast(tots), "lang")
+        .select(
+            "gram",
+            "lang",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+            "tot",
+        )
+    )
+    a = grid.select(
+        "gram",
+        F.col("lang").alias("lang_a"),
+        F.col("cnt").alias("ca"),
+        F.col("tot").alias("ta"),
+    )
+    b = grid.select(
+        "gram",
+        F.col("lang").alias("lang_b"),
+        F.col("cnt").alias("cb"),
+        F.col("tot").alias("tb"),
+    )
+    pr = F.col("ca").cast("double") / F.col("ta").cast("double")
+    qr = F.col("cb").cast("double") / F.col("tb").cast("double")
+    p_term = F.when(
+        F.col("ca") > 0, pr * F.log(F.lit(2.0) * pr / (pr + qr))
+    ).otherwise(F.lit(0.0))
+    q_term = F.when(
+        F.col("cb") > 0, qr * F.log(F.lit(2.0) * qr / (pr + qr))
+    ).otherwise(F.lit(0.0))
+    term_q = F.floor(
+        (F.lit(0.5) * p_term + F.lit(0.5) * q_term) * F.lit(float(_SCALE))
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        a.join(b, "gram")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .where((F.col("ca") > 0) | (F.col("cb") > 0))
+        .select("lang_a", "lang_b", term_q.alias("term_q"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams_union"),
+            (
+                F.sum("term_q").cast("long").cast("double")
+                / F.lit(float(_SCALE))
+            ).alias("jsd_nats"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+TEXT_JSD_LANG_SQL = f"""
+WITH grams AS MATERIALIZED (
+  SELECT lang, gram
+  FROM (SELECT lang, lower(text) AS lt FROM documents),
+       UNNEST(CASE WHEN length(lt) >= 3 THEN
+                list_transform(generate_series(1, length(lt) - 2),
+                               i -> substring(lt, i, 3))
+              ELSE [] END) AS u(gram)
+),
+model AS MATERIALIZED (
+  SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM grams GROUP BY lang, gram
+),
+tots AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot
+         FROM model GROUP BY lang),
+spine AS (
+  SELECT g.gram, t.lang, t.tot FROM
+  (SELECT DISTINCT gram FROM model) g CROSS JOIN tots t
+),
+grid AS MATERIALIZED (
+  SELECT s.gram, s.lang, CAST(COALESCE(m.cnt, 0) AS BIGINT) AS cnt, s.tot
+  FROM spine s LEFT JOIN model m ON m.lang = s.lang AND m.gram = s.gram
+),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(FLOOR(
+           (0.5 * (CASE WHEN a.cnt > 0 THEN
+              (CAST(a.cnt AS DOUBLE) / CAST(a.tot AS DOUBLE))
+              * ln(2.0 * (CAST(a.cnt AS DOUBLE) / CAST(a.tot AS DOUBLE))
+                   / ((CAST(a.cnt AS DOUBLE) / CAST(a.tot AS DOUBLE))
+                      + (CAST(b.cnt AS DOUBLE) / CAST(b.tot AS DOUBLE))))
+            ELSE 0.0 END)
+            + 0.5 * (CASE WHEN b.cnt > 0 THEN
+              (CAST(b.cnt AS DOUBLE) / CAST(b.tot AS DOUBLE))
+              * ln(2.0 * (CAST(b.cnt AS DOUBLE) / CAST(b.tot AS DOUBLE))
+                   / ((CAST(a.cnt AS DOUBLE) / CAST(a.tot AS DOUBLE))
+                      + (CAST(b.cnt AS DOUBLE) / CAST(b.tot AS DOUBLE))))
+            ELSE 0.0 END))
+           * {float(_SCALE)} + 0.5) AS BIGINT) AS term_q
+  FROM grid a JOIN grid b ON b.gram = a.gram AND a.lang < b.lang
+  WHERE a.cnt > 0 OR b.cnt > 0
+)
+SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_grams_union,
+       CAST(CAST(SUM(term_q) AS BIGINT) AS DOUBLE) / {float(_SCALE)}
+         AS jsd_nats
+FROM pairs
+GROUP BY lang_a, lang_b
+ORDER BY lang_a, lang_b
+"""
+
+
+# -------------------------------------------------- ABC/XYZ matrix
+
+
+def sql_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ INVENTORY MATRIX: parts classified by revenue
+    concentration (A <= 80 % cumulative share, B <= 95 %, else C — the
+    sql_pareto_abc boundaries) crossed with demand variability on
+    QUARTERLY (91-day) order counts (X: CV <= 0.5, Y: CV <= 1, else Z),
+    counted per cell — the planner's segmentation grid.  The bucket
+    width is the calibration knob: under weekly buckets every slow
+    mover is Z by construction (CV of a sparse indicator series grows
+    as sqrt(span/demand)); quarters match this catalog's demand
+    density so all three variability classes materialize.
+
+    Exactness: ABC boundaries decide by integer cross-multiplication
+    of cumulative revenue cents; XYZ classes compare CV^2 as exact
+    integers (4(nQ - S^2) <= S^2 and (nQ - S^2) <= S^2 with the
+    GLOBAL week-span n as scalar, zero weeks real); the matrix is a
+    count.  Scale: one lineitem-sized agg per axis; the ranking window
+    runs over the |parts| frame (the pareto_abc contract).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("rc")
+    )
+    wrank = Window.orderBy(F.col("rc").desc(), F.col("pk").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = rev.agg(F.sum("rc").cast("long").alias("tr"))
+    abc = (
+        rev.withColumn("cum", F.sum("rc").over(wrank).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pk",
+            F.when(F.col("cum") * 100 <= F.col("tr") * 80, "A")
+            .when(F.col("cum") * 100 <= F.col("tr") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    weekly = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.expr(
+            "datediff(to_date(l_shipdate), '1970-01-01') div 91"
+        ).alias("wk"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    span = li.agg(
+        (
+            F.expr("max(datediff(to_date(l_shipdate), '1970-01-01')) div 91")
+            - F.expr("min(datediff(to_date(l_shipdate), '1970-01-01')) div 91")
+            + 1
+        )
+        .cast("long")
+        .alias("nw")
+    )
+    var_stats = weekly.groupBy("pk").agg(
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    xyz = var_stats.crossJoin(F.broadcast(span)).select(
+        "pk",
+        F.when(
+            4 * (F.col("nw") * F.col("q") - F.col("s") * F.col("s"))
+            <= F.col("s") * F.col("s"),
+            "X",
+        )
+        .when(
+            F.col("nw") * F.col("q") - F.col("s") * F.col("s")
+            <= F.col("s") * F.col("s"),
+            "Y",
+        )
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "pk")
+        .groupBy("abc_class", "xyz_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+SQL_ABC_XYZ_SQL = """
+WITH rev AS MATERIALIZED (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rc
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS tr FROM rev),
+abc AS (
+  SELECT pk,
+         CASE WHEN cum * 100 <= tr * 80 THEN 'A'
+              WHEN cum * 100 <= tr * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM (SELECT pk, rc,
+               CAST(SUM(rc) OVER (ORDER BY rc DESC, pk ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM rev) r CROSS JOIN tot
+),
+weekly AS (
+  SELECT l_partkey AS pk,
+         CAST((CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 91
+              AS BIGINT) AS wk,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_partkey,
+       CAST((CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 91 AS BIGINT)
+),
+span AS (
+  SELECT CAST(MAX((CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 91)
+         - MIN((CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 91) + 1
+         AS BIGINT) AS nw
+  FROM lineitem
+),
+xyz AS (
+  SELECT v.pk,
+         CASE WHEN 4 * (span.nw * v.q - v.s * v.s) <= v.s * v.s THEN 'X'
+              WHEN span.nw * v.q - v.s * v.s <= v.s * v.s THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM (SELECT pk, CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS q
+        FROM weekly GROUP BY pk) v CROSS JOIN span
+)
+SELECT a.abc_class, x.xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM abc a JOIN xyz x ON x.pk = a.pk
+GROUP BY a.abc_class, x.xyz_class
+ORDER BY a.abc_class, x.xyz_class
+"""
+
+
 QUERIES = {
     "events_psi_drift": events_psi_drift,
     "events_jsd_profile": events_jsd_profile,
@@ -2335,6 +2606,8 @@ QUERIES = {
     "events_quantile_interp": events_quantile_interp,
     "sql_copurchase_clustering": sql_copurchase_clustering,
     "dq_uniqueness_audit": dq_uniqueness_audit,
+    "text_jsd_lang_matrix": text_jsd_lang_matrix,
+    "sql_abc_xyz_matrix": sql_abc_xyz_matrix,
 }
 
 ORACLES = {
@@ -2361,4 +2634,6 @@ ORACLES = {
     "events_quantile_interp": EVENTS_QUANTILE_INTERP_SQL,
     "sql_copurchase_clustering": _sql_copurchase_clustering_sql(),
     "dq_uniqueness_audit": DQ_UNIQUENESS_SQL,
+    "text_jsd_lang_matrix": TEXT_JSD_LANG_SQL,
+    "sql_abc_xyz_matrix": SQL_ABC_XYZ_SQL,
 }

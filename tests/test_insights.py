@@ -508,3 +508,47 @@ def test_uniqueness_audit_flags_planted_duplicate(spark, tmp_path):
     assert got["lineitem"].n_dup_keys == 1
     for t in ("events", "orders", "customer", "part", "supplier"):
         assert got[t].is_unique, t
+
+
+# ------------------------------------------- language distance matrix
+
+
+def test_jsd_lang_matrix_identical_zero_disjoint_ln2(spark, tmp_path):
+    docs = [
+        Row(doc_id=1, text="abcabcabc", lang="aa", source="s", n_chars=9),
+        Row(doc_id=2, text="abcabcabc", lang="bb", source="s", n_chars=9),
+        Row(doc_id=3, text="xyzxyzxyz", lang="cc", source="s", n_chars=9),
+    ]
+    _write(spark.createDataFrame(docs), tmp_path, "documents")
+    got = {(r.lang_a, r.lang_b): r for r in
+           I.text_jsd_lang_matrix(spark, str(tmp_path)).collect()}
+    assert len(got) == 3
+    assert got[("aa", "bb")].jsd_nats == 0.0  # identical trigram profiles
+    # fully disjoint char sets -> JSD hits its ln 2 upper bound
+    assert got[("aa", "cc")].jsd_nats == pytest.approx(math.log(2.0), abs=1e-4)
+    assert got[("bb", "cc")].jsd_nats == pytest.approx(math.log(2.0), abs=1e-4)
+
+
+# -------------------------------------------------- ABC/XYZ matrix
+
+
+def test_abc_xyz_steady_equal_parts(spark, tmp_path):
+    # 5 parts, each 1 item per quarter (days 1, 92, 183, 274), equal
+    # revenue -> all X; cumulative shares 20..100% -> A,A,A,A,C
+    dates = {1: "1970-01-02", 92: "1970-04-03", 183: "1970-07-03",
+             274: "1970-10-02"}
+    rows, o = [], 0
+    for pk in range(1, 6):
+        for day, ds in dates.items():
+            o += 1
+            rows.append(Row(l_orderkey=o, l_partkey=pk, l_suppkey=1,
+                            l_linenumber=1, l_quantity=1.0,
+                            l_extendedprice=100.0, l_discount=0.0, l_tax=0.0,
+                            l_returnflag="N", l_linestatus="O",
+                            l_shipdate=ds))
+    df = spark.createDataFrame(rows).withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    _write(df, tmp_path, "lineitem")
+    got = {(r.abc_class, r.xyz_class): r.n_parts for r in
+           I.sql_abc_xyz_matrix(spark, str(tmp_path)).collect()}
+    assert got == {("A", "X"): 4, ("C", "X"): 1}

@@ -814,6 +814,15 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     # uniqueness audit: six independent distinct-aggs unioned; no join
     p = plan("dq_uniqueness_audit")
     assert "Join" not in p, p
+    # lang JSD matrix: the pair join runs on the bounded trigram-domain
+    # grid (|charset|^3 saturating), never on documents
+    p = plan("text_jsd_lang_matrix")
+    assert "CartesianProduct" not in p, p
+    # ABC/XYZ: ranking window over the |parts| frame; scalar spans
+    # broadcast; the cell rollup is a hash agg
+    p = plan("sql_abc_xyz_matrix")
+    assert "CartesianProduct" not in p, p
+    assert p.count("Exchange SinglePartition") <= 2, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
