@@ -61,11 +61,17 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-bucket-per-type frame.
     """
     ev = _ev_cents_day(spark, sf_dir)
-    md = ev.agg(
-        F.expr("(min(d) + max(d) + 1) div 2").cast("long").alias("md")
-    )
+    # ONE stats pass: per-type cent ranges AND the day extremes (the
+    # global midpoint folds from the per-type extremes) — the naive
+    # form re-scanned events once per consumer
     rng = ev.groupBy("event_type").agg(
-        F.min("c").cast("long").alias("mn"), F.max("c").cast("long").alias("mx")
+        F.min("c").cast("long").alias("mn"),
+        F.max("c").cast("long").alias("mx"),
+        F.min("d").cast("long").alias("dmn"),
+        F.max("d").cast("long").alias("dmx"),
+    )
+    md = rng.agg(
+        F.expr("(min(dmn) + max(dmx) + 1) div 2").cast("long").alias("md")
     )
     bucketed = (
         ev.join(F.broadcast(rng), "event_type")
@@ -79,12 +85,9 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = bucketed.groupBy("event_type", "bucket", "half").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    spine = (
-        ev.select("event_type")
-        .distinct()
-        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket"))
-        .select("event_type", F.col("bucket").cast("long").alias("bucket"))
-    )
+    spine = rng.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket")
+    ).select("event_type", F.col("bucket").cast("long").alias("bucket"))
     p = counts.where(F.col("half") == 0).select(
         "event_type", "bucket", F.col("cnt").alias("cnt_p")
     )
@@ -573,7 +576,12 @@ def sql_copurchase_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .relational import _copurchase_edges
 
-    e = _copurchase_edges(spark, sf_dir).select("x", "y")
+    # one lineage cut: the support-thresholded edge build (a lineitem
+    # pair self-join) feeds und/adj/deg AND the final anti-join — four
+    # consumers would each re-expand it (the triangle_counts lesson)
+    e = _copurchase_edges(spark, sf_dir).select("x", "y").localCheckpoint(
+        eager=True
+    )
     und = e.union(e.select(F.col("y"), F.col("x")))
     adj = und.select(F.col("x").alias("node"), F.col("y").alias("z"))
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -1681,7 +1689,9 @@ def sql_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .relational import _copurchase_edges
 
-    e = _copurchase_edges(spark, sf_dir).select("x", "y")
+    e = _copurchase_edges(spark, sf_dir).select("x", "y").localCheckpoint(
+        eager=True
+    )
     und = e.union(e.select(F.col("y"), F.col("x")))
     deg = und.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     stubs = (
@@ -2136,7 +2146,9 @@ def sql_copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import _copurchase_edges
 
     scale = 1 << 20
-    e = _copurchase_edges(spark, sf_dir).select("x", "y")
+    e = _copurchase_edges(spark, sf_dir).select("x", "y").localCheckpoint(
+        eager=True
+    )
     deg = (
         e.select(F.col("x").alias("node"))
         .union(e.select(F.col("y").alias("node")))
