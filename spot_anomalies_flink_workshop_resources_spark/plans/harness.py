@@ -1092,6 +1092,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_uniqueness_audit",         # NEW: candidate-key violation report
     "text_jsd_lang_matrix",        # NEW: trigram-profile language distance
     "sql_abc_xyz_matrix",          # NEW: revenue x variability grid
+    "dedup_canonical",             # NEW: survivorship keep-best policy
+    "events_silence_gaps",         # NEW: feed-stall gap detector
     # -- round 6: new statistical / association / centrality surface --
     "events_mannwhitney",          # NEW: exact midrank rank-sum U test
     "events_ks_2samp",             # NEW: integer cross-mult KS selection

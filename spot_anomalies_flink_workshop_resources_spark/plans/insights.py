@@ -2594,6 +2594,181 @@ ORDER BY a.abc_class, x.xyz_class
 """
 
 
+# --------------------------------------------------- survivorship
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVORSHIP selection for the near-dup clusters: per
+    multi-document component, keep the best document by an explicit
+    policy (longest n_chars, doc_id tiebreak) and report the bytes the
+    drop saves — the keep/drop decision a dedup pipeline hands to the
+    writer, with a DIFFERENT canonical policy than the resolver's
+    min-id representative (policy is a parameter, not an accident).
+
+    Exactness: selection-only — ranks order by exact int64
+    (n_chars DESC, doc_id ASC); byte totals are int64 sums.  Scale:
+    composes the oracle-checked component resolver; the survivorship
+    window partitions per component over cluster-sized groups.
+    """
+    from ..operators import dedup as D
+
+    comp = D.dup_components(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, shingle_n=3
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    j = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component_rep").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = j.withColumn("rk", F.row_number().over(w))
+    per = ranked.groupBy("component_rep").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).cast("long").alias(
+            "canonical_doc"
+        ),
+        F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).cast("long").alias(
+            "canonical_chars"
+        ),
+    )
+    return (
+        per.where(F.col("n_members") >= 2)
+        .select(
+            "component_rep",
+            "n_members",
+            "canonical_doc",
+            "canonical_chars",
+            (F.col("total_chars") - F.col("canonical_chars")).alias(
+                "chars_saved"
+            ),
+        )
+        .orderBy("component_rep")
+    )
+
+
+def _dedup_canonical_sql() -> str:
+    from ..operators import dedup as D
+
+    inner = D.dup_components_sql(threshold=0.5, shingle_n=3)
+    return f"""
+WITH comp AS ({inner}),
+j AS (
+  SELECT c.doc_id, c.component_rep, CAST(d.n_chars AS BIGINT) AS n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.component_rep
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+per AS (
+  SELECT component_rep,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+           AS canonical_doc,
+         CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+           AS canonical_chars
+  FROM j GROUP BY component_rep
+)
+SELECT component_rep, n_members, canonical_doc, canonical_chars,
+       total_chars - canonical_chars AS chars_saved
+FROM per WHERE n_members >= 2
+ORDER BY component_rep
+"""
+
+
+# --------------------------------------------------- silence gaps
+
+
+def events_silence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SILENT-GAP detection per event type: the five longest
+    inter-arrival gaps, flagged when they exceed 10x the type's mean
+    gap — "did ingestion stall?", the ops complement of the burst
+    detector (a pipeline that only alarms on spikes misses the feed
+    that silently died).
+
+    Exactness: timestamps truncate to integer epoch seconds; the mean
+    gap comparison cross-multiplies exact integers (gap * (n-1) >
+    10 * span); ranking orders by (gap DESC, start ASC) int64s.
+    Scale: one per-type sort window (the sessionization shape) over a
+    (type)-partitioned frame; top-5 per type via row_number.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("s"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("s", "event_id")
+    gaps = (
+        pts.withColumn("prev", F.lag("s").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            F.col("prev").alias("gap_start"),
+            F.col("s").alias("gap_end"),
+            (F.col("s") - F.col("prev")).cast("long").alias("gap_seconds"),
+        )
+    )
+    stats = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_seconds").cast("long").alias("span"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("gap_seconds").desc(), F.col("gap_start").asc()
+    )
+    return (
+        gaps.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 5)
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.col("rk").alias("rank"),
+            "gap_start",
+            "gap_seconds",
+            (
+                F.col("gap_seconds") * F.col("n_gaps")
+                > 10 * F.col("span")
+            ).alias("stalled"),
+        )
+        .orderBy("event_type", "rank")
+    )
+
+
+EVENTS_SILENCE_SQL = """
+WITH pts AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, event_id
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         LAG(s) OVER (PARTITION BY event_type ORDER BY s, event_id)
+           AS gap_start,
+         s AS gap_end,
+         CAST(s - LAG(s) OVER (PARTITION BY event_type ORDER BY s, event_id)
+              AS BIGINT) AS gap_seconds
+  FROM pts
+),
+g2 AS (SELECT * FROM gaps WHERE gap_start IS NOT NULL),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_seconds) AS BIGINT) AS span
+  FROM g2 GROUP BY event_type
+),
+ranked AS (
+  SELECT event_type, gap_start, gap_seconds,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY gap_seconds DESC, gap_start ASC) AS rk
+  FROM g2
+)
+SELECT r.event_type, r.rk AS rank, r.gap_start, r.gap_seconds,
+       r.gap_seconds * st.n_gaps > 10 * st.span AS stalled
+FROM ranked r JOIN stats st ON st.event_type = r.event_type
+WHERE r.rk <= 5
+ORDER BY r.event_type, rank
+"""
+
+
 QUERIES = {
     "events_psi_drift": events_psi_drift,
     "events_jsd_profile": events_jsd_profile,
@@ -2620,6 +2795,8 @@ QUERIES = {
     "dq_uniqueness_audit": dq_uniqueness_audit,
     "text_jsd_lang_matrix": text_jsd_lang_matrix,
     "sql_abc_xyz_matrix": sql_abc_xyz_matrix,
+    "dedup_canonical": dedup_canonical,
+    "events_silence_gaps": events_silence_gaps,
 }
 
 ORACLES = {
@@ -2648,4 +2825,6 @@ ORACLES = {
     "dq_uniqueness_audit": DQ_UNIQUENESS_SQL,
     "text_jsd_lang_matrix": TEXT_JSD_LANG_SQL,
     "sql_abc_xyz_matrix": SQL_ABC_XYZ_SQL,
+    "dedup_canonical": _dedup_canonical_sql(),
+    "events_silence_gaps": EVENTS_SILENCE_SQL,
 }

@@ -552,3 +552,43 @@ def test_abc_xyz_steady_equal_parts(spark, tmp_path):
     got = {(r.abc_class, r.xyz_class): r.n_parts for r in
            I.sql_abc_xyz_matrix(spark, str(tmp_path)).collect()}
     assert got == {("A", "X"): 4, ("C", "X"): 1}
+
+
+# --------------------------------------------------- survivorship
+
+
+def test_dedup_canonical_keeps_longest(spark, tmp_path):
+    # docs 1,2 near-dup (shared shingles), doc 2 longer -> canonical 2
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = t1 + " with extra trailing words to be longer"
+    t3 = "completely different content nothing shared here at all folks"
+    docs = [Row(doc_id=1, text=t1, lang="aa", source="s", n_chars=len(t1)),
+            Row(doc_id=2, text=t2, lang="aa", source="s", n_chars=len(t2)),
+            Row(doc_id=3, text=t3, lang="aa", source="s", n_chars=len(t3))]
+    _write(spark.createDataFrame(docs), tmp_path, "documents")
+    got = I.dedup_canonical(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_members == 2 and r.canonical_doc == 2
+    assert r.canonical_chars == len(t2)
+    assert r.chars_saved == len(t1)
+
+
+# --------------------------------------------------- silence gaps
+
+
+def test_silence_gaps_flags_the_stall(spark, tmp_path):
+    rows, i = [], 0
+    # one event per minute for 30 minutes, then a 6-hour stall, then
+    # another 30 minutes -> the stall gap dwarfs 10x the mean gap
+    for m in range(30):
+        rows.append((i, f"2024-03-01 00:{m:02d}:00", 1, "feed", 1.0)); i += 1
+    for m in range(30):
+        rows.append((i, f"2024-03-01 06:{m:02d}:00", 1, "feed", 1.0)); i += 1
+    sf = _events(spark, tmp_path, rows)
+    got = I.events_silence_gaps(spark, sf).collect()
+    assert len(got) == 5
+    top = got[0]
+    assert top.rank == 1 and top.gap_seconds == 5 * 3600 + 30 * 60 + 60
+    assert top.stalled
+    assert not got[1].stalled and got[1].gap_seconds == 60

@@ -823,6 +823,13 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("sql_abc_xyz_matrix")
     assert "CartesianProduct" not in p, p
     assert p.count("Exchange SinglePartition") <= 2, p
+    # survivorship: per-component window over cluster-sized groups
+    p = plan("dedup_canonical")
+    assert "CartesianProduct" not in p, p
+    # silence gaps: one type-partitioned sort window, stats broadcast
+    p = plan("events_silence_gaps")
+    assert "SinglePartition" not in p, p
+    assert "BroadcastHashJoin" in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
