@@ -1094,6 +1094,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_abc_xyz_matrix",          # NEW: revenue x variability grid
     "dedup_canonical",             # NEW: survivorship keep-best policy
     "events_silence_gaps",         # NEW: feed-stall gap detector
+    "events_holt_backtest",        # NEW: rolling-origin forecast eval
     # -- round 6: new statistical / association / centrality surface --
     "events_mannwhitney",          # NEW: exact midrank rank-sum U test
     "events_ks_2samp",             # NEW: integer cross-mult KS selection

@@ -2769,6 +2769,141 @@ ORDER BY r.event_type, rank
 """
 
 
+# ----------------------------------------------- forecast backtest
+
+
+def events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-ORIGIN BACKTEST of the Holt forecaster: for every
+    cutoff position r >= 5 in each type's daily-mean series, fit the
+    same two-state fold on the first r observations and score the
+    one-step-ahead forecast against observation r+1 — MAE and MAPE per
+    type, the evaluation harness that justifies (or rejects) a
+    forecasting choice before anyone trusts forecast_next.
+
+    Exactness: the per-cutoff fold is the events_holt_trend recipe
+    (bit-identical two-state IEEE fold, alpha=2^-2 beta=2^-3, decimal-
+    exact daily means); each |error| and |error|/actual quantizes onto
+    the 2^-20 grid BEFORE the per-type mean (int64 reduction).  Scale:
+    the data-sized stage is the (type, day) agg; the O(days^2) cutoff
+    x prefix re-fold is calendar-bounded — the KM/cusum cost contract.
+    """
+    from .relational import _davg
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("d"),
+    ).agg(_davg(F.col("value")).alias("mu"))
+    wr = Window.partitionBy("event_type").orderBy("d")
+    ranked = daily.withColumn("r", F.row_number().over(wr).cast("long"))
+    cutoffs = ranked.select(
+        "event_type", F.col("r").alias("t"), F.col("mu").alias("mu_t")
+    ).where(F.col("t") >= 6)
+    hist = ranked.select(
+        F.col("event_type").alias("et_h"),
+        F.col("r").alias("u"),
+        F.col("mu").alias("mu_u"),
+    )
+
+    def step(acc, x):
+        lvl = x * F.lit(0.25) + (acc["l"] + acc["b"]) * F.lit(0.75)
+        trend = (lvl - acc["l"]) * F.lit(0.125) + acc["b"] * F.lit(0.875)
+        return F.struct(lvl.alias("l"), trend.alias("b"))
+
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("u", "mu_u"))),
+            lambda p: p["mu_u"],
+        ),
+        F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("b")),
+        step,
+    )
+    fitted = (
+        cutoffs.join(
+            F.broadcast(hist),
+            (F.col("et_h") == F.col("event_type")) & (F.col("u") < F.col("t")),
+        )
+        .groupBy("event_type", "t", "mu_t")
+        .agg(fold.alias("hb"))
+    )
+    err = F.abs(F.col("mu_t") - (F.col("hb.l") + F.col("hb.b")))
+    err_q = F.floor(err * F.lit(float(_SCALE)) + F.lit(0.5)).cast("long")
+    ape_q = F.when(
+        F.col("mu_t") != 0,
+        F.floor(err / F.abs(F.col("mu_t")) * F.lit(float(_SCALE)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    scored = fitted.select(
+        "event_type", err_q.alias("err_q"), ape_q.alias("ape_q")
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_evals"),
+            (
+                F.sum("err_q").cast("long").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(float(_SCALE))
+            ).alias("mae"),
+            (
+                F.sum("ape_q").cast("long").cast("double")
+                / F.count("ape_q").cast("double")
+                / F.lit(float(_SCALE))
+            ).alias("mape"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_HOLT_BACKTEST_SQL = f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           / COUNT(value) AS mu
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+ranked AS MATERIALIZED (
+  SELECT event_type, mu,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS r
+  FROM daily
+),
+fitted AS (
+  SELECT c.event_type, c.r AS t, c.mu AS mu_t,
+         list_reduce(
+           list_prepend([0.0, 0.0],
+             list_transform(list(h.mu ORDER BY h.r), m -> [m])),
+           (acc, x) -> [
+             x[1] * 0.25 + (acc[1] + acc[2]) * 0.75,
+             ((x[1] * 0.25 + (acc[1] + acc[2]) * 0.75) - acc[1]) * 0.125
+               + acc[2] * 0.875]) AS hb
+  FROM ranked c
+  JOIN ranked h ON h.event_type = c.event_type AND h.r < c.r
+  WHERE c.r >= 6
+  GROUP BY c.event_type, c.r, c.mu
+),
+scored AS (
+  SELECT event_type,
+         CAST(FLOOR(abs(mu_t - (hb[1] + hb[2])) * {float(_SCALE)} + 0.5)
+              AS BIGINT) AS err_q,
+         CASE WHEN mu_t != 0 THEN
+           CAST(FLOOR(abs(mu_t - (hb[1] + hb[2])) / abs(mu_t)
+                * {float(_SCALE)} + 0.5) AS BIGINT) END AS ape_q
+  FROM fitted
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_evals,
+       CAST(CAST(SUM(err_q) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         / {float(_SCALE)} AS mae,
+       CAST(CAST(SUM(ape_q) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(ape_q) AS DOUBLE) / {float(_SCALE)} AS mape
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_psi_drift": events_psi_drift,
     "events_jsd_profile": events_jsd_profile,
@@ -2797,6 +2932,7 @@ QUERIES = {
     "sql_abc_xyz_matrix": sql_abc_xyz_matrix,
     "dedup_canonical": dedup_canonical,
     "events_silence_gaps": events_silence_gaps,
+    "events_holt_backtest": events_holt_backtest,
 }
 
 ORACLES = {
@@ -2827,4 +2963,5 @@ ORACLES = {
     "sql_abc_xyz_matrix": SQL_ABC_XYZ_SQL,
     "dedup_canonical": _dedup_canonical_sql(),
     "events_silence_gaps": EVENTS_SILENCE_SQL,
+    "events_holt_backtest": EVENTS_HOLT_BACKTEST_SQL,
 }

@@ -592,3 +592,33 @@ def test_silence_gaps_flags_the_stall(spark, tmp_path):
     assert top.rank == 1 and top.gap_seconds == 5 * 3600 + 30 * 60 + 60
     assert top.stalled
     assert not got[1].stalled and got[1].gap_seconds == 60
+
+
+# ----------------------------------------------- forecast backtest
+
+
+def test_holt_backtest_matches_python_replay(spark, tmp_path):
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0, 17.0, 21.0, 20.0, 24.0]
+    rows = [(i, f"2024-03-{d:02d} 09:00:00", 1, "bt", v)
+            for i, (d, v) in enumerate(zip(range(1, 11), vals))]
+    sf = _events(spark, tmp_path, rows)
+    r = I.events_holt_backtest(spark, sf).collect()[0]
+
+    def fold(series):
+        l = b = 0.0
+        for x in series:
+            nl = x * 0.25 + (l + b) * 0.75
+            b = (nl - l) * 0.125 + b * 0.875
+            l = nl
+        return l, b
+
+    scale = float(1 << 20)
+    errs, apes = [], []
+    for t in range(6, 11):  # 1-based cutoff position t, predict obs t
+        l, b = fold(vals[: t - 1])
+        e = abs(vals[t - 1] - (l + b))
+        errs.append(math.floor(e * scale + 0.5))
+        apes.append(math.floor(e / abs(vals[t - 1]) * scale + 0.5))
+    assert r.n_evals == 5
+    assert r.mae == sum(errs) / 5 / scale  # exact: same quantized ints
+    assert r.mape == sum(apes) / 5 / scale

@@ -830,6 +830,11 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_silence_gaps")
     assert "SinglePartition" not in p, p
     assert "BroadcastHashJoin" in p, p
+    # holt backtest: prefix histories broadcast onto cutoffs; the
+    # re-fold runs on the calendar-bounded frame — no sort-merge join
+    p = plan("events_holt_backtest")
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
