@@ -1095,6 +1095,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_canonical",             # NEW: survivorship keep-best policy
     "events_silence_gaps",         # NEW: feed-stall gap detector
     "events_holt_backtest",        # NEW: rolling-origin forecast eval
+    "events_user_features",        # NEW: feature-store export row
     # -- round 6: new statistical / association / centrality surface --
     "events_mannwhitney",          # NEW: exact midrank rank-sum U test
     "events_ks_2samp",             # NEW: integer cross-mult KS selection

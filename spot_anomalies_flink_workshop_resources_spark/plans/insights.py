@@ -2904,6 +2904,115 @@ ORDER BY event_type
 """
 
 
+# ------------------------------------------------- feature export
+
+
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER FEATURE EXPORT: one row per user with the behavioral
+    features a downstream model trains on — tenure, activity volume
+    and cadence, type diversity, and spend — the feature-store
+    materialization primitive (the events-side sibling of
+    sql_rfm_segments).
+
+    Exactness: every feature is integer arithmetic on epoch seconds /
+    cents / counts except mean_gap_seconds, one exact division of two
+    int64s.  Scale: ONE hash agg on user_id computes every feature
+    (count, sum, min, max, approx-free distinct via a second keyed agg
+    folded in); no window, no join — the widest-data cheapest-shape
+    export.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("s"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("d"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    horizon = base.agg(F.max("s").cast("long").alias("h"))
+    per_type = base.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.min("s").cast("long").alias("mns"),
+        F.max("s").cast("long").alias("mxs"),
+        F.countDistinct("d").cast("long").alias("nd_t"),
+    )
+    # distinct days don't sum across types — recompute exactly once
+    days = base.groupBy("user_id").agg(
+        F.countDistinct("d").cast("long").alias("n_active_days")
+    )
+    feats = (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("distinct_types"),
+            F.sum("sc").cast("long").alias("total_value_cents"),
+            F.min("mns").cast("long").alias("first_seen"),
+            F.max("mxs").cast("long").alias("last_seen"),
+        )
+        .join(days, "user_id")
+    )
+    gap = F.when(
+        F.col("n_events") > 1,
+        (F.col("last_seen") - F.col("first_seen")).cast("double")
+        / (F.col("n_events") - 1).cast("double"),
+    )
+    return (
+        feats.crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            "n_events",
+            "n_active_days",
+            "distinct_types",
+            "total_value_cents",
+            (F.col("last_seen") - F.col("first_seen")).alias("tenure_seconds"),
+            (F.col("h") - F.col("last_seen")).alias("recency_seconds"),
+            gap.alias("mean_gap_seconds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_USER_FEATURES_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+h AS (SELECT CAST(MAX(s) AS BIGINT) AS h FROM base),
+per_type AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(MIN(s) AS BIGINT) AS mns, CAST(MAX(s) AS BIGINT) AS mxs
+  FROM base GROUP BY user_id, event_type
+),
+days AS (
+  SELECT user_id, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_active_days
+  FROM base GROUP BY user_id
+),
+feats AS (
+  SELECT p.user_id,
+         CAST(SUM(p.n) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS distinct_types,
+         CAST(SUM(p.sc) AS BIGINT) AS total_value_cents,
+         CAST(MIN(p.mns) AS BIGINT) AS first_seen,
+         CAST(MAX(p.mxs) AS BIGINT) AS last_seen
+  FROM per_type p GROUP BY p.user_id
+)
+SELECT f.user_id, f.n_events, d.n_active_days, f.distinct_types,
+       f.total_value_cents,
+       f.last_seen - f.first_seen AS tenure_seconds,
+       h.h - f.last_seen AS recency_seconds,
+       CASE WHEN f.n_events > 1 THEN
+         CAST(f.last_seen - f.first_seen AS DOUBLE)
+         / CAST(f.n_events - 1 AS DOUBLE) END AS mean_gap_seconds
+FROM feats f JOIN days d ON d.user_id = f.user_id CROSS JOIN h
+ORDER BY f.user_id
+"""
+
+
 QUERIES = {
     "events_psi_drift": events_psi_drift,
     "events_jsd_profile": events_jsd_profile,
@@ -2933,6 +3042,7 @@ QUERIES = {
     "dedup_canonical": dedup_canonical,
     "events_silence_gaps": events_silence_gaps,
     "events_holt_backtest": events_holt_backtest,
+    "events_user_features": events_user_features,
 }
 
 ORACLES = {
@@ -2964,4 +3074,5 @@ ORACLES = {
     "dedup_canonical": _dedup_canonical_sql(),
     "events_silence_gaps": EVENTS_SILENCE_SQL,
     "events_holt_backtest": EVENTS_HOLT_BACKTEST_SQL,
+    "events_user_features": EVENTS_USER_FEATURES_SQL,
 }

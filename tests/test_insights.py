@@ -622,3 +622,24 @@ def test_holt_backtest_matches_python_replay(spark, tmp_path):
     assert r.n_evals == 5
     assert r.mae == sum(errs) / 5 / scale  # exact: same quantized ints
     assert r.mape == sum(apes) / 5 / scale
+
+
+# ------------------------------------------------- feature export
+
+
+def test_user_features_hand_row(spark, tmp_path):
+    rows = [
+        (1, "2024-03-01 00:00:00", 7, "click", 10.0),
+        (2, "2024-03-01 00:10:00", 7, "click", 20.0),
+        (3, "2024-03-03 00:20:00", 7, "purchase", 30.0),
+        (4, "2024-03-03 00:20:00", 8, "click", 5.0),  # horizon anchor
+    ]
+    sf = _events(spark, tmp_path, rows)
+    got = {r.user_id: r for r in I.events_user_features(spark, sf).collect()}
+    r = got[7]
+    assert r.n_events == 3 and r.n_active_days == 2 and r.distinct_types == 2
+    assert r.total_value_cents == 6000
+    assert r.tenure_seconds == 2 * 86400 + 1200
+    assert r.recency_seconds == 0
+    assert r.mean_gap_seconds == pytest.approx(r.tenure_seconds / 2, rel=1e-12)
+    assert got[8].n_events == 1 and got[8].mean_gap_seconds is None

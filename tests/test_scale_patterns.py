@@ -835,6 +835,10 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_holt_backtest")
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
+    # user features: two user-keyed hash aggs, no window, no cartesian
+    p = plan("events_user_features")
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
