@@ -1096,6 +1096,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_silence_gaps",         # NEW: feed-stall gap detector
     "events_holt_backtest",        # NEW: rolling-origin forecast eval
     "events_user_features",        # NEW: feature-store export row
+    "events_reliability_bins",     # NEW: calibration diagram bins
     # -- round 6: new statistical / association / centrality surface --
     "events_mannwhitney",          # NEW: exact midrank rank-sum U test
     "events_ks_2samp",             # NEW: integer cross-mult KS selection

@@ -3013,6 +3013,83 @@ ORDER BY f.user_id
 """
 
 
+# --------------------------------------------- reliability diagram
+
+
+def events_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELIABILITY DIAGRAM for ``value`` as an 'error'-class score
+    (the events_score_auc framing): 10 equal-width score bins, each
+    with its mean normalized confidence and observed positive rate —
+    the calibration artifact that decides between raw scores and the
+    isotonic recalibration (events_score_isotonic), and the per-bin
+    input to ECE.
+
+    Exactness: bin ids are integer division on the cents grid; mean
+    confidence (sc - n*mn)/(n*(mx - mn)) and positive rate np/n are
+    single divisions of exact int64s; the gap is one further exact op.
+    Scale: one map-side-combinable hash agg onto 10 bins; range
+    scalars broadcast.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("pos"),
+    )
+    rng = e.agg(
+        F.min("c").cast("long").alias("mn"), F.max("c").cast("long").alias("mx")
+    )
+    binned = e.crossJoin(F.broadcast(rng)).select(
+        F.expr("((c - mn) * 10) div (mx - mn + 1)").alias("bin"),
+        "c",
+        "pos",
+        "mn",
+        "mx",
+    )
+    agg = binned.groupBy("bin", "mn", "mx").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum("pos").cast("long").alias("np_"),
+    )
+    conf = (F.col("sc") - F.col("n") * F.col("mn")).cast("double") / (
+        F.col("n") * (F.col("mx") - F.col("mn"))
+    ).cast("double")
+    rate = F.col("np_").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "bin",
+        F.col("n").alias("n_events"),
+        conf.alias("mean_confidence"),
+        rate.alias("positive_rate"),
+        F.abs(conf - rate).alias("abs_gap"),
+    ).orderBy("bin")
+
+
+EVENTS_RELIABILITY_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pos
+  FROM events
+),
+rng AS (SELECT CAST(MIN(c) AS BIGINT) AS mn, CAST(MAX(c) AS BIGINT) AS mx
+        FROM e),
+agg AS (
+  SELECT ((e.c - rng.mn) * 10) // (rng.mx - rng.mn + 1) AS bin,
+         rng.mn, rng.mx,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(e.c) AS BIGINT) AS sc,
+         CAST(SUM(e.pos) AS BIGINT) AS np_
+  FROM e CROSS JOIN rng
+  GROUP BY 1, rng.mn, rng.mx
+)
+SELECT bin, n AS n_events,
+       CAST(sc - n * mn AS DOUBLE) / CAST(n * (mx - mn) AS DOUBLE)
+         AS mean_confidence,
+       CAST(np_ AS DOUBLE) / CAST(n AS DOUBLE) AS positive_rate,
+       abs(CAST(sc - n * mn AS DOUBLE) / CAST(n * (mx - mn) AS DOUBLE)
+           - CAST(np_ AS DOUBLE) / CAST(n AS DOUBLE)) AS abs_gap
+FROM agg
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "events_psi_drift": events_psi_drift,
     "events_jsd_profile": events_jsd_profile,
@@ -3043,6 +3120,7 @@ QUERIES = {
     "events_silence_gaps": events_silence_gaps,
     "events_holt_backtest": events_holt_backtest,
     "events_user_features": events_user_features,
+    "events_reliability_bins": events_reliability_bins,
 }
 
 ORACLES = {
@@ -3075,4 +3153,5 @@ ORACLES = {
     "events_silence_gaps": EVENTS_SILENCE_SQL,
     "events_holt_backtest": EVENTS_HOLT_BACKTEST_SQL,
     "events_user_features": EVENTS_USER_FEATURES_SQL,
+    "events_reliability_bins": EVENTS_RELIABILITY_SQL,
 }

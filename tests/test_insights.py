@@ -643,3 +643,22 @@ def test_user_features_hand_row(spark, tmp_path):
     assert r.recency_seconds == 0
     assert r.mean_gap_seconds == pytest.approx(r.tenure_seconds / 2, rel=1e-12)
     assert got[8].n_events == 1 and got[8].mean_gap_seconds is None
+
+
+# --------------------------------------------- reliability diagram
+
+
+def test_reliability_bins_calibrated_fixture(spark, tmp_path):
+    # scores 0..99 with pos iff score >= 50: low bins rate 0, high 1
+    rows = [(i, "2024-03-01 10:00:00", 1,
+             "error" if v >= 50 else "click", float(v))
+            for i, v in enumerate(range(100))]
+    sf = _events(spark, tmp_path, rows)
+    got = {r.bin: r for r in I.events_reliability_bins(spark, sf).collect()}
+    assert len(got) == 10
+    assert all(got[b].positive_rate == 0.0 for b in range(5))
+    assert all(got[b].positive_rate == 1.0 for b in range(5, 10))
+    assert got[0].n_events == 10
+    # confidence rises monotonically with the bin
+    confs = [got[b].mean_confidence for b in range(10)]
+    assert confs == sorted(confs)

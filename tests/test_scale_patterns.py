@@ -839,6 +839,10 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_user_features")
     assert "Window" not in p, p
     assert "CartesianProduct" not in p, p
+    # reliability bins: one 10-bin hash agg; scalars broadcast
+    p = plan("events_reliability_bins")
+    assert "Window" not in p, p
+    assert "SortMergeJoin" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
