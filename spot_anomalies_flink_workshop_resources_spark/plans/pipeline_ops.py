@@ -1231,9 +1231,10 @@ def simsearch_label_centroids(spark, sf_dir):
 def corpus_bpe_encode(spark, sf_dir):
     """Train 16 BPE merges (batched) and ENCODE the corpus with them:
     per-doc whitespace-token and BPE-symbol counts — the number packing
-    and cost estimation consume. Iterative training ⇒ rows-only driver
-    check; encode exactness vs a pure-Python reference is unit-tested
-    (tests/test_bpe.py)."""
+    and cost estimation consume. Value-oracled since round 5: the
+    16-round unrolled-CTE oracle (operators.bpe.bpe_encode_sql) reaches
+    the same final vocabulary state; encode exactness vs a pure-Python
+    reference is additionally unit-tested (tests/test_bpe.py)."""
     from ..operators.bpe import bpe_encode, learn_merges
 
     docs = _docs(spark, sf_dir)
