@@ -241,3 +241,161 @@ def test_fano_matches_reference(spark, tmp_path, seed):
             assert r.fano == pytest.approx(
                 (n * q - s * s) / ((n - 1) * s), rel=1e-12
             )
+
+
+@pytest.mark.parametrize("seed", [61, 67])
+def test_linkpred_matches_python_reference(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    rows, orders = [], []
+    for o in range(1, 25):
+        basket = rng.sample(range(1, 9), rng.randint(2, 4))
+        orders.append(set(basket))
+        for pk in basket:
+            rows.append(Row(l_orderkey=o, l_partkey=pk, l_quantity=1.0,
+                            l_extendedprice=1.0))
+    _write(spark.createDataFrame(rows), tmp_path, "lineitem")
+    got = {(r.node_a, r.node_b): r for r in
+           I.sql_copurchase_linkpred(spark, str(tmp_path)).collect()}
+    # python reference
+    from collections import defaultdict
+
+    support = defaultdict(int)
+    for basket in orders:
+        bs = sorted(basket)
+        for i in range(len(bs)):
+            for j2 in range(i + 1, len(bs)):
+                support[(bs[i], bs[j2])] += 1
+    edges = {p for p, c in support.items() if c >= 2}
+    adj = defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    scale = float(1 << 20)
+    want = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) in edges:
+                continue
+            common = adj[a] & adj[b]
+            if not common:
+                continue
+            aa_q = sum(math.floor(scale / math.log(len(adj[z])) + 0.5)
+                       for z in common)
+            want[(a, b)] = (len(common), aa_q / scale,
+                            len(common) / (len(adj[a]) + len(adj[b])
+                                           - len(common)))
+    if len(want) <= 50:
+        assert set(got) == set(want), (set(got), set(want))
+    for k, (cn, aa, jac) in want.items():
+        if k in got:
+            assert got[k].common_neighbors == cn
+            assert got[k].adamic_adar == pytest.approx(aa, rel=1e-12)
+            assert got[k].jaccard == pytest.approx(jac, rel=1e-12)
+
+
+@pytest.mark.parametrize("seed", [71, 73])
+def test_winsorized_mean_matches_python(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    vals = [round(rng.uniform(0.5, 200), 2) for _ in range(rng.randint(20, 80))]
+    rows = [(i, "2024-03-01 10:00:00", 1, "w", v) for i, v in enumerate(vals)]
+    sf = _events(spark, tmp_path, rows)
+    r = I.events_winsorized_mean(spark, sf).collect()[0]
+    cents = sorted(round(v * 100) for v in vals)
+    n = len(cents)
+    k_lo = math.ceil(0.05 * n)
+    k_hi = math.ceil(0.95 * n)
+    lo, hi = cents[k_lo - 1], cents[k_hi - 1]
+    clamped = [min(max(c, lo), hi) for c in cents]
+    assert r.p5_value == lo / 100 and r.p95_value == hi / 100
+    assert r.winsorized_mean == pytest.approx(
+        sum(clamped) / n / 100, rel=1e-12
+    )
+
+
+@pytest.mark.parametrize("seed", [79, 83])
+def test_psi_matches_python(spark, tmp_path, seed):
+    rows = _rand_events(seed, n_days=10, types=("t",))
+    sf = _events(spark, tmp_path, rows)
+    r = I.events_psi_drift(spark, sf).collect()[0]
+    cents = [(round(v * 100), int(ts[8:10])) for (_i, ts, _u, _t, v) in rows]
+    days = [d for _c, d in cents]
+    md = (min(days) + max(days) + 1) // 2
+    mn = min(c for c, _d in cents)
+    mx = max(c for c, _d in cents)
+    from collections import Counter
+
+    cp, cq = Counter(), Counter()
+    for c, d in cents:
+        b = ((c - mn) * 10) // (mx - mn + 1)
+        (cp if d < md else cq)[b] += 1
+    scale = float(1 << 20)
+    tp = sum(cp.values()) + 10
+    tq = sum(cq.values()) + 10
+    total = 0
+    for b in range(10):
+        p = (cp.get(b, 0) + 1) / tp
+        q = (cq.get(b, 0) + 1) / tq
+        total += math.floor((p - q) * math.log(p / q) * scale + 0.5)
+    assert r.psi == total / scale
+    assert r.drifted == (total > (1 << 20) // 10)
+
+
+@pytest.mark.parametrize("seed", [89, 97])
+def test_silence_gaps_match_python(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    rows, i = [], 0
+    stamps = []
+    t = 0
+    for _ in range(40):
+        t += rng.randint(1, 4000)
+        stamps.append(t)
+        h, m, s2 = t // 3600, (t % 3600) // 60, t % 60
+        rows.append((i, f"2024-03-01 {h:02d}:{m:02d}:{s2:02d}", 1, "f", 1.0))
+        i += 1
+    sf = _events(spark, tmp_path, rows)
+    got = I.events_silence_gaps(spark, sf).collect()
+    import datetime as dt
+
+    base = int(dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc).timestamp())
+    stamps = sorted(base + t for t in stamps)
+    gaps = sorted(
+        ((b - a, a) for a, b in zip(stamps, stamps[1:])),
+        key=lambda g: (-g[0], g[1]),
+    )
+    span = stamps[-1] - stamps[0]
+    n_gaps = len(stamps) - 1
+    for rk, (g, start) in enumerate(gaps[:5], start=1):
+        row = got[rk - 1]
+        assert (row.rank, row.gap_seconds, row.gap_start) == (rk, g, start)
+        assert row.stalled == (g * n_gaps > 10 * span)
+
+
+@pytest.mark.parametrize("seed", [101, 103])
+def test_heaps_fit_matches_python_ols(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    docs = []
+    words = [f"w{j}" for j in range(50)]
+    for did in range(1, 15):
+        toks = [rng.choice(words) for _ in range(rng.randint(3, 60))]
+        text = " ".join(toks)
+        docs.append(Row(doc_id=did, text=text, lang="aa", source="s",
+                        n_chars=len(text)))
+    _write(spark.createDataFrame(docs), tmp_path, "documents")
+    r = I.text_heaps_fit(spark, str(tmp_path)).collect()[0]
+    pts = []
+    for d in docs:
+        toks = d.text.split()
+        x = math.floor(math.log(len(toks)) * 1024 + 0.5)
+        y = math.floor(math.log(len(set(t.lower() for t in toks))) * 1024 + 0.5)
+        pts.append((x, y))
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    assert r.n_docs == n
+    assert r.heaps_beta == pytest.approx(num / dx, rel=1e-12)
+    assert r.r2 == pytest.approx(num * num / (dx * dy), rel=1e-12)
