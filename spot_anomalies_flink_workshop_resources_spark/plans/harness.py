@@ -1135,6 +1135,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_region_share",            # NEW: two-level share-of-parent KPI
     "sql_supplier_hhi",            # NEW: quantized-fold HHI concentration
     "multimodal_entropy",          # NEW: hex-space byte entropy
+    # -- round 6 third wave: TPC-H tail, completing 22/22 shapes --
+    "q2_min_cost_supplier",        # NEW: correlated-MIN supplier pick
+    "q11_important_parts",         # NEW: scalar-subquery HAVING share
+    "q13_customer_distribution",   # NEW: outer-join count distribution
+    "q16_parts_supplier_relationship",  # NEW: NOT-IN distinct count
+    "q20_dominant_part_suppliers",  # NEW: nested-IN majority semi join
+    "q21_waiting_suppliers",       # NEW: EXISTS/NOT-EXISTS via window
+    "q22_dormant_customers",       # NEW: scalar AVG + anti join rollup
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --
@@ -1323,11 +1331,12 @@ def build_queries() -> dict[str, QueryFn]:
     }
     registry.update(relational.QUERIES)
     registry.update(pipeline_ops.QUERIES)
-    from . import insights, relational_sql, stattests
+    from . import insights, relational_sql, stattests, tpch_tail
 
     registry.update(relational_sql.QUERIES)
     registry.update(stattests.QUERIES)
     registry.update(insights.QUERIES)
+    registry.update(tpch_tail.QUERIES)
 
     out: dict[str, QueryFn] = {}
     for name in DRIVER_PRIORITY:
@@ -1378,9 +1387,10 @@ def build_oracles() -> dict[str, str]:
     }
     out.update(relational.ORACLES)
     out.update(pipeline_ops.ORACLES)
-    from . import insights, relational_sql, stattests
+    from . import insights, relational_sql, stattests, tpch_tail
 
     out.update(relational_sql.ORACLES)
     out.update(stattests.ORACLES)
     out.update(insights.ORACLES)
+    out.update(tpch_tail.ORACLES)
     return out

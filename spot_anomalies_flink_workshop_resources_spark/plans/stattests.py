@@ -805,56 +805,95 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI of the mean value per event type — the
     standard DISTRIBUTED bootstrap (resample weights ~ Poisson(1)
     independently per row, no global resample pass). Replicate weights
-    derive from the md5 coin (event_id : replicate) against embedded
-    Poisson CDF literals, so the whole procedure is deterministic and
-    cross-engine exact: per-replicate sums are int64, replicate means
-    are single exact divisions, and the CI bounds are RANK-SELECTED
-    (2nd smallest / 2nd largest of 40) — selection-only, no float
-    accumulation. Scale: one x40 narrow explode + a (type, replicate)
-    hash agg; the rank window runs over 40 rows per type."""
+    derive from the md5 coin against embedded Poisson CDF literals, so
+    the whole procedure is deterministic and cross-engine exact:
+    per-replicate sums are int64, replicate means are single exact
+    divisions, and the CI bounds are RANK-SELECTED (2nd smallest / 2nd
+    largest of 40) — selection-only, no float accumulation.
+
+    Hashing is BLOCKED: one md5 per (event, 4-replicate block), four
+    8-hex coins per digest (16^8 = 2^32 grid, exact in a double), so
+    the hot path hashes B/4 = 10x per event, not 40x, and the four
+    block replicates aggregate as parallel columnar sums on the x10
+    frame (no x40 row explosion; `stack` unpivots AFTER the agg, on
+    types x blocks rows). Spark evaluates the digest once per block
+    row: `h` is referenced by all four weight columns, which blocks
+    CollapseProject from inlining the md5 (non-cheap, multi-ref), and
+    codegen CSEs the per-weight when-chains. ~4x less hash work and
+    4x fewer shuffled rows than the naive per-replicate coin at
+    identical statistical semantics. Scale: one x10 narrow explode +
+    a (type, block) hash agg; the rank window runs over 40 rows per
+    type."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    grid = float(16 ** 13)
-    reps = e.select(
+    grid32 = float(2 ** 32)
+    blocks = e.select(
         "event_type",
-        "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
-        F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("rep"),
+        F.explode(F.sequence(F.lit(0), F.lit(_B // 4 - 1))).alias("blk"),
+        "event_id",
+    ).select(
+        "event_type",
+        "c",
+        "blk",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("event_id").cast("string"),
+                F.col("blk").cast("string"),
+            )
+        ).alias("h"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("event_id").cast("string"),
-                        F.col("rep").cast("string"),
-                    )
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(grid)
-    w = (
-        F.when(u < _POIS[0], 0)
-        .when(u < _POIS[1], 1)
-        .when(u < _POIS[2], 2)
-        .when(u < _POIS[3], 3)
-        .when(u < _POIS[4], 4)
-        .otherwise(5)
-        .cast("long")
+
+    def _w(pos: int):
+        u = (
+            F.conv(
+                F.substring(F.col("h"), 1 + 8 * pos, 8), 16, 10
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(grid32)
+        return (
+            F.when(u < _POIS[0], 0)
+            .when(u < _POIS[1], 1)
+            .when(u < _POIS[2], 2)
+            .when(u < _POIS[3], 3)
+            .when(u < _POIS[4], 4)
+            .otherwise(5)
+            .cast("long")
+        )
+
+    per_block = blocks.select(
+        "event_type",
+        "blk",
+        "c",
+        *[_w(p).alias(f"w{p}") for p in range(4)],
+    ).groupBy("event_type", "blk").agg(
+        *[
+            agg
+            for p in range(4)
+            for agg in (
+                F.sum(f"w{p}").cast("long").alias(f"sw{p}"),
+                F.sum(F.col(f"w{p}") * F.col("c"))
+                .cast("long")
+                .alias(f"swc{p}"),
+            )
+        ]
     )
     per_rep = (
-        reps.select("event_type", "rep", w.alias("w"), "c")
-        .groupBy("event_type", "rep")
-        .agg(
-            F.sum("w").cast("long").alias("sw"),
-            F.sum(F.col("w") * F.col("c")).cast("long").alias("swc"),
+        per_block.select(
+            "event_type",
+            "blk",
+            F.expr(
+                "stack(4, 0, sw0, swc0, 1, sw1, swc1,"
+                " 2, sw2, swc2, 3, sw3, swc3) AS (pos, sw, swc)"
+            ),
+        )
+        .select(
+            "event_type",
+            (F.col("blk") * 4 + F.col("pos")).alias("rep"),
+            "sw",
+            "swc",
         )
         .where(F.col("sw") > 0)
         .select(
@@ -906,10 +945,12 @@ coined AS (
               WHEN uu < {_POIS[4]!r} THEN 4
               ELSE 5 END AS w
   FROM (
+    -- blocked coin: one md5 per (event, rep//4), four 8-hex windows
     SELECT event_type, rep, c,
            ((('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
-                             || CAST(rep AS VARCHAR)), 1, 13))::BIGINT
-             ::DOUBLE + 0.5) / {float(16 ** 13)!r}) AS uu
+                             || CAST(rep // 4 AS VARCHAR)),
+                             1 + 8 * (rep % 4), 8))::BIGINT
+             ::DOUBLE + 0.5) / {float(2 ** 32)!r}) AS uu
     FROM reps
   )
 ),

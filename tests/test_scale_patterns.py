@@ -613,7 +613,7 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_mutual_information")
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "SortMergeJoin" not in p, p
-    # bootstrap: x40 narrow explode + (type, replicate) hash agg; the
+    # bootstrap: x10 narrow BLOCK explode + (type, block) hash agg; the
     # rank window partitions per type over 40 rows — no global sort
     p = plan("events_bootstrap_ci")
     assert "Generate" in p, p  # the replicate explode is narrow
@@ -843,6 +843,48 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_reliability_bins")
     assert "Window" not in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_tpch_tail_plan_invariants(spark, sf_dir):
+    """Scale pins for the TPC-H tail (q2/q11/q13/q16/q20/q21/q22):
+    dims broadcast, anti/semi shapes compile to hash joins, top-k
+    compiles to heaps, and nothing falls back to a cartesian."""
+    from spot_anomalies_flink_workshop_resources_spark.plans import harness
+
+    def plan(name):
+        df = harness.build_queries()[name](spark, sf_dir)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # q2: supplier/nation/region/part dims all broadcast; the only wide
+    # exchange keys the supply agg + per-part min window
+    p = plan("q2_min_cost_supplier")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    # q11: the one-row total joins back via broadcast, never a shuffle
+    p = plan("q11_important_parts")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    # q16: the NOT-IN exclusion compiles to a broadcast left-anti join
+    p = plan("q16_parts_supplier_relationship")
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p, p
+    # q20: the dominant-supplier set reaches supplier as a semi join
+    p = plan("q20_dominant_part_suppliers")
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
+    # q21: single window pass — no correlated self-join explosion; the
+    # status filter reaches the orders scan
+    p = plan("q21_waiting_suppliers")
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    # q22: dormancy test is an anti join; the AVG scalar broadcasts
+    p = plan("q22_dormant_customers")
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
