@@ -1,0 +1,427 @@
+"""Round-6 third-wave surface: corpus boilerplate detection, retrieval
+quality evaluation (NDCG), and join-fanout data-quality profiling —
+curation/eval primitives a training-data platform runs beside the
+dedup/quality operators (reference scope ends at fixed-threshold
+detection, AD.java:200; this layer is beyond-reference by design).
+
+Exactness follows the repo recipes: integer sufficient statistics
+everywhere, DCG log-discounts embedded as PRECOMPUTED integer weights
+(no runtime log on either engine), unit vectors quantized onto the
+2^-20 grid before integer dot products, and single final divisions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+_QSCALE = 1 << 20
+_TOKEN_RE = "[a-z0-9]+"
+
+# DCG discount weights 1/log2(r+1) for ranks 1..10, pre-quantized to an
+# integer micro-grid so both engines sum EXACT int64 terms (ln/log2 can
+# differ by 1 ulp across engines; baking the constants removes the risk).
+_DCG_W = [round(_QSCALE / math.log2(r + 1)) for r in range(1, 11)]
+_DCG_CUM = [sum(_DCG_W[: k + 1]) for k in range(10)]  # IDCG for k rel
+
+
+# ---------------------------------------------------------- boilerplate
+
+
+def corpus_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate profile — the C4-style template filter,
+    adapted to the harness corpus (single-line documents, so the unit
+    is the 5-gram, not the line): a 5-gram is boilerplate for a source
+    when it appears in MORE THAN 5% of that source's documents, and the
+    report gives each source's boilerplate mass (distinct grams flagged
+    + share of gram positions covered) — the number a curation pipeline
+    uses to decide whether a source needs template stripping before
+    training.
+
+    Exactness: doc-frequency and position counts are integers; the >5%
+    gate is the integer cross-multiplication ``20 * df > n_docs``; the
+    coverage share is one final double division. Scale: one explode to
+    gram positions (narrow), a (source, gram) hash agg, and a tiny
+    per-source rollup — the same shape as the repo's n-gram profiles;
+    no data-sized collect, no all-pairs anything."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.expr(f"regexp_extract_all(lower(text), '{_TOKEN_RE}', 0)")
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size(arr) >= 5,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 4),
+                    lambda i: F.concat_ws(" ", F.slice(arr, i, 5)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    src_docs = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    per_gram = grams.groupBy("source", "g").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("positions"),
+    )
+    flagged = per_gram.join(F.broadcast(src_docs), "source").withColumn(
+        "is_boiler", (F.col("df") * 20 > F.col("n_docs")).cast("long")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.sum("is_boiler").cast("long").alias("boiler_grams"),
+            F.sum("positions").cast("long").alias("gram_positions"),
+            F.sum(F.col("is_boiler") * F.col("positions"))
+            .cast("long")
+            .alias("boiler_positions"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "boiler_grams",
+            "gram_positions",
+            "boiler_positions",
+            F.when(
+                F.col("gram_positions") > 0,
+                F.col("boiler_positions").cast("double")
+                / F.col("gram_positions").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boiler_share"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(text), '{_TOKEN_RE}') AS arr
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, greatest(len(arr) - 4, 0)),
+                i -> array_to_string(list_slice(arr, i, i + 4), ' '))) AS g
+  FROM toks
+),
+src_docs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+per_gram AS (
+  SELECT source, g,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(COUNT(*) AS BIGINT) AS positions
+  FROM grams GROUP BY source, g
+),
+flagged AS (
+  SELECT p.source, p.positions,
+         CASE WHEN p.df * 20 > s.n_docs THEN 1 ELSE 0 END AS is_boiler,
+         s.n_docs
+  FROM per_gram p JOIN src_docs s USING (source)
+)
+SELECT source,
+       MAX(n_docs) AS n_docs,
+       CAST(SUM(is_boiler) AS BIGINT) AS boiler_grams,
+       CAST(SUM(positions) AS BIGINT) AS gram_positions,
+       CAST(SUM(is_boiler * positions) AS BIGINT) AS boiler_positions,
+       CASE WHEN SUM(positions) > 0
+            THEN CAST(SUM(is_boiler * positions) AS DOUBLE)
+                 / CAST(SUM(positions) AS DOUBLE)
+            ELSE 0.0 END AS boiler_share
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ----------------------------------------------------------------- NDCG
+
+
+def simsearch_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of brute-force cosine retrieval with same-label relevance
+    — the retrieval-quality eval that closes the loop on the ANN
+    family: `simsearch_index_quality` measures IVF recall vs brute
+    force; this measures whether the embedding space itself ranks
+    same-label items first (label = graded-relevance proxy, the
+    standard eval when no click log exists).
+
+    Exactness: vectors quantize onto the 2^-20 unit grid (the
+    fold-computed norm matches DuckDB's list_sum fold bit-for-bit,
+    simsearch.py module contract), so scores are int64 dot products and
+    ranking is integer selection with vec_id tiebreaks; the DCG
+    discounts 1/log2(r+1) are PRE-QUANTIZED integer literals shared by
+    both engines (no runtime transcendental), so DCG/IDCG are int64
+    sums and NDCG is one final division. Scale: queries are a fixed
+    16-row broadcast against a scan of the vector table; the only
+    shuffle is the per-query top-10 rank on 16 keys."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    nrm0 = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("emb"), lambda x: x * x),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
+    eu = e.withColumn(
+        "nrm", F.when(nrm0 == 0.0, F.lit(1.0)).otherwise(nrm0)
+    ).select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("emb"),
+            lambda x: F.floor(x / F.col("nrm") * _QSCALE + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("u"),
+    )
+    wq = Window.orderBy("vec_id")
+    queries = (
+        eu.withColumn("qrn", F.row_number().over(wq))
+        .where(F.col("qrn") <= 16)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("u").alias("qu"),
+        )
+    )
+    scored = eu.join(
+        F.broadcast(queries), eu.vec_id != queries.query_id
+    ).select(
+        "query_id",
+        "qlabel",
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with(F.col("qu"), F.col("u"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        ).alias("dot_i"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_i"), F.asc("vec_id")
+    )
+    top = scored.withColumn("rank", F.row_number().over(wr)).where(
+        F.col("rank") <= 10
+    )
+    wlit = F.array(*[F.lit(w) for w in _DCG_W])
+    dcg = top.groupBy("query_id", "qlabel").agg(
+        F.sum(
+            (F.col("label") == F.col("qlabel")).cast("long")
+            * F.element_at(wlit, F.col("rank"))
+        )
+        .cast("long")
+        .alias("dcg_i")
+    )
+    lbl_n = eu.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lbl")
+    )
+    cumlit = F.array(*[F.lit(c) for c in _DCG_CUM])
+    return (
+        dcg.join(
+            F.broadcast(lbl_n), dcg.qlabel == lbl_n.label
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            (F.col("n_lbl") - 1).alias("n_rel"),
+            F.when(
+                F.col("n_lbl") > 1,
+                F.col("dcg_i").cast("double")
+                / F.element_at(
+                    cumlit, F.least(F.col("n_lbl") - 1, F.lit(10)).cast("int")
+                ).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_W_SQL = "[" + ", ".join(str(w) for w in _DCG_W) + "]"
+_CUM_SQL = "[" + ", ".join(str(c) for c in _DCG_CUM) + "]"
+
+SIMSEARCH_NDCG_SQL = f"""
+WITH uq AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(generate_series(1, len(embedding)), i ->
+           CAST(FLOOR(CAST(embedding[i] AS DOUBLE) / nrm * {_QSCALE} + 0.5)
+                AS BIGINT)) AS u
+  FROM (SELECT vec_id, label, embedding,
+               CASE WHEN nrm0 = 0 THEN 1.0 ELSE nrm0 END AS nrm
+        FROM (SELECT vec_id, label, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm0
+              FROM embeddings))
+),
+queries AS (
+  SELECT vec_id AS query_id, label AS qlabel, u AS qu
+  FROM (SELECT vec_id, label, u,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS qrn FROM uq)
+  WHERE qrn <= 16
+),
+scored AS (
+  SELECT q.query_id, q.qlabel, v.vec_id, v.label,
+         CAST(list_sum(list_transform(generate_series(1, len(v.u)),
+              i -> q.qu[i] * v.u[i])) AS BIGINT) AS dot_i
+  FROM queries q JOIN uq v ON v.vec_id <> q.query_id
+),
+top AS (
+  SELECT * FROM (
+    SELECT query_id, qlabel, label, dot_i,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY dot_i DESC, vec_id ASC) AS rank
+    FROM scored)
+  WHERE rank <= 10
+),
+dcg AS (
+  SELECT query_id, qlabel,
+         CAST(SUM(CASE WHEN label = qlabel
+                       THEN ({_W_SQL})[rank] ELSE 0 END) AS BIGINT) AS dcg_i
+  FROM top GROUP BY query_id, qlabel
+),
+lbl_n AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_lbl FROM uq GROUP BY label
+)
+SELECT d.query_id, d.qlabel AS label, l.n_lbl - 1 AS n_rel,
+       CASE WHEN l.n_lbl > 1
+            THEN CAST(d.dcg_i AS DOUBLE)
+                 / CAST(({_CUM_SQL})[LEAST(l.n_lbl - 1, 10)] AS DOUBLE)
+            ELSE 0.0 END AS ndcg
+FROM dcg d JOIN lbl_n l ON d.qlabel = l.label
+ORDER BY d.query_id
+"""
+
+
+# ------------------------------------------------------- join fanout DQ
+
+
+def dq_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality profile of the star schema's three fact
+    relations — per relation: exact join output size (sum over keys of
+    left-count x right-count), the worst single-key fanout, orphaned
+    child rows, and the expansion ratio vs the child table. This is the
+    pre-flight check a pipeline runs before a 100 TB join: a fanout
+    spike or orphan mass predicts shuffle skew / silent row loss before
+    the job burns cluster-hours.
+
+    Exactness: every figure is an int64 sum/max over per-key counts;
+    the ratio is one final division. Scale: one hash agg per side keyed
+    on the join key (the same exchange the real join would pay), then a
+    key-aligned merge of two count frames — never the join itself."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    c = load_table(spark, sf_dir, "customer")
+
+    def profile(child, ckey, parent, pkey, name):
+        cc = child.groupBy(F.col(ckey).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("cn")
+        )
+        pc = parent.groupBy(F.col(pkey).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("pn")
+        )
+        m = cc.join(pc, "k", "full_outer").select(
+            F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+            F.coalesce(F.col("pn"), F.lit(0)).alias("pn"),
+        )
+        return m.agg(
+            F.lit(name).alias("relation"),
+            F.sum("cn").cast("long").alias("child_rows"),
+            F.sum("pn").cast("long").alias("parent_rows"),
+            F.sum(F.col("cn") * F.col("pn")).cast("long").alias("join_rows"),
+            F.max(F.when(F.col("pn") > 0, F.col("cn")).otherwise(0))
+            .cast("long")
+            .alias("max_key_fanout"),
+            F.sum(F.when(F.col("pn") == 0, F.col("cn")).otherwise(0))
+            .cast("long")
+            .alias("orphan_child_rows"),
+        )
+
+    out = (
+        profile(l, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionAll(profile(l, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionAll(
+            profile(o, "o_custkey", c, "c_custkey", "orders->customer")
+        )
+    )
+    return out.select(
+        "relation",
+        "child_rows",
+        "parent_rows",
+        "join_rows",
+        "max_key_fanout",
+        "orphan_child_rows",
+        (
+            F.col("join_rows").cast("double")
+            / F.col("child_rows").cast("double")
+        ).alias("expansion_ratio"),
+    ).orderBy("relation")
+
+
+_FANOUT_ONE_SQL = """
+SELECT '{name}' AS relation,
+       CAST(SUM(cn) AS BIGINT) AS child_rows,
+       CAST(SUM(pn) AS BIGINT) AS parent_rows,
+       CAST(SUM(cn * pn) AS BIGINT) AS join_rows,
+       CAST(MAX(CASE WHEN pn > 0 THEN cn ELSE 0 END) AS BIGINT)
+         AS max_key_fanout,
+       CAST(SUM(CASE WHEN pn = 0 THEN cn ELSE 0 END) AS BIGINT)
+         AS orphan_child_rows,
+       CAST(SUM(cn * pn) AS DOUBLE) / CAST(SUM(cn) AS DOUBLE)
+         AS expansion_ratio
+FROM (
+  SELECT COALESCE(c.cn, 0) AS cn, COALESCE(p.pn, 0) AS pn
+  FROM (SELECT {ckey} AS k, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM {child} GROUP BY {ckey}) c
+  FULL OUTER JOIN
+       (SELECT {pkey} AS k, CAST(COUNT(*) AS BIGINT) AS pn
+        FROM {parent} GROUP BY {pkey}) p
+  USING (k)
+)
+"""
+
+DQ_JOIN_FANOUT_SQL = (
+    _FANOUT_ONE_SQL.format(
+        name="lineitem->orders", child="lineitem", ckey="l_orderkey",
+        parent="orders", pkey="o_orderkey",
+    )
+    + " UNION ALL "
+    + _FANOUT_ONE_SQL.format(
+        name="lineitem->part", child="lineitem", ckey="l_partkey",
+        parent="part", pkey="p_partkey",
+    )
+    + " UNION ALL "
+    + _FANOUT_ONE_SQL.format(
+        name="orders->customer", child="orders", ckey="o_custkey",
+        parent="customer", pkey="c_custkey",
+    )
+    + " ORDER BY relation"
+)
+
+
+QUERIES = {
+    "corpus_boilerplate": corpus_boilerplate,
+    "simsearch_ndcg": simsearch_ndcg,
+    "dq_join_fanout": dq_join_fanout,
+}
+
+ORACLES = {
+    "corpus_boilerplate": CORPUS_BOILERPLATE_SQL,
+    "simsearch_ndcg": SIMSEARCH_NDCG_SQL,
+    "dq_join_fanout": DQ_JOIN_FANOUT_SQL,
+}

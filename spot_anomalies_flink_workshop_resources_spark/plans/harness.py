@@ -1143,6 +1143,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q20_dominant_part_suppliers",  # NEW: nested-IN majority semi join
     "q21_waiting_suppliers",       # NEW: EXISTS/NOT-EXISTS via window
     "q22_dormant_customers",       # NEW: scalar AVG + anti join rollup
+    "corpus_boilerplate",          # NEW: C4-style source template gate
+    "simsearch_ndcg",              # NEW: integer-weight NDCG@10 eval
+    "dq_join_fanout",              # NEW: join-cardinality pre-flight
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --
@@ -1331,12 +1334,13 @@ def build_queries() -> dict[str, QueryFn]:
     }
     registry.update(relational.QUERIES)
     registry.update(pipeline_ops.QUERIES)
-    from . import insights, relational_sql, stattests, tpch_tail
+    from . import curation, insights, relational_sql, stattests, tpch_tail
 
     registry.update(relational_sql.QUERIES)
     registry.update(stattests.QUERIES)
     registry.update(insights.QUERIES)
     registry.update(tpch_tail.QUERIES)
+    registry.update(curation.QUERIES)
 
     out: dict[str, QueryFn] = {}
     for name in DRIVER_PRIORITY:
@@ -1387,10 +1391,11 @@ def build_oracles() -> dict[str, str]:
     }
     out.update(relational.ORACLES)
     out.update(pipeline_ops.ORACLES)
-    from . import insights, relational_sql, stattests, tpch_tail
+    from . import curation, insights, relational_sql, stattests, tpch_tail
 
     out.update(relational_sql.ORACLES)
     out.update(stattests.ORACLES)
     out.update(insights.ORACLES)
     out.update(tpch_tail.ORACLES)
+    out.update(curation.ORACLES)
     return out

@@ -1,0 +1,102 @@
+"""Third-wave curation/eval operators: boilerplate detection, NDCG
+retrieval eval, join-fanout DQ profile (plans/curation.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spot_anomalies_flink_workshop_resources_spark.plans import curation
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_boilerplate_shares_bounded_and_flag_consistent(spark):
+    rows = curation.corpus_boilerplate(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.boiler_share <= 1.0
+        assert r.boiler_positions <= r.gram_positions
+        assert r.boiler_grams >= 0
+        # share is exactly the flagged-position fraction
+        if r.gram_positions:
+            assert r.boiler_share == pytest.approx(
+                r.boiler_positions / r.gram_positions
+            )
+
+
+def test_boilerplate_gate_matches_bruteforce_python(spark):
+    """Recompute one source's flags with pure Python over the raw text."""
+    import re
+
+    d = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("source") == "src0")
+        .select("doc_id", "text")
+        .collect()
+    )
+    df = {}
+    positions = 0
+    for r in d:
+        toks = re.findall("[a-z0-9]+", r.text.lower())
+        grams = [
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        ] if len(toks) >= 5 else []
+        positions += len(grams)
+        for g in set(grams):
+            df[g] = df.get(g, 0) + 1
+    n_docs = len(d)
+    boiler = {g for g, c in df.items() if c * 20 > n_docs}
+    row = [
+        r
+        for r in curation.corpus_boilerplate(spark, SF_DIR).collect()
+        if r.source == "src0"
+    ][0]
+    assert row.n_docs == n_docs
+    assert row.boiler_grams == len(boiler)
+    assert row.gram_positions == positions
+
+
+def test_ndcg_bounded_and_weights_are_log_discounts(spark):
+    # the embedded integer weights are exactly round(2^20 / log2(r+1))
+    for r, w in enumerate(curation._DCG_W, start=1):
+        assert w == round((1 << 20) / math.log2(r + 1))
+    rows = curation.simsearch_ndcg(spark, SF_DIR).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0
+        assert r.n_rel >= 0
+
+
+def test_ndcg_perfect_ranking_scores_one(spark, tmp_path):
+    """A space where same-label vectors are identical gives NDCG = 1."""
+    import numpy as np
+
+    data = []
+    for vid in range(40):
+        lbl = vid % 4
+        base = np.zeros(8)
+        base[lbl] = 1.0
+        data.append((vid, [float(x) for x in base], lbl))
+    spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    rows = curation.simsearch_ndcg(spark, str(tmp_path)).collect()
+    assert rows and all(r.ndcg == pytest.approx(1.0) for r in rows)
+
+
+def test_join_fanout_matches_real_join_counts(spark):
+    prof = {
+        r.relation: r
+        for r in curation.dq_join_fanout(spark, SF_DIR).collect()
+    }
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    actual = l.join(o, l.l_orderkey == o.o_orderkey).count()
+    r = prof["lineitem->orders"]
+    assert r.join_rows == actual
+    assert r.child_rows == l.count()
+    assert r.orphan_child_rows == l.join(
+        o, l.l_orderkey == o.o_orderkey, "left_anti"
+    ).count()
+    assert r.expansion_ratio == pytest.approx(r.join_rows / r.child_rows)

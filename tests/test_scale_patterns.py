@@ -885,6 +885,20 @@ def test_tpch_tail_plan_invariants(spark, sf_dir):
     p = plan("q22_dormant_customers")
     assert "LeftAnti" in p, p
     assert "CartesianProduct" not in p, p
+    # boilerplate: narrow gram explode + (source, gram) hash agg; the
+    # per-source doc counts broadcast back
+    p = plan("corpus_boilerplate")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    # ndcg: the 16-query side broadcasts against the vector scan; the
+    # only wide op is the per-query top-10 rank
+    p = plan("simsearch_ndcg")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    # join fanout: per-side count aggs, never the materialized join
+    p = plan("dq_join_fanout")
+    assert "CartesianProduct" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
