@@ -414,14 +414,332 @@ DQ_JOIN_FANOUT_SQL = (
 )
 
 
+# ------------------------------------------------------- template strip
+
+
+def corpus_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER-SIDE twin of :func:`corpus_boilerplate`: how many
+    TOKENS would template-stripping actually remove, per source. A
+    token is stripped when ANY boilerplate 5-gram occurrence covers it,
+    so overlapping flagged grams must be union-ed — per document this
+    is the interval-union sweep (each flagged gram at position p covers
+    tokens [p, p+4]; covered += p+5 - max(p, running_end)), the same
+    recipe as the session-coverage operator.
+
+    Exactness: all counts are integers; the strip share is one final
+    division. Scale: the gram explode + (source, gram) df agg from the
+    gate, then the flagged positions (a small fraction of gram
+    positions) sort per doc in a bounded window — no data-sized sort,
+    no all-pairs anything."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.expr(f"regexp_extract_all(lower(text), '{_TOKEN_RE}', 0)")
+    toks = d.select(
+        "doc_id", "source", F.size(arr).cast("long").alias("n_toks")
+    )
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.when(
+                F.size(arr) >= 5,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 4),
+                    lambda i: F.concat_ws(" ", F.slice(arr, i, 5)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "g"),
+    ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "g")
+    src_docs = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    boiler = (
+        grams.groupBy("source", "g")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .join(F.broadcast(src_docs), "source")
+        .where(F.col("df") * 20 > F.col("n_docs"))
+        .select("source", "g")
+    )
+    flagged = grams.join(boiler, ["source", "g"], "left_semi")
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = flagged.withColumn(
+        "prev_end", F.coalesce(F.max(F.col("pos") + 5).over(wprev), F.lit(0))
+    ).select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.col("pos") + 5 - F.greatest(F.col("pos"), F.col("prev_end")),
+            F.lit(0),
+        ).alias("cov"),
+    )
+    per_doc = covered.groupBy("doc_id", "source").agg(
+        F.sum("cov").cast("long").alias("covered")
+    )
+    return (
+        toks.join(per_doc.select("doc_id", "covered"), "doc_id", "left")
+        .select(
+            "source",
+            "n_toks",
+            F.coalesce(F.col("covered"), F.lit(0)).alias("covered"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("covered") > 0).cast("long"))
+            .cast("long")
+            .alias("docs_touched"),
+            F.sum("n_toks").cast("long").alias("tokens_total"),
+            F.sum("covered").cast("long").alias("tokens_stripped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "docs_touched",
+            "tokens_total",
+            "tokens_stripped",
+            F.when(
+                F.col("tokens_total") > 0,
+                F.col("tokens_stripped").cast("double")
+                / F.col("tokens_total").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("strip_share"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_TEMPLATE_STRIP_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(text), '{_TOKEN_RE}') AS arr
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, source, u.i AS pos,
+         array_to_string(list_slice(arr, u.i, u.i + 4), ' ') AS g
+  FROM toks,
+       UNNEST(generate_series(1, greatest(len(arr) - 4, 0))) AS u(i)
+),
+src_docs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+boiler AS (
+  SELECT p.source, p.g
+  FROM (SELECT source, g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM grams GROUP BY source, g) p
+  JOIN src_docs s USING (source)
+  WHERE p.df * 20 > s.n_docs
+),
+flagged AS (
+  SELECT gr.doc_id, gr.source, gr.pos
+  FROM grams gr SEMI JOIN boiler b
+    ON gr.source = b.source AND gr.g = b.g
+),
+covered AS (
+  SELECT doc_id, source,
+         GREATEST(pos + 5 - GREATEST(pos,
+           COALESCE(MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)), 0)
+           AS cov
+  FROM flagged
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS covered
+  FROM covered GROUP BY doc_id
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN COALESCE(p.covered, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_touched,
+       CAST(SUM(len(t.arr)) AS BIGINT) AS tokens_total,
+       CAST(SUM(COALESCE(p.covered, 0)) AS BIGINT) AS tokens_stripped,
+       CASE WHEN SUM(len(t.arr)) > 0
+            THEN CAST(SUM(COALESCE(p.covered, 0)) AS DOUBLE)
+                 / CAST(SUM(len(t.arr)) AS DOUBLE)
+            ELSE 0.0 END AS strip_share
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
+# ------------------------------------------- order-cycle percentiles
+
+
+def sql_order_cycle_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-last-shipment lead time SLA matrix: type-7 interpolated
+    p50/p90/p99 days per order priority — the fulfillment dashboard
+    row. Reuses the repo's proven type-7 recipe (integer rank split +
+    both bracketing order statistics selected by cumulative count on
+    the integer day grid; value exact until one division).
+
+    Scale: one (orderkey) agg for last-ship, one (priority, days) grid
+    agg, windows on the bounded grid, a 3-rank-per-priority spine
+    joined back with min-selection — no global sort, no per-row
+    percentile buffering."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    last_ship = l.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    days = (
+        o.join(last_ship, o.o_orderkey == last_ship.l_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("last_ship"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    grid = days.groupBy("o_orderpriority", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = Window.partitionBy("o_orderpriority").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.withColumn("cum", F.sum("cnt").over(wcum).cast("long"))
+    ns = grid.groupBy("o_orderpriority").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    ks = spark.range(0, 3).select(
+        F.element_at(
+            F.array(F.lit(50), F.lit(90), F.lit(99)),
+            (F.col("id") + 1).cast("int"),
+        )
+        .cast("long")
+        .alias("k")
+    )
+    ranks = (
+        ns.crossJoin(F.broadcast(ks))
+        .select(
+            "o_orderpriority",
+            "k",
+            "n",
+            F.expr("((n - 1) * k) % 100").alias("rem"),
+            (F.expr("((n - 1) * k) div 100") + 1).alias("r1"),
+            F.least(
+                F.expr("((n - 1) * k) div 100") + 2, F.col("n")
+            ).alias("r2"),
+        )
+    )
+    x1 = (
+        F.broadcast(ranks)
+        .join(cum, "o_orderpriority")
+        .where(F.col("cum") >= F.col("r1"))
+        .groupBy("o_orderpriority", "k", "rem", "n")
+        .agg(F.min("d").cast("long").alias("x1"))
+    )
+    x2 = (
+        F.broadcast(ranks)
+        .join(cum, "o_orderpriority")
+        .where(F.col("cum") >= F.col("r2"))
+        .groupBy("o_orderpriority", "k")
+        .agg(F.min("d").cast("long").alias("x2"))
+    )
+    pct = x1.join(F.broadcast(x2), ["o_orderpriority", "k"]).select(
+        "o_orderpriority",
+        "k",
+        "n",
+        (
+            (
+                F.col("x1") * (100 - F.col("rem"))
+                + F.col("x2") * F.col("rem")
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("v"),
+    )
+    return (
+        pct.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.max(F.when(F.col("k") == 50, F.col("v"))).alias("p50_days"),
+            F.max(F.when(F.col("k") == 90, F.col("v"))).alias("p90_days"),
+            F.max(F.when(F.col("k") == 99, F.col("v"))).alias("p99_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDER_CYCLE_SQL = """
+WITH days AS MATERIALIZED (
+  SELECT o.o_orderpriority,
+         CAST(CAST(ls.last_ship AS DATE) - CAST(o.o_orderdate AS DATE)
+              AS BIGINT) AS d
+  FROM orders o
+  JOIN (SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY l_orderkey) ls
+    ON o.o_orderkey = ls.l_orderkey
+),
+grid AS (
+  SELECT o_orderpriority, d, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM days GROUP BY o_orderpriority, d
+),
+cum AS (
+  SELECT o_orderpriority, d,
+         CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM grid
+),
+ns AS (SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS n
+       FROM grid GROUP BY o_orderpriority),
+ranks AS (
+  SELECT ns.o_orderpriority, CAST(k.k AS BIGINT) AS k, ns.n,
+         ((ns.n - 1) * k.k) % 100 AS rem,
+         ((ns.n - 1) * k.k) // 100 + 1 AS r1,
+         LEAST(((ns.n - 1) * k.k) // 100 + 2, ns.n) AS r2
+  FROM ns CROSS JOIN (SELECT unnest([50, 90, 99]) AS k) k
+),
+x1 AS (
+  SELECT r.o_orderpriority, r.k, r.rem, r.n,
+         CAST(MIN(c.d) AS BIGINT) AS x1
+  FROM ranks r JOIN cum c
+    ON c.o_orderpriority = r.o_orderpriority AND c.cum >= r.r1
+  GROUP BY r.o_orderpriority, r.k, r.rem, r.n
+),
+x2 AS (
+  SELECT r.o_orderpriority, r.k, CAST(MIN(c.d) AS BIGINT) AS x2
+  FROM ranks r JOIN cum c
+    ON c.o_orderpriority = r.o_orderpriority AND c.cum >= r.r2
+  GROUP BY r.o_orderpriority, r.k
+),
+pct AS (
+  SELECT x1.o_orderpriority, x1.k, x1.n,
+         CAST(x1.x1 * (100 - x1.rem) + x2.x2 * x1.rem AS DOUBLE) / 100.0
+           AS v
+  FROM x1 JOIN x2
+    ON x2.o_orderpriority = x1.o_orderpriority AND x2.k = x1.k
+)
+SELECT o_orderpriority,
+       MAX(n) AS n_orders,
+       MAX(CASE WHEN k = 50 THEN v END) AS p50_days,
+       MAX(CASE WHEN k = 90 THEN v END) AS p90_days,
+       MAX(CASE WHEN k = 99 THEN v END) AS p99_days
+FROM pct
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "corpus_boilerplate": corpus_boilerplate,
+    "corpus_template_strip": corpus_template_strip,
     "simsearch_ndcg": simsearch_ndcg,
     "dq_join_fanout": dq_join_fanout,
+    "sql_order_cycle_percentiles": sql_order_cycle_percentiles,
 }
 
 ORACLES = {
     "corpus_boilerplate": CORPUS_BOILERPLATE_SQL,
+    "corpus_template_strip": CORPUS_TEMPLATE_STRIP_SQL,
     "simsearch_ndcg": SIMSEARCH_NDCG_SQL,
     "dq_join_fanout": DQ_JOIN_FANOUT_SQL,
+    "sql_order_cycle_percentiles": SQL_ORDER_CYCLE_SQL,
 }

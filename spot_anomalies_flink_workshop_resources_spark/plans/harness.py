@@ -1144,8 +1144,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q21_waiting_suppliers",       # NEW: EXISTS/NOT-EXISTS via window
     "q22_dormant_customers",       # NEW: scalar AVG + anti join rollup
     "corpus_boilerplate",          # NEW: C4-style source template gate
+    "corpus_template_strip",       # NEW: token strip mass via intervals
     "simsearch_ndcg",              # NEW: integer-weight NDCG@10 eval
     "dq_join_fanout",              # NEW: join-cardinality pre-flight
+    "sql_order_cycle_percentiles",  # NEW: type-7 lead-time SLA matrix
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --

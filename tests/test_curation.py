@@ -85,6 +85,83 @@ def test_ndcg_perfect_ranking_scores_one(spark, tmp_path):
     assert rows and all(r.ndcg == pytest.approx(1.0) for r in rows)
 
 
+def test_template_strip_matches_bruteforce_python(spark):
+    """Token coverage recomputed with a pure-Python interval union."""
+    import re
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r)
+    expect = {}
+    for src, rows in by_src.items():
+        df_count = {}
+        doc_grams = {}
+        for r in rows:
+            toks = re.findall("[a-z0-9]+", r.text.lower())
+            grams = (
+                [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+                if len(toks) >= 5
+                else []
+            )
+            doc_grams[r.doc_id] = (toks, grams)
+            for g in set(grams):
+                df_count[g] = df_count.get(g, 0) + 1
+        boiler = {g for g, c in df_count.items() if c * 20 > len(rows)}
+        total = stripped = touched = 0
+        for toks, grams in doc_grams.values():
+            total += len(toks)
+            cov = set()
+            for i, g in enumerate(grams):
+                if g in boiler:
+                    cov.update(range(i, i + 5))
+            stripped += len(cov)
+            touched += 1 if cov else 0
+        expect[src] = (len(rows), touched, total, stripped)
+    got = {
+        r.source: (r.n_docs, r.docs_touched, r.tokens_total, r.tokens_stripped)
+        for r in curation.corpus_template_strip(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_order_cycle_percentiles_match_numpy(spark):
+    import numpy as np
+
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    ls = l.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("ship"))
+    rows = (
+        o.join(ls, o.o_orderkey == ls.l_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("ship"), F.to_date("o_orderdate")).alias(
+                "d"
+            ),
+        )
+        .collect()
+    )
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r.o_orderpriority, []).append(r.d)
+    got = {
+        r.o_orderpriority: r
+        for r in curation.sql_order_cycle_percentiles(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(by_p)
+    for p, ds in by_p.items():
+        a = np.array(sorted(ds), dtype=float)
+        r = got[p]
+        assert r.n_orders == len(ds)
+        assert r.p50_days == pytest.approx(float(np.percentile(a, 50)))
+        assert r.p90_days == pytest.approx(float(np.percentile(a, 90)))
+        assert r.p99_days == pytest.approx(float(np.percentile(a, 99)))
+
+
 def test_join_fanout_matches_real_join_counts(spark):
     prof = {
         r.relation: r

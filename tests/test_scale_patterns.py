@@ -899,6 +899,16 @@ def test_tpch_tail_plan_invariants(spark, sf_dir):
     # join fanout: per-side count aggs, never the materialized join
     p = plan("dq_join_fanout")
     assert "CartesianProduct" not in p, p
+    # template strip: boiler set reaches gram stream as a semi join;
+    # interval-union window runs on the flagged (small) frame only
+    p = plan("corpus_template_strip")
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
+    # order-cycle: bounded grid windows + broadcast rank spine, no
+    # per-row percentile buffering (no ObjectHashAggregate)
+    p = plan("sql_order_cycle_percentiles")
+    assert "ObjectHashAggregate" not in p, p
+    assert "CartesianProduct" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
