@@ -1372,6 +1372,161 @@ FROM (
 """
 
 
+def pq_topk_exact(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    m: int = 32,
+    n_codes: int = 64,
+    iters: int = 4,
+    sample: int = 2048,
+) -> DataFrame:
+    """Flat PQ (no coarse level) with trained integer codebooks — the
+    value-oracled twin of :func:`pq_topk` (whose np.random codebook
+    init is legitimately un-oraclable; that variant stays as the
+    library API with its recall/monotonicity unit tests). Every
+    candidate is ADC-scored: codebooks from :func:`pq_train_exact_int`
+    live on the 2^-20 integer grid, so LUT cells and ADC sums are
+    int64 and ranking is exact integer selection with neighbor-id
+    tiebreaks — hash-equal to :func:`pq_exact_sql`, which re-trains
+    the codebooks in DuckDB via the same integer-Lloyd CTE chain.
+
+    Plan shape: ONE narrow mapInPandas pass encodes the corpus and
+    scores it against the broadcast per-query LUTs (m byte-lookups
+    per candidate instead of a dim-length dot product); the only
+    exchange is the per-query top-k window over N·n_queries candidate
+    rows. At 100 TB this is the exhaustive-PQ baseline against which
+    the IVF-PQ probe bound is measured.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    B = pq_train_exact_int(
+        embeddings, m=m, n_codes=n_codes, iters=iters, sample=sample
+    )
+    sub = B.shape[2]
+
+    q_rows = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    QU = _unit_q_int(np.stack([np.asarray(r["emb"]) for r in q_rows]))
+    lut = np.empty((len(QU), B.shape[0], B.shape[1]), dtype=np.int64)
+    for j in range(B.shape[0]):
+        Qj = QU[:, j * sub : (j + 1) * sub]
+        lut[:, j, :] = ((Qj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+    bc = spark.sparkContext.broadcast((B, q_ids, lut))
+
+    def encode_and_score(batches):
+        Bl, ids, L = bc.value
+        ml = Bl.shape[0]
+        jj = np.arange(ml)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = _unit_q_int(np.stack(pdf["emb"].to_numpy()))
+            codes = np.empty((len(U), ml), dtype=np.int64)
+            for j in range(ml):
+                Uj = U[:, j * sub : (j + 1) * sub]
+                d = ((Uj[:, None, :] - Bl[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            vids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for qi, qid in enumerate(ids):
+                mask = vids != qid
+                if not mask.any():
+                    continue
+                cm = codes[mask]
+                adc = L[qi][jj, cm].sum(axis=1)  # int64, exact
+                out_q.append(np.full(int(mask.sum()), qid))
+                out_n.append(vids[mask])
+                out_d.append(adc)
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_int": np.concatenate(out_d),
+                }
+            )
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    scored = e.mapInPandas(
+        encode_and_score, "query_id long, neighbor_id long, adc_int long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_int"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("adc_int").cast("double") / F.lit(float(1 << 40))).alias(
+                "adc_dist"
+            ),
+            "rank",
+        )
+    )
+
+
+def pq_exact_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    m: int = 32,
+    n_codes: int = 64,
+    iters: int = 4,
+    sample: int = 2048,
+    dim: int = DIM,
+) -> str:
+    """Value oracle for :func:`pq_topk_exact`: re-trains the integer
+    PQ codebooks (:func:`_pq_train_ctes`), re-encodes every vector, and
+    ADC-scores every (query, candidate) pair — fully independent of the
+    engine. All comparisons are int64; adc_dist is the one final 2^-40
+    scale."""
+    sub = dim // m
+    return f"""
+WITH {_pq_train_ctes(m, n_codes, iters, sample, dim)},
+codes AS MATERIALIZED (
+  SELECT vec_id, j, c FROM (
+    SELECT q.vec_id, b.j, b.c,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id, b.j
+             ORDER BY list_sum(list_transform(generate_series(1, {sub}),
+                        i -> (q.u[b.j * {sub} + i] - b.b[i])
+                           * (q.u[b.j * {sub} + i] - b.b[i]))) ASC,
+                      b.c ASC) AS rn
+    FROM uq q CROSS JOIN b{iters} b
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT qu.vec_id AS query_id, cd.vec_id AS neighbor_id,
+         SUM(list_sum(list_transform(generate_series(1, {sub}),
+             i -> (qu.u[cd.j * {sub} + i] - b.b[i])
+                * (qu.u[cd.j * {sub} + i] - b.b[i])))) AS adc_int
+  FROM uq qu
+  JOIN codes cd ON cd.vec_id <> qu.vec_id
+  JOIN b{iters} b ON b.j = cd.j AND b.c = cd.c
+  WHERE qu.vec_id < {n_queries}
+  GROUP BY qu.vec_id, cd.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(adc_int AS DOUBLE) / {float(1 << 40)!r} AS adc_dist,
+       rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_int ASC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def top_eigen(embeddings: DataFrame, iters: int = 8) -> DataFrame:
     """Top PRINCIPAL COMPONENT of the embedding set by power iteration
     — the whitening/ABD-projection primitive a vector pipeline runs

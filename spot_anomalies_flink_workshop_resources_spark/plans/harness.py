@@ -1148,6 +1148,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "simsearch_ndcg",              # NEW: integer-weight NDCG@10 eval
     "dq_join_fanout",              # NEW: join-cardinality pre-flight
     "sql_order_cycle_percentiles",  # NEW: type-7 lead-time SLA matrix
+    "simsearch_pq",                # NEW oracle: integer-exact flat PQ
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --
@@ -1260,7 +1261,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "batch_interval_join_bucketed",
     "corpus_top_terms_sketch",
     "stream_distinct_pairs",
-    "simsearch_pq",
     "text_ngram_profile",      # short-text guard changed results (ADVICE r2)
     "dedup_jaccard",           # df-cap oracle alignment (ADVICE r2)
     "ml_ipinsights_score",     # distributed vocab index rewrite
@@ -1298,7 +1298,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 DRIVER_DEPRIORITIZE: tuple[str, ...] = (
     "approx_distinct_parts",
     "ml_ipinsights_score",
-    "simsearch_pq",
     "sql_price_quantiles_approx",
 )
 

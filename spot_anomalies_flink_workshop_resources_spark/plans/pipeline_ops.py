@@ -1083,15 +1083,14 @@ def simsearch_index_quality(spark, sf_dir):
 
 
 def simsearch_pq(spark, sf_dir):
-    """Product-quantization ANN: sample-trained per-subspace codebooks
-    (the standard 16-subspace x 8-bit config: 16 bytes/vector, 32x
-    compression over float64), distributed narrow encode, ADC top-k via
-    broadcast lookup tables. Approximate ⇒ rows-only driver check;
-    recall vs brute force and its monotonicity in codebook size are
-    unit-tested."""
-    embs = _embs(spark, sf_dir)
-    B = S.pq_train(embs, m=16, n_codes=256)
-    return S.pq_topk(embs, B)
+    """Flat product-quantization ANN, VALUE-ORACLED since round 6: the
+    integer-Lloyd codebooks (operators.simsearch.pq_train_exact_int)
+    are re-trained in DuckDB and every ADC score/rank is int64
+    (S.pq_topk_exact / S.pq_exact_sql) — the same upgrade path ivfpq
+    took in round 5. The rng-codebook variant (S.pq_train + S.pq_topk,
+    the 16x8-bit production config) stays as the library API with its
+    recall/monotonicity unit tests."""
+    return S.pq_topk_exact(_embs(spark, sf_dir))
 
 
 def simsearch_ivfpq(spark, sf_dir):
@@ -1503,6 +1502,7 @@ FROM documents
     # trained index re-derived from scratch in DuckDB (unrolled Lloyd)
     "simsearch_ivf_kmeans": S.ivf_topk_trained_sql(),
     "simsearch_ivfpq": S.ivfpq_exact_sql(),
+    "simsearch_pq": S.pq_exact_sql(),
     "simsearch_index_quality": S.index_quality_sql(),
     "simsearch_top_eigen": S.top_eigen_sql(),
     "simsearch_label_centroids": S.label_centroids_long_sql(),
