@@ -66,9 +66,17 @@ def corpus_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_docs = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    per_gram = grams.groupBy("source", "g").agg(
-        F.countDistinct("doc_id").cast("long").alias("df"),
-        F.count(F.lit(1)).cast("long").alias("positions"),
+    # two plain hash aggs instead of countDistinct (which expands every
+    # row twice): per (source, gram, doc) position counts, then per
+    # (source, gram) df = row count, positions = sum
+    per_gram = (
+        grams.groupBy("source", "g", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("pc"))
+        .groupBy("source", "g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("pc").cast("long").alias("positions"),
+        )
     )
     flagged = per_gram.join(F.broadcast(src_docs), "source").withColumn(
         "is_boiler", (F.col("df") * 20 > F.col("n_docs")).cast("long")
@@ -188,15 +196,14 @@ def simsearch_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("u"),
     )
-    wq = Window.orderBy("vec_id")
-    queries = (
-        eu.withColumn("qrn", F.row_number().over(wq))
-        .where(F.col("qrn") <= 16)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("qlabel"),
-            F.col("u").alias("qu"),
-        )
+    # query panel = vec_id < 16 (harness vec_ids are dense from 0 — the
+    # same convention as brute_force_topk/ivfpq): a pushed-down scan
+    # filter, NOT a global row_number window (which would single-
+    # partition the whole vector table)
+    queries = eu.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("u").alias("qu"),
     )
     scored = eu.join(
         F.broadcast(queries), eu.vec_id != queries.query_id
@@ -270,9 +277,7 @@ WITH uq AS MATERIALIZED (
 ),
 queries AS (
   SELECT vec_id AS query_id, label AS qlabel, u AS qu
-  FROM (SELECT vec_id, label, u,
-               ROW_NUMBER() OVER (ORDER BY vec_id) AS qrn FROM uq)
-  WHERE qrn <= 16
+  FROM uq WHERE vec_id < 16
 ),
 scored AS (
   SELECT q.query_id, q.qlabel, v.vec_id, v.label,
@@ -449,12 +454,18 @@ def corpus_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos0", "g"),
     ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "g")
+    # the gram frame feeds both the df agg and the flagged semi join —
+    # materialize once (the _copurchase_edges lesson: every extra
+    # reference re-runs the regexp+explode scan)
+    grams = grams.localCheckpoint(eager=True)
     src_docs = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     boiler = (
-        grams.groupBy("source", "g")
-        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        grams.groupBy("source", "g", "doc_id")
+        .agg(F.lit(1).alias("one"))
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .join(F.broadcast(src_docs), "source")
         .where(F.col("df") * 20 > F.col("n_docs"))
         .select("source", "g")
