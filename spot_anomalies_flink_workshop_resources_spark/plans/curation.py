@@ -739,12 +739,326 @@ ORDER BY o_orderpriority
 """
 
 
+# -------------------------------------------------------- entropy rate
+
+
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov ENTROPY RATE per state: the conditional entropy
+    H(next | cur) of the first-order event-type chain, one row per
+    current type — how predictable each state's successor is (the
+    information-theoretic summary on top of the transition matrix; a
+    spike = behavior shift, near-zero = deterministic funnels).
+
+    Exactness: transition counts are integers (same (ts, event_id) lag
+    convention as the transition matrix); each n_ij*ln(n_i/n_ij) term
+    quantizes onto the 2^-20 grid before the int64 sum (the MI
+    defense); bits convert by one shared /ln(2). Scale: one user-keyed
+    window + a (prev, next) hash agg — the |types|^2 frame does the
+    rest."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("ni"),
+        F.count(F.lit(1)).cast("long").alias("n_next_types"),
+    )
+    term = F.floor(
+        F.col("n").cast("double")
+        * F.log(F.col("ni").cast("double") / F.col("n").cast("double"))
+        * F.lit(float(_QSCALE))
+        + F.lit(0.5)
+    ).cast("long")
+    ln2 = float(math.log(2))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .groupBy("prev_type", "ni", "n_next_types")
+        .agg(F.sum(term).cast("long").alias("hq"))
+        .select(
+            "prev_type",
+            F.col("ni").alias("n_transitions"),
+            "n_next_types",
+            (
+                F.col("hq").cast("double")
+                / (F.col("ni").cast("double") * F.lit(float(_QSCALE)))
+                / F.lit(ln2)
+            ).alias("h_bits"),
+        )
+        .orderBy("prev_type")
+    )
+
+
+EVENTS_ENTROPY_RATE_SQL = f"""
+WITH trans AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events)
+  WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+tot AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS ni,
+         CAST(COUNT(*) AS BIGINT) AS n_next_types
+  FROM trans GROUP BY prev_type
+)
+SELECT t.prev_type, tt.ni AS n_transitions, tt.n_next_types,
+       CAST(SUM(CAST(FLOOR(CAST(t.n AS DOUBLE)
+                * ln(CAST(tt.ni AS DOUBLE) / CAST(t.n AS DOUBLE))
+                * {float(_QSCALE)!r} + 0.5) AS BIGINT)) AS DOUBLE)
+         / (CAST(tt.ni AS DOUBLE) * {float(_QSCALE)!r})
+         / {float(math.log(2))!r} AS h_bits
+FROM trans t JOIN tot tt USING (prev_type)
+GROUP BY t.prev_type, tt.ni, tt.n_next_types
+ORDER BY t.prev_type
+"""
+
+
+# ---------------------------------------------------- cohort retention
+
+
+def sql_cohort_retention_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer COHORT RETENTION TRIANGLE: cohort = month of first
+    order; for offsets 0..11, the distinct customers ordering again
+    that many months later and the share of the cohort they represent
+    — the classic BI retention matrix (the order-table complement of
+    the event-funnel retention operator).
+
+    Exactness: month indices are integers (y*12+m), active counts are
+    COUNT(DISTINCT), retention is one division. Scale: one custkey agg
+    for first months, one (cohort, offset, custkey) distinct agg — both
+    shuffle on keys the orders join already pays."""
+    o = load_table(spark, sf_dir, "orders")
+    om = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    d = o.select("o_custkey", om.alias("m"))
+    first = d.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    act = (
+        d.join(first, "o_custkey")
+        .select(
+            "o_custkey",
+            "m0",
+            (F.col("m") - F.col("m0")).alias("offset"),
+        )
+        .where(F.col("offset") <= 11)
+        .groupBy("m0", "offset")
+        .agg(F.countDistinct("o_custkey").cast("long").alias("active"))
+    )
+    base = act.where(F.col("offset") == 0).select(
+        F.col("m0").alias("bm0"), F.col("active").alias("cohort_size")
+    )
+    return (
+        act.join(F.broadcast(base), act.m0 == base.bm0)
+        .select(
+            (F.expr("m0 div 12")).alias("cohort_year"),
+            (F.col("m0") % 12 + 1).alias("cohort_month"),
+            "offset",
+            "active",
+            "cohort_size",
+            (
+                F.col("active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_year", "cohort_month", "offset")
+    )
+
+
+SQL_COHORT_RETENTION_SQL = """
+WITH d AS (
+  SELECT o_custkey,
+         CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS m
+  FROM orders
+),
+first_m AS (
+  SELECT o_custkey, MIN(m) AS m0 FROM d GROUP BY o_custkey
+),
+act AS (
+  SELECT f.m0, d.m - f.m0 AS "offset",
+         CAST(COUNT(DISTINCT d.o_custkey) AS BIGINT) AS active
+  FROM d JOIN first_m f USING (o_custkey)
+  WHERE d.m - f.m0 <= 11
+  GROUP BY f.m0, d.m - f.m0
+),
+base AS (
+  SELECT m0, active AS cohort_size FROM act WHERE "offset" = 0
+)
+SELECT a.m0 // 12 AS cohort_year,
+       a.m0 % 12 + 1 AS cohort_month,
+       a."offset" AS offset,
+       a.active,
+       b.cohort_size,
+       CAST(a.active AS DOUBLE) / CAST(b.cohort_size AS DOUBLE) AS retention
+FROM act a JOIN base b USING (m0)
+ORDER BY cohort_year, cohort_month, a."offset"
+"""
+
+
+# ------------------------------------------------------- split drift
+
+
+def corpus_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET-SHIFT AUDIT between the deterministic train and test
+    splits: two-sample KS distance on document length plus both means —
+    the check a pipeline runs before trusting eval numbers (a split
+    whose length distribution drifts from train biases perplexity and
+    truncation rates). Composes the stratified-split coin with the
+    repo's integer KS recipe.
+
+    Exactness: the split is the md5-rank integer gate; the KS statistic
+    maximizes |c1*n2 - c2*n1| over the merged length grid — pure int64
+    cross-multiplication, one final division; means are int sums with
+    one division each. Scale: the cumulative window runs on the
+    distinct-length grid (bounded by the length domain), never the doc
+    table."""
+    d = load_table(spark, sf_dir, "documents")
+    coin = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(coin.asc(), F.col("doc_id").asc())
+    nw = Window.partitionBy("lang")
+    ranked = d.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(nw).cast("long").alias("n"),
+    )
+    tagged = ranked.select(
+        "x",
+        F.when(F.col("rnk") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("rnk") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).where(F.col("split") != "val")
+    grid = tagged.groupBy("x").agg(
+        F.sum((F.col("split") == "train").cast("long"))
+        .cast("long")
+        .alias("ct"),
+        F.sum((F.col("split") == "test").cast("long"))
+        .cast("long")
+        .alias("cs"),
+        F.sum(
+            F.when(F.col("split") == "train", F.col("x")).otherwise(0)
+        )
+        .cast("long")
+        .alias("xt"),
+        F.sum(F.when(F.col("split") == "test", F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("xs"),
+    )
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        F.sum("ct").over(wc).cast("long").alias("cct"),
+        F.sum("cs").over(wc).cast("long").alias("ccs"),
+    )
+    tot = grid.agg(
+        F.sum("ct").cast("long").alias("n_train"),
+        F.sum("cs").cast("long").alias("n_test"),
+        F.sum("xt").cast("long").alias("sxt"),
+        F.sum("xs").cast("long").alias("sxs"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_train", "n_test", "sxt", "sxs")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cct") * F.col("n_test")
+                    - F.col("ccs") * F.col("n_train")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+        .select(
+            "n_train",
+            "n_test",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_train") * F.col("n_test")).cast("double")
+            ).alias("d_stat"),
+            (
+                F.col("sxt").cast("double") / F.col("n_train").cast("double")
+            ).alias("mean_chars_train"),
+            (
+                F.col("sxs").cast("double") / F.col("n_test").cast("double")
+            ).alias("mean_chars_test"),
+        )
+    )
+
+
+CORPUS_SPLIT_DRIFT_SQL = """
+WITH ranked AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+              AS BIGINT) AS rnk,
+         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM documents
+),
+tagged AS (
+  SELECT x,
+         CASE WHEN rnk * 10 <= n * 8 THEN 'train'
+              WHEN rnk * 10 <= n * 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM ranked
+),
+grid AS (
+  SELECT x,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ct,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cs,
+         CAST(SUM(CASE WHEN split = 'train' THEN x ELSE 0 END) AS BIGINT)
+           AS xt,
+         CAST(SUM(CASE WHEN split = 'test' THEN x ELSE 0 END) AS BIGINT)
+           AS xs
+  FROM tagged WHERE split <> 'val'
+  GROUP BY x
+),
+cum AS (
+  SELECT ct, cs, xt, xs,
+         CAST(SUM(ct) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cct,
+         CAST(SUM(cs) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS ccs
+  FROM grid
+),
+tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS n_train,
+         CAST(SUM(cs) AS BIGINT) AS n_test,
+         CAST(SUM(xt) AS BIGINT) AS sxt,
+         CAST(SUM(xs) AS BIGINT) AS sxs
+  FROM grid
+)
+SELECT t.n_train, t.n_test,
+       CAST(MAX(ABS(c.cct * t.n_test - c.ccs * t.n_train)) AS DOUBLE)
+         / CAST(t.n_train * t.n_test AS DOUBLE) AS d_stat,
+       CAST(t.sxt AS DOUBLE) / CAST(t.n_train AS DOUBLE)
+         AS mean_chars_train,
+       CAST(t.sxs AS DOUBLE) / CAST(t.n_test AS DOUBLE) AS mean_chars_test
+FROM cum c, tot t
+GROUP BY t.n_train, t.n_test, t.sxt, t.sxs
+"""
+
+
 QUERIES = {
     "corpus_boilerplate": corpus_boilerplate,
     "corpus_template_strip": corpus_template_strip,
     "simsearch_ndcg": simsearch_ndcg,
     "dq_join_fanout": dq_join_fanout,
     "sql_order_cycle_percentiles": sql_order_cycle_percentiles,
+    "events_entropy_rate": events_entropy_rate,
+    "sql_cohort_retention_matrix": sql_cohort_retention_matrix,
+    "corpus_split_drift": corpus_split_drift,
 }
 
 ORACLES = {
@@ -753,4 +1067,7 @@ ORACLES = {
     "simsearch_ndcg": SIMSEARCH_NDCG_SQL,
     "dq_join_fanout": DQ_JOIN_FANOUT_SQL,
     "sql_order_cycle_percentiles": SQL_ORDER_CYCLE_SQL,
+    "events_entropy_rate": EVENTS_ENTROPY_RATE_SQL,
+    "sql_cohort_retention_matrix": SQL_COHORT_RETENTION_SQL,
+    "corpus_split_drift": CORPUS_SPLIT_DRIFT_SQL,
 }

@@ -1149,6 +1149,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_join_fanout",              # NEW: join-cardinality pre-flight
     "sql_order_cycle_percentiles",  # NEW: type-7 lead-time SLA matrix
     "simsearch_pq",                # NEW oracle: integer-exact flat PQ
+    "events_entropy_rate",         # NEW: Markov conditional entropy
+    "sql_cohort_retention_matrix",  # NEW: BI retention triangle
+    "corpus_split_drift",          # NEW: train/test KS shift audit
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --

@@ -162,6 +162,79 @@ def test_order_cycle_percentiles_match_numpy(spark):
         assert r.p99_days == pytest.approx(float(np.percentile(a, 99)))
 
 
+def test_entropy_rate_bounded_by_log_successors(spark):
+    import math
+
+    rows = curation.events_entropy_rate(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # H(next|cur) in [0, log2(#successor types)]
+        assert -1e-9 <= r.h_bits <= math.log2(r.n_next_types) + 1e-9
+        assert r.n_transitions > 0
+
+
+def test_cohort_retention_matrix_properties(spark):
+    rows = curation.sql_cohort_retention_matrix(spark, SF_DIR).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault((r.cohort_year, r.cohort_month), {})[
+            r.offset
+        ] = r
+    for key, offs in by_cohort.items():
+        assert 0 in offs, f"cohort {key} missing offset 0"
+        base = offs[0]
+        assert base.active == base.cohort_size
+        assert base.retention == pytest.approx(1.0)
+        for r in offs.values():
+            assert r.active <= r.cohort_size
+            assert 0.0 < r.retention <= 1.0
+
+
+def test_split_drift_matches_bruteforce_ks(spark):
+    """KS D recomputed from the same deterministic split in Python."""
+    import hashlib
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append(r)
+    train, test = [], []
+    for rows in by_lang.values():
+        rows.sort(
+            key=lambda r: (
+                hashlib.md5(str(r.doc_id).encode()).hexdigest(),
+                r.doc_id,
+            )
+        )
+        n = len(rows)
+        for i, r in enumerate(rows, start=1):
+            if i * 10 <= n * 8:
+                train.append(r.n_chars)
+            elif i * 10 > n * 9:
+                test.append(r.n_chars)
+    n1, n2 = len(train), len(test)
+    xs = sorted(set(train) | set(test))
+    c1 = c2 = 0
+    st, ss = sorted(train), sorted(test)
+    d_num = 0
+    import bisect
+
+    for x in xs:
+        c1 = bisect.bisect_right(st, x)
+        c2 = bisect.bisect_right(ss, x)
+        d_num = max(d_num, abs(c1 * n2 - c2 * n1))
+    row = curation.corpus_split_drift(spark, SF_DIR).collect()[0]
+    assert row.n_train == n1 and row.n_test == n2
+    assert row.d_stat == pytest.approx(d_num / (n1 * n2))
+    assert row.mean_chars_train == pytest.approx(sum(train) / n1)
+    assert row.mean_chars_test == pytest.approx(sum(test) / n2)
+
+
 def test_join_fanout_matches_real_join_counts(spark):
     prof = {
         r.relation: r

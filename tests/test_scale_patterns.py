@@ -909,6 +909,18 @@ def test_tpch_tail_plan_invariants(spark, sf_dir):
     p = plan("sql_order_cycle_percentiles")
     assert "ObjectHashAggregate" not in p, p
     assert "CartesianProduct" not in p, p
+    # entropy rate: one user window + |types|^2 agg, totals broadcast
+    p = plan("events_entropy_rate")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    # retention triangle: custkey-keyed aggs; offset-0 base broadcast
+    p = plan("sql_cohort_retention_matrix")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    # split drift: the one-row totals broadcast onto the bounded
+    # length-grid cumulative frame
+    p = plan("corpus_split_drift")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
