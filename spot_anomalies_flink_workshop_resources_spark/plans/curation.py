@@ -1050,6 +1050,343 @@ GROUP BY t.n_train, t.n_test, t.sxt, t.sxs
 """
 
 
+# ------------------------------------------------------ price elasticity
+
+
+def sql_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand DISCOUNT ELASTICITY: least-squares slope of line
+    quantity on the discount level (in points), with R² — does a
+    deeper discount actually move volume for this brand? The
+    trend-OLS recipe on a merchandising axis: all five sufficient
+    statistics are int64 sums (discount on the 0-10 point grid,
+    quantity integral), slope/R² are one shared float expression, and
+    a constant regressor yields NULLs via the same CASE both engines.
+
+    Scale: one brand-keyed hash agg over the lineitem⨝part broadcast
+    join — the same single exchange every brand rollup pays."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    d = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("x"),
+            F.col("l_quantity").cast("long").alias("y"),
+        )
+    )
+    agg = d.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return agg.select(
+        "p_brand",
+        F.col("n").alias("n_lines"),
+        F.when(den_x > 0, num / den_x).alias("qty_per_discount_point"),
+        F.when((den_x > 0) & (den_y > 0), num * num / (den_x * den_y)).alias(
+            "r2"
+        ),
+    ).orderBy("p_brand")
+
+
+SQL_PRICE_ELASTICITY_SQL = """
+WITH d AS (
+  SELECT p_brand,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+agg AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM d GROUP BY p_brand
+)
+SELECT p_brand, n AS n_lines,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) END AS qty_per_discount_point,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+FROM agg
+ORDER BY p_brand
+"""
+
+
+# ----------------------------------------------------------------- ICC
+
+
+def events_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRACLASS CORRELATION ICC(1) of event values grouped by user —
+    how much of the value variance is BETWEEN users vs noise within
+    them (repeatability: near 1 = users are stable signatures worth
+    per-user features; near 0 = per-user aggregation adds nothing).
+
+    Exactness: per-user sums are int64; the between-group sum of
+    squares uses INTEGER division ``(s_g*s_g) div n_g`` per user
+    (identical truncation both engines — s_g² can exceed 2^53, so a
+    double detour would lose bits), summed as int64; MSB/MSW/n0/ICC
+    are one shared float expression. Scale: one user-keyed hash agg +
+    one global agg."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("c").cast("long").alias("sg"),
+    )
+    gstats = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("nn"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum(F.expr("(sg * sg) div ng")).cast("long").alias("ssb_num"),
+        F.sum(F.col("ng") * F.col("ng")).cast("long").alias("sn2"),
+    )
+    tot = e.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc")
+    )
+    j = gstats.crossJoin(F.broadcast(tot))
+    ssb = F.col("ssb_num").cast("double") - (
+        F.col("s").cast("double") / F.col("nn").cast("double")
+    ) * F.col("s").cast("double")
+    ssw = F.col("scc").cast("double") - F.col("ssb_num").cast("double")
+    msb = ssb / (F.col("k") - 1).cast("double")
+    msw = ssw / (F.col("nn") - F.col("k")).cast("double")
+    n0 = (
+        F.col("nn").cast("double")
+        - F.col("sn2").cast("double") / F.col("nn").cast("double")
+    ) / (F.col("k") - 1).cast("double")
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    return j.select(
+        F.col("k").alias("n_users"),
+        F.col("nn").alias("n_events"),
+        msb.alias("ms_between"),
+        msw.alias("ms_within"),
+        n0.alias("n0"),
+        icc.alias("icc1"),
+    )
+
+
+EVENTS_ICC_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(c) AS BIGINT) AS sg
+  FROM e GROUP BY user_id
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(ng) AS BIGINT) AS nn,
+         CAST(SUM(sg) AS BIGINT) AS s,
+         CAST(SUM((sg * sg) // ng) AS BIGINT) AS ssb_num,
+         CAST(SUM(ng * ng) AS BIGINT) AS sn2
+  FROM per_user
+),
+t AS (SELECT CAST(SUM(c * c) AS BIGINT) AS scc FROM e),
+-- MATERIALIZED so icc1 composes from the SAME three projected doubles
+-- the output carries (inlining the big tree cost DuckDB 1 ulp vs the
+-- Spark/Python composition)
+ms AS MATERIALIZED (
+  SELECT k AS n_users, nn AS n_events,
+         (CAST(ssb_num AS DOUBLE)
+          - CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) * CAST(s AS DOUBLE))
+           / CAST(k - 1 AS DOUBLE) AS ms_between,
+         (CAST(scc AS DOUBLE) - CAST(ssb_num AS DOUBLE))
+           / CAST(nn - k AS DOUBLE) AS ms_within,
+         (CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(nn AS DOUBLE))
+           / CAST(k - 1 AS DOUBLE) AS n0
+  FROM g, t
+)
+SELECT n_users, n_events, ms_between, ms_within, n0,
+       (ms_between - ms_within)
+         / (ms_between + (n0 - 1) * ms_within) AS icc1
+FROM ms
+"""
+
+
+# ---------------------------------------------------------------- Brier
+
+
+def events_score_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE with Murphy decomposition for the error-class score
+    (the reliability-diagram framing made a single scalar): raw Brier
+    on the normalized score, plus reliability / resolution /
+    uncertainty from the 10 calibration bins — rel − res + unc is the
+    Brier of the bin-averaged forecast, and (brier_raw − that) is the
+    within-bin forecast variance, all reported.
+
+    Exactness: with R = score range, each squared residual
+    ((c−mn) − o·R)² is an exact int64 (one division at the end); the
+    per-bin decomposition terms square an int64 difference in a single
+    shared double op and quantize onto the 2^-20 grid before the
+    10-row sum (float sums over parallel rows are not order-free even
+    at 10 rows). Scale: one 10-bin hash agg — the reliability-diagram
+    plan with two more integer columns."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        F.when(F.col("event_type") == "error", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("pos"),
+    )
+    rng = e.agg(
+        F.min("c").cast("long").alias("mn"),
+        F.max("c").cast("long").alias("mx"),
+    )
+    b = e.crossJoin(F.broadcast(rng)).select(
+        F.expr("((c - mn) * 10) div (mx - mn + 1)").alias("bin"),
+        (F.col("c") - F.col("mn")).alias("s"),
+        "pos",
+        (F.col("mx") - F.col("mn")).alias("r"),
+    )
+    resid = F.col("s") - F.col("pos") * F.col("r")
+    bins = b.groupBy("bin", "r").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("pos").cast("long").alias("np_"),
+        F.sum(resid * resid).cast("long").alias("sq"),
+    )
+    grid = float(_QSCALE)
+    # per-bin decomposition terms, quantized before the 10-row sum
+    rel_t = F.floor(
+        (F.col("ss") - F.col("np_") * F.col("r")).cast("double")
+        * (F.col("ss") - F.col("np_") * F.col("r")).cast("double")
+        / (F.col("n").cast("double") * F.col("r").cast("double")
+           * F.col("r").cast("double"))
+        * F.lit(grid)
+        + F.lit(0.5)
+    ).cast("long")
+    tot = bins.groupBy("r").agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("np_").cast("long").alias("p"),
+        F.sum("sq").cast("long").alias("sqsum"),
+    )
+    j = bins.join(F.broadcast(tot), "r")
+    res_t = F.floor(
+        (F.col("np_") * F.col("nn") - F.col("n") * F.col("p")).cast("double")
+        * (F.col("np_") * F.col("nn") - F.col("n") * F.col("p")).cast(
+            "double"
+        )
+        / (
+            F.col("n").cast("double")
+            * F.col("nn").cast("double")
+            * F.col("nn").cast("double")
+        )
+        * F.lit(grid)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = j.groupBy("r", "nn", "p", "sqsum").agg(
+        F.sum(rel_t).cast("long").alias("rel_q"),
+        F.sum(res_t).cast("long").alias("res_q"),
+    )
+    nn_d = F.col("nn").cast("double")
+    brier = F.col("sqsum").cast("double") / (
+        nn_d * F.col("r").cast("double") * F.col("r").cast("double")
+    )
+    reliability = F.col("rel_q").cast("double") / (nn_d * F.lit(grid))
+    resolution = F.col("res_q").cast("double") / (nn_d * F.lit(grid))
+    obar = F.col("p").cast("double") / nn_d
+    uncertainty = obar * (1 - obar)
+    return agg.select(
+        F.col("nn").alias("n_events"),
+        brier.alias("brier_raw"),
+        reliability.alias("reliability"),
+        resolution.alias("resolution"),
+        uncertainty.alias("uncertainty"),
+        (brier - (reliability - resolution + uncertainty)).alias(
+            "within_bin_variance"
+        ),
+    )
+
+
+EVENTS_BRIER_SQL = f"""
+WITH e AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT)
+           AS pos
+  FROM events
+),
+rng AS (SELECT CAST(MIN(c) AS BIGINT) AS mn, CAST(MAX(c) AS BIGINT) AS mx
+        FROM e),
+b AS (
+  SELECT ((c - mn) * 10) // (mx - mn + 1) AS bin,
+         c - mn AS s, pos, mx - mn AS r
+  FROM e, rng
+),
+bins AS (
+  SELECT bin, r, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS ss,
+         CAST(SUM(pos) AS BIGINT) AS np_,
+         CAST(SUM((s - pos * r) * (s - pos * r)) AS BIGINT) AS sq
+  FROM b GROUP BY bin, r
+),
+tot AS (
+  SELECT r, CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(np_) AS BIGINT) AS p,
+         CAST(SUM(sq) AS BIGINT) AS sqsum
+  FROM bins GROUP BY r
+),
+agg AS (
+  SELECT t.r, t.nn, t.p, t.sqsum,
+         CAST(SUM(CAST(FLOOR(
+           CAST(bi.ss - bi.np_ * bi.r AS DOUBLE)
+           * CAST(bi.ss - bi.np_ * bi.r AS DOUBLE)
+           / (CAST(bi.n AS DOUBLE) * CAST(bi.r AS DOUBLE)
+              * CAST(bi.r AS DOUBLE))
+           * {float(_QSCALE)!r} + 0.5) AS BIGINT)) AS BIGINT) AS rel_q,
+         CAST(SUM(CAST(FLOOR(
+           CAST(bi.np_ * t.nn - bi.n * t.p AS DOUBLE)
+           * CAST(bi.np_ * t.nn - bi.n * t.p AS DOUBLE)
+           / (CAST(bi.n AS DOUBLE) * CAST(t.nn AS DOUBLE)
+              * CAST(t.nn AS DOUBLE))
+           * {float(_QSCALE)!r} + 0.5) AS BIGINT)) AS BIGINT) AS res_q
+  FROM bins bi JOIN tot t ON bi.r = t.r
+  GROUP BY t.r, t.nn, t.p, t.sqsum
+)
+SELECT nn AS n_events,
+       CAST(sqsum AS DOUBLE)
+         / (CAST(nn AS DOUBLE) * CAST(r AS DOUBLE) * CAST(r AS DOUBLE))
+         AS brier_raw,
+       CAST(rel_q AS DOUBLE) / (CAST(nn AS DOUBLE) * {float(_QSCALE)!r})
+         AS reliability,
+       CAST(res_q AS DOUBLE) / (CAST(nn AS DOUBLE) * {float(_QSCALE)!r})
+         AS resolution,
+       (CAST(p AS DOUBLE) / CAST(nn AS DOUBLE))
+         * (1 - CAST(p AS DOUBLE) / CAST(nn AS DOUBLE)) AS uncertainty,
+       CAST(sqsum AS DOUBLE)
+         / (CAST(nn AS DOUBLE) * CAST(r AS DOUBLE) * CAST(r AS DOUBLE))
+       - (CAST(rel_q AS DOUBLE) / (CAST(nn AS DOUBLE) * {float(_QSCALE)!r})
+          - CAST(res_q AS DOUBLE) / (CAST(nn AS DOUBLE) * {float(_QSCALE)!r})
+          + (CAST(p AS DOUBLE) / CAST(nn AS DOUBLE))
+            * (1 - CAST(p AS DOUBLE) / CAST(nn AS DOUBLE)))
+         AS within_bin_variance
+FROM agg
+"""
+
+
 QUERIES = {
     "corpus_boilerplate": corpus_boilerplate,
     "corpus_template_strip": corpus_template_strip,
@@ -1059,6 +1396,9 @@ QUERIES = {
     "events_entropy_rate": events_entropy_rate,
     "sql_cohort_retention_matrix": sql_cohort_retention_matrix,
     "corpus_split_drift": corpus_split_drift,
+    "sql_price_elasticity": sql_price_elasticity,
+    "events_icc": events_icc,
+    "events_score_brier": events_score_brier,
 }
 
 ORACLES = {
@@ -1070,4 +1410,7 @@ ORACLES = {
     "events_entropy_rate": EVENTS_ENTROPY_RATE_SQL,
     "sql_cohort_retention_matrix": SQL_COHORT_RETENTION_SQL,
     "corpus_split_drift": CORPUS_SPLIT_DRIFT_SQL,
+    "sql_price_elasticity": SQL_PRICE_ELASTICITY_SQL,
+    "events_icc": EVENTS_ICC_SQL,
+    "events_score_brier": EVENTS_BRIER_SQL,
 }

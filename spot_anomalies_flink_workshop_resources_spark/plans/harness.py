@@ -1152,6 +1152,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_entropy_rate",         # NEW: Markov conditional entropy
     "sql_cohort_retention_matrix",  # NEW: BI retention triangle
     "corpus_split_drift",          # NEW: train/test KS shift audit
+    "sql_price_elasticity",        # NEW: per-brand discount OLS slope
+    "events_icc",                  # NEW: intraclass correlation ICC(1)
+    "events_score_brier",          # NEW: Brier + Murphy decomposition
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --

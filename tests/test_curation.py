@@ -235,6 +235,75 @@ def test_split_drift_matches_bruteforce_ks(spark):
     assert row.mean_chars_test == pytest.approx(sum(test) / n2)
 
 
+def test_price_elasticity_matches_numpy_ols(spark):
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{SF_DIR}/part.parquet"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("p_brand", "l_discount", "l_quantity")
+        .collect()
+    )
+    by_b = {}
+    for r in rows:
+        x = round(r.l_discount * 100)
+        by_b.setdefault(r.p_brand, []).append((x, int(r.l_quantity)))
+    got = {
+        r.p_brand: r
+        for r in curation.sql_price_elasticity(spark, SF_DIR).collect()
+    }
+    for b, pts in by_b.items():
+        xs = np.array([p[0] for p in pts], float)
+        ys = np.array([p[1] for p in pts], float)
+        r = got[b]
+        assert r.n_lines == len(pts)
+        if xs.std() > 0:
+            slope = np.polyfit(xs, ys, 1)[0]
+            assert r.qty_per_discount_point == pytest.approx(slope, rel=1e-9)
+            if ys.std() > 0:
+                cc = np.corrcoef(xs, ys)[0, 1]
+                assert r.r2 == pytest.approx(cc * cc, rel=1e-9)
+
+
+def test_icc_identical_users_scores_near_one(spark, tmp_path):
+    """Users with constant (but distinct) values => within-variance 0,
+    ICC -> 1."""
+    rows = []
+    eid = 0
+    for u in range(10):
+        for _ in range(20):
+            rows.append((eid, "2024-01-01 00:00:00", f"u{u}",
+                         "click", float(u + 1)))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id string,"
+        " event_type string, value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "'{}' AS props"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = curation.events_icc(spark, str(tmp_path)).collect()[0]
+    assert r.ms_within == 0.0
+    assert r.icc1 == pytest.approx(1.0)
+
+
+def test_brier_decomposition_identity(spark):
+    """brier_raw == reliability - resolution + uncertainty
+    + within_bin_variance (by construction), components sane."""
+    r = curation.events_score_brier(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.brier_raw <= 1.0
+    assert r.reliability >= 0 and r.resolution >= 0
+    assert 0.0 <= r.uncertainty <= 0.25 + 1e-12
+    lhs = r.brier_raw
+    rhs = (
+        r.reliability - r.resolution + r.uncertainty + r.within_bin_variance
+    )
+    assert lhs == pytest.approx(rhs)
+
+
 def test_join_fanout_matches_real_join_counts(spark):
     prof = {
         r.relation: r

@@ -921,6 +921,17 @@ def test_tpch_tail_plan_invariants(spark, sf_dir):
     # length-grid cumulative frame
     p = plan("corpus_split_drift")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    # price elasticity: part dim broadcast; one brand-keyed hash agg
+    p = plan("sql_price_elasticity")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # icc: user-keyed agg + one-row broadcast; no window, no cartesian
+    p = plan("events_icc")
+    assert "Window" not in p, p
+    # brier: 10-bin hash agg with range scalars broadcast
+    p = plan("events_score_brier")
+    assert "Window" not in p, p
+    assert "SortMergeJoin" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
