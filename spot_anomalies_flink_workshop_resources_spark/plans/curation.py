@@ -839,7 +839,11 @@ def sql_cohort_retention_matrix(
     for first months, one (cohort, offset, custkey) distinct agg — both
     shuffle on keys the orders join already pays."""
     o = load_table(spark, sf_dir, "orders")
-    om = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    # 0-based month index so div/mod decode cleanly (y*12+m would label
+    # December as January of the next year)
+    om = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
     d = o.select("o_custkey", om.alias("m"))
     first = d.groupBy("o_custkey").agg(F.min("m").alias("m0"))
     act = (
@@ -876,7 +880,8 @@ def sql_cohort_retention_matrix(
 SQL_COHORT_RETENTION_SQL = """
 WITH d AS (
   SELECT o_custkey,
-         CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS m
+         CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT)
+           AS m
   FROM orders
 ),
 first_m AS (

@@ -1,0 +1,262 @@
+"""Randomized cross-checks for the third-wave curation/eval operators:
+each query re-derived by an independent pure-Python reference on seeded
+random fixtures (the multi-seed strategy of test_insights_random.py).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spot_anomalies_flink_workshop_resources_spark.plans import curation as C
+
+from test_insights import _events, _write
+
+_Q = 1 << 20
+
+
+def _rand_events(seed, n=300, types=("a", "b", "error"), users=(1, 2, 3, 4)):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        d, h, m = rng.randint(1, 27), rng.randint(0, 23), rng.randint(0, 59)
+        rows.append(
+            (i, f"2024-03-{d:02d} {h:02d}:{m:02d}:00", rng.choice(users),
+             rng.choice(types), round(rng.uniform(1, 99), 2))
+        )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [5, 19, 83])
+def test_entropy_rate_matches_python(spark, tmp_path, seed):
+    rows = _rand_events(seed)
+    sf = _events(spark, tmp_path, rows)
+    # python reference with the SAME quantization
+    by_user = {}
+    for i, ts, u, t, v in rows:
+        by_user.setdefault(u, []).append((ts, i, t))
+    trans = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_ts1, _i1, prev), (_ts2, _i2, nxt) in zip(seq, seq[1:]):
+            trans[(prev, nxt)] = trans.get((prev, nxt), 0) + 1
+    tot = {}
+    for (p, _), n in trans.items():
+        tot[p] = tot.get(p, 0) + n
+    want = {}
+    for p, ni in tot.items():
+        hq = sum(
+            math.floor(n * math.log(ni / n) * _Q + 0.5)
+            for (pp, _), n in trans.items()
+            if pp == p
+        )
+        want[p] = hq / (ni * _Q) / math.log(2)
+    got = {
+        r.prev_type: r for r in C.events_entropy_rate(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p].h_bits == pytest.approx(want[p], abs=1e-12)
+        assert got[p].n_transitions == tot[p]
+
+
+@pytest.mark.parametrize("seed", [7, 31, 101])
+def test_icc_matches_python_exact_formula(spark, tmp_path, seed):
+    rows = _rand_events(seed)
+    sf = _events(spark, tmp_path, rows)
+    groups = {}
+    for i, ts, u, t, v in rows:
+        groups.setdefault(u, []).append(round(v * 100))
+    k = len(groups)
+    nn = sum(len(g) for g in groups.values())
+    s = sum(sum(g) for g in groups.values())
+    ssb_num = sum((sum(g) * sum(g)) // len(g) for g in groups.values())
+    sn2 = sum(len(g) ** 2 for g in groups.values())
+    scc = sum(c * c for g in groups.values() for c in g)
+    msb = (ssb_num - s / nn * s) / (k - 1)
+    msw = (scc - ssb_num) / (nn - k)
+    n0 = (nn - sn2 / nn) / (k - 1)
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    r = C.events_icc(spark, sf).collect()[0]
+    assert r.n_users == k and r.n_events == nn
+    assert r.ms_between == pytest.approx(msb, rel=1e-12)
+    assert r.ms_within == pytest.approx(msw, rel=1e-12)
+    assert r.icc1 == pytest.approx(icc, rel=1e-9)
+
+
+@pytest.mark.parametrize("seed", [13, 43, 97])
+def test_brier_matches_python(spark, tmp_path, seed):
+    rows = _rand_events(seed)
+    sf = _events(spark, tmp_path, rows)
+    cs = [(round(v * 100), 1 if t == "error" else 0)
+          for _, _, _, t, v in rows]
+    mn, mx = min(c for c, _ in cs), max(c for c, _ in cs)
+    r_ = mx - mn
+    nn = len(cs)
+    sqsum = sum(((c - mn) - o * r_) ** 2 for c, o in cs)
+    brier = sqsum / (nn * r_ * r_)
+    bins = {}
+    for c, o in cs:
+        b = ((c - mn) * 10) // (mx - mn + 1)
+        n, ss, np_ = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, ss + (c - mn), np_ + o)
+    p = sum(o for _, o in cs)
+    rel_q = sum(
+        math.floor((ss - np_ * r_) ** 2 / (n * r_ * r_) * _Q + 0.5)
+        for n, ss, np_ in bins.values()
+    )
+    res_q = sum(
+        math.floor((np_ * nn - n * p) ** 2 / (n * nn * nn) * _Q + 0.5)
+        for n, ss, np_ in bins.values()
+    )
+    row = C.events_score_brier(spark, sf).collect()[0]
+    assert row.n_events == nn
+    assert row.brier_raw == pytest.approx(brier, rel=1e-12)
+    assert row.reliability == pytest.approx(rel_q / (nn * _Q), rel=1e-12)
+    assert row.resolution == pytest.approx(res_q / (nn * _Q), rel=1e-12)
+    obar = p / nn
+    assert row.uncertainty == pytest.approx(obar * (1 - obar), rel=1e-12)
+
+
+@pytest.mark.parametrize("seed", [3, 59, 71])
+def test_cohort_retention_matches_python(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    rows = []
+    for ok in range(120):
+        ck = rng.randint(1, 25)
+        y, m, d = rng.randint(2023, 2024), rng.randint(1, 12), rng.randint(1, 28)
+        rows.append(
+            Row(o_orderkey=ok, o_custkey=ck, o_orderstatus="O",
+                o_totalprice=10.0, o_orderdate=f"{y}-{m:02d}-{d:02d}",
+                o_orderpriority="1-URGENT")
+        )
+    df = spark.createDataFrame(rows).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    _write(df, tmp_path, "orders")
+    # python reference
+    cust = {}
+    for r in rows:
+        y, m, _ = r.o_orderdate.split("-")
+        mi = int(y) * 12 + int(m) - 1
+        cust.setdefault(r.o_custkey, []).append(mi)
+    act = {}
+    for ck, ms in cust.items():
+        m0 = min(ms)
+        for m in set(ms):
+            off = m - m0
+            if off <= 11:
+                act.setdefault((m0, off), set()).add(ck)
+    got = {
+        ((r.cohort_year * 12 + r.cohort_month - 1), r.offset): r
+        for r in C.sql_cohort_retention_matrix(spark, str(tmp_path)).collect()
+    }
+    # labels decode the 0-based index cleanly: Dec stays in its year
+    for r in C.sql_cohort_retention_matrix(spark, str(tmp_path)).collect():
+        assert 1 <= r.cohort_month <= 12
+        assert 2023 <= r.cohort_year <= 2024
+    assert set(got) == set(act)
+    for key, members in act.items():
+        base = len(act[(key[0], 0)])
+        assert got[key].active == len(members)
+        assert got[key].cohort_size == base
+        assert got[key].retention == pytest.approx(len(members) / base)
+
+
+@pytest.mark.parametrize("seed", [17, 37, 89])
+def test_elasticity_matches_python_sufficient_stats(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    lrows, prows = [], []
+    for pk in range(1, 11):
+        prows.append(
+            Row(p_partkey=pk, p_name="n", p_brand=f"B{pk % 3}",
+                p_type="t", p_size=1, p_retailprice=1.0)
+        )
+    for i in range(200):
+        pk = rng.randint(1, 10)
+        lrows.append(
+            Row(l_orderkey=i, l_partkey=pk, l_suppkey=1, l_linenumber=1,
+                l_quantity=float(rng.randint(1, 50)),
+                l_extendedprice=100.0,
+                l_discount=round(rng.randint(0, 10) / 100, 2),
+                l_tax=0.0, l_returnflag="N", l_linestatus="O",
+                l_shipdate="1997-01-01")
+        )
+    _write(spark.createDataFrame(prows), tmp_path, "part")
+    _write(
+        spark.createDataFrame(lrows).withColumn(
+            "l_shipdate", F.col("l_shipdate").cast("timestamp")
+        ),
+        tmp_path,
+        "lineitem",
+    )
+    stats = {}
+    pk2b = {p.p_partkey: p.p_brand for p in prows}
+    for r in lrows:
+        b = pk2b[r.l_partkey]
+        x = round(r.l_discount * 100)
+        y = int(r.l_quantity)
+        n, sx, sxx, sy, syy, sxy = stats.get(b, (0,) * 6)
+        stats[b] = (n + 1, sx + x, sxx + x * x, sy + y, syy + y * y,
+                    sxy + x * y)
+    got = {
+        r.p_brand: r
+        for r in C.sql_price_elasticity(spark, str(tmp_path)).collect()
+    }
+    for b, (n, sx, sxx, sy, syy, sxy) in stats.items():
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        r = got[b]
+        assert r.n_lines == n
+        if dx > 0:
+            assert r.qty_per_discount_point == pytest.approx(
+                (n * sxy - sx * sy) / dx
+            )
+            if dy > 0:
+                assert r.r2 == pytest.approx(
+                    (n * sxy - sx * sy) ** 2 / (dx * dy)
+                )
+
+
+@pytest.mark.parametrize("seed", [29, 61, 79])
+def test_split_drift_matches_python(spark, tmp_path, seed):
+    import hashlib
+
+    rng = random.Random(seed)
+    rows = [
+        Row(doc_id=i, text="w", lang=rng.choice(["en", "de"]),
+            source="s", n_chars=rng.randint(10, 400))
+        for i in range(120)
+    ]
+    _write(spark.createDataFrame(rows), tmp_path, "documents")
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    train, test = [], []
+    for grp in by_lang.values():
+        grp.sort(
+            key=lambda r: (
+                hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id
+            )
+        )
+        n = len(grp)
+        for i, r in enumerate(grp, start=1):
+            if i * 10 <= n * 8:
+                train.append(r.n_chars)
+            elif i * 10 > n * 9:
+                test.append(r.n_chars)
+    n1, n2 = len(train), len(test)
+    import bisect
+
+    st, ss = sorted(train), sorted(test)
+    d_num = max(
+        abs(bisect.bisect_right(st, x) * n2 - bisect.bisect_right(ss, x) * n1)
+        for x in set(train) | set(test)
+    )
+    row = C.corpus_split_drift(spark, str(tmp_path)).collect()[0]
+    assert (row.n_train, row.n_test) == (n1, n2)
+    assert row.d_stat == pytest.approx(d_num / (n1 * n2))
