@@ -1392,6 +1392,201 @@ FROM agg
 """
 
 
+# -------------------------------------------------------------- log-rank
+
+
+def sql_ship_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST between the shipping survival curves of urgent
+    (1-URGENT/2-HIGH) and normal-priority orders — the standard
+    two-group time-to-event comparison on top of the Kaplan-Meier
+    machinery (does priority actually change time-to-first-ship?),
+    with right-censoring at the dataset horizon exactly like
+    sql_ship_survival.
+
+    Exactness: at-risk and event counts are int64 (cumulative windows
+    over the bounded delay-day domain); each event-time's expected
+    and variance term is one shared float expression of those ints,
+    quantized onto the 2^-20 grid before the int64 sum; the chi²
+    statistic is one final composition, and the 5%-level flag compares
+    against the embedded 3.841459 literal. Scale: one per-order
+    min-shipdate agg (data-sized), then everything lives on the
+    bounded day grid."""
+    o = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+    )
+    horizon = li.agg(F.max("first_ship").alias("h"))
+    subj = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.coalesce(
+                F.datediff(F.col("first_ship"), F.col("o_orderdate")),
+                F.datediff(F.col("h"), F.col("o_orderdate")),
+            ).cast("long").alias("t_obs"),
+            F.col("first_ship").isNotNull().cast("long").alias("evented"),
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .cast("long")
+            .alias("g"),
+        )
+        .where(F.col("t_obs") >= 0)
+    )
+    totals = subj.agg(
+        F.sum("g").cast("long").alias("n1_total"),
+        F.sum(1 - F.col("g")).cast("long").alias("n0_total"),
+    )
+    per_day = subj.groupBy("t_obs").agg(
+        F.sum("g").cast("long").alias("exit1"),
+        F.sum(1 - F.col("g")).cast("long").alias("exit0"),
+        F.sum(F.col("g") * F.col("evented")).cast("long").alias("d1"),
+        F.sum((1 - F.col("g")) * F.col("evented")).cast("long").alias("d0"),
+    )
+    w = Window.orderBy("t_obs").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_day.crossJoin(F.broadcast(totals)).select(
+        "t_obs",
+        "d1",
+        "d0",
+        (F.col("n1_total") - F.coalesce(F.sum("exit1").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n1"),
+        (F.col("n0_total") - F.coalesce(F.sum("exit0").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n0"),
+        "n1_total",
+        "n0_total",
+    )
+    grid = float(_QSCALE)
+    ev = risk.where((F.col("d1") + F.col("d0")) > 0).select(
+        "n1_total",
+        "n0_total",
+        "d1",
+        (F.col("d1") + F.col("d0")).alias("d"),
+        (F.col("n1") + F.col("n0")).alias("n"),
+        "n1",
+    )
+    e_term = F.floor(
+        F.col("d").cast("double")
+        * F.col("n1").cast("double")
+        / F.col("n").cast("double")
+        * F.lit(grid)
+        + F.lit(0.5)
+    ).cast("long")
+    v_term = F.floor(
+        F.when(
+            F.col("n") > 1,
+            F.col("d").cast("double")
+            * (F.col("n1").cast("double") / F.col("n").cast("double"))
+            * (1 - F.col("n1").cast("double") / F.col("n").cast("double"))
+            * (F.col("n") - F.col("d")).cast("double")
+            / (F.col("n") - 1).cast("double"),
+        ).otherwise(F.lit(0.0))
+        * F.lit(grid)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = ev.groupBy("n1_total", "n0_total").agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(e_term).cast("long").alias("e_q"),
+        F.sum(v_term).cast("long").alias("v_q"),
+    )
+    e1 = F.col("e_q").cast("double") / F.lit(grid)
+    v = F.col("v_q").cast("double") / F.lit(grid)
+    chi2 = F.when(
+        F.col("v_q") > 0,
+        (F.col("o1").cast("double") - e1) * (F.col("o1").cast("double") - e1)
+        / v,
+    )
+    return agg.select(
+        F.col("n1_total").alias("n_urgent"),
+        F.col("n0_total").alias("n_normal"),
+        F.col("o1").alias("observed_urgent_events"),
+        e1.alias("expected_urgent_events"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841458820694124)).alias("significant_5pct"),
+    )
+
+
+SQL_SHIP_LOGRANK_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+h AS (SELECT MAX(first_ship) AS h FROM li),
+subj AS (
+  SELECT CAST(COALESCE(
+           CAST(first_ship AS DATE) - CAST(o.o_orderdate AS DATE),
+           CAST(h.h AS DATE) - CAST(o.o_orderdate AS DATE))
+         AS BIGINT) AS t_obs,
+         CAST(CASE WHEN li.first_ship IS NOT NULL THEN 1 ELSE 0 END
+              AS BIGINT) AS evented,
+         CAST(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS BIGINT) AS g
+  FROM orders o
+  LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+  CROSS JOIN h
+),
+subj2 AS (SELECT * FROM subj WHERE t_obs >= 0),
+totals AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS n1_total,
+         CAST(SUM(1 - g) AS BIGINT) AS n0_total
+  FROM subj2
+),
+per_day AS (
+  SELECT t_obs,
+         CAST(SUM(g) AS BIGINT) AS exit1,
+         CAST(SUM(1 - g) AS BIGINT) AS exit0,
+         CAST(SUM(g * evented) AS BIGINT) AS d1,
+         CAST(SUM((1 - g) * evented) AS BIGINT) AS d0
+  FROM subj2 GROUP BY t_obs
+),
+risk AS (
+  SELECT t_obs, d1, d0,
+         t.n1_total - COALESCE(CAST(SUM(exit1) OVER (ORDER BY t_obs
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS n1,
+         t.n0_total - COALESCE(CAST(SUM(exit0) OVER (ORDER BY t_obs
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS n0,
+         t.n1_total, t.n0_total
+  FROM per_day CROSS JOIN totals t
+),
+ev AS (
+  SELECT n1_total, n0_total, d1, d1 + d0 AS d, n1 + n0 AS n, n1
+  FROM risk WHERE d1 + d0 > 0
+),
+agg AS (
+  SELECT n1_total, n0_total,
+         CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(CAST(FLOOR(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+             / CAST(n AS DOUBLE) * {float(_QSCALE)!r} + 0.5) AS BIGINT))
+           AS BIGINT) AS e_q,
+         CAST(SUM(CAST(FLOOR((CASE WHEN n > 1 THEN
+             CAST(d AS DOUBLE)
+             * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+             ELSE 0.0 END) * {float(_QSCALE)!r} + 0.5) AS BIGINT))
+           AS BIGINT) AS v_q
+  FROM ev GROUP BY n1_total, n0_total
+)
+SELECT n1_total AS n_urgent, n0_total AS n_normal,
+       o1 AS observed_urgent_events,
+       CAST(e_q AS DOUBLE) / {float(_QSCALE)!r} AS expected_urgent_events,
+       CASE WHEN v_q > 0 THEN
+         (CAST(o1 AS DOUBLE) - CAST(e_q AS DOUBLE) / {float(_QSCALE)!r})
+         * (CAST(o1 AS DOUBLE) - CAST(e_q AS DOUBLE) / {float(_QSCALE)!r})
+         / (CAST(v_q AS DOUBLE) / {float(_QSCALE)!r}) END AS chi2,
+       CASE WHEN v_q > 0 THEN
+         ((CAST(o1 AS DOUBLE) - CAST(e_q AS DOUBLE) / {float(_QSCALE)!r})
+          * (CAST(o1 AS DOUBLE) - CAST(e_q AS DOUBLE) / {float(_QSCALE)!r})
+          / (CAST(v_q AS DOUBLE) / {float(_QSCALE)!r}))
+         > 3.841458820694124 END AS significant_5pct
+FROM agg
+"""
+
+
 QUERIES = {
     "corpus_boilerplate": corpus_boilerplate,
     "corpus_template_strip": corpus_template_strip,
@@ -1404,6 +1599,7 @@ QUERIES = {
     "sql_price_elasticity": sql_price_elasticity,
     "events_icc": events_icc,
     "events_score_brier": events_score_brier,
+    "sql_ship_logrank": sql_ship_logrank,
 }
 
 ORACLES = {
@@ -1418,4 +1614,5 @@ ORACLES = {
     "sql_price_elasticity": SQL_PRICE_ELASTICITY_SQL,
     "events_icc": EVENTS_ICC_SQL,
     "events_score_brier": EVENTS_BRIER_SQL,
+    "sql_ship_logrank": SQL_SHIP_LOGRANK_SQL,
 }

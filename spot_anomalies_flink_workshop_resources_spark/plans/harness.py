@@ -1155,6 +1155,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_price_elasticity",        # NEW: per-brand discount OLS slope
     "events_icc",                  # NEW: intraclass correlation ICC(1)
     "events_score_brier",          # NEW: Brier + Murphy decomposition
+    "sql_ship_logrank",            # NEW: two-group survival log-rank
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --

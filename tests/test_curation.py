@@ -304,6 +304,54 @@ def test_brier_decomposition_identity(spark):
     assert lhs == pytest.approx(rhs)
 
 
+def test_logrank_planted_difference_and_null(spark, tmp_path):
+    """Urgent orders shipping much faster => significant; identical
+    distributions => chi2 near zero and not significant."""
+    import itertools
+
+    def write(tag, urgent_delay, normal_delay):
+        orows, lrows = [], []
+        oid = itertools.count()
+        for i in range(200):
+            ok = next(oid)
+            urgent = i % 2 == 0
+            d = urgent_delay(i) if urgent else normal_delay(i)
+            orows.append(
+                (ok, i, "O", 10.0, "1997-01-01",
+                 "1-URGENT" if urgent else "5-LOW")
+            )
+            lrows.append(
+                (ok, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                 f"1997-01-{min(d + 1, 28):02d}")
+            )
+        o = spark.createDataFrame(
+            orows, "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string"
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        l = spark.createDataFrame(
+            lrows, "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber long, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate string"
+        ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        p = f"{tmp_path}/{tag}"
+        o.write.mode("overwrite").parquet(f"{p}/orders.parquet")
+        l.write.mode("overwrite").parquet(f"{p}/lineitem.parquet")
+        return p
+
+    fast = write("diff", lambda i: 1 + (i % 3), lambda i: 15 + (i % 5))
+    r = curation.sql_ship_logrank(spark, fast).collect()[0]
+    assert r.significant_5pct and r.chi2 > 50
+    # i//2 strips the parity that assigns groups, so both groups see
+    # the identical delay multiset
+    same = write(
+        "null", lambda i: 5 + ((i // 2) % 4), lambda i: 5 + ((i // 2) % 4)
+    )
+    r = curation.sql_ship_logrank(spark, same).collect()[0]
+    assert not r.significant_5pct
+
+
 def test_join_fanout_matches_real_join_counts(spark):
     prof = {
         r.relation: r

@@ -932,6 +932,10 @@ def test_tpch_tail_plan_invariants(spark, sf_dir):
     p = plan("events_score_brier")
     assert "Window" not in p, p
     assert "SortMergeJoin" not in p, p
+    # log-rank: bounded-day windows; the only data-sized stage is the
+    # per-order min-ship agg (orderkey spine join)
+    p = plan("sql_ship_logrank")
+    assert "CartesianProduct" not in p, p
 
 
 def test_dq_audit_counts_orphans_and_null_fks(spark):
