@@ -222,6 +222,65 @@ def test_elasticity_matches_python_sufficient_stats(spark, tmp_path, seed):
                 )
 
 
+@pytest.mark.parametrize("seed", [41, 53, 67])
+def test_ndcg_matches_python_replay(spark, tmp_path, seed):
+    """Full integer-grid NDCG replay: quantize unit vectors, integer
+    dot products, rank with vec_id tiebreaks, integer DCG weights."""
+    rng = random.Random(seed)
+    dim, n = 16, 60
+    rows = []
+    for vid in range(n):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append(Row(vec_id=vid, embedding=[float(x) for x in v],
+                        label=rng.randint(0, 3)))
+    df = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    _write(df, tmp_path, "embeddings")
+    # python replay — float32 storage first, like the parquet round-trip
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    U = {}
+    for r in rows:
+        e = [f32(x) for x in r.embedding]
+        nrm = math.sqrt(sum((float(x)) * float(x) for x in e)) or 1.0
+        U[r.vec_id] = [math.floor(float(x) / nrm * _Q + 0.5) for x in e]
+    labels = {r.vec_id: r.label for r in rows}
+    W = [round(_Q / math.log2(rk + 1)) for rk in range(1, 11)]
+    CW = [sum(W[: k + 1]) for k in range(10)]
+    lbl_n = {}
+    for l in labels.values():
+        lbl_n[l] = lbl_n.get(l, 0) + 1
+    want = {}
+    for q in sorted(U)[:16]:
+        scored = sorted(
+            ((sum(a * b for a, b in zip(U[q], U[v])), v)
+             for v in U if v != q),
+            key=lambda p: (-p[0], p[1]),
+        )[:10]
+        dcg = sum(
+            W[rk]
+            for rk, (_, v) in enumerate(scored)
+            if labels[v] == labels[q]
+        )
+        n_rel = lbl_n[labels[q]] - 1
+        want[q] = (
+            dcg / CW[min(n_rel, 10) - 1] if n_rel >= 1 else 0.0,
+            n_rel,
+        )
+    got = {
+        r.query_id: (r.ndcg, r.n_rel)
+        for r in C.simsearch_ndcg(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(want)
+    for q in want:
+        assert got[q][1] == want[q][1]
+        assert got[q][0] == pytest.approx(want[q][0], abs=1e-12)
+
+
 @pytest.mark.parametrize("seed", [29, 61, 79])
 def test_split_drift_matches_python(spark, tmp_path, seed):
     import hashlib
