@@ -1156,6 +1156,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_icc",                  # NEW: intraclass correlation ICC(1)
     "events_score_brier",          # NEW: Brier + Murphy decomposition
     "sql_ship_logrank",            # NEW: two-group survival log-rank
+    "events_adf",                  # NEW: Dickey-Fuller unit-root screen
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --

@@ -2438,7 +2438,127 @@ GROUP BY c.sniffed_type, t.nn, t.n_distinct_bytes
 """
 
 
+def events_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DICKEY-FULLER unit-root screen per event type: regress the daily
+    change Δy on the prior day's level y (with constant, over observed
+    days in order — the trading-day convention for gapped series); a
+    significantly negative level coefficient rejects the random-walk
+    null, i.e. the series mean-reverts and level-based alert thresholds
+    are meaningful. The stationarity complement of Mann-Kendall (trend)
+    and CUSUM (level shift).
+
+    Exactness: levels rebase by the per-type minimum (keeps every power
+    sum far under 2^63 at any sf), all six sufficient statistics are
+    int64, and the DECISION is sqrt-free — t² = Sxz²(n−2)/(SxxSzz−Sxz²)
+    as one shared rational of exact ints, compared to the squared 5%
+    Dickey-Fuller critical value (2.86², constant-only design) with a
+    γ<0 sign gate; t_stat itself carries the one sqrt (continuous
+    output, no decision rides on it). Scale: one (type, day) agg, a lag
+    window on the bounded daily frame, a 5-row final agg."""
+    from pyspark.sql import Window
+
+    daily = _daily_cents(spark, sf_dir)
+    base = daily.groupBy("event_type").agg(
+        F.min("y").cast("long").alias("y0")
+    )
+    reb = daily.join(F.broadcast(base), "event_type").select(
+        "event_type", "d", (F.col("y") - F.col("y0")).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    pairs = (
+        reb.withColumn("x", F.lag("y").over(w))
+        .where(F.col("x").isNotNull())
+        .select("event_type", "x", (F.col("y") - F.col("x")).alias("z"))
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+    )
+    nd = F.col("n").cast("double")
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") ** 2 / nd
+    czz = F.col("szz").cast("double") - F.col("sz").cast("double") ** 2 / nd
+    cxz = (
+        F.col("sxz").cast("double")
+        - F.col("sx").cast("double") * F.col("sz").cast("double") / nd
+    )
+    gamma = F.when(cxx > 0, cxz / cxx)
+    t2 = F.when(
+        (cxx > 0) & ((cxx * czz - cxz * cxz) > 0),
+        cxz * cxz * (nd - 2) / (cxx * czz - cxz * cxz),
+    )
+    crit2 = F.lit(2.86 * 2.86)
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        gamma.alias("gamma"),
+        F.when(
+            t2.isNotNull(),
+            F.when(gamma < 0, -F.sqrt(t2)).otherwise(F.sqrt(t2)),
+        ).alias("t_stat"),
+        ((gamma < 0) & (t2 > crit2)).alias("stationary_5pct"),
+    ).orderBy("event_type")
+
+
+EVENTS_ADF_SQL = f"""
+WITH daily AS ({_DAILY_CENTS}),
+reb AS (
+  SELECT d.event_type, d.d, d.y - b.y0 AS y
+  FROM daily d JOIN (SELECT event_type, CAST(MIN(y) AS BIGINT) AS y0
+                     FROM daily GROUP BY event_type) b
+    ON b.event_type = d.event_type
+),
+pairs AS (
+  SELECT event_type, x, y - x AS z FROM (
+    SELECT event_type, y,
+           LAG(y) OVER (PARTITION BY event_type ORDER BY d) AS x
+    FROM reb)
+  WHERE x IS NOT NULL
+),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(z * z) AS BIGINT) AS szz,
+         CAST(SUM(x * z) AS BIGINT) AS sxz
+  FROM pairs GROUP BY event_type
+),
+c AS (
+  SELECT event_type, n,
+         CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+           AS cxx,
+         CAST(szz AS DOUBLE)
+           - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)
+           AS czz,
+         CAST(sxz AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)
+           AS cxz
+  FROM agg
+),
+m AS MATERIALIZED (
+  SELECT event_type, n,
+         CASE WHEN cxx > 0 THEN cxz / cxx END AS gamma,
+         CASE WHEN cxx > 0 AND cxx * czz - cxz * cxz > 0 THEN
+           cxz * cxz * (CAST(n AS DOUBLE) - 2) / (cxx * czz - cxz * cxz)
+         END AS t2
+  FROM c
+)
+SELECT event_type, n AS n_days, gamma,
+       CASE WHEN t2 IS NOT NULL THEN
+         CASE WHEN gamma < 0 THEN -sqrt(t2) ELSE sqrt(t2) END END AS t_stat,
+       (gamma < 0 AND t2 > {2.86 * 2.86!r}) AS stationary_5pct
+FROM m
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "events_adf": events_adf,
     "events_mannwhitney": events_mannwhitney,
     "events_ks_2samp": events_ks_2samp,
     "events_chi2_independence": events_chi2_independence,
@@ -2494,6 +2614,7 @@ ORACLES = {
     "text_kappa_langid": _text_kappa_langid_sql(),
     "events_mutual_information": EVENTS_MI_SQL,
     "events_bootstrap_ci": EVENTS_BOOTSTRAP_SQL,
+    "events_adf": EVENTS_ADF_SQL,
     "corpus_split_stratified": CORPUS_SPLIT_SQL,
     "corpus_cross_source_leak": CORPUS_LEAK_SQL,
     "sql_monthly_growth": SQL_MONTHLY_GROWTH_SQL,

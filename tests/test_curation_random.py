@@ -281,6 +281,53 @@ def test_ndcg_matches_python_replay(spark, tmp_path, seed):
         assert got[q][0] == pytest.approx(want[q][0], abs=1e-12)
 
 
+@pytest.mark.parametrize("seed", [23, 47, 73])
+def test_adf_flags_mean_reversion_not_random_walk(spark, tmp_path, seed):
+    """A strongly mean-reverting series flags stationary; a random walk
+    doesn't; t2 matches a pure-Python replay on the same integer
+    sufficient statistics."""
+    from spot_anomalies_flink_workshop_resources_spark.plans import (
+        stattests as S,
+    )
+
+    rng = random.Random(seed)
+    rows, i = [], 0
+    walk = 5000.0
+    for d in range(1, 121):
+        dd = f"2024-{(d - 1) // 28 + 1:02d}-{(d - 1) % 28 + 1:02d}"
+        # 'mr': strong mean reversion around 50; 'rw': random walk
+        mr = 50.0 + rng.uniform(-20, 20)
+        walk += rng.uniform(-3, 3)
+        for t, v in (("mr", mr), ("rw", walk)):
+            rows.append((i, f"{dd} 12:00:00", 1, t, round(v, 2)))
+            i += 1
+    sf = _events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in S.events_adf(spark, sf).collect()}
+    assert got["mr"].stationary_5pct
+    assert got["mr"].gamma < 0
+    assert not got["rw"].stationary_5pct
+    # python replay of the rational t² for the mean-reverting series
+    daily = {}
+    for _i, ts, _u, t, v in rows:
+        if t != "mr":
+            continue
+        daily.setdefault(ts[:10], 0)
+        daily[ts[:10]] += round(v * 100)
+    ys = [daily[k] for k in sorted(daily)]
+    y0 = min(ys)
+    ys = [y - y0 for y in ys]
+    xs, zs = ys[:-1], [b - a for a, b in zip(ys, ys[1:])]
+    n = len(xs)
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    sz, szz = sum(zs), sum(z * z for z in zs)
+    sxz = sum(x * z for x, z in zip(xs, zs))
+    cxx = sxx - sx * sx / n
+    czz = szz - sz * sz / n
+    cxz = sxz - sx * sz / n
+    t2 = cxz * cxz * (n - 2) / (cxx * czz - cxz * cxz)
+    assert got["mr"].t_stat == pytest.approx(-math.sqrt(t2), rel=1e-9)
+
+
 @pytest.mark.parametrize("seed", [29, 61, 79])
 def test_split_drift_matches_python(spark, tmp_path, seed):
     import hashlib
