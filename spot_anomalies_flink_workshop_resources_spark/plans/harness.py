@@ -1157,6 +1157,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_score_brier",          # NEW: Brier + Murphy decomposition
     "sql_ship_logrank",            # NEW: two-group survival log-rank
     "events_adf",                  # NEW: Dickey-Fuller unit-root screen
+    "events_pacf",                 # NEW: Durbin-Levinson partial ACF
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --

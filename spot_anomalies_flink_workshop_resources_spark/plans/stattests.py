@@ -2557,8 +2557,172 @@ ORDER BY event_type
 """
 
 
+def events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL autocorrelation of daily value volume at lags 1-3 via
+    Durbin-Levinson over the exact ACF — the AR-order diagnostic that
+    separates direct lag effects from propagated ones (PACF cutoff
+    picks AR(p); the companion to events_acf's raw persistence view).
+
+    Exactness: r1-r3 come from the ACF's decimal big-power-sum route
+    (bit-identical both engines); the Durbin-Levinson recursion is
+    float-of-float composition, so each stage materializes before the
+    next references it — staged .select here, chained MATERIALIZED
+    CTEs in DuckDB (the ICC lesson: inlined big trees drift 1 ulp).
+    Scale: the ACF frames plus a 5-row recursion."""
+    daily = _daily_cents(spark, sf_dir)
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    dev = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        (F.col("n") * F.col("y") - F.col("s"))
+        .cast("decimal(18,0)")
+        .alias("dev"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("den_dec")
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("long").alias("lag"))
+    a = dev.select("event_type", "d", F.col("dev").alias("dev_a"))
+    b = dev.select(
+        "event_type", F.col("d").alias("db"), F.col("dev").alias("dev_b")
+    )
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b.withColumnRenamed("event_type", "et_b"),
+            (a.event_type == F.col("et_b"))
+            & (F.col("db") == a.d + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("dev_a") * F.col("dev_b")).alias("num_dec"))
+    )
+    d2d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    acf = num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        "lag",
+        F.when(
+            d2d(F.col("den_dec")) > 0,
+            d2d(F.col("num_dec")) / d2d(F.col("den_dec")),
+        ).alias("r"),
+    )
+    rrow = acf.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    s1 = rrow.select(
+        "event_type",
+        "r1",
+        "r2",
+        "r3",
+        F.when(
+            (1 - F.col("r1") * F.col("r1")) != 0,
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (1 - F.col("r1") * F.col("r1")),
+        ).alias("phi22"),
+    )
+    s2 = s1.select(
+        "event_type",
+        "r1",
+        "r2",
+        "r3",
+        "phi22",
+        (F.col("r1") * (1 - F.col("phi22"))).alias("phi21"),
+    )
+    return s2.select(
+        "event_type",
+        "r1",
+        "r2",
+        "r3",
+        F.col("r1").alias("pacf1"),
+        F.col("phi22").alias("pacf2"),
+        F.when(
+            (
+                1
+                - F.col("phi21") * F.col("r1")
+                - F.col("phi22") * F.col("r2")
+            )
+            != 0,
+            (
+                F.col("r3")
+                - F.col("phi21") * F.col("r2")
+                - F.col("phi22") * F.col("r1")
+            )
+            / (
+                1
+                - F.col("phi21") * F.col("r1")
+                - F.col("phi22") * F.col("r2")
+            ),
+        ).alias("pacf3"),
+    ).orderBy("event_type")
+
+
+EVENTS_PACF_SQL = f"""
+WITH daily AS ({_DAILY_CENTS}),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s
+  FROM daily GROUP BY event_type
+),
+dev AS MATERIALIZED (
+  SELECT d.event_type, d.d,
+         CAST(t.n * d.y - t.s AS DECIMAL(18,0)) AS dev
+  FROM daily d JOIN tot t ON t.event_type = d.event_type
+),
+den AS (
+  SELECT event_type, SUM(dev * dev) AS den_dec
+  FROM dev GROUP BY event_type
+),
+num AS (
+  SELECT a.event_type, l.lag, SUM(a.dev * b.dev) AS num_dec
+  FROM dev a
+  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS lag) l
+  JOIN dev b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+  GROUP BY a.event_type, l.lag
+),
+acf AS (
+  SELECT n.event_type, n.lag,
+         CASE WHEN CAST(CAST(d.den_dec AS VARCHAR) AS DOUBLE) > 0 THEN
+           CAST(CAST(n.num_dec AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(d.den_dec AS VARCHAR) AS DOUBLE) END AS r
+  FROM num n JOIN den d ON d.event_type = n.event_type
+),
+rrow AS MATERIALIZED (
+  SELECT event_type,
+         MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+         MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+         MAX(CASE WHEN lag = 3 THEN r END) AS r3
+  FROM acf GROUP BY event_type
+),
+s1 AS MATERIALIZED (
+  SELECT event_type, r1, r2, r3,
+         CASE WHEN (1 - r1 * r1) <> 0
+              THEN (r2 - r1 * r1) / (1 - r1 * r1) END AS phi22
+  FROM rrow
+),
+s2 AS MATERIALIZED (
+  SELECT event_type, r1, r2, r3, phi22,
+         r1 * (1 - phi22) AS phi21
+  FROM s1
+)
+SELECT event_type, r1, r2, r3,
+       r1 AS pacf1,
+       phi22 AS pacf2,
+       CASE WHEN (1 - phi21 * r1 - phi22 * r2) <> 0 THEN
+         (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+       END AS pacf3
+FROM s2
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_adf": events_adf,
+    "events_pacf": events_pacf,
     "events_mannwhitney": events_mannwhitney,
     "events_ks_2samp": events_ks_2samp,
     "events_chi2_independence": events_chi2_independence,
@@ -2615,6 +2779,7 @@ ORACLES = {
     "events_mutual_information": EVENTS_MI_SQL,
     "events_bootstrap_ci": EVENTS_BOOTSTRAP_SQL,
     "events_adf": EVENTS_ADF_SQL,
+    "events_pacf": EVENTS_PACF_SQL,
     "corpus_split_stratified": CORPUS_SPLIT_SQL,
     "corpus_cross_source_leak": CORPUS_LEAK_SQL,
     "sql_monthly_growth": SQL_MONTHLY_GROWTH_SQL,

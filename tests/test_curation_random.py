@@ -328,6 +328,60 @@ def test_adf_flags_mean_reversion_not_random_walk(spark, tmp_path, seed):
     assert got["mr"].t_stat == pytest.approx(-math.sqrt(t2), rel=1e-9)
 
 
+@pytest.mark.parametrize("seed", [11, 31, 59])
+def test_pacf_matches_statsmodels_free_python(spark, tmp_path, seed):
+    """Durbin-Levinson replay in Python over the same exact ACF."""
+    from spot_anomalies_flink_workshop_resources_spark.plans import (
+        stattests as S,
+    )
+
+    rng = random.Random(seed)
+    rows, i = [], 0
+    prev = 50.0
+    for d in range(1, 90):
+        dd = f"2024-{(d - 1) // 28 + 1:02d}-{(d - 1) % 28 + 1:02d}"
+        prev = 0.6 * prev + rng.uniform(5, 40)  # AR(1)-ish
+        rows.append((i, f"{dd} 12:00:00", 1, "a", round(prev, 2)))
+        i += 1
+    sf = _events(spark, tmp_path, rows)
+    r = {q.event_type: q for q in S.events_pacf(spark, sf).collect()}["a"]
+    # python replay
+    daily = {}
+    for _i, ts, _u, _t, v in rows:
+        daily[ts[:10]] = daily.get(ts[:10], 0) + round(v * 100)
+    days = sorted(daily)
+    ys = [daily[k] for k in days]
+    n, s = len(ys), sum(ys)
+    dev = {d_: n * y - s for d_, y in zip(days, ys)}
+    den = sum(v * v for v in dev.values())
+    rr = {}
+    for lag in (1, 2, 3):
+        # the engine joins on CALENDAR day d + lag, not row offset
+        num = sum(
+            dev[a] * dev[b]
+            for a in days
+            for b in [_day_plus(a, lag)]
+            if b in dev
+        )
+        rr[lag] = num / den
+    phi11 = rr[1]
+    phi22 = (rr[2] - rr[1] ** 2) / (1 - rr[1] ** 2)
+    phi21 = rr[1] * (1 - phi22)
+    phi33 = (rr[3] - phi21 * rr[2] - phi22 * rr[1]) / (
+        1 - phi21 * rr[1] - phi22 * rr[2]
+    )
+    assert r.pacf1 == pytest.approx(phi11, rel=1e-12)
+    assert r.pacf2 == pytest.approx(phi22, rel=1e-12)
+    assert r.pacf3 == pytest.approx(phi33, rel=1e-12)
+
+
+def _day_plus(day: str, lag: int) -> str:
+    import datetime
+
+    d = datetime.date.fromisoformat(day) + datetime.timedelta(days=lag)
+    return d.isoformat()
+
+
 @pytest.mark.parametrize("seed", [29, 61, 79])
 def test_split_drift_matches_python(spark, tmp_path, seed):
     import hashlib
