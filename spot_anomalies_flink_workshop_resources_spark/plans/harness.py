@@ -1158,6 +1158,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_ship_logrank",            # NEW: two-group survival log-rank
     "events_adf",                  # NEW: Dickey-Fuller unit-root screen
     "events_pacf",                 # NEW: Durbin-Levinson partial ACF
+    "events_ljung_box",            # NEW: portmanteau white-noise test
     # -- round 5: never-driver-checked in 4 rounds (VERDICT r4 #2) --
     "sql_nation_top_customers",    # exact in local sweeps since r2
     # -- round 5: new or semantics-changed --

@@ -2720,9 +2720,141 @@ ORDER BY event_type
 """
 
 
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX portmanteau test per event type: is the daily series
+    white noise, or is there autocorrelation at ANY of lags 1-7?
+    Q = n(n+2) Σ r_k²/(n−k) vs the χ²(7) 5% critical value — the
+    closer of the time-series diagnostic suite (ACF: raw persistence;
+    PACF: AR order; ADF: unit root; Ljung-Box: any structure at all).
+
+    Exactness: r_k come from the ACF's decimal big-power-sum route
+    (bit-identical); each r_k²/(n−k) term is one shared float
+    expression quantized onto the 2^-40 grid before the 7-term int64
+    sum (floats over parallel rows are not order-free even at 7 rows);
+    Q and the flag are one final composition vs the embedded critical
+    literal. Scale: the ACF frames plus a 7-row rollup."""
+    daily = _daily_cents(spark, sf_dir)
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    dev = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        (F.col("n") * F.col("y") - F.col("s"))
+        .cast("decimal(18,0)")
+        .alias("dev"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("den_dec"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
+    a = dev.select("event_type", "d", F.col("dev").alias("dev_a"))
+    b = dev.select(
+        "event_type", F.col("d").alias("db"), F.col("dev").alias("dev_b")
+    )
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b.withColumnRenamed("event_type", "et_b"),
+            (a.event_type == F.col("et_b"))
+            & (F.col("db") == a.d + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("dev_a") * F.col("dev_b")).alias("num_dec"))
+    )
+    d2d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    grid40 = float(1 << 40)
+    r = num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        "lag",
+        "n_days",
+        F.when(
+            d2d(F.col("den_dec")) > 0,
+            d2d(F.col("num_dec")) / d2d(F.col("den_dec")),
+        ).alias("rk"),
+    )
+    term = F.floor(
+        F.col("rk")
+        * F.col("rk")
+        / (F.col("n_days") - F.col("lag")).cast("double")
+        * F.lit(grid40)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = r.where(F.col("rk").isNotNull()).groupBy(
+        "event_type", "n_days"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lags"),
+        F.sum(term).cast("long").alias("t_q"),
+    )
+    nd = F.col("n_days").cast("double")
+    q = nd * (nd + 2) * F.col("t_q").cast("double") / F.lit(grid40)
+    crit = F.lit(14.067140449340169)  # chi2 0.95, df=7
+    return agg.select(
+        "event_type",
+        "n_days",
+        "n_lags",
+        q.alias("q_stat"),
+        (q > crit).alias("autocorrelated_5pct"),
+    ).orderBy("event_type")
+
+
+EVENTS_LJUNG_BOX_SQL = f"""
+WITH daily AS ({_DAILY_CENTS}),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s
+  FROM daily GROUP BY event_type
+),
+dev AS MATERIALIZED (
+  SELECT d.event_type, d.d,
+         CAST(t.n * d.y - t.s AS DECIMAL(18,0)) AS dev
+  FROM daily d JOIN tot t ON t.event_type = d.event_type
+),
+den AS (
+  SELECT event_type, SUM(dev * dev) AS den_dec,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM dev GROUP BY event_type
+),
+num AS (
+  SELECT a.event_type, l.lag, SUM(a.dev * b.dev) AS num_dec
+  FROM dev a
+  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+  JOIN dev b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+  GROUP BY a.event_type, l.lag
+),
+r AS (
+  SELECT n.event_type, n.lag, d.n_days,
+         CASE WHEN CAST(CAST(d.den_dec AS VARCHAR) AS DOUBLE) > 0 THEN
+           CAST(CAST(n.num_dec AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(d.den_dec AS VARCHAR) AS DOUBLE) END AS rk
+  FROM num n JOIN den d ON d.event_type = n.event_type
+),
+agg AS (
+  SELECT event_type, n_days,
+         CAST(COUNT(*) AS BIGINT) AS n_lags,
+         CAST(SUM(CAST(FLOOR(rk * rk
+             / CAST(n_days - lag AS DOUBLE) * {float(1 << 40)!r} + 0.5)
+             AS BIGINT)) AS BIGINT) AS t_q
+  FROM r WHERE rk IS NOT NULL
+  GROUP BY event_type, n_days
+)
+SELECT event_type, n_days, n_lags,
+       CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2)
+         * CAST(t_q AS DOUBLE) / {float(1 << 40)!r} AS q_stat,
+       (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2)
+         * CAST(t_q AS DOUBLE) / {float(1 << 40)!r})
+         > 14.067140449340169 AS autocorrelated_5pct
+FROM agg
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_adf": events_adf,
     "events_pacf": events_pacf,
+    "events_ljung_box": events_ljung_box,
     "events_mannwhitney": events_mannwhitney,
     "events_ks_2samp": events_ks_2samp,
     "events_chi2_independence": events_chi2_independence,
@@ -2780,6 +2912,7 @@ ORACLES = {
     "events_bootstrap_ci": EVENTS_BOOTSTRAP_SQL,
     "events_adf": EVENTS_ADF_SQL,
     "events_pacf": EVENTS_PACF_SQL,
+    "events_ljung_box": EVENTS_LJUNG_BOX_SQL,
     "corpus_split_stratified": CORPUS_SPLIT_SQL,
     "corpus_cross_source_leak": CORPUS_LEAK_SQL,
     "sql_monthly_growth": SQL_MONTHLY_GROWTH_SQL,

@@ -382,6 +382,54 @@ def _day_plus(day: str, lag: int) -> str:
     return d.isoformat()
 
 
+@pytest.mark.parametrize("seed", [19, 43, 89])
+def test_ljung_box_flags_ar_not_iid(spark, tmp_path, seed):
+    """AR(1) series flags autocorrelated; iid noise (usually) doesn't;
+    Q matches the quantized Python replay exactly."""
+    from spot_anomalies_flink_workshop_resources_spark.plans import (
+        stattests as S,
+    )
+
+    rng = random.Random(seed)
+    rows, i = [], 0
+    prev = 50.0
+    for d in range(1, 90):
+        dd = f"2024-{(d - 1) // 28 + 1:02d}-{(d - 1) % 28 + 1:02d}"
+        prev = 0.7 * prev + rng.uniform(5, 30)
+        rows.append((i, f"{dd} 12:00:00", 1, "ar", round(prev, 2)))
+        i += 1
+        rows.append(
+            (i, f"{dd} 12:00:00", 1, "iid", round(rng.uniform(1, 99), 2))
+        )
+        i += 1
+    sf = _events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in S.events_ljung_box(spark, sf).collect()}
+    assert got["ar"].autocorrelated_5pct
+    # python replay for the AR series
+    daily = {}
+    for _i, ts, _u, t, v in rows:
+        if t != "ar":
+            continue
+        daily[ts[:10]] = daily.get(ts[:10], 0) + round(v * 100)
+    days = sorted(daily)
+    ys = [daily[k] for k in days]
+    n, s = len(ys), sum(ys)
+    dev = {d_: n * y - s for d_, y in zip(days, ys)}
+    den = sum(v * v for v in dev.values())
+    tq = 0
+    for lag in range(1, 8):
+        num = sum(
+            dev[a] * dev[b]
+            for a in days
+            for b in [_day_plus(a, lag)]
+            if b in dev
+        )
+        rk = num / den
+        tq += math.floor(rk * rk / (n - lag) * (1 << 40) + 0.5)
+    q = n * (n + 2) * tq / (1 << 40)
+    assert got["ar"].q_stat == pytest.approx(q, rel=1e-12)
+
+
 @pytest.mark.parametrize("seed", [29, 61, 79])
 def test_split_drift_matches_python(spark, tmp_path, seed):
     import hashlib
