@@ -50,11 +50,39 @@ DEFAULTS = dict(
     neg_sampling_rate=5,
     mini_batch_size=1000,
     seed=42,
+    # SageMaker's hash caps (notebook cell 11: num_entity_vectors=20000):
+    # entities/IPs are HASHED into a fixed vector count, so parameter
+    # matrices are config-bounded, not data-bounded. None = exact dense
+    # indexing (every distinct value gets its own vector) — fine while
+    # the vocab fits driver memory; set the caps for an unbounded space.
+    num_entity_vectors=None,
+    num_ip_vectors=None,
 )
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
+
+
+def _hash_slot(value: str, cap: int) -> int:
+    """Python twin of :func:`_hash_slot_col` — md5 first-8-hex mod cap.
+
+    md5 is the one hash both Spark SQL and Python compute identically
+    (same UTF-8 bytes in, same hex out), so executor-side indexing and
+    driver-side scoring agree without shipping any vocabulary."""
+    import hashlib
+
+    return int(hashlib.md5(value.encode("utf-8")).hexdigest()[:8], 16) % cap
+
+
+def _hash_slot_col(col: str, cap: int) -> Column:
+    """Spark twin of :func:`_hash_slot`: slot index as a column expression.
+
+    This is the whole point of the cap: the index is a narrow map-side
+    expression — no distinct, no shuffle, no collected vocab dict."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("long") % cap
+    )
 
 
 def _stable_index_frame(
@@ -114,10 +142,25 @@ def _stable_index_frame(
 
 @dataclass
 class IPInsightsModel:
-    entity_index: dict[str, int]
-    ip_index: dict[str, int]
-    entity_vecs: np.ndarray  # (n_entities, dim)
-    ip_vecs: np.ndarray  # (n_ips, dim)
+    # Dense-index mode: dict vocab -> row. Hash-cap mode (the reference's
+    # num_entity_vectors semantics): index is None and slots come from
+    # md5(value) % cap — driver state is config-bounded (cap x dim).
+    entity_index: dict[str, int] | None
+    ip_index: dict[str, int] | None
+    entity_vecs: np.ndarray  # (n_entities | num_entity_vectors, dim)
+    ip_vecs: np.ndarray  # (n_ips | num_ip_vectors, dim)
+    num_entity_vectors: int | None = None
+    num_ip_vectors: int | None = None
+
+    def _entity_slot(self, value: str) -> int | None:
+        if self.num_entity_vectors is not None:
+            return _hash_slot(value, self.num_entity_vectors)
+        return self.entity_index.get(value)
+
+    def _ip_slot(self, value: str) -> int | None:
+        if self.num_ip_vectors is not None:
+            return _hash_slot(value, self.num_ip_vectors)
+        return self.ip_index.get(value)
 
     @classmethod
     def train(
@@ -164,28 +207,43 @@ class IPInsightsModel:
             F.col(entity_col).cast("string").alias("entity"),
             F.col(ip_col).cast("string").alias("ip"),
         )
-        # vocab: distributed distinct + distributed stable dense index
-        # (range partitions + offsets — no single-task global window)
-        ents_df = _stable_index_frame(sdf, "entity", "ei")
-        ips_df = _stable_index_frame(sdf, "ip", "pi")
-        e_idx = {r["entity"]: r["ei"] for r in ents_df.collect()}
-        i_idx = {r["ip"]: r["pi"] for r in ips_df.collect()}
+        e_cap, i_cap = hp["num_entity_vectors"], hp["num_ip_vectors"]
+        # Index encoding, per axis:
+        # - hash-cap mode (reference num_entity_vectors, cell 11): slot =
+        #   md5(value) % cap, a narrow map-side expression — no distinct,
+        #   no vocab collect; driver/executor matrices are (cap, dim).
+        # - dense mode: distributed distinct + distributed stable dense
+        #   index (range partitions + offsets — no single-task window).
+        if e_cap is not None:
+            e_idx, n_e = None, int(e_cap)
+            ei_col = _hash_slot_col("entity", e_cap).alias("ei")
+            enc = sdf.select(ei_col, "ip")
+        else:
+            ents_df = _stable_index_frame(sdf, "entity", "ei")
+            e_idx = {r["entity"]: r["ei"] for r in ents_df.collect()}
+            n_e = len(e_idx)
+            enc = sdf.join(F.broadcast(ents_df), "entity").select("ei", "ip")
+        if i_cap is not None:
+            i_idx, n_i = None, int(i_cap)
+            enc = enc.select("ei", _hash_slot_col("ip", i_cap).alias("pi"))
+        else:
+            ips_df = _stable_index_frame(sdf, "ip", "pi")
+            i_idx = {r["ip"]: r["pi"] for r in ips_df.collect()}
+            n_i = len(i_idx)
+            enc = enc.join(F.broadcast(ips_df), "ip").select("ei", "pi")
         rng = np.random.RandomState(hp["seed"])
         dim = hp["vector_dim"]
-        E = (rng.rand(len(e_idx), dim) - 0.5) / dim
-        P = (rng.rand(len(i_idx), dim) - 0.5) / dim
+        E = (rng.rand(n_e, dim) - 0.5) / dim
+        P = (rng.rand(n_i, dim) - 0.5) / dim
 
-        n_ips = len(i_idx)
+        n_ips = n_i
         lr, k = hp["learning_rate"], hp["neg_sampling_rate"]
         bs = hp["mini_batch_size"]
         seed = hp["seed"]
         shards = num_shards or min(spark.sparkContext.defaultParallelism, 16)
 
         indexed = (
-            sdf.join(F.broadcast(ents_df), "entity")
-            .join(F.broadcast(ips_df), "ip")
-            .select("ei", "pi")
-            .repartition(shards, "ei")  # co-locate an entity's pairs
+            enc.repartition(shards, "ei")  # co-locate an entity's pairs
             .sortWithinPartitions("ei", "pi")  # deterministic shard order
         )
         indexed = indexed.localCheckpoint(eager=True)  # index once, not per epoch
@@ -235,7 +293,7 @@ class IPInsightsModel:
                 _epoch=epoch,
                 _bc=bc,
                 _slices=slice_bcs,
-                _n_e=len(e_idx),  # captured as a scalar — NOT the vocab dict
+                _n_e=n_e,  # captured as a scalar — NOT the vocab dict
             ):
                 from pyspark import TaskContext
 
@@ -329,20 +387,22 @@ class IPInsightsModel:
             if slice_bcs:
                 for b in slice_bcs.values():
                     b.unpersist()
-        return cls(e_idx, i_idx, E, P)
+        return cls(e_idx, i_idx, E, P, num_entity_vectors=e_cap, num_ip_vectors=i_cap)
 
     def score_pairs(self, entities: np.ndarray, ips: np.ndarray) -> np.ndarray:
-        """Vectorized anomaly scores; unseen entity/ip -> 0 vector (score 0,
-        i.e. 'no evidence', matching cold-start neutrality)."""
+        """Vectorized anomaly scores. Dense mode: unseen entity/ip -> 0
+        vector (score 0, 'no evidence', cold-start neutrality). Hash-cap
+        mode: every value hashes to a trained slot — SageMaker's
+        semantics, where unseen values collide into existing vectors."""
         dim = self.entity_vecs.shape[1]
         ev = np.zeros((len(entities), dim))
         pv = np.zeros((len(ips), dim))
         for i, e in enumerate(entities):
-            j = self.entity_index.get(e)
+            j = self._entity_slot(e)
             if j is not None:
                 ev[i] = self.entity_vecs[j]
         for i, p in enumerate(ips):
-            j = self.ip_index.get(p)
+            j = self._ip_slot(p)
             if j is not None:
                 pv[i] = self.ip_vecs[j]
         return -np.einsum("ij,ij->i", ev, pv)
@@ -352,13 +412,20 @@ class IPInsightsModel:
         from pyspark.sql.functions import pandas_udf
 
         bc = spark.sparkContext.broadcast(
-            (self.entity_index, self.ip_index, self.entity_vecs, self.ip_vecs)
+            (
+                self.entity_index,
+                self.ip_index,
+                self.entity_vecs,
+                self.ip_vecs,
+                self.num_entity_vectors,
+                self.num_ip_vectors,
+            )
         )
 
         @pandas_udf(DoubleType())
         def score(entity: pd.Series, ip: pd.Series) -> pd.Series:
-            e_idx, i_idx, E, P = bc.value
-            model = IPInsightsModel(e_idx, i_idx, E, P)
+            e_idx, i_idx, E, P, e_cap, i_cap = bc.value
+            model = IPInsightsModel(e_idx, i_idx, E, P, e_cap, i_cap)
             return pd.Series(
                 model.score_pairs(entity.to_numpy(str), ip.to_numpy(str))
             )

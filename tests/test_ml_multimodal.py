@@ -72,6 +72,59 @@ def test_sharded_entity_broadcast_bit_identical(spark):
     assert np.array_equal(full.ip_vecs, sharded.ip_vecs)
 
 
+def test_hash_cap_bounds_model_and_is_bit_stable(spark):
+    """num_entity_vectors / num_ip_vectors (SageMaker notebook cell 11):
+    parameter matrices must be config-bounded — (cap, dim) regardless of
+    vocab size — with NO vocab dict on the driver, and training must be
+    seeded bit-stable run-to-run."""
+    import numpy as np
+
+    pairs = [
+        (f"eni-{e:03d}", f"10.0.{e}.{i}") for e in range(40) for i in range(3)
+    ] * 10
+    df = spark.createDataFrame(pairs, ["entity", "ip"])
+    kw = dict(
+        vector_dim=8,
+        num_epochs=3,
+        seed=5,
+        num_entity_vectors=16,  # < 40 distinct entities: collisions expected
+        num_ip_vectors=32,
+    )
+    m1 = IPInsightsModel.train(df, **kw)
+    m2 = IPInsightsModel.train(df, **kw)
+    assert m1.entity_index is None and m1.ip_index is None  # no vocab dict
+    assert m1.entity_vecs.shape == (16, 8)
+    assert m1.ip_vecs.shape == (32, 8)
+    assert np.array_equal(m1.entity_vecs, m2.entity_vecs)  # bit-stable
+    assert np.array_equal(m1.ip_vecs, m2.ip_vecs)
+    # scoring still works end-to-end and separates familiar from probes
+    probe = spark.createDataFrame(
+        [("eni-000", "10.0.0.0"), ("eni-000", "10.0.33.2")], ["entity", "ip"]
+    )
+    scored = {r.ip: r.anomaly_score for r in m1.score_dataframe(spark, probe).collect()}
+    assert len(scored) == 2  # both rows scored (hash mode: no unseen gap)
+
+
+def test_hash_slot_spark_python_agree(spark):
+    """The executor-side slot expression (_hash_slot_col) and the
+    driver/scorer-side _hash_slot must agree value-for-value — the
+    invariant that lets hash-cap mode skip shipping any vocabulary."""
+    from spot_anomalies_flink_workshop_resources_spark.ml.ipinsights import (
+        _hash_slot,
+        _hash_slot_col,
+    )
+
+    vals = [f"eni-{i:05d}" for i in range(200)] + ["", "é-unicode", "10.0.0.1"]
+    df = spark.createDataFrame([(v,) for v in vals], ["entity"])
+    got = {
+        r["entity"]: r["slot"]
+        for r in df.select(
+            "entity", _hash_slot_col("entity", 97).alias("slot")
+        ).collect()
+    }
+    assert got == {v: _hash_slot(v, 97) for v in vals}
+
+
 def test_familiar_pairs_score_lower_than_probes(spark, model):
     familiar = [(f"eni-{e:03d}", f"10.0.{e}.0") for e in range(20)]
     probes = [(f"eni-{e:03d}", f"10.0.{(e + 7) % 20}.0") for e in range(20)]
