@@ -40,6 +40,8 @@ def pagerank(
     edges: DataFrame,
     iters: int = 5,
     damping: float = DAMP,
+    broadcast_scores: bool | None = None,
+    max_broadcast_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Weighted PageRank over ``edges(src, dst, w)`` for ``iters``
     fixed rounds (no early stop — the oracle unrolls the same count).
@@ -49,6 +51,19 @@ def pagerank(
     their mass re-enters through the global dangling sum, quantized
     once per round. Returns (node, rank) with ranks on the 2^-30 grid
     summing to ~1.
+
+    Score propagation has two physical shapes (VERDICT r6 #4), picked
+    by ``broadcast_scores`` (None = auto: broadcast iff the counted
+    |V| <= ``max_broadcast_nodes``):
+
+    - broadcast: ship the |V|-sized rank frame to every executor each
+      round — right for bounded vertex sets (event types, categories)
+      where |V| is data-independent.
+    - shuffle join: ranks stay KEYED BY NODE and co-shuffle with the
+      src-keyed edge frame — one extra exchange per round, no |V|-sized
+      broadcast anywhere, the shape that survives a vertex set that
+      scales with the data (parts, users, documents). Identical values
+      either way: the arithmetic never changes, only the join strategy.
     """
     spark = edges.sparkSession
     e = edges.select(
@@ -60,9 +75,12 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)  # tiny |V| frame, reused 3x/round
+        .localCheckpoint(eager=True)  # |V| frame, reused 3x/round
     )
     n_nodes = nodes.count()
+    if broadcast_scores is None:
+        broadcast_scores = n_nodes <= max_broadcast_nodes
+    _b = F.broadcast if broadcast_scores else (lambda df: df)
     out_w = e.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
     # materialize the joined edge frame once: every round re-reads it
     ew = e.join(out_w, "src").localCheckpoint(eager=True)
@@ -72,51 +90,71 @@ def pagerank(
     # floor(x + 0.5) — NOT Python round() (banker's) — to match the SQL
     teleport = int((1.0 - damping) / n_nodes * RSCALE + 0.5)
     for _ in range(iters):
-        contrib = (
-            ew.join(
-                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
-            )
-            .select(
-                F.col("dst").alias("node"),
-                F.floor(
-                    F.lit(damping)
-                    * F.col("r").cast("double")
-                    * F.col("w").cast("double")
-                    / F.col("wout").cast("double")
-                    + F.lit(0.5)
-                ).cast("long").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").cast("long").alias("cin"))
-        )
-        # dangling mass: nodes with no out-edges spread uniformly
-        dang = (
-            ranks.join(out_w.withColumnRenamed("src", "node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dr"))
-        )
-        dshare = dang.select(
-            F.floor(
-                F.lit(damping) * F.col("dr").cast("double") / F.lit(float(n_nodes))
-                + F.lit(0.5)
-            ).cast("long").alias("ds")
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dshare))
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.coalesce(F.col("cin"), F.lit(0))
-                    + F.col("ds")
-                ).cast("long").alias("r"),
-            )
-        )
-        # lineage cap only — every other round is enough, and the lazy
-        # checkpoint avoids one materialization job per iteration
-        ranks = ranks.localCheckpoint(eager=False)
+        # lineage cap only — the lazy checkpoint avoids one
+        # materialization job per iteration (but rewrites the SQL plan
+        # to an RDD barrier, which is why the round body lives in
+        # _pagerank_round: the plan pin inspects it pre-checkpoint)
+        ranks = _pagerank_round(
+            nodes, ew, out_w, ranks, n_nodes, damping, teleport, _b
+        ).localCheckpoint(eager=False)
     return ranks.select(
         "node", (F.col("r").cast("double") / F.lit(float(RSCALE))).alias("rank")
+    )
+
+
+def _pagerank_round(
+    nodes: DataFrame,
+    ew: DataFrame,
+    out_w: DataFrame,
+    ranks: DataFrame,
+    n_nodes: int,
+    damping: float,
+    teleport: int,
+    _b,
+) -> DataFrame:
+    """One PageRank round (the loop body of :func:`pagerank`) — factored
+    out so tests can pin the physical join strategy of a round's plan
+    before the per-iteration checkpoint hides it behind an RDD scan.
+    ``_b`` wraps the score frame: ``F.broadcast`` or identity."""
+    contrib = (
+        ew.join(
+            _b(ranks.withColumnRenamed("node", "src")), "src"
+        )
+        .select(
+            F.col("dst").alias("node"),
+            F.floor(
+                F.lit(damping)
+                * F.col("r").cast("double")
+                * F.col("w").cast("double")
+                / F.col("wout").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").cast("long").alias("cin"))
+    )
+    # dangling mass: nodes with no out-edges spread uniformly
+    dang = (
+        ranks.join(out_w.withColumnRenamed("src", "node"), "node", "left_anti")
+        .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dr"))
+    )
+    dshare = dang.select(
+        F.floor(
+            F.lit(damping) * F.col("dr").cast("double") / F.lit(float(n_nodes))
+            + F.lit(0.5)
+        ).cast("long").alias("ds")
+    )
+    return (
+        nodes.join(contrib, "node", "left")
+        .crossJoin(F.broadcast(dshare))
+        .select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.coalesce(F.col("cin"), F.lit(0))
+                + F.col("ds")
+            ).cast("long").alias("r"),
+        )
     )
 
 
@@ -377,7 +415,12 @@ pr{t} AS MATERIALIZED (
 HSCALE = 1 << 20  # hub/authority fixed-point grid
 
 
-def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    broadcast_scores: bool | None = None,
+    max_broadcast_nodes: int = 1_000_000,
+) -> DataFrame:
     """HITS hubs-and-authorities over a weighted directed edge list
     ``edges(src, dst, w)`` — the bipartite-centrality complement of
     :func:`pagerank` ("which event types feed activity (hubs) vs
@@ -393,8 +436,12 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
     guard), keeping engine and oracle on the identical trajectory on
     degenerate graphs. The oracle unrolls the same round count.
 
-    At scale: each half-round is edges ⋈ |V|-sized score frame
-    (broadcast) + a destination-keyed agg — the Pregel shape.
+    At scale: each half-round is edges ⋈ |V|-sized score frame + a
+    destination-keyed agg — the Pregel shape. ``broadcast_scores``
+    picks the join strategy exactly as in :func:`pagerank` (None =
+    auto by counted |V| vs ``max_broadcast_nodes``): broadcast for
+    bounded vertex sets, node-keyed shuffle join — no |V|-sized
+    broadcast — for data-scaled ones. Values are identical either way.
 
     Returns ``(node, authority, hub)``.
     """
@@ -409,6 +456,9 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if broadcast_scores is None:
+        broadcast_scores = nodes.count() <= max_broadcast_nodes
+    _b = F.broadcast if broadcast_scores else (lambda df: df)
     init = F.lit(int(HSCALE)).cast("long")
     a = nodes.select("node", init.alias("a"))
     h = nodes.select("node", init.alias("h"))
@@ -437,7 +487,7 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
         a_raw = (
             nodes.join(
                 e.join(
-                    F.broadcast(h.withColumnRenamed("node", "src")), "src"
+                    _b(h.withColumnRenamed("node", "src")), "src"
                 )
                 .select(
                     F.col("dst").alias("node"),
@@ -454,7 +504,7 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
         h_raw = (
             nodes.join(
                 e.join(
-                    F.broadcast(a.withColumnRenamed("node", "dst")), "dst"
+                    _b(a.withColumnRenamed("node", "dst")), "dst"
                 )
                 .select(
                     F.col("src").alias("node"),

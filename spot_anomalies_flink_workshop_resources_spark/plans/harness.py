@@ -1066,6 +1066,8 @@ WHERE src_endpoint.ip LIKE '10.%'
 # order behind them. The full surface (all oracles) is still verified
 # locally each round via tools/check_oracles.py — see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- round 7 newcomers --
+    "sql_copurchase_pagerank",     # NEW: shuffle-join PageRank, data-scaled |V|
     # -- round 7 block 1: the 39 queries never yet inside the driver's
     # ~50-row window (VERDICT r6 #1: registry minus union of
     # CORRECTNESS_r01..r06 keys). All exact in local sweeps; fronted so

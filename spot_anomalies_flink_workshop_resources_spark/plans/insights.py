@@ -2224,6 +2224,75 @@ FROM agg CROSS JOIN n_all
     )
 
 
+# ----------------------------------- copurchase pagerank (shuffle join)
+
+
+def sql_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the CO-PURCHASE part graph — the
+    data-scaled-|V| proof of the graph operator's shuffle-join score
+    path (VERDICT r6 #4): unlike the 5-node event-type graphs, the
+    vertex set here is the part catalog, which grows with sf, so the
+    rank frame must NOT broadcast. ``broadcast_scores=False`` keeps
+    scores keyed by node and co-shuffled with the src-keyed edge list —
+    one exchange per round, no |V|-sized broadcast anywhere (plan
+    pinned in test_scale_patterns). Edges are the symmetrized frequent
+    co-purchase pairs weighted by shared-order support; output is the
+    top-100 parts by rank (rank desc, node asc — rank doubles are
+    exact int64/2^30 multiples, so the selection is deterministic).
+
+    Exactness: the pagerank contract (integer fixed-point rounds,
+    oracle unrolls the same 4); the top-k is integer selection.
+    Scale: per round one edges⋈ranks shuffle join + one dst-keyed agg
+    (Pregel); the dangling anti-join and final TakeOrdered(100) are
+    node-sized."""
+    from ..operators.graph import pagerank
+    from .relational import _copurchase_edges
+
+    ps = _copurchase_edges(spark, sf_dir)
+    edges = (
+        ps.select(
+            F.col("x").cast("string").alias("src"),
+            F.col("y").cast("string").alias("dst"),
+            F.col("n_orders").alias("w"),
+        )
+        .union(
+            ps.select(
+                F.col("y").cast("string"),
+                F.col("x").cast("string"),
+                F.col("n_orders"),
+            )
+        )
+        .localCheckpoint(eager=True)  # pair-support join runs ONCE
+    )
+    ranks = pagerank(edges, iters=4, broadcast_scores=False)
+    return ranks.orderBy(F.col("rank").desc(), "node").limit(100)
+
+
+def _sql_copurchase_pagerank_sql() -> str:
+    from ..operators.graph import RSCALE, pagerank_ctes
+    from .relational import _COPURCHASE_EDGES_CTE
+
+    # reuse the shared pair CTE, then symmetrize with VARCHAR node ids
+    # (the Spark side casts to string inside the operator; identical
+    # ASCII-digit ordering makes the top-100 tiebreak engine-free)
+    edges_cte = (
+        _COPURCHASE_EDGES_CTE.replace(
+            "edges AS MATERIALIZED (SELECT x, y FROM pair_support)",
+            """edges AS MATERIALIZED (
+  SELECT CAST(x AS VARCHAR) AS src, CAST(y AS VARCHAR) AS dst,
+         n_orders AS w FROM pair_support
+  UNION ALL
+  SELECT CAST(y AS VARCHAR), CAST(x AS VARCHAR), n_orders
+  FROM pair_support)""",
+        )
+    )
+    return f"""
+{pagerank_ctes(edges_cte, iters=4)}
+SELECT node, CAST(r AS DOUBLE) / {float(RSCALE)!r} AS rank FROM pr4
+ORDER BY rank DESC, node LIMIT 100
+"""
+
+
 # ---------------------------------------------- uniqueness audit
 
 
@@ -3113,6 +3182,7 @@ QUERIES = {
     "events_ccf": events_ccf,
     "events_quantile_interp": events_quantile_interp,
     "sql_copurchase_clustering": sql_copurchase_clustering,
+    "sql_copurchase_pagerank": sql_copurchase_pagerank,
     "dq_uniqueness_audit": dq_uniqueness_audit,
     "text_jsd_lang_matrix": text_jsd_lang_matrix,
     "sql_abc_xyz_matrix": sql_abc_xyz_matrix,
@@ -3146,6 +3216,7 @@ ORACLES = {
     "events_ccf": EVENTS_CCF_SQL,
     "events_quantile_interp": EVENTS_QUANTILE_INTERP_SQL,
     "sql_copurchase_clustering": _sql_copurchase_clustering_sql(),
+    "sql_copurchase_pagerank": _sql_copurchase_pagerank_sql(),
     "dq_uniqueness_audit": DQ_UNIQUENESS_SQL,
     "text_jsd_lang_matrix": TEXT_JSD_LANG_SQL,
     "sql_abc_xyz_matrix": SQL_ABC_XYZ_SQL,

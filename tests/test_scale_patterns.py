@@ -843,6 +843,70 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_reliability_bins")
     assert "Window" not in p, p
     assert "SortMergeJoin" not in p, p
+    # copurchase pagerank (round 7, VERDICT r6 #4): top-100 is a heap;
+    # the per-round score-join strategy is pinned separately in
+    # test_pagerank_shuffle_join_no_v_sized_broadcast (the per-round
+    # lazy checkpoint hides round plans behind RDD scans here).
+    p = plan("sql_copurchase_pagerank")
+    assert "BroadcastHashJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_pagerank_shuffle_join_no_v_sized_broadcast(spark):
+    """VERDICT r6 #4 pin: with broadcast_scores=False the round body's
+    score join must be a node-keyed SHUFFLE join — no |V|-sized
+    broadcast anywhere (the 1-row dangling scalar is the only broadcast
+    allowed). With broadcast_scores=True the same body broadcasts.
+    Inspects _pagerank_round (the exact loop body pagerank executes)
+    pre-checkpoint, since the per-iteration checkpoint rewrites the SQL
+    plan to an RDD barrier."""
+    from pyspark.sql import functions as F
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import (
+        _pagerank_round,
+    )
+
+    edges = spark.range(5000).select(
+        (F.col("id") % 997).cast("string").alias("src"),
+        ((F.col("id") * 7) % 997).cast("string").alias("dst"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    ew = edges.join(out_w, "src")
+    ranks = nodes.select("node", F.lit(1 << 20).cast("long").alias("r"))
+
+    def explain(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffle_p = explain(
+            _pagerank_round(
+                nodes, ew, out_w, ranks, 997, 0.85, 100, lambda df: df
+            )
+        )
+        bcast_p = explain(
+            _pagerank_round(nodes, ew, out_w, ranks, 997, 0.85, 100, F.broadcast)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in shuffle_p, shuffle_p
+    assert (
+        "SortMergeJoin" in shuffle_p or "ShuffledHashJoin" in shuffle_p
+    ), shuffle_p
+    assert "CartesianProduct" not in shuffle_p, shuffle_p
+    assert "BroadcastHashJoin" in bcast_p, bcast_p
 
 
 def test_tpch_tail_plan_invariants(spark, sf_dir):
