@@ -456,14 +456,19 @@ def weighted_sample(
     ``u`` is strictly inside (0,1) (offset +0.5 on the integer grid),
     so ln(u) is finite and negative; larger weights divide it toward
     zero. Ties (impossible on distinct ids) break on lower doc_id.
+    ln runs through the libm twin (functions/libm.py) so the key — and
+    therefore the top-k SELECTION — is bit-identical to the DuckDB
+    oracle (JVM Math.log is 1 ulp off libm on ~1.4% of arguments).
     """
+    from ..functions.libm import libm_log
+
     grid = float(16 ** 13)
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
         .cast("double")
         + F.lit(0.5)
     ) / F.lit(grid)
-    lkey = F.log(u) / F.col(weight_col).cast("double")
+    lkey = libm_log(u) / F.col(weight_col).cast("double")
     return (
         docs.select(
             "doc_id", "lang", "source",

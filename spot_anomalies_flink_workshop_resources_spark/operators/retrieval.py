@@ -99,14 +99,28 @@ def bm25_topk(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
 
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    # idf computed ONCE per query-vocabulary term (tiny frame) with the
+    # libm ln twin — JVM Math.log is 1 ulp off DuckDB's libm on ~1.4%
+    # of arguments, which was the last float drift in this query's
+    # score fold (functions/libm.py; VERDICT r6 #5)
+    from ..functions.libm import libm_log
+
+    df_ = (
+        df_.crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            "df",
+            libm_log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
     )
     denom = F.col("tf") + F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
     )
-    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    contrib = F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / denom
 
     # fold the per-term contributions in token order (array_sort on the
     # (tok, contrib) structs -> sequential fold): bit-identical to the

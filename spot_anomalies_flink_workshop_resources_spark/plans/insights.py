@@ -739,12 +739,16 @@ def sql_ship_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_hazard")
         )
     )
+    # libm exp twin on the day-domain-bounded frame: bit-matches the
+    # oracle's exp (functions/libm.py; VERDICT r6 #5)
+    from ..functions.libm import libm_exp
+
     return haz.select(
         F.col("t").alias("delay_days"),
         F.col("n_risk").alias("n_at_risk"),
         F.col("d").alias("n_events"),
         "cum_hazard",
-        F.exp(-F.col("cum_hazard")).alias("fh_survival"),
+        libm_exp(-F.col("cum_hazard")).alias("fh_survival"),
     )
 
 

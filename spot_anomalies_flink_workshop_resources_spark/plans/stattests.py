@@ -1870,7 +1870,11 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .where(F.col("n_ab") >= 5)
     )
-    pmi = F.log(
+    # libm ln twin on the vocab²-bounded pair frame: bit-matches the
+    # oracle's ln (functions/libm.py; VERDICT r6 #5)
+    from ..functions.libm import libm_log
+
+    pmi = libm_log(
         (F.col("n_ab") * F.col("nd")).cast("double")
         / (F.col("dfa") * F.col("dfb")).cast("double")
     )
