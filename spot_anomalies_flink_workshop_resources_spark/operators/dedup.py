@@ -862,13 +862,27 @@ def dup_components(
 
 
 def bounded_components_from_pairs(
-    docs: DataFrame, pairs: DataFrame, rounds: int = 4
+    docs: DataFrame,
+    pairs: DataFrame,
+    rounds: int = 4,
+    verify_converged: bool = False,
 ) -> DataFrame:
     """Bounded min-label propagation over an explicit (doc_a, doc_b)
     pair frame — the SQL-expressible keep/drop resolver shared by every
     near-dup pair source (jaccard, minhash-LSH); exact for component
     diameter < rounds. See :func:`dup_components` for semantics and
-    :func:`components_from_pairs` for the fixpoint production form."""
+    :func:`components_from_pairs` for the fixpoint production form.
+
+    ``verify_converged=True`` (the kcore fixpoint pattern, VERDICT r6
+    #8): after the bounded rounds, one extra neighbor-min pass checks
+    that no label would still move — a bounded unroll whose oracle
+    truncates IDENTICALLY can agree-but-not-converge, and this is the
+    assert that refuses that silent state. Costs one checkpoint + one
+    cheap join count on the materialized labels. Default ``False``
+    because truncation-at-``rounds`` is this resolver's DOCUMENTED
+    contract (the fragmenting-chain test pins it; the fixpoint form is
+    the companion for unbounded diameter) — callers that EXPECT
+    convergence (the registered pipeline queries) turn it on."""
     edges = pairs.select(
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     ).unionByName(
@@ -894,6 +908,28 @@ def bounded_components_from_pairs(
                 F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))).alias("rep"),
             )
         )
+    if verify_converged:
+        labels = labels.localCheckpoint(eager=True)
+        still_moving = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("d_id"),
+                              F.col("rep").alias("drep")),
+                F.col("d") == F.col("d_id"),
+            )
+            .join(
+                labels.select(F.col("doc_id").alias("s_id"),
+                              F.col("rep").alias("srep")),
+                F.col("s") == F.col("s_id"),
+            )
+            .where(F.col("drep") < F.col("srep"))
+        )
+        if not still_moving.isEmpty():
+            raise RuntimeError(
+                "bounded_components_from_pairs labels still moving after "
+                f"rounds={rounds} (component diameter >= rounds); raise "
+                "rounds (and the oracle unroll) or use "
+                "components_from_pairs for the fixpoint form"
+            )
     return labels.select(
         "doc_id",
         F.col("rep").alias("component_rep"),
@@ -948,6 +984,7 @@ def components_from_pairs(
     edges = edges.localCheckpoint(eager=True)
     labels = nodes.select("doc_id", F.col("doc_id").alias("rep"))
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_rounds):
         neigh = (
             edges.join(
@@ -987,7 +1024,18 @@ def components_from_pairs(
         changed = jumped.where(F.col("rep") != F.col("old_rep")).count()
         labels = jumped.select("doc_id", "rep")
         if changed == 0:
+            converged = True
             break
+    # fixpoint-verification (the kcore pattern, graph.py — VERDICT r6
+    # #8): a bounded loop that exits by exhaustion has NOT proven its
+    # labels stable; refusing beats silently returning a mid-flight
+    # labeling. changed == 0 in the last executed round IS the proof.
+    if not converged:
+        raise RuntimeError(
+            "components_from_pairs did not reach its label fixpoint "
+            f"within max_rounds={max_rounds}; raise the bound (pointer "
+            "jumping converges in O(log diameter) rounds)"
+        )
     return labels.select(
         "doc_id",
         F.col("rep").alias("component_rep"),

@@ -674,7 +674,10 @@ lab{t} AS MATERIALIZED (
 
 
 def bfs_hops(
-    edges: DataFrame, seed_mod: int, max_hops: int = 6
+    edges: DataFrame,
+    seed_mod: int,
+    max_hops: int = 6,
+    verify_complete: bool = True,
 ) -> DataFrame:
     """Multi-source BFS hop distance over an undirected edge list:
     distance from each node to its NEAREST seed (nodes with
@@ -685,8 +688,14 @@ def bfs_hops(
     each round joins the (shrinking) frontier against the adjacency
     list and anti-joins already-settled nodes — pure set algebra on
     integers, so bounded unrolls agree exactly with the oracle's CTE
-    chain. Unreached nodes are absent from the output (their distance
-    is > max_hops), matching the oracle by construction.
+    chain. Nodes in no seed's component are absent from the output.
+
+    ``verify_complete`` (the kcore fixpoint pattern, VERDICT r6 #8):
+    when the loop exhausts ``max_hops`` with a live frontier, one extra
+    expansion checks whether any reachable node remains unsettled — the
+    agree-but-truncated state the identically-unrolled oracle cannot
+    catch. Raises if so; pass ``False`` where distance-capped output is
+    the documented semantics (the caller then owns the truncation).
 
     Returns ``(node, hops)``.
     """
@@ -717,6 +726,21 @@ def bfs_hops(
         )
         settled = settled.union(new).localCheckpoint(eager=True)
         frontier = new
+    if verify_complete and not frontier.isEmpty():
+        remaining = (
+            both.join(
+                frontier.withColumnRenamed("node", "nbr").select("nbr"), "nbr"
+            )
+            .select("node")
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+        )
+        if not remaining.isEmpty():
+            raise RuntimeError(
+                f"bfs_hops frontier still expanding after max_hops="
+                f"{max_hops}; raise the bound (and the oracle unroll) or "
+                "pass verify_complete=False for distance-capped output"
+            )
     return settled
 
 

@@ -1066,8 +1066,10 @@ WHERE src_endpoint.ip LIKE '10.%'
 # order behind them. The full surface (all oracles) is still verified
 # locally each round via tools/check_oracles.py — see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round 7 newcomers --
+    # -- round 7 newcomers / semantics-changed --
     "sql_copurchase_pagerank",     # NEW: shuffle-join PageRank, data-scaled |V|
+    "dedup_simhash_components",    # CHANGED: fixpoint resolver (assert caught truncation)
+    "sql_copurchase_reach",        # CHANGED: bound 6->12 (assert caught live frontier)
     # -- round 7 block 1: the 39 queries never yet inside the driver's
     # ~50-row window (VERDICT r6 #1: registry minus union of
     # CORRECTNESS_r01..r06 keys). All exact in local sweeps; fronted so
@@ -1155,7 +1157,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_itemsets3",            # NEW: apriori size-3 itemsets
     "text_ngram_novelty",          # NEW: reference-slice bigram novelty
     "sql_copurchase_communities",  # NEW: deterministic label propagation
-    "sql_copurchase_reach",        # NEW: multi-source BFS hop distance
     "events_mann_kendall",         # NEW: pairwise-sign trend test
     "events_trend_ols",            # NEW: exact-sufficient-stats OLS + R2
     "text_kappa_langid",           # NEW: one-division Cohen's kappa
@@ -1271,7 +1272,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_sample_stratified",
     "corpus_mixture_weights",
     "dedup_simhash_pairs",
-    "dedup_simhash_components",
     "sql_supplier_waits",
     "sql_part_supplier_counts",
     "sql_widget_suppliers",

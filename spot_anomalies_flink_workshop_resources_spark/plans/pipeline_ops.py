@@ -420,11 +420,19 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 def dedup_simhash_components(spark, sf_dir):
-    """Keep/drop resolution over simhash pairs — same bounded component
-    resolver as the jaccard/LSH pipelines, new pair source."""
+    """Keep/drop resolution over simhash pairs — FIXPOINT resolver.
+
+    Round 7 (VERDICT r6 #8): the new convergence assert caught this
+    query in the agree-but-not-converge state — the simhash component
+    graph has diameter >= the bounded resolver's 4 rounds at every
+    harness sf, and the identically-truncated oracle had been agreeing
+    with the truncation. Switched to the pointer-jumping fixpoint form
+    (exact for any diameter); the oracle is the recursive-reachability
+    CTE, so the values are now TRUE components, not 4-hop labels."""
     docs = _docs(spark, sf_dir)
-    return D.bounded_components_from_pairs(
-        docs, D.simhash_pairs(D.simhash_packed(docs))
+    return D.components_from_pairs(
+        docs.select("doc_id"),
+        D.simhash_pairs(D.simhash_packed(docs)).select("doc_a", "doc_b"),
     )
 
 
@@ -916,7 +924,7 @@ def dedup_pipeline_lsh(spark, sf_dir):
     composed as CTEs)."""
     docs = _docs(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(docs, threshold=0.5, shingle_n=3)
-    return D.bounded_components_from_pairs(docs, pairs)
+    return D.bounded_components_from_pairs(docs, pairs, verify_converged=True)
 
 
 def dedup_components_converged(spark, sf_dir):
@@ -1450,7 +1458,9 @@ ORACLES = {
     "dedup_simhash": D.simhash_sql(),
     "dedup_simhash_packed": D.simhash_sql(),
     "dedup_simhash_pairs": D.simhash_pairs_sql(),
-    "dedup_simhash_components": D.dup_components_sql(
+    # fixpoint resolver since round 7 (the convergence assert caught the
+    # bounded 4-round form agreeing-with-truncation on every sf)
+    "dedup_simhash_components": D.dup_components_converged_sql(
         pairs_inner=D.simhash_pairs_sql()
     ),
     "dedup_embedding": D.embedding_near_dup_sql(threshold=0.3),

@@ -278,13 +278,20 @@ def test_label_propagation_two_triangles(spark):
 
 def test_bfs_hops_path_and_bound(spark):
     """Path 0-1-2-...-8 seeded at nodes % 9 == 0 (0 only within the
-    path, but 9 is absent): hop = node index, truncated at max_hops."""
+    path, but 9 is absent): hop = node index, truncated at max_hops —
+    truncation now requires the explicit verify_complete=False opt-out
+    (round 7, VERDICT r6 #8)."""
     from spot_anomalies_flink_workshop_resources_spark.operators.graph import (
         bfs_hops,
     )
 
     e = _tri_edges(spark, [(i, i + 1) for i in range(8)])
-    got = {r.node: r.hops for r in bfs_hops(e, seed_mod=9, max_hops=4).collect()}
+    got = {
+        r.node: r.hops
+        for r in bfs_hops(
+            e, seed_mod=9, max_hops=4, verify_complete=False
+        ).collect()
+    }
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # 5..8 beyond the bound
 
 

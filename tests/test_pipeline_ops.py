@@ -240,6 +240,61 @@ def test_components_from_pairs_long_chain_converges(spark):
     assert kept == {0, 3, 4, 5, 8, 9}
 
 
+def test_fixpoint_verification_asserts(spark):
+    """VERDICT r6 #8 — the kcore refuse-to-lie pattern on the other
+    iterative resolvers: each must RAISE when its bound truncates the
+    algorithm mid-flight instead of returning an unconverged labeling,
+    and stay silent once the bound suffices."""
+    import pytest
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["doc_a", "doc_b"]
+    )
+    # pointer-jumping fixpoint resolver: max_rounds too small -> raise
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dedup.components_from_pairs(nodes, chain, max_rounds=2).collect()
+    # bounded resolver with verify_converged: diameter 9 > 4 rounds
+    with pytest.raises(RuntimeError, match="still moving"):
+        dedup.bounded_components_from_pairs(
+            nodes, chain, rounds=4, verify_converged=True
+        ).collect()
+    # same graph, bound sufficient -> silent and correct
+    ok = dedup.bounded_components_from_pairs(
+        nodes, chain, rounds=9, verify_converged=True
+    ).collect()
+    assert {r.component_rep for r in ok} == {0}
+    # verify_converged=False preserves the documented truncation
+    trunc = dedup.bounded_components_from_pairs(
+        nodes, chain, rounds=4, verify_converged=False
+    ).collect()
+    assert len({r.component_rep for r in trunc}) > 1
+
+
+def test_bfs_hops_completeness_assert(spark):
+    """bfs_hops must refuse a silently distance-capped result unless
+    the caller opts into truncation."""
+    import pytest
+
+    from spot_anomalies_flink_workshop_resources_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    # path 0-1-2-...-9; only node 0 is a seed (seed_mod=100 with 0 in
+    # range); farthest node is 9 hops away
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["x", "y"]
+    )
+    with pytest.raises(RuntimeError, match="frontier still expanding"):
+        bfs_hops(edges, seed_mod=100, max_hops=3).collect()
+    capped = bfs_hops(
+        edges, seed_mod=100, max_hops=3, verify_complete=False
+    ).collect()
+    assert {r.node: r.hops for r in capped} == {0: 0, 1: 1, 2: 2, 3: 3}
+    full = bfs_hops(edges, seed_mod=100, max_hops=9).collect()
+    assert {r.node: r.hops for r in full} == {i: i for i in range(10)}
+
+
 def test_dup_components_converged_on_document_chain(spark):
     """End-to-end: documents whose jaccard graph is a long chain
     (sliding 10-word windows, step 2: adjacent J=0.6, distance-2 J=1/3).
