@@ -53,13 +53,33 @@ def closer_for(burst, ts):
     )
 
 
-def measure(spark, n_normal: int, n_bursts: int, tag: str = "out") -> dict:
+def measure(
+    spark,
+    n_normal: int,
+    n_bursts: int,
+    tag: str = "out",
+    hot_key_frac: float = 0.0,
+) -> dict:
     """One sustained-rate run of parse->detect->serialize: returns
     {"events", "wall_sec", "events_per_sec", "alerts"}. Dataset prep
-    (generate + write parquet) is excluded from the timed window."""
+    (generate + write parquet) is excluded from the timed window.
+
+    ``hot_key_frac`` > 0 reroutes that fraction of normal events onto a
+    SINGLE ip_dst (the attack shape: one victim absorbing ~half the
+    stream, VERDICT r6 #7) — the detector keys state by ip_dst, so the
+    hot key concentrates one state partition's work and measures
+    throughput under the skew the batch twin (cep_fragmentation_skew)
+    splits explicitly."""
     normal = generators.normal_traffic_batch(
         spark, n_normal, start_ts=1.7e9, events_per_second=5000
     )
+    if hot_key_frac > 0.0:
+        normal = normal.withColumn(
+            "ip_dst",
+            F.when(
+                F.rand(seed=7) < F.lit(hot_key_frac), F.lit("10.99.99.99")
+            ).otherwise(F.col("ip_dst")),
+        )
     parts = [normal]
     for i in range(n_bursts):
         t = 1.7e9 + i * 1.0
