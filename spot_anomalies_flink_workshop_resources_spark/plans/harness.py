@@ -1070,6 +1070,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_copurchase_pagerank",     # NEW: shuffle-join PageRank, data-scaled |V|
     "dedup_simhash_components",    # CHANGED: fixpoint resolver (assert caught truncation)
     "sql_copurchase_reach",        # CHANGED: bound 6->12 (assert caught live frontier)
+    "sql_copurchase_hits",         # NEW: shuffle-join HITS, directed repeat-purchase graph
+    "events_kendall_tau",          # NEW: integer tau-b concordance matrix
+    "events_spearman",             # NEW: doubled-rank exact Spearman rho
+    "events_welch_t",              # NEW: unequal-variance weekend shift test
+    "sql_basket_rules",            # NEW: confidence/lift/leverage/conviction panel
+    "dq_completeness_profile",     # NEW: null/blank/zero warehouse audit
     # -- round 7 block 1: the 39 queries never yet inside the driver's
     # ~50-row window (VERDICT r6 #1: registry minus union of
     # CORRECTNESS_r01..r06 keys). All exact in local sweeps; fronted so
@@ -1352,13 +1358,14 @@ def build_queries() -> dict[str, QueryFn]:
     }
     registry.update(relational.QUERIES)
     registry.update(pipeline_ops.QUERIES)
-    from . import curation, insights, relational_sql, stattests, tpch_tail
+    from . import curation, insights, relational_sql, round7, stattests, tpch_tail
 
     registry.update(relational_sql.QUERIES)
     registry.update(stattests.QUERIES)
     registry.update(insights.QUERIES)
     registry.update(tpch_tail.QUERIES)
     registry.update(curation.QUERIES)
+    registry.update(round7.QUERIES)
 
     out: dict[str, QueryFn] = {}
     for name in DRIVER_PRIORITY:
@@ -1409,11 +1416,12 @@ def build_oracles() -> dict[str, str]:
     }
     out.update(relational.ORACLES)
     out.update(pipeline_ops.ORACLES)
-    from . import curation, insights, relational_sql, stattests, tpch_tail
+    from . import curation, insights, relational_sql, round7, stattests, tpch_tail
 
     out.update(relational_sql.ORACLES)
     out.update(stattests.ORACLES)
     out.update(insights.ORACLES)
     out.update(tpch_tail.ORACLES)
     out.update(curation.ORACLES)
+    out.update(round7.ORACLES)
     return out
