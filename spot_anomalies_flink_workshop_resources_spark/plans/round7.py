@@ -693,7 +693,440 @@ ORDER BY table_name, column_name
 """
 
 
+
+
+# ---------------------------------------------------------- G-test
+
+
+def events_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence, event_type x
+    6-hour daypart — the chi-squared companion that is additive across
+    partitions and better behaved at small expected counts
+    (events_chi2_independence's twin; G = 2 sum O ln(O/E)).
+
+    Exactness: cell/marginal counts are exact int64; each cell's ratio
+    O*N/(rt*ct) is one correctly-rounded division of exact integer
+    products (< 2^53), its ln runs through the libm twin
+    (functions/libm.py — bit-matches DuckDB), and each term is
+    quantized onto the 2^-20 grid BEFORE the 20-cell sum (int64 fold,
+    order-free). G and Cramer's V are one division + one sqrt from the
+    exact sum. Scale: one data-sized hash agg; the cell frame is
+    |types| x 4."""
+    from ..functions.libm import libm_log
+
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("event_type").alias("t"),
+        (F.hour("ts") / 6).cast("int").alias("dp"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    cells = cells.localCheckpoint(eager=True)
+    rt = cells.groupBy("t").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("dp").agg(F.sum("o").cast("long").alias("ct"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    dims = cells.agg(
+        F.countDistinct("t").cast("long").alias("r"),
+        F.countDistinct("dp").cast("long").alias("c"),
+    )
+    ratio = (F.col("o") * F.col("n")).cast("double") / (
+        F.col("rt") * F.col("ct")
+    ).cast("double")
+    q = F.floor(
+        F.col("o").cast("double") * libm_log(ratio) * F.lit(float(_Q20))
+        + F.lit(0.5)
+    ).cast("long")
+    summed = (
+        cells.join(F.broadcast(rt), "t")
+        .join(F.broadcast(ct), "dp")
+        .crossJoin(F.broadcast(n))
+        .select(q.alias("q"), "n")
+        .groupBy("n")
+        .agg(F.sum("q").cast("long").alias("sq"))
+    )
+    g = (F.lit(2.0) * F.col("sq").cast("double")) / F.lit(float(_Q20))
+    out = summed.crossJoin(F.broadcast(dims)).select(
+        F.col("n").alias("n_events"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("df"),
+        g.alias("g_stat"),
+        F.sqrt(
+            (F.lit(2.0) * F.col("sq").cast("double") / F.lit(float(_Q20)))
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+            )
+        ).alias("cramers_v"),
+    )
+    return out
+
+
+EVENTS_GTEST_SQL = f"""
+WITH cells AS MATERIALIZED (
+  SELECT event_type AS t, CAST(FLOOR(hour(ts) / 6) AS INT) AS dp,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, CAST(FLOOR(hour(ts) / 6) AS INT)
+),
+rt AS (SELECT t, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY t),
+ct AS (SELECT dp, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY dp),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+dims AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS r,
+                CAST(COUNT(DISTINCT dp) AS BIGINT) AS c FROM cells),
+summed AS MATERIALIZED (
+  SELECT n.n,
+         CAST(SUM(CAST(FLOOR(CAST(cells.o AS DOUBLE)
+              * ln(CAST(cells.o * n.n AS DOUBLE)
+                   / CAST(rt.rt * ct.ct AS DOUBLE))
+              * {float(1 << 20)!r} + 0.5) AS BIGINT)) AS BIGINT) AS sq
+  FROM cells JOIN rt ON rt.t = cells.t JOIN ct ON ct.dp = cells.dp
+  CROSS JOIN n
+  GROUP BY n.n
+)
+SELECT summed.n AS n_events,
+       (dims.r - 1) * (dims.c - 1) AS df,
+       2.0 * CAST(sq AS DOUBLE) / {float(1 << 20)!r} AS g_stat,
+       sqrt((2.0 * CAST(sq AS DOUBLE) / {float(1 << 20)!r})
+            / (CAST(summed.n AS DOUBLE)
+               * CAST(LEAST(dims.r - 1, dims.c - 1) AS DOUBLE)))
+         AS cramers_v
+FROM summed CROSS JOIN dims
+"""
+
+
+# ---------------------------------------------------- Dunning keyness
+
+
+def text_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood KEYNESS: for each source, the tokens most
+    characteristic of that source vs the rest of the corpus (G2 =
+    2*(a ln(a/E1) + b ln(b/E2)) over the source/rest contingency) — the
+    corpus-linguistics operator behind "what is this slice about",
+    used to audit mixture composition.
+
+    Exactness: token counts are exact int64; each ln argument is one
+    correctly-rounded division of exact integer products (< 2^53 on
+    the harness vocab), ln runs through the libm twin, both terms
+    quantize onto the 2^-20 grid before the 2-term sum. Top-5 per
+    source by (G2 grid value, token) is integer selection. Scale: one
+    token explode + (source, token) hash agg; the contingency frame is
+    vocab x sources bounded."""
+    from ..functions.libm import libm_log
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    ).localCheckpoint(eager=True)
+    tok_tot = st.groupBy("tok").agg(F.sum("a").cast("long").alias("ab"))
+    src_tot = st.groupBy("source").agg(F.sum("a").cast("long").alias("n1"))
+    grand = st.agg(F.sum("a").cast("long").alias("nn"))
+    j = (
+        st.join(F.broadcast(tok_tot), "tok")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "tok",
+            "a",
+            (F.col("ab") - F.col("a")).alias("b"),
+            "n1",
+            (F.col("nn") - F.col("n1")).alias("n2"),
+            "nn",
+        )
+    )
+    # term1 = a * ln(a*nn / (n1*(a+b))); term2 = b * ln(b*nn / (n2*(a+b)))
+    r1 = (F.col("a") * F.col("nn")).cast("double") / (
+        F.col("n1") * (F.col("a") + F.col("b"))
+    ).cast("double")
+    r2 = (F.col("b") * F.col("nn")).cast("double") / (
+        F.col("n2") * (F.col("a") + F.col("b"))
+    ).cast("double")
+    q1 = F.when(
+        F.col("a") > 0,
+        F.floor(
+            F.col("a").cast("double") * libm_log(r1) * F.lit(float(_Q20))
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    q2 = F.when(
+        F.col("b") > 0,
+        F.floor(
+            F.col("b").cast("double") * libm_log(r2) * F.lit(float(_Q20))
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    scored = j.select(
+        "source", "tok", "a", "b", (q1 + q2).alias("qg")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("qg").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select(
+            "source",
+            F.col("rn").alias("rank"),
+            F.col("tok").alias("token"),
+            F.col("a").alias("n_in_source"),
+            F.col("b").alias("n_elsewhere"),
+            (F.lit(2.0) * F.col("qg").cast("double") / F.lit(float(_Q20))).alias(
+                "g2"
+            ),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+TEXT_KEYNESS_SQL = f"""
+WITH st AS MATERIALIZED (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS a
+  FROM (
+    SELECT source,
+           UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+    FROM documents
+  ) GROUP BY source, tok
+),
+tok_tot AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS ab FROM st GROUP BY tok),
+src_tot AS (SELECT source, CAST(SUM(a) AS BIGINT) AS n1 FROM st GROUP BY source),
+grand AS (SELECT CAST(SUM(a) AS BIGINT) AS nn FROM st),
+j AS (
+  SELECT st.source, st.tok, st.a, tok_tot.ab - st.a AS b,
+         src_tot.n1, grand.nn - src_tot.n1 AS n2, grand.nn
+  FROM st JOIN tok_tot USING (tok) JOIN src_tot USING (source)
+  CROSS JOIN grand
+),
+scored AS MATERIALIZED (
+  SELECT source, tok, a, b,
+         CAST(CASE WHEN a > 0 THEN
+           CAST(FLOOR(CAST(a AS DOUBLE)
+                * ln(CAST(a * nn AS DOUBLE) / CAST(n1 * (a + b) AS DOUBLE))
+                * {float(1 << 20)!r} + 0.5) AS BIGINT) ELSE 0 END
+           + CASE WHEN b > 0 THEN
+           CAST(FLOOR(CAST(b AS DOUBLE)
+                * ln(CAST(b * nn AS DOUBLE) / CAST(n2 * (a + b) AS DOUBLE))
+                * {float(1 << 20)!r} + 0.5) AS BIGINT) ELSE 0 END
+           AS BIGINT) AS qg
+  FROM j
+),
+ranked AS (
+  SELECT source, tok, a, b, qg,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY qg DESC, tok ASC) AS rn
+  FROM scored
+)
+SELECT source, CAST(rn AS BIGINT) AS rank, tok AS token,
+       a AS n_in_source, b AS n_elsewhere,
+       2.0 * CAST(qg AS DOUBLE) / {float(1 << 20)!r} AS g2
+FROM ranked WHERE rn <= 5
+ORDER BY source, rank
+"""
+
+
+# ------------------------------------------- dominant-period spectrum
+
+# Quantized trig tables (cos/sin * 2^10, rounded in PYTHON and embedded
+# as identical literals on both engines — the simsearch_ndcg DCG-weight
+# trick: no runtime transcendental anywhere in the spectral scan).
+_PERIODS = [6, 12, 24, 168]
+
+
+def events_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant seasonal PERIOD per event type by discrete-Fourier
+    power at candidate periods (6h, 12h, 24h, 168h=weekly) — the
+    spectral screen that tells a forecaster which seasonality to fit
+    (events_seasonality assumes hour-of-week; this MEASURES which cycle
+    dominates).
+
+    Method: hourly counts x_h on the epoch-hour grid; per period p the
+    projection S_c = sum d_h * qcos[h mod p], S_s = sum d_h *
+    qsin[h mod p] over MEAN-CENTERED scaled deviations d_h = H*x_h - S
+    (integers — removes DC leakage), with qcos/qsin pre-quantized
+    2^10-grid trig tables embedded as literals in BOTH engines (no
+    runtime cos/sin). Power = Sc^2 + Ss^2 in doubles cast from exact
+    int64 (identically rounded); the per-type argmax picks the
+    dominant period, ties to the shorter period. Epoch-hour phase
+    shifts are irrelevant: power is phase-invariant.
+
+    Exactness: everything through S_c/S_s is exact int64 (zero hours
+    contribute -S, enumerated via the hour spine); the two squarings
+    and one ratio are identically-rounded double ops on identical
+    operands. Scale: one data-sized (type, hour) agg; all spectral work
+    runs on the calendar-bounded hour grid x 4 periods."""
+    e = load_table(spark, sf_dir, "events")
+    from ..functions.timeutil import ts_seconds
+
+    eh = F.floor(ts_seconds(F.col("ts")) / 3600).cast("long")
+    hourly = e.groupBy(
+        F.col("event_type").alias("t"), eh.alias("eh")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    # full hour spine per type (zero hours matter for the mean-centered
+    # deviations): bounded span x |types|
+    span = e.agg(
+        F.floor(F.min(ts_seconds(F.col("ts"))) / 3600).cast("long").alias("h0"),
+        F.floor(F.max(ts_seconds(F.col("ts"))) / 3600).cast("long").alias("h1"),
+    )
+    types = e.select(F.col("event_type").alias("t")).distinct()
+    spine = types.crossJoin(F.broadcast(span)).select(
+        "t", F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("eh")
+    )
+    grid = (
+        spine.join(hourly, ["t", "eh"], "left")
+        .select("t", "eh", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    tot = grid.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("hh"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    g = grid.join(F.broadcast(tot), "t").select(
+        "t", "eh", (F.col("hh") * F.col("x") - F.col("sx")).alias("d")
+    )
+    parts = []
+    for per, cexpr, sexpr in [
+        (6, "element_at(array(1024L, 512L, -512L, -1024L, -512L, 512L), CAST(eh % 6 AS INT) + 1)",
+         "element_at(array(0L, 887L, 887L, 0L, -887L, -887L), CAST(eh % 6 AS INT) + 1)"),
+        (12, "element_at(array(1024L, 887L, 512L, 0L, -512L, -887L, -1024L, -887L, -512L, 0L, 512L, 887L), CAST(eh % 12 AS INT) + 1)",
+         "element_at(array(0L, 512L, 887L, 1024L, 887L, 512L, 0L, -512L, -887L, -1024L, -887L, -512L), CAST(eh % 12 AS INT) + 1)"),
+        (24, "element_at(array(1024L, 989L, 887L, 724L, 512L, 265L, 0L, -265L, -512L, -724L, -887L, -989L, -1024L, -989L, -887L, -724L, -512L, -265L, 0L, 265L, 512L, 724L, 887L, 989L), CAST(eh % 24 AS INT) + 1)",
+         "element_at(array(0L, 265L, 512L, 724L, 887L, 989L, 1024L, 989L, 887L, 724L, 512L, 265L, 0L, -265L, -512L, -724L, -887L, -989L, -1024L, -989L, -887L, -724L, -512L, -265L), CAST(eh % 24 AS INT) + 1)"),
+        (168, "element_at(array(1024L, 1023L, 1021L, 1018L, 1013L, 1006L, 998L, 989L, 979L, 967L, 953L, 939L, 923L, 905L, 887L, 867L, 846L, 824L, 801L, 776L, 751L, 724L, 696L, 668L, 638L, 608L, 577L, 545L, 512L, 478L, 444L, 409L, 374L, 338L, 302L, 265L, 228L, 190L, 153L, 115L, 77L, 38L, 0L, -38L, -77L, -115L, -153L, -190L, -228L, -265L, -302L, -338L, -374L, -409L, -444L, -478L, -512L, -545L, -577L, -608L, -638L, -668L, -696L, -724L, -751L, -776L, -801L, -824L, -846L, -867L, -887L, -905L, -923L, -939L, -953L, -967L, -979L, -989L, -998L, -1006L, -1013L, -1018L, -1021L, -1023L, -1024L, -1023L, -1021L, -1018L, -1013L, -1006L, -998L, -989L, -979L, -967L, -953L, -939L, -923L, -905L, -887L, -867L, -846L, -824L, -801L, -776L, -751L, -724L, -696L, -668L, -638L, -608L, -577L, -545L, -512L, -478L, -444L, -409L, -374L, -338L, -302L, -265L, -228L, -190L, -153L, -115L, -77L, -38L, 0L, 38L, 77L, 115L, 153L, 190L, 228L, 265L, 302L, 338L, 374L, 409L, 444L, 478L, 512L, 545L, 577L, 608L, 638L, 668L, 696L, 724L, 751L, 776L, 801L, 824L, 846L, 867L, 887L, 905L, 923L, 939L, 953L, 967L, 979L, 989L, 998L, 1006L, 1013L, 1018L, 1021L, 1023L), CAST(eh % 168 AS INT) + 1)",
+         "element_at(array(0L, 38L, 77L, 115L, 153L, 190L, 228L, 265L, 302L, 338L, 374L, 409L, 444L, 478L, 512L, 545L, 577L, 608L, 638L, 668L, 696L, 724L, 751L, 776L, 801L, 824L, 846L, 867L, 887L, 905L, 923L, 939L, 953L, 967L, 979L, 989L, 998L, 1006L, 1013L, 1018L, 1021L, 1023L, 1024L, 1023L, 1021L, 1018L, 1013L, 1006L, 998L, 989L, 979L, 967L, 953L, 939L, 923L, 905L, 887L, 867L, 846L, 824L, 801L, 776L, 751L, 724L, 696L, 668L, 638L, 608L, 577L, 545L, 512L, 478L, 444L, 409L, 374L, 338L, 302L, 265L, 228L, 190L, 153L, 115L, 77L, 38L, 0L, -38L, -77L, -115L, -153L, -190L, -228L, -265L, -302L, -338L, -374L, -409L, -444L, -478L, -512L, -545L, -577L, -608L, -638L, -668L, -696L, -724L, -751L, -776L, -801L, -824L, -846L, -867L, -887L, -905L, -923L, -939L, -953L, -967L, -979L, -989L, -998L, -1006L, -1013L, -1018L, -1021L, -1023L, -1024L, -1023L, -1021L, -1018L, -1013L, -1006L, -998L, -989L, -979L, -967L, -953L, -939L, -923L, -905L, -887L, -867L, -846L, -824L, -801L, -776L, -751L, -724L, -696L, -668L, -638L, -608L, -577L, -545L, -512L, -478L, -444L, -409L, -374L, -338L, -302L, -265L, -228L, -190L, -153L, -115L, -77L, -38L), CAST(eh % 168 AS INT) + 1)"),
+    ]:
+        parts.append(
+            g.select(
+                "t",
+                F.lit(per).cast("long").alias("period_hours"),
+                (F.col("d") * F.expr(cexpr)).alias("dc"),
+                (F.col("d") * F.expr(sexpr)).alias("ds"),
+            )
+            .groupBy("t", "period_hours")
+            .agg(
+                F.sum("dc").cast("long").alias("sc"),
+                F.sum("ds").cast("long").alias("ss"),
+            )
+        )
+    import functools
+
+    allp = functools.reduce(lambda x, y: x.unionByName(y), parts)
+    # sc^2 reaches ~2^86 — exact in DECIMAL(38,0), NOT in a double; the
+    # argmax, the 4-row total, and the share's operands therefore live
+    # in decimals (exact both engines), with the final doubles produced
+    # by the decimal->VARCHAR->DOUBLE route (plans/relational._dsum
+    # recipe) so both engines round the same exact integers once.
+    pdec = (
+        F.col("sc").cast("decimal(19,0)") * F.col("sc").cast("decimal(19,0)")
+        + F.col("ss").cast("decimal(19,0)") * F.col("ss").cast("decimal(19,0)")
+    )
+    scored = allp.select("t", "period_hours", pdec.alias("power"))
+    w = Window.partitionBy("t").orderBy(
+        F.col("power").desc(), F.col("period_hours").asc()
+    )
+    totp = scored.groupBy("t").agg(F.sum("power").alias("ptot"))
+    as_d = lambda c: F.col(c).cast("string").cast("double")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(totp), "t")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("period_hours").alias("dominant_period_hours"),
+            F.when(
+                F.col("ptot") > 0, as_d("power") / as_d("ptot")
+            ).alias("power_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_DOMINANT_PERIOD_SQL = """
+WITH hourly AS (
+  SELECT event_type AS t, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS eh,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT)
+),
+span AS (
+  SELECT CAST(FLOOR(MIN(epoch(ts)) / 3600) AS BIGINT) AS h0,
+         CAST(FLOOR(MAX(epoch(ts)) / 3600) AS BIGINT) AS h1
+  FROM events
+),
+types AS (SELECT DISTINCT event_type AS t FROM events),
+spine AS (
+  SELECT ty.t, u.eh
+  FROM types ty CROSS JOIN span
+  CROSS JOIN (SELECT UNNEST(generate_series(
+      (SELECT h0 FROM span), (SELECT h1 FROM span))) AS eh) u
+),
+grid AS MATERIALIZED (
+  SELECT s.t, s.eh, CAST(COALESCE(h.x, 0) AS BIGINT) AS x
+  FROM spine s LEFT JOIN hourly h ON h.t = s.t AND h.eh = s.eh
+),
+tot AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS hh, CAST(SUM(x) AS BIGINT) AS sx
+  FROM grid GROUP BY t
+),
+g AS MATERIALIZED (
+  SELECT grid.t, grid.eh, grid.x * tot.hh - tot.sx AS d
+  FROM grid JOIN tot ON tot.t = grid.t
+),
+trig AS MATERIALIZED (
+  SELECT 6 AS p, k, qc, qs FROM (
+    SELECT u.k, ([1024, 512, -512, -1024, -512, 512])[u.k + 1] AS qc,
+           ([0, 887, 887, 0, -887, -887])[u.k + 1] AS qs
+    FROM (SELECT UNNEST(generate_series(0, 5)) AS k) u)
+  UNION ALL
+  SELECT 12 AS p, k, qc, qs FROM (
+    SELECT u.k, ([1024, 887, 512, 0, -512, -887, -1024, -887, -512, 0, 512, 887])[u.k + 1] AS qc,
+           ([0, 512, 887, 1024, 887, 512, 0, -512, -887, -1024, -887, -512])[u.k + 1] AS qs
+    FROM (SELECT UNNEST(generate_series(0, 11)) AS k) u)
+  UNION ALL
+  SELECT 24 AS p, k, qc, qs FROM (
+    SELECT u.k, ([1024, 989, 887, 724, 512, 265, 0, -265, -512, -724, -887, -989, -1024, -989, -887, -724, -512, -265, 0, 265, 512, 724, 887, 989])[u.k + 1] AS qc,
+           ([0, 265, 512, 724, 887, 989, 1024, 989, 887, 724, 512, 265, 0, -265, -512, -724, -887, -989, -1024, -989, -887, -724, -512, -265])[u.k + 1] AS qs
+    FROM (SELECT UNNEST(generate_series(0, 23)) AS k) u)
+  UNION ALL
+  SELECT 168 AS p, k, qc, qs FROM (
+    SELECT u.k, ([1024, 1023, 1021, 1018, 1013, 1006, 998, 989, 979, 967, 953, 939, 923, 905, 887, 867, 846, 824, 801, 776, 751, 724, 696, 668, 638, 608, 577, 545, 512, 478, 444, 409, 374, 338, 302, 265, 228, 190, 153, 115, 77, 38, 0, -38, -77, -115, -153, -190, -228, -265, -302, -338, -374, -409, -444, -478, -512, -545, -577, -608, -638, -668, -696, -724, -751, -776, -801, -824, -846, -867, -887, -905, -923, -939, -953, -967, -979, -989, -998, -1006, -1013, -1018, -1021, -1023, -1024, -1023, -1021, -1018, -1013, -1006, -998, -989, -979, -967, -953, -939, -923, -905, -887, -867, -846, -824, -801, -776, -751, -724, -696, -668, -638, -608, -577, -545, -512, -478, -444, -409, -374, -338, -302, -265, -228, -190, -153, -115, -77, -38, 0, 38, 77, 115, 153, 190, 228, 265, 302, 338, 374, 409, 444, 478, 512, 545, 577, 608, 638, 668, 696, 724, 751, 776, 801, 824, 846, 867, 887, 905, 923, 939, 953, 967, 979, 989, 998, 1006, 1013, 1018, 1021, 1023])[u.k + 1] AS qc,
+           ([0, 38, 77, 115, 153, 190, 228, 265, 302, 338, 374, 409, 444, 478, 512, 545, 577, 608, 638, 668, 696, 724, 751, 776, 801, 824, 846, 867, 887, 905, 923, 939, 953, 967, 979, 989, 998, 1006, 1013, 1018, 1021, 1023, 1024, 1023, 1021, 1018, 1013, 1006, 998, 989, 979, 967, 953, 939, 923, 905, 887, 867, 846, 824, 801, 776, 751, 724, 696, 668, 638, 608, 577, 545, 512, 478, 444, 409, 374, 338, 302, 265, 228, 190, 153, 115, 77, 38, 0, -38, -77, -115, -153, -190, -228, -265, -302, -338, -374, -409, -444, -478, -512, -545, -577, -608, -638, -668, -696, -724, -751, -776, -801, -824, -846, -867, -887, -905, -923, -939, -953, -967, -979, -989, -998, -1006, -1013, -1018, -1021, -1023, -1024, -1023, -1021, -1018, -1013, -1006, -998, -989, -979, -967, -953, -939, -923, -905, -887, -867, -846, -824, -801, -776, -751, -724, -696, -668, -638, -608, -577, -545, -512, -478, -444, -409, -374, -338, -302, -265, -228, -190, -153, -115, -77, -38])[u.k + 1] AS qs
+    FROM (SELECT UNNEST(generate_series(0, 167)) AS k) u)
+),
+proj AS MATERIALIZED (
+  SELECT g.t, tr.p AS period_hours,
+         CAST(SUM(g.d * tr.qc) AS BIGINT) AS sc,
+         CAST(SUM(g.d * tr.qs) AS BIGINT) AS ss
+  FROM g JOIN trig tr ON tr.k = ((g.eh % tr.p) + tr.p) % tr.p
+  GROUP BY g.t, tr.p
+),
+scored AS MATERIALIZED (
+  SELECT t, period_hours,
+         CAST(sc AS DECIMAL(19,0)) * CAST(sc AS DECIMAL(19,0))
+         + CAST(ss AS DECIMAL(19,0)) * CAST(ss AS DECIMAL(19,0)) AS power
+  FROM proj
+),
+totp AS (SELECT t, CAST(SUM(power) AS DECIMAL(38,0)) AS ptot
+         FROM scored GROUP BY t),
+ranked AS (
+  SELECT t, period_hours, power,
+         ROW_NUMBER() OVER (PARTITION BY t
+                            ORDER BY power DESC, period_hours ASC) AS rn
+  FROM scored
+)
+SELECT r.t AS event_type,
+       CAST(r.period_hours AS BIGINT) AS dominant_period_hours,
+       CASE WHEN tp.ptot > 0 THEN
+         CAST(CAST(r.power AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(tp.ptot AS VARCHAR) AS DOUBLE) END AS power_share
+FROM ranked r JOIN totp tp ON tp.t = r.t
+WHERE r.rn = 1
+ORDER BY event_type
+"""
+
 QUERIES = {
+    "events_dominant_period": events_dominant_period,
+    "events_gtest": events_gtest,
+    "text_keyness": text_keyness,
     "sql_copurchase_hits": sql_copurchase_hits,
     "events_kendall_tau": events_kendall_tau,
     "events_spearman": events_spearman,
@@ -703,6 +1136,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_dominant_period": EVENTS_DOMINANT_PERIOD_SQL,
+    "events_gtest": EVENTS_GTEST_SQL,
+    "text_keyness": TEXT_KEYNESS_SQL,
     "sql_copurchase_hits": _sql_copurchase_hits_sql(),
     "events_kendall_tau": EVENTS_KENDALL_SQL,
     "events_spearman": EVENTS_SPEARMAN_SQL,

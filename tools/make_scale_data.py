@@ -16,15 +16,21 @@ Replication design (why each table scales the way it does):
   replicas mirror reality (and keep the name-similarity blocking an
   honest quadratic-in-block test). region/nation stay fixed (dims
   don't grow with data).
-- documents: doc_id offset; replica k > 0 additionally applies a
-  POSITIONAL word shuffle seeded by (k, word_count). Positional means
-  two near-duplicate docs inside a replica are permuted the same way,
-  so within-replica shingle overlap (the near-dup graph the dedup
-  family mines) is preserved, while cross-replica overlap collapses to
-  noise — the corpus behaves like 10 independent sf0.1 corpora, which
-  is the linear-scaling shape the spot-run is testing. Word and char
-  frequency distributions are exactly preserved (bag-of-words
-  invariant), so BPE/LM/token statistics stay realistic.
+- documents: doc_id offset; replica k > 0 applies a VOCABULARY
+  TRANSLATION — every token gets a replica suffix (``word`` ->
+  ``word7x``), staying inside the engine's [a-z0-9]+ token space.
+  Translation preserves ALL within-replica similarity structure
+  exactly (token positions, shingle sets, unigram bags — so jaccard /
+  minhash / simhash near-dup graphs inside a replica equal the sf0.1
+  graphs), while cross-replica token overlap is exactly ZERO: the
+  corpus behaves like 10 independent sf0.1 corpora, the
+  linear-scaling shape the spot-run is testing. (A first attempt used
+  a positional word SHUFFLE instead; simhash is unigram-based and
+  order-invariant, so replicas kept identical fingerprints and the
+  near-dup graph grew 10-cliques — a generator artifact that showed
+  up as a fake 50x scaling ratio.) Per-token frequency profiles are
+  preserved; the vocabulary grows with the corpus, as real corpora's
+  do.
 - embeddings: vec_id offset; replica k cyclically ROTATES the vector
   components by k. Rotation preserves norms and within-replica
   pairwise geometry exactly (both sides rotate together) and
@@ -138,24 +144,18 @@ def main(out: str, n: int) -> None:
     )
     wr(emb, "embeddings")
 
-    # documents: positional word shuffle per (replica, word_count)
+    # documents: per-replica vocabulary translation (see module doc)
     def shuffle_docs(batches):
-        perm_cache: dict[tuple[int, int], np.ndarray] = {}
         for pdf in batches:
             out_txt = []
             for rep, txt in zip(pdf["rep"], pdf["text"]):
                 if rep == 0 or txt is None:
                     out_txt.append(txt)
                     continue
-                words = txt.split(" ")
-                key = (int(rep), len(words))
-                p = perm_cache.get(key)
-                if p is None:
-                    p = np.random.RandomState(
-                        (int(rep) * 1_000_003 + len(words)) % (2**31 - 1)
-                    ).permutation(len(words))
-                    perm_cache[key] = p
-                out_txt.append(" ".join(words[j] for j in p))
+                sfx = f"{int(rep)}x"
+                out_txt.append(
+                    " ".join(w + sfx if w else w for w in txt.split(" "))
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"] + pdf["rep"] * KEY_OFF,
