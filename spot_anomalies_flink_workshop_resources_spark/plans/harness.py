@@ -1076,6 +1076,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_welch_t",              # NEW: unequal-variance weekend shift test
     "sql_basket_rules",            # NEW: confidence/lift/leverage/conviction panel
     "dq_completeness_profile",     # NEW: null/blank/zero warehouse audit
+    "events_gtest",                # NEW: libm-exact log-likelihood independence
+    "text_keyness",                # NEW: Dunning G2 source keyness top-5
+    "events_dominant_period",      # NEW: integer-trig spectral period scan
+    "corpus_ccnet_buckets",        # NEW: CCNet head/middle/tail ppl terciles
+    "events_hurst",                # NEW: R/S long-memory exponent
     # -- round 7 block 1: the 39 queries never yet inside the driver's
     # ~50-row window (VERDICT r6 #1: registry minus union of
     # CORRECTNESS_r01..r06 keys). All exact in local sweeps; fronted so

@@ -1123,7 +1123,296 @@ WHERE r.rn = 1
 ORDER BY event_type
 """
 
+
+# ------------------------------------------- CCNet perplexity buckets
+
+
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per language, rank documents
+    by LM avg negative log-likelihood and split into head / middle /
+    tail terciles — THE canonical web-corpus quality partition (CCNet,
+    Wenzek et al.): head trains, middle is kept-with-caution, tail is
+    dropped or aggressively filtered. Reports each bucket's doc count,
+    char mass, and exact bucket-level nll.
+
+    Exactness: per-doc avg_nll is the lm_score contract (int64
+    quantized-gram sums, one division); the per-doc integer gram-sum is
+    reconstructed exactly from it (error << 0.5 ulp, same expression
+    both engines), so bucket nll = sum(s)/sum(n)/2^30 is integer-exact;
+    tercile assignment is the integer expression (3*(rank-1)) div
+    n_lang over a (avg_nll, doc_id)-deterministic rank. Scale: ranks
+    run per-language over doc-count-bounded partitions; everything
+    else is hash aggs."""
+    from ..operators import text as T
+
+    scale = float(1 << 30)
+    d = load_table(spark, sf_dir, "documents")
+    lm = T.lm_score(d).select("doc_id", "lang", "n_grams", "avg_nll")
+    s_rec = F.floor(
+        F.col("avg_nll") * F.col("n_grams").cast("double") * F.lit(scale)
+        + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    nl = Window.partitionBy("lang")
+    ranked = lm.select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        s_rec.alias("s"),
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(nl).cast("long").alias("n_lang"),
+    )
+    b = F.expr("(3 * (r - 1)) div n_lang")
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        (b + 1).cast("int"),
+    )
+    jd = ranked.join(d.select("doc_id", "n_chars"), "doc_id")
+    return (
+        jd.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum("s").cast("long").alias("s_sum"),
+            F.sum("n_grams").cast("long").alias("g_sum"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            "chars_total",
+            (
+                F.col("s_sum").cast("double")
+                / F.col("g_sum").cast("double")
+                / F.lit(scale)
+            ).alias("bucket_nll"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def _corpus_ccnet_buckets_sql() -> str:
+    from ..operators.text import lm_score_sql
+
+    scale = float(1 << 30)
+    return f"""
+WITH lm AS MATERIALIZED (
+  SELECT doc_id, lang, n_grams, avg_nll FROM ({lm_score_sql()})
+),
+ranked AS MATERIALIZED (
+  SELECT doc_id, lang, n_grams,
+         CAST(FLOOR(avg_nll * CAST(n_grams AS DOUBLE) * {scale!r} + 0.5)
+              AS BIGINT) AS s,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY avg_nll, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM lm
+),
+tagged AS (
+  SELECT ranked.*, d.n_chars,
+         (['head', 'middle', 'tail'])[
+           CAST((3 * (r - 1)) // n_lang AS INT) + 1] AS bucket
+  FROM ranked JOIN documents d USING (doc_id)
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(n_grams) AS BIGINT) AS DOUBLE)
+         / {scale!r} AS bucket_nll
+FROM tagged GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+# --------------------------------------------------- Hurst exponent
+
+
+def events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per event type by rescaled-range (R/S) analysis
+    over daily counts — the long-memory screen (H > 0.5 = persistent
+    trends, H < 0.5 = mean-reverting, 0.5 = random walk) that tells a
+    capacity planner whether load excursions compound.
+
+    Method: contiguous blocks of w in [4, 8, 16] full days (epoch-day
+    div w, ragged edges dropped); per block the cumulative-deviation
+    range is computed in w-SCALED integers (C_j = w*cumsum - j*block
+    sum — exact int64, no mean subtraction in floats) and S from exact
+    power sums; each block's R/S quantizes onto the 2^-20 grid before
+    the per-(type, w) average (order-free int fold); the final
+    log-log slope is a CLOSED-FORM 3-point OLS over PIVOTED columns
+    with ln(w) baked in as Python literals and ln(avg_rs) through the
+    libm twin — no float reduction anywhere whose order an engine
+    could pick. Scale: one data-sized daily agg; blocks live on the
+    calendar grid."""
+    from ..functions.libm import libm_log
+
+    g = _daily_grid(spark, sf_dir)
+    eday = F.datediff(F.col("d"), F.lit("1970-01-01")).cast("long")
+    base = g.select("t", eday.alias("ed"), F.col("n").alias("x"))
+    parts = []
+    for w_ in [4, 8, 16]:
+        blk = base.select(
+            "t",
+            F.lit(w_).cast("long").alias("w"),
+            F.expr(f"ed div {w_}".format(w_=w_)).alias("b"),
+            "ed",
+            "x",
+        )
+        win = Window.partitionBy("t", "b").orderBy("ed")
+        cum = blk.select(
+            "t",
+            "w",
+            "b",
+            F.sum("x").over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cs"),
+            F.row_number().over(win).cast("long").alias("j"),
+            F.sum("x").over(Window.partitionBy("t", "b")).alias("bsum"),
+            "x",
+        )
+        stats = cum.groupBy("t", "w", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("qx"),
+            F.max(F.lit(w_) * F.col("cs") - F.col("j") * F.col("bsum"))
+            .cast("long")
+            .alias("cmax"),
+            F.min(F.lit(w_) * F.col("cs") - F.col("j") * F.col("bsum"))
+            .cast("long")
+            .alias("cmin"),
+        )
+        parts.append(stats)
+    import functools
+
+    allb = functools.reduce(lambda x, y: x.unionByName(y), parts)
+    sdev = F.sqrt(
+        F.col("qx").cast("double") / F.col("w").cast("double")
+        - (F.col("sx").cast("double") / F.col("w").cast("double"))
+        * (F.col("sx").cast("double") / F.col("w").cast("double"))
+    )
+    rs = (
+        (F.col("cmax") - F.col("cmin")).cast("double")
+        / F.col("w").cast("double")
+    ) / sdev
+    q = F.floor(rs * F.lit(float(_Q20)) + F.lit(0.5)).cast("long")
+    per_w = (
+        allb.where((F.col("cnt") == F.col("w")) & (sdev > 0.0))
+        .select("t", "w", q.alias("q"))
+        .groupBy("t", "w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.sum("q").cast("long").alias("sq"),
+        )
+        .select(
+            "t",
+            "w",
+            (
+                F.col("sq").cast("double")
+                / F.col("nb").cast("double")
+                / F.lit(float(_Q20))
+            ).alias("avg_rs"),
+        )
+    )
+    piv = per_w.groupBy("t").agg(
+        F.max(F.when(F.col("w") == 4, F.col("avg_rs"))).alias("rs4"),
+        F.max(F.when(F.col("w") == 8, F.col("avg_rs"))).alias("rs8"),
+        F.max(F.when(F.col("w") == 16, F.col("avg_rs"))).alias("rs16")
+    )
+    # geometric windows make the 3-point OLS slope collapse to the
+    # closed form (ln rs16 - ln rs4) / (2 ln 2) — the middle term's
+    # weight is exactly zero
+    hurst = (libm_log(F.col("rs16")) - libm_log(F.col("rs4"))) / F.lit(1.3862943611198906)
+    return (
+        piv.where(
+            F.col("rs4").isNotNull()
+            & F.col("rs8").isNotNull()
+            & F.col("rs16").isNotNull()
+        )
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("rs4").alias("rs_w4"),
+            F.col("rs16").alias("rs_w16"),
+            hurst.alias("hurst"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_HURST_SQL = f"""
+WITH {_DAILY_GRID_SQL.lstrip()},
+base AS (
+  SELECT t, CAST(d - DATE '1970-01-01' AS BIGINT) AS ed, n AS x
+  FROM grid
+),
+blk AS (
+  SELECT t, w, ed // w AS b, ed, x
+  FROM base CROSS JOIN (SELECT UNNEST([4, 8, 16]) AS w)
+),
+cum AS (
+  SELECT t, w, b,
+         SUM(x) OVER (PARTITION BY t, w, b ORDER BY ed
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         ROW_NUMBER() OVER (PARTITION BY t, w, b ORDER BY ed) AS j,
+         SUM(x) OVER (PARTITION BY t, w, b) AS bsum,
+         x
+  FROM blk
+),
+stats AS MATERIALIZED (
+  SELECT t, w, b,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS qx,
+         CAST(MAX(w * cs - j * bsum) AS BIGINT) AS cmax,
+         CAST(MIN(w * cs - j * bsum) AS BIGINT) AS cmin
+  FROM cum GROUP BY t, w, b
+),
+per_w AS MATERIALIZED (
+  SELECT t, w,
+         CAST(SUM(CAST(FLOOR(
+             ((CAST(cmax - cmin AS DOUBLE) / CAST(w AS DOUBLE))
+              / sqrt(CAST(qx AS DOUBLE) / CAST(w AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(w AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(w AS DOUBLE))))
+             * {float(1 << 20)!r} + 0.5) AS BIGINT)) AS BIGINT)
+           AS sq,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM stats
+  WHERE cnt = w
+    AND (CAST(qx AS DOUBLE) / CAST(w AS DOUBLE)
+         - (CAST(sx AS DOUBLE) / CAST(w AS DOUBLE))
+           * (CAST(sx AS DOUBLE) / CAST(w AS DOUBLE))) > 0
+    AND sqrt(CAST(qx AS DOUBLE) / CAST(w AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(w AS DOUBLE))
+               * (CAST(sx AS DOUBLE) / CAST(w AS DOUBLE))) > 0
+  GROUP BY t, w
+),
+avgd AS (
+  SELECT t, w,
+         CAST(sq AS DOUBLE) / CAST(nb AS DOUBLE) / {float(1 << 20)!r}
+           AS avg_rs
+  FROM per_w
+),
+piv AS MATERIALIZED (
+  SELECT t,
+         MAX(CASE WHEN w = 4 THEN avg_rs END) AS rs4,
+         MAX(CASE WHEN w = 8 THEN avg_rs END) AS rs8,
+         MAX(CASE WHEN w = 16 THEN avg_rs END) AS rs16
+  FROM avgd GROUP BY t
+)
+SELECT t AS event_type,
+       rs4 AS rs_w4,
+       rs16 AS rs_w16,
+       (ln(rs16) - ln(rs4)) / 1.3862943611198906 AS hurst
+FROM piv
+WHERE rs4 IS NOT NULL AND rs8 IS NOT NULL
+  AND rs16 IS NOT NULL
+ORDER BY event_type
+"""
+
 QUERIES = {
+    "events_hurst": events_hurst,
+    "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "events_dominant_period": events_dominant_period,
     "events_gtest": events_gtest,
     "text_keyness": text_keyness,
@@ -1136,6 +1425,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_hurst": EVENTS_HURST_SQL,
+    "corpus_ccnet_buckets": _corpus_ccnet_buckets_sql(),
     "events_dominant_period": EVENTS_DOMINANT_PERIOD_SQL,
     "events_gtest": EVENTS_GTEST_SQL,
     "text_keyness": TEXT_KEYNESS_SQL,
