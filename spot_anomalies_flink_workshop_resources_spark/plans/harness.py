@@ -1081,6 +1081,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_dominant_period",      # NEW: integer-trig spectral period scan
     "corpus_ccnet_buckets",        # NEW: CCNet head/middle/tail ppl terciles
     "events_hurst",                # NEW: R/S long-memory exponent
+    "events_markov_stationary",    # NEW: damping-1 power-iteration fixpoint
     # -- round 7 block 1: the 39 queries never yet inside the driver's
     # ~50-row window (VERDICT r6 #1: registry minus union of
     # CORRECTNESS_r01..r06 keys). All exact in local sweeps; fronted so

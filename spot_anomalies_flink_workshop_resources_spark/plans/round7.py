@@ -1410,7 +1410,59 @@ WHERE rs4 IS NOT NULL AND rs8 IS NOT NULL
 ORDER BY event_type
 """
 
+
+# -------------------------------------------- Markov stationary dist
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY DISTRIBUTION of the event-type Markov chain — where
+    the per-user behavior process spends its time in the long run, the
+    fixpoint companion to events_transition_matrix (which reports the
+    one-step probabilities). Power iteration is PageRank with
+    damping = 1.0 (teleport weight exactly 0, dangling mass still
+    redistributed): the operator's integer-grid contract carries over
+    unchanged and the oracle unrolls the same 8 rounds.
+
+    Exactness/scale: the pagerank contract (operators/graph.py) —
+    per round one edge⋈scores join + dst-keyed int64 agg; the
+    event-type graph is |types|-bounded so the broadcast path is
+    chosen by the auto threshold."""
+    from ..operators.graph import pagerank
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(edges, iters=8, damping=1.0).orderBy("node")
+
+
+def _events_markov_stationary_sql() -> str:
+    from ..operators.graph import RSCALE, pagerank_ctes
+
+    edges_cte = """WITH edges AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS src,
+           event_type AS dst
+    FROM events
+  ) WHERE src IS NOT NULL
+  GROUP BY src, dst
+)"""
+    return f"""
+{pagerank_ctes(edges_cte, iters=8, damping=1.0)}
+SELECT node, CAST(r AS DOUBLE) / {float(RSCALE)!r} AS rank FROM pr8
+ORDER BY node
+"""
+
 QUERIES = {
+    "events_markov_stationary": events_markov_stationary,
     "events_hurst": events_hurst,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "events_dominant_period": events_dominant_period,
@@ -1425,6 +1477,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_markov_stationary": _events_markov_stationary_sql(),
     "events_hurst": EVENTS_HURST_SQL,
     "corpus_ccnet_buckets": _corpus_ccnet_buckets_sql(),
     "events_dominant_period": EVENTS_DOMINANT_PERIOD_SQL,
