@@ -982,7 +982,15 @@ def components_from_pairs(
         pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
     )
     edges = edges.localCheckpoint(eager=True)
-    labels = nodes.select("doc_id", F.col("doc_id").alias("rep"))
+    # only PAIR-CONNECTED nodes need iteration — everything else is its
+    # own component by definition and re-enters after the loop (round
+    # 7: shrinks every round's join/count frames from |docs| to
+    # |endpoints|, the dominant cost when duplicates are sparse)
+    endpoints = edges.select(F.col("s").alias("doc_id")).distinct()
+    isolated = nodes.select("doc_id").join(
+        endpoints, "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    labels = endpoints.select("doc_id", F.col("doc_id").alias("rep"))
     labels = labels.localCheckpoint(eager=True)
     converged = False
     for _ in range(max_rounds):
@@ -1036,7 +1044,9 @@ def components_from_pairs(
             f"within max_rounds={max_rounds}; raise the bound (pointer "
             "jumping converges in O(log diameter) rounds)"
         )
-    return labels.select(
+    return labels.unionByName(
+        isolated.select("doc_id", F.col("doc_id").alias("rep"))
+    ).select(
         "doc_id",
         F.col("rep").alias("component_rep"),
         (F.col("doc_id") == F.col("rep")).alias("is_kept"),
