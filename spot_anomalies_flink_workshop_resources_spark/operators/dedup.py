@@ -118,12 +118,186 @@ GROUP BY md5(lower(trim(text)))
 """
 
 
+def line_block_dedup(docs: DataFrame, block_tokens: int = 12) -> DataFrame:
+    """Paragraph-level EXACT dedup (Gopher / MassiveText "repetition
+    removal" granularity): duplicate text is usually a boilerplate
+    paragraph repeated across pages, not a whole duplicated document —
+    doc-level dedup misses it entirely. The corpus here has no newline
+    structure, so the paragraph stand-in is the deterministic 12-token
+    line block (same computation, fixed boundaries).
+
+    Plan: token array -> per-doc fixed blocks (one narrow posexplode;
+    trailing partial block kept) -> first occurrence per block text =
+    row_number over (doc_id, blk_idx) within the block partition ->
+    per-source rollup of block/dup counts, duplicated chars, dup rate.
+
+    At 100 TB: the only wide stage is the hash exchange on block text
+    (then row_number within each tiny block group — partition size =
+    block multiplicity); the rollup is a map-side-combined agg over
+    |sources| keys. No all-pairs anything; skew bounded because a
+    block repeated k times costs k rows in one group.
+
+    Output: (source, n_blocks, n_dups, dup_chars, dup_rate).
+    """
+    bt = block_tokens
+    base = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0) AS ts",
+    ).where(F.size("ts") >= 1)
+    n_blocks = F.expr(f"(size(ts) + {bt - 1}) div {bt}")
+    blocks = base.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_blocks - 1).cast("int")),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("ts"), i * bt + 1, bt)
+                ),
+            )
+        ).alias("blk_idx", "blk"),
+    )
+    w = Window.partitionBy("blk").orderBy("doc_id", "blk_idx")
+    marked = blocks.withColumn("rn", F.row_number().over(w))
+    dup = F.when(F.col("rn") > 1, F.lit(1)).otherwise(F.lit(0))
+    agg = marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(dup).cast("long").alias("n_dups"),
+        F.sum(dup * F.length("blk")).cast("long").alias("dup_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_blocks",
+        "n_dups",
+        "dup_chars",
+        (F.col("n_dups").cast("double") / F.col("n_blocks").cast("double")).alias(
+            "dup_rate"
+        ),
+    )
+
+
+def line_block_dedup_sql(block_tokens: int = 12) -> str:
+    """DuckDB oracle twin of :func:`line_block_dedup` — dup_rate is one
+    exact-integer double division, bit-identical across engines."""
+    bt = block_tokens
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, source, i AS blk_idx,
+         array_to_string(list_slice(ts, i*{bt}+1, (i+1)*{bt}), ' ') AS blk
+  FROM toks, UNNEST(generate_series(0, (len(ts) + {bt - 1}) // {bt} - 1)) AS t(i)
+  WHERE len(ts) >= 1
+),
+marked AS (
+  SELECT source, blk,
+         row_number() OVER (PARTITION BY blk ORDER BY doc_id, blk_idx) AS rn
+  FROM blocks
+)
+SELECT source,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(SUM(CASE WHEN rn > 1 THEN length(blk) ELSE 0 END) AS BIGINT)
+         AS dup_chars,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM marked
+GROUP BY source
+"""
+
+
+# Shared shingle-index cache (round 7 — the gram-pass fusion pattern,
+# plans/curation._gram_pass): most registered dedup queries re-derive
+# the SAME (doc_id, shingle) checkpoint over the same corpus; callers
+# that know their corpus identity pass ``cache_key`` (the sf_dir) and
+# the explode+md5 pass runs once per (session, corpus, n). A hit is
+# honored only while every checkpoint block the build created is still
+# persisted — bench-style unpersist hygiene between queries makes a
+# dropped localCheckpoint unrecoverable, so stale entries rebuild.
+_SHINGLE_CACHE: dict = {}
+
+
+def protected_rdd_ids() -> set:
+    """Checkpoint RDD ids the shared shingle cache depends on (see
+    plans/curation.protected_rdd_ids for the contract)."""
+    out: set = set()
+    for v in _SHINGLE_CACHE.values():
+        out |= v.get("rdd_ids", set())
+    return out
+
+
+def _cached_checkpoint(spark, key: tuple, builder) -> DataFrame:
+    """Memoized eager localCheckpoint with live-block validation."""
+    hit = _SHINGLE_CACHE.get(key)
+    live = lambda: {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs()
+        .keySet()
+        .toArray()
+    }
+    if hit is not None and hit["rdd_ids"] <= live():
+        return hit["frame"]
+    ids_before = live()
+    frame = builder().localCheckpoint(eager=True)
+    if len(_SHINGLE_CACHE) >= 8:
+        _SHINGLE_CACHE.clear()
+    _SHINGLE_CACHE[key] = {"frame": frame, "rdd_ids": live() - ids_before}
+    return frame
+
+
+def shingle_frame(
+    docs: DataFrame, n: int, cache_key: str | None = None
+) -> DataFrame:
+    if cache_key is None:
+        return _shingles(docs, n).localCheckpoint(eager=True)
+    return _cached_checkpoint(
+        docs.sparkSession,
+        (id(docs.sparkSession), cache_key, n, "shingles"),
+        lambda: _shingles(docs, n),
+    )
+
+
+def minhash_wide_frame(
+    docs: DataFrame,
+    num_hashes: int,
+    shingle_n: int,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Per-doc minhash signature frame (doc_id, sig0..sigN) — the
+    second shared pass of the LSH family: all signature positions as
+    min-aggregates of ONE groupBy over the md5-hashed shingle index (no
+    seed explode — 16x less shuffle volume than the seeded layout).
+    Memoized per (session, corpus, params) like the shingle index."""
+    def build() -> DataFrame:
+        toks = shingle_frame(docs, shingle_n, cache_key=cache_key)
+        hashed = toks.withColumn("h", _hex32("tok"))
+        sig_aggs = [
+            F.min(
+                F.expr(f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}")
+            ).alias(f"sig{i}")
+            for i in range(num_hashes)
+        ]
+        return hashed.groupBy("doc_id").agg(*sig_aggs)
+
+    if cache_key is None:
+        return build()
+    return _cached_checkpoint(
+        docs.sparkSession,
+        (id(docs.sparkSession), cache_key, num_hashes, shingle_n, "wide"),
+        build,
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     df_cap: int | None = None,
     shingle_n: int = 3,
     log_skew: bool = False,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """N-gram-shingle Jaccard near-duplicate pairs via inverted-index join.
 
@@ -143,7 +317,7 @@ def jaccard_pairs(
     # the regexp/transform/explode shingling pass runs once, not 3-4×
     # (measured 2.2× end-to-end at sf0.1) — same index-reuse pattern as
     # minhash_lsh_pairs.
-    toks = _shingles(docs, shingle_n).localCheckpoint(eager=True)
+    toks = shingle_frame(docs, shingle_n, cache_key=cache_key)
     if df_cap is not None:
         freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
         if log_skew:
@@ -229,6 +403,7 @@ def minhash_lsh_pairs(
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
     shingle_n: int = 3,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate detection.
 
@@ -245,17 +420,10 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
-    toks = _shingles(docs, shingle_n).localCheckpoint(eager=True)
-    hashed = toks.withColumn("h", _hex32("tok"))
-    # all signature positions as min-aggregates of ONE groupBy — no seed
-    # explode (16x less shuffle volume than the naive seeded layout)
-    sig_aggs = [
-        F.min(
-            F.expr(f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}")
-        ).alias(f"sig{i}")
-        for i in range(num_hashes)
-    ]
-    wide = hashed.groupBy("doc_id").agg(*sig_aggs)
+    toks = shingle_frame(docs, shingle_n, cache_key=cache_key)
+    wide = minhash_wide_frame(
+        docs, num_hashes, shingle_n, cache_key=cache_key
+    )
     band_hash_cols = [
         F.md5(
             F.concat_ws(
@@ -842,6 +1010,7 @@ def dup_components(
     threshold: float = 0.5,
     shingle_n: int = 3,
     rounds: int = 4,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Duplicate-cluster resolution: the keep/drop decision a dedup
     pipeline actually executes.
@@ -857,7 +1026,9 @@ def dup_components(
 
     Output: (doc_id, component_rep, is_kept).
     """
-    pairs = jaccard_pairs(docs, threshold=threshold, shingle_n=shingle_n)
+    pairs = jaccard_pairs(
+        docs, threshold=threshold, shingle_n=shingle_n, cache_key=cache_key
+    )
     return bounded_components_from_pairs(docs, pairs, rounds=rounds)
 
 
@@ -942,6 +1113,7 @@ def dup_components_converged(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_rounds: int = 50,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Fixpoint variant of :func:`dup_components` — exact for ANY
     component diameter, the production form at 100 TB where dup graphs
@@ -957,7 +1129,9 @@ def dup_components_converged(
     fixpoint == min reachable doc_id, a DuckDB recursive CTE), plus
     unit tests (diameter-6 chain, two components, ring).
     """
-    pairs = jaccard_pairs(docs, threshold=threshold, shingle_n=shingle_n)
+    pairs = jaccard_pairs(
+        docs, threshold=threshold, shingle_n=shingle_n, cache_key=cache_key
+    )
     return components_from_pairs(
         docs.select("doc_id"),
         pairs.select("doc_a", "doc_b"),
@@ -1141,6 +1315,7 @@ def incremental_minhash_dedup(
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
     shingle_n: int = 3,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: dedupe a NEW BATCH of documents against
     the EXISTING corpus without re-pairing the corpus with itself — the
@@ -1166,15 +1341,10 @@ def incremental_minhash_dedup(
     """
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
-    toks = _shingles(docs, shingle_n).localCheckpoint(eager=True)
-    hashed = toks.withColumn("h", _hex32("tok"))
-    sig_aggs = [
-        F.min(
-            F.expr(f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}")
-        ).alias(f"sig{i}")
-        for i in range(num_hashes)
-    ]
-    wide = hashed.groupBy("doc_id").agg(*sig_aggs)
+    toks = shingle_frame(docs, shingle_n, cache_key=cache_key)
+    wide = minhash_wide_frame(
+        docs, num_hashes, shingle_n, cache_key=cache_key
+    )
     band_hash_cols = [
         F.md5(
             F.concat_ws(
@@ -1417,6 +1587,7 @@ def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.7,
     shingle_n: int = 3,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Asymmetric CONTAINMENT near-dup pairs: ``|A∩B| / min(|A|,|B|)``
     — catches a document embedded inside a larger one (quotes,
@@ -1441,7 +1612,7 @@ def containment_pairs(
     containment ≥ threshold.
     """
     assert abs(threshold - 0.7) < 1e-9, "integer prefix math is for τ=0.7"
-    toks = _shingles(docs, shingle_n).localCheckpoint(eager=True)
+    toks = shingle_frame(docs, shingle_n, cache_key=cache_key)
     counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
@@ -1541,6 +1712,7 @@ def minhash_sig_quality(
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
     shingle_n: int = 3,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Index-quality diagnostic for the MinHash/LSH family: for every
     band-candidate pair, the signature-ESTIMATED jaccard (matching
@@ -1552,15 +1724,12 @@ def minhash_sig_quality(
     divisions."""
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
-    toks = _shingles(docs, shingle_n).localCheckpoint(eager=True)
-    hashed = toks.withColumn("h", _hex32("tok"))
-    sig_aggs = [
-        F.min(
-            F.expr(f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}")
-        ).alias(f"sig{i}")
-        for i in range(num_hashes)
-    ]
-    wide = hashed.groupBy("doc_id").agg(*sig_aggs).localCheckpoint(eager=True)
+    toks = shingle_frame(docs, shingle_n, cache_key=cache_key)
+    wide = minhash_wide_frame(
+        docs, num_hashes, shingle_n, cache_key=cache_key
+    )
+    if cache_key is None:
+        wide = wide.localCheckpoint(eager=True)
     band_hash_cols = [
         F.md5(
             F.concat_ws(

@@ -40,6 +40,16 @@ _DCG_CUM = [sum(_DCG_W[: k + 1]) for k in range(10)]  # IDCG for k rel
 _GRAM_PASS_CACHE: dict = {}
 
 
+def protected_rdd_ids() -> set:
+    """Checkpoint RDD ids the cross-query gram-pass cache depends on —
+    bench's between-query unpersist hygiene spares these (dropping a
+    localCheckpoint block makes every dependent frame unrecoverable)."""
+    out: set = set()
+    for v in _GRAM_PASS_CACHE.values():
+        out |= v.get("_rdd_ids", set())
+    return out
+
+
 def _gram_pass(spark: SparkSession, sf_dir: str) -> dict:
     """One shared scan: token counts, positioned 5-grams, per-(source,
     gram) df/position counts, per-source doc counts, and the >5%-df

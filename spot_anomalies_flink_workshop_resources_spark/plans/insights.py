@@ -2686,7 +2686,10 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     comp = D.dup_components(
-        load_table(spark, sf_dir, "documents"), threshold=0.5, shingle_n=3
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        shingle_n=3,
+        cache_key=sf_dir,
     )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars")

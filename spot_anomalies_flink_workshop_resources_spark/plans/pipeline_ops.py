@@ -388,12 +388,14 @@ def dedup_jaccard(spark, sf_dir):
     # profile is logged so a cap that starts pruning is visible
     return D.jaccard_pairs(
         _docs(spark, sf_dir), threshold=0.5, shingle_n=3, df_cap=64,
-        log_skew=True,
+        log_skew=True, cache_key=sf_dir,
     )
 
 
 def dedup_minhash_lsh(spark, sf_dir):
-    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, shingle_n=3)
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, shingle_n=3, cache_key=sf_dir
+    )
 
 
 def dedup_simhash(spark, sf_dir):
@@ -468,7 +470,9 @@ def dedup_cluster_sizes(spark, sf_dir):
     rollup: |docs| -> |clusters| -> |sizes| rows."""
     from pyspark.sql import functions as F
 
-    comp = D.dup_components(_docs(spark, sf_dir), threshold=0.5, shingle_n=3)
+    comp = D.dup_components(
+        _docs(spark, sf_dir), threshold=0.5, shingle_n=3, cache_key=sf_dir
+    )
     return (
         comp.groupBy("component_rep")
         .agg(F.count(F.lit(1)).alias("sz"))
@@ -490,7 +494,9 @@ FROM per GROUP BY sz
 
 
 def dedup_components(spark, sf_dir):
-    return D.dup_components(_docs(spark, sf_dir), threshold=0.5, shingle_n=3)
+    return D.dup_components(
+        _docs(spark, sf_dir), threshold=0.5, shingle_n=3, cache_key=sf_dir
+    )
 
 
 def dedup_incremental_lsh(spark, sf_dir):
@@ -499,7 +505,7 @@ def dedup_incremental_lsh(spark, sf_dir):
     batch signatures probe the persisted band index; history x history
     pairs are never re-generated (operators.dedup.incremental_minhash_dedup).
     Value-oracled end to end."""
-    return D.incremental_minhash_dedup(_docs(spark, sf_dir))
+    return D.incremental_minhash_dedup(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def text_keywords(spark, sf_dir):
@@ -800,12 +806,15 @@ def dedup_lsh_eval(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
-    truth = D.jaccard_pairs(docs, threshold=0.5, shingle_n=3).select(
-        "doc_a", "doc_b"
-    )
-    cand = D.minhash_lsh_pairs(docs, threshold=0.0, shingle_n=3).select(
-        "doc_a", "doc_b"
-    )
+    # distinct cache key: the corpus here is the doc_id<200 SUBSET —
+    # sharing sf_dir's entry would serve full-corpus shingles
+    sub_key = sf_dir + "#doc_id_lt_200"
+    truth = D.jaccard_pairs(
+        docs, threshold=0.5, shingle_n=3, cache_key=sub_key
+    ).select("doc_a", "doc_b")
+    cand = D.minhash_lsh_pairs(
+        docs, threshold=0.0, shingle_n=3, cache_key=sub_key
+    ).select("doc_a", "doc_b")
     n_truth = truth.count()
     hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi").count()
     n_cand = cand.count()
@@ -858,7 +867,7 @@ def dedup_rate_curve(spark, sf_dir):
     from pyspark.sql import functions as F
 
     pairs = D.minhash_lsh_pairs(
-        _docs(spark, sf_dir), threshold=0.5, shingle_n=3
+        _docs(spark, sf_dir), threshold=0.5, shingle_n=3, cache_key=sf_dir
     ).localCheckpoint(eager=True)
     out = None
     for t in (0.5, 0.7, 0.9):
@@ -897,7 +906,7 @@ def dedup_sig_quality(spark, sf_dir):
     """MinHash estimator quality on band-candidate pairs: signature-
     estimated vs true jaccard with absolute error — the artifact that
     tunes num_hashes/band shape (operators.dedup.minhash_sig_quality)."""
-    return D.minhash_sig_quality(_docs(spark, sf_dir))
+    return D.minhash_sig_quality(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def dedup_containment(spark, sf_dir):
@@ -905,7 +914,7 @@ def dedup_containment(spark, sf_dir):
     doc-in-doc duplication that symmetric Jaccard under-scores
     (operators.dedup.containment_pairs); dual candidate generation
     (bands + rare-shingle inverted index), value-oracled."""
-    return D.containment_pairs(_docs(spark, sf_dir))
+    return D.containment_pairs(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def dedup_span_stats(spark, sf_dir):
@@ -923,7 +932,7 @@ def dedup_pipeline_lsh(spark, sf_dir):
     operator; the composition is itself oracle-checked (same SQL stages
     composed as CTEs)."""
     docs = _docs(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(docs, threshold=0.5, shingle_n=3)
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5, shingle_n=3, cache_key=sf_dir)
     return D.bounded_components_from_pairs(docs, pairs, verify_converged=True)
 
 
