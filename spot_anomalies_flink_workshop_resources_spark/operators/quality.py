@@ -494,3 +494,171 @@ FROM documents
 ORDER BY lkey DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# Gopher rule thresholds (Rae et al. 2021 §A1.1, adapted to this
+# corpus's [10, 99]-token documents): every comparison is integer
+# cross-multiplication, so the audit is bit-exact across engines.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 4   # 4*n <= sum_len
+GOPHER_MAX_MEAN_WORD_LEN = 10  # sum_len <= 10*n
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+GOPHER_MIN_STOPWORDS = 2       # distinct stopwords present
+GOPHER_MAX_TOP_TOKEN_X5 = 5    # 5*max_tf <= n  (top token <= 20%)
+GOPHER_ALPHA_NUM = (4, 5)      # 5*n_alpha >= 4*n (>=80% alphabetic)
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Per-rule Gopher quality-filter audit: for each (source, rule),
+    how many documents pass and fail. The per-rule long form is what a
+    curation team actually reads — a single blended score (corpus_prep)
+    hides WHICH rule is rejecting a source.
+
+    Rules (each an integer comparison — no float thresholds anywhere):
+      word_count      GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+      mean_word_len   4 <= sum_len/n <= 10, as 4n <= sum_len <= 10n
+      stopwords       >= 2 distinct stopwords present
+      repetition      top-token share <= 20%, as 5*max_tf <= n
+      alpha_ratio     >= 80% tokens contain a letter, as 5*n_alpha >= 4n
+
+    One explode -> per-(doc, tok) counts -> per-doc integer profile ->
+    rule booleans -> stack to long form -> per-source counts. The only
+    wide stages are the two hash aggs (token-keyed, then doc-keyed);
+    the stack is a narrow 5x row multiply on |docs| rows, and the final
+    agg has |sources| x 5 groups. Documents with zero tokens re-enter
+    via a left join and fail every gate.
+
+    Output: (source, rule, n_pass, n_fail).
+    """
+    from .text import TOKEN_RE
+
+    stopset = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    toks = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"explode(regexp_extract_all(lower(text), '{TOKEN_RE}', 0)) AS tok",
+    )
+    per_tok = toks.groupBy("doc_id", "source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    per_doc = per_tok.groupBy("doc_id", "source").agg(
+        F.sum("tf").cast("long").alias("n"),
+        F.sum(F.col("tf") * F.length("tok")).cast("long").alias("sum_len"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.sum(
+            F.when(F.expr(f"tok IN ({stopset})"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_stop"),
+        F.sum(
+            F.when(F.col("tok").rlike("[a-z]"), F.col("tf")).otherwise(F.lit(0))
+        ).cast("long").alias("n_alpha"),
+    )
+    profile = (
+        docs.select("doc_id", "source")
+        .join(per_doc.drop("source"), "doc_id", "left")
+        .na.fill(
+            {"n": 0, "sum_len": 0, "max_tf": 0, "n_stop": 0, "n_alpha": 0}
+        )
+    )
+    a_num, a_den = GOPHER_ALPHA_NUM
+    rules = {
+        "word_count": (F.col("n") >= GOPHER_MIN_WORDS)
+        & (F.col("n") <= GOPHER_MAX_WORDS),
+        "mean_word_len": (
+            F.col("sum_len") >= GOPHER_MIN_MEAN_WORD_LEN * F.col("n")
+        )
+        & (F.col("sum_len") <= GOPHER_MAX_MEAN_WORD_LEN * F.col("n"))
+        & (F.col("n") > 0),
+        "stopwords": F.col("n_stop") >= GOPHER_MIN_STOPWORDS,
+        "repetition": (
+            GOPHER_MAX_TOP_TOKEN_X5 * F.col("max_tf") <= F.col("n")
+        )
+        & (F.col("n") > 0),
+        "alpha_ratio": (a_den * F.col("n_alpha") >= a_num * F.col("n"))
+        & (F.col("n") > 0),
+    }
+    flagged = profile.select(
+        "source",
+        *[
+            F.when(cond, F.lit(1)).otherwise(F.lit(0)).alias(name)
+            for name, cond in rules.items()
+        ],
+    )
+    stack_args = ", ".join(f"'{r}', {r}" for r in rules)
+    long = flagged.selectExpr(
+        "source", f"stack({len(rules)}, {stack_args}) AS (rule, passed)"
+    )
+    return long.groupBy("source", "rule").agg(
+        F.sum("passed").cast("long").alias("n_pass"),
+        F.sum(F.lit(1) - F.col("passed")).cast("long").alias("n_fail"),
+    )
+
+
+def gopher_rules_sql() -> str:
+    """DuckDB oracle twin of :func:`gopher_rules`."""
+    from .text import TOKEN_RE
+
+    stopset = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    a_num, a_den = GOPHER_ALPHA_NUM
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+  FROM documents
+),
+per_tok AS (
+  SELECT doc_id, source, tok, COUNT(*) AS tf
+  FROM toks GROUP BY doc_id, source, tok
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n,
+         CAST(SUM(tf * length(tok)) AS BIGINT) AS sum_len,
+         CAST(MAX(tf) AS BIGINT) AS max_tf,
+         CAST(SUM(CASE WHEN tok IN ({stopset}) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stop,
+         CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]') THEN tf ELSE 0 END)
+              AS BIGINT) AS n_alpha
+  FROM per_tok GROUP BY doc_id
+),
+profile AS (
+  SELECT d.source,
+         COALESCE(p.n, 0) AS n,
+         COALESCE(p.sum_len, 0) AS sum_len,
+         COALESCE(p.max_tf, 0) AS max_tf,
+         COALESCE(p.n_stop, 0) AS n_stop,
+         COALESCE(p.n_alpha, 0) AS n_alpha
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+),
+flagged AS (
+  SELECT source,
+         CASE WHEN n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+              THEN 1 ELSE 0 END AS word_count,
+         CASE WHEN sum_len >= {GOPHER_MIN_MEAN_WORD_LEN} * n
+               AND sum_len <= {GOPHER_MAX_MEAN_WORD_LEN} * n
+               AND n > 0 THEN 1 ELSE 0 END AS mean_word_len,
+         CASE WHEN n_stop >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END
+           AS stopwords,
+         CASE WHEN {GOPHER_MAX_TOP_TOKEN_X5} * max_tf <= n AND n > 0
+              THEN 1 ELSE 0 END AS repetition,
+         CASE WHEN {a_den} * n_alpha >= {a_num} * n AND n > 0
+              THEN 1 ELSE 0 END AS alpha_ratio
+  FROM profile
+),
+long AS (
+  SELECT source, 'word_count' AS rule, word_count AS passed FROM flagged
+  UNION ALL
+  SELECT source, 'mean_word_len', mean_word_len FROM flagged
+  UNION ALL
+  SELECT source, 'stopwords', stopwords FROM flagged
+  UNION ALL
+  SELECT source, 'repetition', repetition FROM flagged
+  UNION ALL
+  SELECT source, 'alpha_ratio', alpha_ratio FROM flagged
+)
+SELECT source, rule,
+       CAST(SUM(passed) AS BIGINT) AS n_pass,
+       CAST(SUM(1 - passed) AS BIGINT) AS n_fail
+FROM long
+GROUP BY source, rule
+"""

@@ -398,6 +398,24 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def corpus_gopher_rules(spark, sf_dir):
+    """Per-rule Gopher quality-filter audit (operators.quality.
+    gopher_rules): pass/fail counts per (source, rule) for the five
+    integer-exact gates — word count, mean word length, stopword
+    presence, top-token repetition, alphabetic ratio. The per-rule
+    breakdown a curation team reads before touching mixture weights."""
+    return Q.gopher_rules(_docs(spark, sf_dir))
+
+
+def dedup_lines(spark, sf_dir):
+    """Paragraph-granularity exact dedup (Gopher/MassiveText repetition
+    removal): duplicated 12-token line blocks found corpus-wide, per-
+    source rollup with duplicated-char mass and dup rate
+    (operators.dedup.line_block_dedup). Catches boilerplate repeated
+    INSIDE otherwise-distinct documents, which doc-level dedup misses."""
+    return D.line_block_dedup(_docs(spark, sf_dir), block_tokens=12)
+
+
 def dedup_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -1386,6 +1404,8 @@ QUERIES = {
     "corpus_zipf_fit": corpus_zipf_fit,
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_lines": dedup_lines,
+    "corpus_gopher_rules": corpus_gopher_rules,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_packed": dedup_simhash_packed,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -1464,6 +1484,8 @@ ORACLES = {
     # where the hot-shingle prune actually fires (ADVICE r2)
     "dedup_jaccard": D.jaccard_pairs_sql(threshold=0.5, shingle_n=3, df_cap=64),
     "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3),
+    "dedup_lines": D.line_block_dedup_sql(block_tokens=12),
+    "corpus_gopher_rules": Q.gopher_rules_sql(),
     "dedup_simhash": D.simhash_sql(),
     "dedup_simhash_packed": D.simhash_sql(),
     "dedup_simhash_pairs": D.simhash_pairs_sql(),

@@ -31,6 +31,41 @@ def test_exact_dedup_groups(spark):
     assert out == {0: 2, 2: 2}
 
 
+def test_line_block_dedup_counts_repeated_blocks(spark):
+    # 4-token blocks; doc1 repeats doc0's first block verbatim (leading
+    # boilerplate), doc2 is all-fresh, doc3 repeats the boilerplate twice
+    boiler = "alpha beta gamma delta"
+    df = _docs(
+        spark,
+        [
+            boiler + " one two three four",
+            boiler + " five six seven eight",
+            "nine ten eleven twelve thirteen fourteen fifteen sixteen",
+            boiler + " " + boiler,
+        ],
+    )
+    out = {
+        r.source: r
+        for r in dedup.line_block_dedup(df, block_tokens=4).collect()
+    }
+    r = out["s0"]
+    # 2+2+2+2 = 8 blocks; dups: doc1 blk0, doc3 blk0, doc3 blk1 = 3
+    assert r.n_blocks == 8
+    assert r.n_dups == 3
+    assert r.dup_chars == 3 * len(boiler)
+    assert r.dup_rate == pytest.approx(3 / 8)
+
+
+def test_line_block_dedup_trailing_partial_block(spark):
+    # 5 tokens at block size 4 -> blocks "a b c d" and "e"; a second doc
+    # equal to just "e" collides with the trailing partial block
+    df = _docs(spark, ["a b c d e", "e"])
+    r = dedup.line_block_dedup(df, block_tokens=4).collect()[0]
+    assert r.n_blocks == 3
+    assert r.n_dups == 1
+    assert r.dup_chars == 1
+
+
 def test_jaccard_pairs_values(spark):
     df = _docs(
         spark,

@@ -149,3 +149,44 @@ def test_weighted_sample_key_formula_and_exact_k(spark):
         all_keys[doc_id] = math.log((h + 0.5) / float(16 ** 13)) / w
     dropped = min(all_keys, key=all_keys.get)
     assert dropped not in out
+
+
+def test_gopher_rules_hand_computed(spark):
+    # doc0: 40 tokens, the+a+of stopwords, varied words -> passes all
+    # doc1: 10 tokens -> fails word_count; no stopwords -> fails stopwords
+    # doc2: 'zz' * 40 -> fails repetition (one token is 100%); len-2
+    #       words -> fails mean_word_len
+    good = ("the quick brown fox jumps over a lazy dog of note " * 4).strip()
+    short = "one two three four five six seven eight nine ten"
+    reps = " ".join(["zz"] * 40)
+    docs = _docs(spark, [(good, "en"), (short, "en"), (reps, "en")])
+    got = {
+        (r.source, r.rule): (r.n_pass, r.n_fail)
+        for r in Q.gopher_rules(docs).collect()
+    }
+    assert got[("s0", "word_count")] == (2, 1)      # doc1 has 10 < 30
+    assert got[("s0", "stopwords")] == (1, 2)       # only doc0 has >= 2
+    assert got[("s0", "repetition")] == (2, 1)      # doc2 top token 100%
+    # mean lens: doc0 39/11=3.55, doc1 3.9, doc2 2.0 — all below 4
+    assert got[("s0", "mean_word_len")] == (0, 3)
+    assert got[("s0", "alpha_ratio")] == (3, 0)     # all alphabetic
+
+
+def test_gopher_mean_word_len_passes_longer_words(spark):
+    text = " ".join(["wonderful", "elephant", "investigate"] * 12)
+    docs = _docs(spark, [(text, "en")])
+    got = {r.rule: r.n_pass for r in Q.gopher_rules(docs).collect()}
+    assert got["mean_word_len"] == 1
+    assert got["word_count"] == 1
+
+
+def test_gopher_rules_empty_doc_fails_all(spark):
+    docs = _docs(spark, [("", "en")])
+    got = {r.rule: r.n_fail for r in Q.gopher_rules(docs).collect()}
+    assert got == {
+        "word_count": 1,
+        "mean_word_len": 1,
+        "stopwords": 1,
+        "repetition": 1,
+        "alpha_ratio": 1,
+    }

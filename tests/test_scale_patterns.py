@@ -851,6 +851,23 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     assert "BroadcastHashJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert "TakeOrderedAndProject" in p, p
+    # line-block dedup (round 7): one narrow explode, ONE block-keyed
+    # exchange feeding the first-occurrence window, then a two-phase
+    # rollup — no join, no single-partition stage anywhere
+    p = plan("dedup_lines")
+    assert "Join" not in p, p
+    assert "SinglePartition" not in p, p
+    assert p.count("hashpartitioning(") <= 2, p
+    assert "Window" in p, p
+    # gopher rules: token/doc two-phase aggs; the docs-base join keys
+    # on doc_id (broadcast at harness scale, shuffle at corpus scale —
+    # either is fine, a nested-loop is not); the 5x rule stack is a
+    # narrow Generate
+    p = plan("corpus_gopher_rules")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "SinglePartition" not in p, p
+    assert p.count("HashAggregate") >= 4, p
 
 
 def test_pagerank_shuffle_join_no_v_sized_broadcast(spark):
