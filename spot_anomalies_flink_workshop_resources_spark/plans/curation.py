@@ -1630,8 +1630,140 @@ FROM agg
 """
 
 
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by its unigram log-likelihood ratio under the TARGET distribution
+    (here: the English subcorpus) vs the REST, and keep the top-k most
+    target-like — the published shape for tilting a raw crawl toward a
+    target domain before pretraining.
+
+    Exactness: per-token Laplace-smoothed log-ratio
+    ln((ct+1)/(Nt+V)) - ln((cr+1)/(Nr+V)) is computed once on the
+    VOCAB-bounded frame via platform-libm ln (bit-matches DuckDB),
+    quantized to the 2^-20 grid; per-doc scores are then exact int64
+    sums of tf * lr_q, so ranking and the final double weight are
+    engine-identical.
+
+    At 100 TB: one token explode -> (doc, tok) tf agg (the only
+    data-sized shuffle) -> vocab-keyed log-ratio frame joined back
+    (broadcast while the vocab fits, shuffle join otherwise) -> int64
+    doc sums -> TakeOrdered top-k. The paper's hashed n-gram trick
+    (bucket grams into 10k hash features) drops in by replacing tok
+    with a hash-mod before the vocab agg if vocab size ever dominates.
+
+    Output: (doc_id, source, lang, weight) — top 25 by weight.
+    """
+    from ..functions.libm import libm_log
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id",
+        "source",
+        "lang",
+        f"explode(regexp_extract_all(lower(text), '{_TOKEN_RE}', 0)) AS tok",
+    )
+    # materialized once: both the vocab branch and the scoring join read
+    # pt — without the checkpoint Catalyst re-derives the explode+agg
+    # twice (same index-reuse pattern as the LSH shingle frame)
+    pt = (
+        toks.groupBy("doc_id", "source", "lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = pt.groupBy("tok").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("lang") != "en", F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("cr"),
+    )
+    totals = vocab.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cr").cast("long").alias("nr"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    lr = (
+        vocab.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lr",
+            libm_log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("nt") + F.col("v")).cast("double")
+            )
+            - libm_log(
+                (F.col("cr") + 1).cast("double")
+                / (F.col("nr") + F.col("v")).cast("double")
+            ),
+        )
+        .select(
+            "tok",
+            F.floor(F.col("lr") * F.lit(1048576.0) + F.lit(0.5)).alias("lr_q"),
+        )
+    )
+    score = (
+        pt.join(lr, "tok")
+        .groupBy("doc_id", "source", "lang")
+        .agg(F.sum(F.col("tf") * F.col("lr_q")).cast("long").alias("s"))
+    )
+    return (
+        score.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(25)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            (F.col("s").cast("double") / F.lit(1048576.0)).alias("weight"),
+        )
+    )
+
+
+CORPUS_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS tok
+  FROM documents
+),
+pt AS MATERIALIZED (
+  SELECT doc_id, source, lang, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, source, lang, tok
+),
+vocab AS MATERIALIZED (
+  SELECT tok,
+         CAST(SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN lang <> 'en' THEN tf ELSE 0 END) AS BIGINT) AS cr
+  FROM pt GROUP BY tok
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+         CAST(SUM(cr) AS BIGINT) AS nr,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab
+),
+lr AS MATERIALIZED (
+  SELECT tok,
+         CAST(floor(
+           (ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+            - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)))
+           * 1048576.0 + 0.5) AS BIGINT) AS lr_q
+  FROM vocab, tot
+),
+score AS (
+  SELECT doc_id, source, lang, CAST(SUM(tf * lr_q) AS BIGINT) AS s
+  FROM pt JOIN lr USING (tok)
+  GROUP BY doc_id, source, lang
+)
+SELECT doc_id, source, lang, CAST(s AS DOUBLE) / 1048576.0 AS weight
+FROM score
+ORDER BY s DESC, doc_id ASC
+LIMIT 25
+"""
+
+
 QUERIES = {
     "corpus_boilerplate": corpus_boilerplate,
+    "corpus_dsir_select": corpus_dsir_select,
     "corpus_template_strip": corpus_template_strip,
     "simsearch_ndcg": simsearch_ndcg,
     "dq_join_fanout": dq_join_fanout,
@@ -1647,6 +1779,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_boilerplate": CORPUS_BOILERPLATE_SQL,
+    "corpus_dsir_select": CORPUS_DSIR_SQL,
     "corpus_template_strip": CORPUS_TEMPLATE_STRIP_SQL,
     "simsearch_ndcg": SIMSEARCH_NDCG_SQL,
     "dq_join_fanout": DQ_JOIN_FANOUT_SQL,

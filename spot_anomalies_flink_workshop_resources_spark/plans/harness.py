@@ -1069,6 +1069,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit
+    "corpus_dsir_select",          # NEW: DSIR importance-resampling top-k
     "sql_copurchase_pagerank",     # NEW: shuffle-join PageRank, data-scaled |V|
     "dedup_simhash_components",    # CHANGED: fixpoint resolver (assert caught truncation)
     "sql_copurchase_reach",        # CHANGED: bound 6->12 (assert caught live frontier)

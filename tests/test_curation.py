@@ -367,3 +367,32 @@ def test_join_fanout_matches_real_join_counts(spark):
         o, l.l_orderkey == o.o_orderkey, "left_anti"
     ).count()
     assert r.expansion_ratio == pytest.approx(r.join_rows / r.child_rows)
+
+
+def test_dsir_select_prefers_target_like_docs(spark, tmp_path):
+    """Docs sharing the en subcorpus's vocabulary must outrank docs
+    drawn from a disjoint vocabulary, and weights must be descending."""
+    en = "data table query scan filter join group sort " * 6
+    enish = "data table query scan filter join group sort extra words " * 5
+    other = "xylo quark zephyr umbra vortex nimbus " * 8
+    rows = [
+        (0, en.strip(), "en", "s0"),
+        (1, en.strip() + " more", "en", "s0"),
+        (2, enish.strip(), "de", "s1"),   # non-en but target-like text
+        (3, other.strip(), "de", "s1"),   # disjoint vocabulary
+        (4, other.strip() + " unique", "es", "s2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = curation.corpus_dsir_select(spark, str(tmp_path)).collect()
+    weights = {r.doc_id: r.weight for r in out}
+    ranked = [r.doc_id for r in out]
+    # target-vocabulary docs (0,1,2) all above the disjoint-vocab docs
+    assert set(ranked[:3]) == {0, 1, 2}
+    assert weights[2] > weights[3]
+    # output is sorted by weight desc
+    ws = [r.weight for r in out]
+    assert ws == sorted(ws, reverse=True)

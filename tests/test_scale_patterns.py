@@ -868,6 +868,14 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "SinglePartition" not in p, p
     assert p.count("HashAggregate") >= 4, p
+    # DSIR selection: pt is checkpointed (one explode+agg, read by both
+    # branches); the 1-row totals frame broadcasts; vocab log-ratio
+    # joins back via hash join; top-k is a heap, not a global sort
+    p = plan("corpus_dsir_select")
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("SinglePartition") <= 1, p  # the 1-row totals agg
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
 
 
 def test_pagerank_shuffle_join_no_v_sized_broadcast(spark):
