@@ -1070,6 +1070,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit
     "corpus_dsir_select",          # NEW: DSIR importance-resampling top-k
+    "events_stl_decompose",        # NEW: classical 7-day additive decomposition
     "sql_copurchase_pagerank",     # NEW: shuffle-join PageRank, data-scaled |V|
     "dedup_simhash_components",    # CHANGED: fixpoint resolver (assert caught truncation)
     "sql_copurchase_reach",        # CHANGED: bound 6->12 (assert caught live frontier)

@@ -1461,7 +1461,131 @@ SELECT node, CAST(r AS DOUBLE) / {float(RSCALE)!r} AS rank FROM pr8
 ORDER BY node
 """
 
+# ------------------------------------------- classical decomposition
+
+
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    core of STL) of the daily cents-value series per event type:
+    trend = centered 7-day moving average, seasonal = per-day-of-week
+    mean of the detrended series (uncentered classical indices),
+    remainder = observed - trend - seasonal. The decomposition behind
+    "is today's level anomalous, or just a Saturday?" — complements
+    events_seasonality (profile only) and events_holt_* (forecast
+    only) with the full three-component split.
+
+    Exactness: daily y is an exact int64 cents sum; the 7-day window
+    sum s7 is int64; the detrended series is kept in SEVENTHS
+    (7y - s7, exact int64) so the per-dow seasonal mean is one double
+    division sd7/(7*cd); trend is one division s7/7. remainder
+    composes the three via projected columns (the events_icc
+    materialization recipe), never one inlined expression tree. Edge
+    days (incomplete or non-contiguous 7-day window: count < 7 or
+    day-span != 6) are excluded in both engines.
+
+    Scale: one (type, day) hash agg is the only data-sized stage; the
+    window and every join run on the calendar-bounded day frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dd = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = e.groupBy("event_type", dd.alias("dd")).agg(
+        F.sum(cents).cast("long").alias("y")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dd")
+        .rowsBetween(-3, 3)
+    )
+    win = daily.select(
+        "event_type",
+        "dd",
+        "y",
+        F.sum("y").over(w).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w).alias("c7"),
+        (F.max("dd").over(w) - F.min("dd").over(w)).alias("span"),
+    )
+    valid = win.where((F.col("c7") == 7) & (F.col("span") == 6)).select(
+        "event_type",
+        "dd",
+        "y",
+        "s7",
+        ((F.col("dd") + 4) % 7).cast("long").alias("dow"),
+        (F.lit(7) * F.col("y") - F.col("s7")).alias("d7"),
+    )
+    seas = valid.groupBy("event_type", "dow").agg(
+        F.sum("d7").cast("long").alias("sd7"),
+        F.count(F.lit(1)).cast("long").alias("cd"),
+    )
+    parts = valid.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        "dd",
+        "y",
+        (F.col("s7").cast("double") / F.lit(7.0)).alias("trend"),
+        (
+            F.col("sd7").cast("double")
+            / (F.lit(7) * F.col("cd")).cast("double")
+        ).alias("seasonal"),
+    )
+    return parts.select(
+        "event_type",
+        F.expr("date_add(DATE'1970-01-01', CAST(dd AS INT))").alias("day"),
+        "y",
+        "trend",
+        "seasonal",
+        (F.col("y").cast("double") - F.col("trend") - F.col("seasonal")).alias(
+            "remainder"
+        ),
+    )
+
+
+EVENTS_STL_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS dd,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+win AS MATERIALIZED (
+  SELECT event_type, dd, y,
+         CAST(SUM(y) OVER w AS BIGINT) AS s7,
+         COUNT(*) OVER w AS c7,
+         (MAX(dd) OVER w - MIN(dd) OVER w) AS span
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY dd
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+valid AS MATERIALIZED (
+  SELECT event_type, dd, y, s7,
+         CAST((dd + 4) % 7 AS BIGINT) AS dow,
+         7 * y - s7 AS d7
+  FROM win WHERE c7 = 7 AND span = 6
+),
+seas AS MATERIALIZED (
+  SELECT event_type, dow,
+         CAST(SUM(d7) AS BIGINT) AS sd7,
+         CAST(COUNT(*) AS BIGINT) AS cd
+  FROM valid GROUP BY 1, 2
+),
+parts AS MATERIALIZED (
+  SELECT v.event_type, v.dd, v.y,
+         CAST(v.s7 AS DOUBLE) / 7.0 AS trend,
+         CAST(s.sd7 AS DOUBLE) / CAST(7 * s.cd AS DOUBLE) AS seasonal
+  FROM valid v JOIN seas s ON v.event_type = s.event_type AND v.dow = s.dow
+)
+SELECT event_type,
+       DATE '1970-01-01' + CAST(dd AS INTEGER) AS day,
+       y, trend, seasonal,
+       CAST(y AS DOUBLE) - trend - seasonal AS remainder
+FROM parts
+"""
+
+
 QUERIES = {
+    "events_stl_decompose": events_stl_decompose,
     "events_markov_stationary": events_markov_stationary,
     "events_hurst": events_hurst,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
@@ -1477,6 +1601,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_stl_decompose": EVENTS_STL_SQL,
     "events_markov_stationary": _events_markov_stationary_sql(),
     "events_hurst": EVENTS_HURST_SQL,
     "corpus_ccnet_buckets": _corpus_ccnet_buckets_sql(),

@@ -662,3 +662,60 @@ def test_reliability_bins_calibrated_fixture(spark, tmp_path):
     # confidence rises monotonically with the bin
     confs = [got[b].mean_confidence for b in range(10)]
     assert confs == sorted(confs)
+
+
+def test_stl_decompose_recovers_planted_weekly_bump(spark, tmp_path):
+    """y = 100*d + 7 extra dollars on dow0: the centered 7-day MA of a
+    linear series is exact, each window holds exactly one bump, so
+    seasonal must be +600/-100 cents and remainder identically 0."""
+    from spot_anomalies_flink_workshop_resources_spark.plans.round7 import (
+        events_stl_decompose,
+    )
+    import datetime as dt
+
+    rows = []
+    base = dt.date(2024, 1, 1)
+    for d in range(21):
+        day = base + dt.timedelta(days=d)
+        dow = ((day - dt.date(1970, 1, 1)).days + 4) % 7
+        val = 100.0 * d + (7.0 if dow == 0 else 0.0)  # dollars
+        rows.append((d, f"{day} 12:00:00", 1, "click", val))
+    _events(spark, tmp_path, rows)
+    out = events_stl_decompose(spark, str(tmp_path)).collect()
+    # 21 days -> 15 interior days with a full centered window
+    assert len(out) == 15
+    for r in out:
+        dow = ((r.day.date() if hasattr(r.day, "date") else r.day)
+               - dt.date(1970, 1, 1)).days
+        dow = (dow + 4) % 7
+        expected_seasonal = 600.0 if dow == 0 else -100.0
+        assert r.seasonal == pytest.approx(expected_seasonal, abs=1e-9)
+        assert r.remainder == pytest.approx(0.0, abs=1e-9)
+        # trend + seasonal == y exactly when remainder is 0
+        assert r.trend + r.seasonal == pytest.approx(float(r.y), abs=1e-9)
+
+
+def test_stl_decompose_excludes_gap_windows(spark, tmp_path):
+    """A missing calendar day breaks the 7-day contiguity: windows that
+    straddle the gap (span != 6) must not emit rows."""
+    from spot_anomalies_flink_workshop_resources_spark.plans.round7 import (
+        events_stl_decompose,
+    )
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    i = 0
+    for d in range(15):
+        if d == 7:  # hole in the calendar
+            continue
+        day = base + dt.timedelta(days=d)
+        rows.append((i, f"{day} 12:00:00", 1, "click", 10.0))
+        i += 1
+    _events(spark, tmp_path, rows)
+    out = events_stl_decompose(spark, str(tmp_path)).collect()
+    days = sorted((r.day.date() if hasattr(r.day, "date") else r.day)
+                  for r in out)
+    # only day 3 (window 0-6) and day 11 (window 8-14) have contiguous
+    # complete windows
+    assert days == [base + dt.timedelta(days=3), base + dt.timedelta(days=11)]

@@ -876,6 +876,14 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
     assert p.count("SinglePartition") <= 1, p  # the 1-row totals agg
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
+    # STL decomposition: one data-sized (type, day) agg; the window and
+    # seasonal join run on the calendar-bounded day frame, seasonal
+    # frame broadcasts, never a single-partition stage
+    p = plan("events_stl_decompose")
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "Window" in p, p
 
 
 def test_pagerank_shuffle_join_no_v_sized_broadcast(spark):
