@@ -148,3 +148,114 @@ def frame_sample_plan(
             )
         ),
     )
+
+
+def byte_shingle_pairs(
+    media: DataFrame,
+    threshold: float = 0.5,
+    window_bytes: int = 8,
+    stride_bytes: int = 4,
+    df_cap: int | None = 64,
+) -> DataFrame:
+    """Binary near-duplicate pairs: Jaccard over strided byte-window
+    shingles — the media twin of text n-gram dedup. Catches re-encoded
+    uploads, header-patched copies, and containers wrapping the same
+    payload, which digest-exact dedup (content_hash) misses entirely.
+
+    Shingling happens in HEX SPACE (the cross-engine recipe for binary
+    surgery — DuckDB has no substr on BLOB): each shingle is the
+    ``window_bytes``-byte window at every ``stride_bytes`` offset,
+    distinct per media. The stride keeps shingle volume at
+    len/stride rather than len, and because it divides the 4-byte
+    container magic, payload windows stay byte-aligned across
+    different containers. Candidates come from the inverted-index
+    self-join; ``df_cap`` prunes hot windows before counts AND the
+    intersection symmetrically (the jaccard_pairs contract — one hot
+    window of df d is d^2 candidate pairs).
+
+    Output: (media_a, media_b, jaccard) for capped-set Jaccard >=
+    threshold.
+    """
+    w2, s2 = 2 * window_bytes, 2 * stride_bytes
+    hx = media.select("media_id", F.hex("content").alias("h"))
+    arr = F.expr(
+        f"transform(sequence(1, (length(h) - {w2}) div {s2} + 1), "
+        f"i -> substring(h, (i - 1) * {s2} + 1, {w2}))"
+    )
+    toks = (
+        hx.where(F.length("h") >= w2)
+        .select("media_id", F.explode(F.array_distinct(arr)).alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    if df_cap is not None:
+        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        toks = toks.join(freq.where(F.col("df") <= df_cap), "tok").select(
+            "media_id", "tok"
+        )
+    counts = toks.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = counts.select(F.col("media_id").alias("media_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("media_id").alias("media_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(ca, "media_a")
+        .join(cb, "media_b")
+        .select("media_a", "media_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def byte_shingle_pairs_sql(
+    media_cte: str,
+    threshold: float = 0.5,
+    window_bytes: int = 8,
+    stride_bytes: int = 4,
+    df_cap: int | None = 64,
+) -> str:
+    """DuckDB oracle twin of :func:`byte_shingle_pairs`; ``media_cte``
+    supplies the (media_id, content) derivation."""
+    w2, s2 = 2 * window_bytes, 2 * stride_bytes
+    capped = (
+        f""",
+capped AS (
+  SELECT t.media_id, t.tok FROM toks t
+  JOIN (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= {df_cap}) f
+    ON t.tok = f.tok
+)"""
+        if df_cap is not None
+        else ""
+    )
+    src = "capped" if df_cap is not None else "toks"
+    return f"""
+WITH media AS ({media_cte}),
+hx AS (SELECT media_id, hex(content) AS h FROM media),
+toks AS MATERIALIZED (
+  SELECT DISTINCT media_id, substr(h, (i - 1) * {s2} + 1, {w2}) AS tok
+  FROM hx, UNNEST(generate_series(1, (length(h) - {w2}) // {s2} + 1)) AS t(i)
+  WHERE length(h) >= {w2}
+){capped},
+counts AS (SELECT media_id, COUNT(*) AS n FROM {src} GROUP BY media_id),
+common AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b, COUNT(*) AS c
+  FROM {src} a JOIN {src} b ON a.tok = b.tok AND a.media_id < b.media_id
+  GROUP BY 1, 2
+)
+SELECT media_a, media_b,
+       CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+FROM common
+JOIN counts ca ON ca.media_id = media_a
+JOIN counts cb ON cb.media_id = media_b
+WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {threshold}
+"""

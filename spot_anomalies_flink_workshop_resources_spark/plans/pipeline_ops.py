@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators import dedup as D
+from ..operators import multimodal as M
 from ..operators import quality as Q
 from ..operators import simsearch as S
 from ..operators import text as T
@@ -726,6 +727,30 @@ GROUP BY sniffed_type, md5(hex(content))
 """
 
 
+_MEDIA_CTE_SQL = r"""
+  SELECT doc_id AS media_id,
+         (CASE doc_id % 4
+            WHEN 0 THEN '\x89\x50\x4E\x47'::BLOB
+            WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+            WHEN 2 THEN '\x52\x49\x46\x46'::BLOB
+            ELSE '\x00\x00\x00\x18'::BLOB END) || encode(text) AS content
+  FROM documents
+"""
+
+
+def multimodal_near_dup(spark, sf_dir):
+    """Binary NEAR-duplicate pairs by strided byte-window Jaccard
+    (operators.multimodal.byte_shingle_pairs): catches the same payload
+    behind different container headers or with local byte edits, which
+    the digest-exact multimodal_dedup misses. Shingling and candidate
+    generation mirror the text dedup family (hot-window df cap armed —
+    measured max window df 186 at sf0.01, so the cap PRUNES here and
+    the oracle mirrors it)."""
+    from ..operators import multimodal as M
+
+    return M.byte_shingle_pairs(_media(spark, sf_dir), threshold=0.5)
+
+
 def multimodal_integrity(spark, sf_dir):
     """Binary-column INTEGRITY audit: declared container type (from the
     catalog) vs magic-byte sniff — the confusion matrix that catches
@@ -1423,6 +1448,7 @@ QUERIES = {
     "dedup_rate_curve": dedup_rate_curve,
     "dedup_lsh_eval": dedup_lsh_eval,
     "multimodal_dedup": multimodal_dedup,
+    "multimodal_near_dup": multimodal_near_dup,
     "multimodal_integrity": multimodal_integrity,
     "corpus_cms_error": corpus_cms_error,
     "text_langid_confusion": text_langid_confusion,
@@ -1518,6 +1544,7 @@ ORACLES = {
     "dedup_rate_curve": _dedup_rate_curve_sql(),
     "dedup_lsh_eval": _dedup_lsh_eval_sql(),
     "multimodal_dedup": MULTIMODAL_DEDUP_SQL,
+    "multimodal_near_dup": M.byte_shingle_pairs_sql(_MEDIA_CTE_SQL, threshold=0.5),
     "multimodal_integrity": MULTIMODAL_INTEGRITY_SQL,
     "corpus_cms_error": T.cms_error_profile_sql(),
     "text_langid_confusion": _langid_confusion_sql(),

@@ -245,3 +245,38 @@ def test_training_is_sharded_and_discriminates_at_any_shard_count(spark):
         fam = [r.anomaly_score for r in scored[:20]]
         prb = [r.anomaly_score for r in scored[20:]]
         assert sum(fam) / 20 < sum(prb) / 20, f"shards={shards}"
+
+
+def test_byte_shingle_pairs_same_payload_different_container(spark):
+    """The same 64-byte payload behind PNG vs JPEG headers must pair
+    (headers differ in only the first windows); an unrelated payload
+    must not pair with either."""
+    payload = bytes(range(64))  # 64 distinct bytes -> distinct windows
+    other = bytes(reversed(range(64)))
+    rows = [
+        (0, "image", bytearray(b"\x89PNG" + payload), (None, None, None)),
+        (1, "image", bytearray(b"\xff\xd8\xff\xe0" + payload), (None, None, None)),
+        (2, "image", bytearray(b"\x89PNG" + other), (None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.byte_shingle_pairs(df, threshold=0.5).collect()
+    pairs = {(r.media_a, r.media_b) for r in out}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+    j = {(r.media_a, r.media_b): r.jaccard for r in out}[(0, 1)]
+    # 68 bytes -> 16 windows each; only window 0 touches the magic, so
+    # 15 of 16 are shared: 15 / (16 + 16 - 15)
+    assert j == 15 / 17
+
+
+def test_byte_shingle_pairs_df_cap_prunes_hot_windows(spark):
+    """A window shared by EVERY media is pruned at df_cap, so two media
+    whose only overlap is the hot window do not pair."""
+    hot = bytes([7] * 12)
+    rows = [
+        (i, "bin", bytearray(hot + bytes([i] * 20)), (None, None, None))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.byte_shingle_pairs(df, threshold=0.1, df_cap=2).collect()
+    assert out == []

@@ -884,6 +884,13 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
     assert "Window" in p, p
+    # binary near-dup: candidates only via the inverted-index equi-join
+    # on the window hash — never a nested-loop/cartesian; the shingle
+    # frame is checkpointed (one hex explode feeds cap, counts, join)
+    p = plan("multimodal_near_dup")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "SinglePartition" not in p, p
 
 
 def test_pagerank_shuffle_join_no_v_sized_broadcast(spark):
