@@ -867,6 +867,151 @@ WHERE {_cos_sql('a', 'b', dim)} >= {threshold}
 """
 
 
+def _rhp_planes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic random-hyperplane coefficients: md5-seeded ints in
+    [-32768, 32768), computed in Python and embedded as LITERALS in both
+    the Spark expression and the SQL oracle (the integer-DCG recipe) —
+    no runtime hashing has to agree across engines."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:8], 16) % 65536)
+            - 32768
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by RANDOM-HYPERPLANE LSH — the
+    third blocker of the family (label: trusted metadata; IVF:
+    data-derived Voronoi; RHP-LSH: data-INDEPENDENT, no training pass
+    at all — the right choice for a first pass over a never-seen
+    corpus or a streaming ingest where centroids don't exist yet).
+
+    Each vector gets an ``n_planes``-bit signature (sign of the dot
+    product against fixed md5-seeded integer hyperplanes); candidates
+    share a bucket at Hamming distance <= 1 (exact bucket + one-bit
+    multi-probe, the standard recall lever). Signs are decided on
+    EXACT int64 dot products (2^-20-quantized components x integer
+    plane coefficients), so bucket assignment is engine-identical by
+    construction; the cosine verify is the family's ordered-fold form.
+
+    At 100 TB: signature build is a narrow map (n_planes x dim integer
+    mults per row); the probe join is bucket-keyed with expected bucket
+    size N/2^n_planes — grow n_planes with corpus size to hold bucket
+    size constant, exactly like adding LSH bands.
+
+    Output: (vec_a, vec_b, cosine) for same/adjacent-bucket pairs with
+    cosine >= threshold.
+    """
+    planes = _rhp_planes(n_planes, dim)
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn(
+        "vq",
+        F.expr("transform(emb, x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT))"),
+    )
+    bits = []
+    for p, coeffs in enumerate(planes):
+        lit = "array(" + ", ".join(f"{c}L" for c in coeffs) + ")"
+        dot = (
+            f"aggregate(zip_with(vq, {lit}, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (s, v) -> s + v)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    e = e.withColumn(
+        "bucket", F.expr(" + ".join(bits)).cast("long")
+    ).localCheckpoint(eager=True)
+    probe_arr = "array(bucket" + "".join(
+        f", bucket ^ {1 << p}" for p in range(n_planes)
+    ) + ")"
+    probes = e.select(
+        "vec_id", F.explode(F.expr(probe_arr)).alias("pbucket")
+    )
+    cand = (
+        probes.alias("a")
+        .join(
+            e.select("vec_id", "bucket").alias("b"),
+            (F.col("a.pbucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p_, q_: p_ * q_), F.lit(0.0), lambda s, v: s + v
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(dot(F.col("emb_a"), F.col("emb_a")))
+        * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh_sql(
+    threshold: float = 0.3, n_planes: int = 8, dim: int = 64
+) -> str:
+    """DuckDB oracle twin of :func:`embedding_near_dup_lsh` — identical
+    literal hyperplanes; DuckDB's ^ is POWER, so bit flips use xor()."""
+    from .simsearch import _cos_sql
+
+    planes = _rhp_planes(n_planes, dim)
+    bits = []
+    for p, coeffs in enumerate(planes):
+        lit = "[" + ", ".join(str(c) for c in coeffs) + "]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"j -> vq[j] * ({lit})[j]))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    probe_list = "[bucket" + "".join(
+        f", xor(bucket, {1 << p})" for p in range(n_planes)
+    ) + "]"
+    return f"""
+WITH vqs AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(x::DOUBLE * 1048576.0 + 0.5) AS BIGINT)) AS vq
+  FROM embeddings
+),
+buckets AS MATERIALIZED (
+  SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM vqs
+),
+probes AS (
+  SELECT vec_id, unnest({probe_list}) AS pbucket FROM buckets
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM probes a JOIN buckets b
+    ON a.pbucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT cand.vec_a, cand.vec_b, {_cos_sql('a', 'b', dim)} AS cosine
+FROM cand
+JOIN embeddings a ON a.vec_id = cand.vec_a
+JOIN embeddings b ON b.vec_id = cand.vec_b
+WHERE {_cos_sql('a', 'b', dim)} >= {threshold}
+"""
+
+
 def embedding_near_dup_ivf_trained(
     embeddings: DataFrame,
     threshold: float = 0.95,

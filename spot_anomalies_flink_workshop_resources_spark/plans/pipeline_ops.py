@@ -408,6 +408,16 @@ def corpus_gopher_rules(spark, sf_dir):
     return Q.gopher_rules(_docs(spark, sf_dir))
 
 
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup pairs blocked by random-hyperplane LSH with
+    one-bit multi-probe (operators.dedup.embedding_near_dup_lsh) — the
+    training-free, data-independent blocker completing the label/IVF/
+    LSH trilogy. Bucket signs decided on exact int64 dot products
+    against md5-seeded literal hyperplanes shared verbatim with the
+    oracle."""
+    return D.embedding_near_dup_lsh(_embs(spark, sf_dir), threshold=0.3)
+
+
 def dedup_lines(spark, sf_dir):
     """Paragraph-granularity exact dedup (Gopher/MassiveText repetition
     removal): duplicated 12-token line blocks found corpus-wide, per-
@@ -1430,6 +1440,7 @@ QUERIES = {
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lines": dedup_lines,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "corpus_gopher_rules": corpus_gopher_rules,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_packed": dedup_simhash_packed,
@@ -1511,6 +1522,7 @@ ORACLES = {
     "dedup_jaccard": D.jaccard_pairs_sql(threshold=0.5, shingle_n=3, df_cap=64),
     "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(threshold=0.5, shingle_n=3),
     "dedup_lines": D.line_block_dedup_sql(block_tokens=12),
+    "dedup_embedding_lsh": D.embedding_near_dup_lsh_sql(threshold=0.3),
     "corpus_gopher_rules": Q.gopher_rules_sql(),
     "dedup_simhash": D.simhash_sql(),
     "dedup_simhash_packed": D.simhash_sql(),

@@ -173,6 +173,59 @@ def test_embedding_near_dup_cosine(spark):
     assert out[0].cosine == pytest.approx(1 / math.sqrt(1 + 0.01**2))
 
 
+def test_embedding_near_dup_lsh_identical_and_opposite(spark):
+    """Identical vectors share every sign bit (one bucket) and pair at
+    cosine 1; a vector and its negation flip EVERY sign bit (Hamming 8,
+    beyond the 1-bit probe) and never become candidates."""
+    base = [float((i * 37) % 11 - 5) / 5.0 for i in range(64)]
+    near = list(base)
+    near[0] += 1e-6  # same signs under every hyperplane
+    rows = [
+        Row(vec_id=0, embedding=base, label=1),
+        Row(vec_id=1, embedding=near, label=1),
+        Row(vec_id=2, embedding=[-x for x in base], label=1),
+    ]
+    df = spark.createDataFrame(rows)
+    out = dedup.embedding_near_dup_lsh(df, threshold=0.3).collect()
+    pairs = {(r.vec_a, r.vec_b): r.cosine for r in out}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] == pytest.approx(1.0, abs=1e-9)
+    assert all(2 not in p for p in pairs)
+
+
+def test_embedding_near_dup_lsh_one_bit_probe_reaches_neighbors(spark):
+    """Two vectors differing in exactly one hyperplane sign are still
+    candidates via the one-bit multi-probe (verified: their buckets
+    differ, yet the pair is emitted when the cosine clears τ)."""
+    planes = dedup._rhp_planes(8, 64)
+    base = [1.0 if c > 0 else -1.0 for c in planes[0]]
+    # flipping along plane 0's direction flips only bit 0 if the other
+    # planes' dots stay same-signed; verify empirically via buckets
+    flipped = [-x for x in base]
+    # construct a milder neighbor: shrink toward plane-0 boundary
+    import numpy as np
+
+    h0 = np.array(planes[0], dtype=float)
+    v = np.array(base)
+    w = v - 2.0 * (v @ h0) / (h0 @ h0) * h0  # reflect across plane 0
+    rows = [
+        Row(vec_id=0, embedding=[float(x) for x in v], label=1),
+        Row(vec_id=1, embedding=[float(x) for x in w], label=1),
+    ]
+    df = spark.createDataFrame(rows)
+    out = dedup.embedding_near_dup_lsh(df, threshold=-1.0).collect()
+    # the reflection flips plane-0's sign; if no other sign flipped the
+    # pair MUST surface through the 1-bit probe
+    signs_v = [int(sum(a * b for a, b in zip(v, p)) >= 0) for p in planes]
+    signs_w = [int(sum(a * b for a, b in zip(w, p)) >= 0) for p in planes]
+    hamming = sum(1 for a, b in zip(signs_v, signs_w) if a != b)
+    found = {(r.vec_a, r.vec_b) for r in out}
+    if hamming <= 1:
+        assert (0, 1) in found
+    else:
+        assert (0, 1) not in found
+
+
 def test_text_stats_counts(spark):
     df = _docs(spark, ["The cat and the hat. Is it red?"])
     r = text.text_stats(df).collect()[0]

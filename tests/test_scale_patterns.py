@@ -891,6 +891,12 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "SinglePartition" not in p, p
+    # RHP-LSH embedding blocker: bucket-keyed equi-join only; the
+    # signature build is a narrow map over the checkpointed frame
+    p = plan("dedup_embedding_lsh")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "SinglePartition" not in p, p
 
 
 def test_pagerank_shuffle_join_no_v_sized_broadcast(spark):
