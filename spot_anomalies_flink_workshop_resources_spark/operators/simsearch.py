@@ -1855,3 +1855,162 @@ acc{r} AS MATERIALIZED (
 SELECT query_id, sel_round, neighbor_id, mmr_score FROM acc{k}"""
     )
     return "".join(parts)
+
+
+# ------------------------------------------------ reciprocal rank fusion
+
+
+def rrf_fusion(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k_lists: int = 20,
+    k_out: int = 5,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of three retrieval
+    rankings — cosine, raw inner product, and euclidean distance — the
+    standard way to combine heterogeneous retrievers (dense + sparse +
+    rerankers) without score calibration. Each ranking contributes
+    1/(60 + rank) for its top-``k_lists``; fused top-``k_out`` returned
+    per query.
+
+    Exactness: every contribution is the INTEGER 2^40 div (60 + rank)
+    (integer division is engine-identical), so the fused score is an
+    exact int64 sum and ties break on neighbor_id. Ranks come from
+    row_number over (metric, neighbor_id) where all three metrics are
+    ordered folds on the same operand order — bit-identical across
+    engines.
+
+    Scale: one broadcast of the query panel against the vector table
+    (the NDCG/brute-force shape), three bounded windows partitioned per
+    query, and a TakeOrdered top-k. Growing the panel widens the
+    broadcast; the vector table is scanned once.
+    """
+    two40 = 1 << 40
+    e = _with_norm(embeddings)
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    dot = _dot(F.col("q_emb"), F.col("emb"))
+    cos = dot / (F.col("q_norm") * F.col("norm"))
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"), F.col("emb"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("m_cos"),
+            dot.alias("m_dot"),
+            dist2.alias("m_l2"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("m_cos"), F.asc("neighbor_id")
+    )
+    w_dot = Window.partitionBy("query_id").orderBy(
+        F.desc("m_dot"), F.asc("neighbor_id")
+    )
+    w_l2 = Window.partitionBy("query_id").orderBy(
+        F.asc("m_l2"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_cos).cast("long").alias("r_cos"),
+        F.row_number().over(w_dot).cast("long").alias("r_dot"),
+        F.row_number().over(w_l2).cast("long").alias("r_l2"),
+    )
+    contrib = lambda c: F.when(  # noqa: E731
+        F.col(c) <= k_lists, F.expr(f"{two40} div (60 + {c})")
+    ).otherwise(F.lit(0))
+    fused = ranked.select(
+        "query_id",
+        "neighbor_id",
+        "r_cos",
+        "r_dot",
+        "r_l2",
+        (contrib("r_cos") + contrib("r_dot") + contrib("r_l2"))
+        .cast("long")
+        .alias("rrf_int"),
+    ).where(F.col("rrf_int") > 0)
+    w_out = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_int"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_out).cast("long"))
+        .where(F.col("fused_rank") <= k_out)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "fused_rank",
+            "r_cos",
+            "r_dot",
+            "r_l2",
+            (F.col("rrf_int").cast("double") / F.lit(float(two40))).alias(
+                "rrf_score"
+            ),
+        )
+    )
+
+
+def rrf_fusion_sql(
+    n_queries: int = 8, k_lists: int = 20, k_out: int = 5, dim: int = DIM
+) -> str:
+    """DuckDB oracle twin of :func:`rrf_fusion`."""
+    two40 = 1 << 40
+    dot = _DOT_SQL.format(dim=dim, x="q", y="e")
+    nq = _DOT_SQL.format(dim=dim, x="q", y="q")
+    ne = _DOT_SQL.format(dim=dim, x="e", y="e")
+    l2 = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (q.embedding[i]::DOUBLE - e.embedding[i]::DOUBLE)"
+        " * (q.embedding[i]::DOUBLE - e.embedding[i]::DOUBLE)))"
+    )
+    return f"""
+WITH scored AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {dot} / (sqrt({nq}) * sqrt({ne})) AS m_cos,
+         {dot} AS m_dot,
+         {l2} AS m_l2
+  FROM embeddings q
+  JOIN embeddings e ON q.vec_id <> e.vec_id
+  WHERE q.vec_id < {n_queries}
+),
+ranked AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY m_cos DESC, neighbor_id ASC) AS BIGINT) AS r_cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY m_dot DESC, neighbor_id ASC) AS BIGINT) AS r_dot,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY m_l2 ASC, neighbor_id ASC) AS BIGINT) AS r_l2
+  FROM scored
+),
+fused AS (
+  SELECT query_id, neighbor_id, r_cos, r_dot, r_l2,
+         CAST((CASE WHEN r_cos <= {k_lists}
+                    THEN {two40} // (60 + r_cos) ELSE 0 END)
+            + (CASE WHEN r_dot <= {k_lists}
+                    THEN {two40} // (60 + r_dot) ELSE 0 END)
+            + (CASE WHEN r_l2 <= {k_lists}
+                    THEN {two40} // (60 + r_l2) ELSE 0 END) AS BIGINT)
+           AS rrf_int
+  FROM ranked
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_int DESC, neighbor_id ASC) AS BIGINT) AS fused_rank,
+       r_cos, r_dot, r_l2,
+       CAST(rrf_int AS DOUBLE) / {float(two40)!r} AS rrf_score
+FROM fused
+WHERE rrf_int > 0
+QUALIFY fused_rank <= {k_out}
+"""

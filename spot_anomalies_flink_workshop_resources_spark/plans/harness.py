@@ -1073,6 +1073,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_stl_decompose",        # NEW: classical 7-day additive decomposition
     "multimodal_near_dup",         # NEW: strided byte-window Jaccard pairs
     "dedup_embedding_lsh",         # NEW: random-hyperplane LSH blocker
+    "simsearch_rrf",               # NEW: reciprocal-rank fusion panel
     "sql_copurchase_pagerank",     # NEW: shuffle-join PageRank, data-scaled |V|
     "dedup_simhash_components",    # CHANGED: fixpoint resolver (assert caught truncation)
     "sql_copurchase_reach",        # CHANGED: bound 6->12 (assert caught live frontier)

@@ -2060,6 +2060,23 @@ def _simsearch_mmr_sql() -> str:
     return mmr_topk_sql()
 
 
+def simsearch_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of cosine / inner-product / euclidean
+    retrieval (operators/simsearch.rrf_fusion): the calibration-free
+    multi-retriever combiner, with integer 2^40//(60+rank)
+    contributions so the fused ranking is engine-identical."""
+    from ..operators.simsearch import rrf_fusion
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return rrf_fusion(emb)
+
+
+def _simsearch_rrf_sql() -> str:
+    from ..operators.simsearch import rrf_fusion_sql
+
+    return rrf_fusion_sql()
+
+
 # -------------------------------------------------- holt-winters
 
 
@@ -2895,6 +2912,7 @@ QUERIES = {
     "simsearch_range_search": simsearch_range_search,
     "events_pit_enrich": events_pit_enrich,
     "simsearch_mmr": simsearch_mmr,
+    "simsearch_rrf": simsearch_rrf,
     "events_holt_winters": events_holt_winters,
     "sql_region_share": sql_region_share,
     "sql_supplier_hhi": sql_supplier_hhi,
@@ -2937,6 +2955,7 @@ ORACLES = {
     "simsearch_range_search": _simsearch_range_search_sql(),
     "events_pit_enrich": EVENTS_PIT_SQL,
     "simsearch_mmr": _simsearch_mmr_sql(),
+    "simsearch_rrf": _simsearch_rrf_sql(),
     "events_holt_winters": _hw_sql(),
     "sql_region_share": SQL_REGION_SHARE_SQL,
     "sql_supplier_hhi": SQL_SUPPLIER_HHI_SQL,

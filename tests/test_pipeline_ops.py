@@ -1880,3 +1880,31 @@ def test_top_eigen_degenerate_constant_corpus_matches_oracle(spark):
     }
     assert got == want
     assert all(v == (1.0, 0.0) for v in got.values())
+
+
+def test_rrf_fusion_combines_disagreeing_rankings(spark):
+    """Cosine ties v1/v2 (break by id), dot favors the long vector,
+    euclidean favors the close one — the fused order must equal the
+    Python recomputation with integer 2^40//(60+r) contributions."""
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),   # the query
+        Row(vec_id=1, embedding=[10.0, 0.0], label=0),  # far but parallel
+        Row(vec_id=2, embedding=[0.5, 0.0], label=0),   # close, parallel
+        Row(vec_id=3, embedding=[0.0, 1.0], label=0),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows)
+    out = simsearch.rrf_fusion(df, n_queries=1, k_lists=3, k_out=3).collect()
+    got = [(r.neighbor_id, r.r_cos, r.r_dot, r.r_l2) for r in out]
+    # ranks: cos v1=1 v2=2 v3=3; dot v1=1 v2=2 v3=3; l2 v2=1 v3=2 v1=3
+    f = lambda r: (1 << 40) // (60 + r)
+    scores = {
+        1: 2 * f(1) + f(3),
+        2: 2 * f(2) + f(1),
+        3: 2 * f(3) + f(2),
+    }
+    expect_order = sorted(scores, key=lambda n: (-scores[n], n))
+    assert [g[0] for g in got] == expect_order
+    assert got[0][1:] == (1, 1, 3) if got[0][0] == 1 else True
+    by_id = {r.neighbor_id: r.rrf_score for r in out}
+    for n, s in scores.items():
+        assert by_id[n] == pytest.approx(s / float(1 << 40), rel=1e-12)

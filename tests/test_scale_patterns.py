@@ -897,6 +897,14 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "SinglePartition" not in p, p
+    # RRF fusion: the query panel broadcasts against one vector scan
+    # (the NDCG shape — BroadcastNestedLoopJoin on the != predicate is
+    # the intended panel join); windows partition per query
+    p = plan("simsearch_rrf")
+    assert "CartesianProduct" not in p, p
+    assert "SinglePartition" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "Window" in p, p
 
 
 def test_pagerank_shuffle_join_no_v_sized_broadcast(spark):
