@@ -1005,8 +1005,13 @@ def test_tpch_tail_plan_invariants(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     # boilerplate: narrow gram explode + (source, gram) hash agg; the
     # per-source doc counts broadcast back
+    # boilerplate reads the SHARED gram-pass checkpoint since the
+    # round-7 fusion (plans/curation._gram_pass): the gram explode and
+    # the doc-count broadcast live BEHIND the checkpoint boundary, so
+    # the visible plan must be just the tiny rollup — no explode, no
+    # join, no cartesian re-derivation of the gram stream
     p = plan("corpus_boilerplate")
-    assert "BroadcastHashJoin" in p, p
+    assert "Generate" not in p, p
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin" not in p, p
     # ndcg: the 16-query side broadcasts against the vector scan; the
