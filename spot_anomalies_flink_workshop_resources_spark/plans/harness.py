@@ -816,6 +816,47 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-quality gate: each arriving document is scored
+    INLINE (text.stat_cols — narrow column expressions, no state, no
+    shuffle) and gated at quality >= 0.5, the ingest-time form of the
+    corpus_prep gate. Stateless ⇒ the finalized append output equals
+    the batch gate, which is the oracle. At scale this is the shape
+    that rejects junk documents before they ever reach storage —
+    per-record cost only, no reprocessing batch."""
+    from ..operators import text as T
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    c = T.stat_cols()
+    from pyspark.sql import functions as F
+
+    gated = stream.select(
+        "doc_id",
+        "lang",
+        "source",
+        c["n_tokens"].cast("long").alias("n_tokens"),
+        c["quality_score"].alias("quality_score"),
+    ).where(F.col("quality_score") >= 0.5)
+    return _run_to_completion(gated, spark)
+
+
+def _stream_quality_gate_sql() -> str:
+    from ..operators.text import corpus_prep_stages_sql
+
+    return f"""
+WITH {corpus_prep_stages_sql(0.5)}
+SELECT doc_id, lang, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+FROM good
+"""
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast join, the enrichment shape the reference's
     consumer Lambda does per record (lambda_handler table lookups):
@@ -1074,6 +1115,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_near_dup",         # NEW: strided byte-window Jaccard pairs
     "dedup_embedding_lsh",         # NEW: random-hyperplane LSH blocker
     "simsearch_rrf",               # NEW: reciprocal-rank fusion panel
+    "stream_quality_gate",         # NEW: ingest-time stateless doc gate
     "sql_copurchase_pagerank",     # NEW: shuffle-join PageRank, data-scaled |V|
     "dedup_simhash_components",    # CHANGED: fixpoint resolver (assert caught truncation)
     "sql_copurchase_reach",        # CHANGED: bound 6->12 (assert caught live frontier)
@@ -1362,6 +1404,7 @@ def build_queries() -> dict[str, QueryFn]:
         "batch_interval_join_bucketed": batch_interval_join_bucketed,
         "stream_distinct_pairs": stream_distinct_pairs,
         "stream_static_enrich": stream_static_enrich,
+        "stream_quality_gate": stream_quality_gate,
         "asof_click_purchase": asof_click_purchase,
         "approx_distinct_parts": approx_distinct_parts,
         "pivot_event_type_counts": pivot_event_type_counts,
@@ -1418,6 +1461,7 @@ def build_oracles() -> dict[str, str]:
         "batch_interval_join_bucketed": STREAM_INTERVAL_JOIN_ORACLE,
         "stream_distinct_pairs": STREAM_DISTINCT_ORACLE,
         "stream_static_enrich": STREAM_STATIC_ENRICH_ORACLE,
+        "stream_quality_gate": _stream_quality_gate_sql(),
         "asof_click_purchase": ASOF_ORACLE,
         "pivot_event_type_counts": PIVOT_ORACLE,
         "unpivot_event_type_counts": UNPIVOT_ORACLE,
