@@ -1116,6 +1116,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_lsh",         # NEW: random-hyperplane LSH blocker
     "simsearch_rrf",               # NEW: reciprocal-rank fusion panel
     "stream_quality_gate",         # NEW: ingest-time stateless doc gate
+    "sql_copurchase_degree_dist",  # NEW: graph degree histogram
     "sql_copurchase_pagerank",     # NEW: shuffle-join PageRank, data-scaled |V|
     "dedup_simhash_components",    # CHANGED: fixpoint resolver (assert caught truncation)
     "sql_copurchase_reach",        # CHANGED: bound 6->12 (assert caught live frontier)

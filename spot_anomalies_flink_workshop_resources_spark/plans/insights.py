@@ -3166,8 +3166,59 @@ ORDER BY bin
 """
 
 
+def sql_copurchase_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: (degree, n_nodes,
+    share) — the first sanity read on any data-derived graph (hub
+    detection, power-law eyeball, join-skew forecast for every
+    downstream graph operator: a node of degree d costs d rows in each
+    neighbor exchange). Integer-exact: degrees and node counts are
+    int64; share is one division. Scale: one edge-keyed agg to degrees
+    (|V| rows), one |degrees|-sized rollup — nothing data-sized past
+    the shared edge derivation."""
+    from .relational import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir).select("x", "y")
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .union(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    tot = hist.agg(F.sum("n_nodes").cast("long").alias("nt"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "degree",
+        "n_nodes",
+        (F.col("n_nodes").cast("double") / F.col("nt").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+def _sql_copurchase_degree_dist_sql() -> str:
+    from .relational import _COPURCHASE_EDGES_CTE
+
+    return f"""{_COPURCHASE_EDGES_CTE},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT x AS node FROM edges UNION ALL SELECT y FROM edges
+  ) GROUP BY node
+),
+hist AS (
+  SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree
+),
+tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS nt FROM hist)
+SELECT degree, n_nodes,
+       CAST(n_nodes AS DOUBLE) / CAST(nt AS DOUBLE) AS share
+FROM hist, tot
+"""
+
+
 QUERIES = {
     "events_psi_drift": events_psi_drift,
+    "sql_copurchase_degree_dist": sql_copurchase_degree_dist,
     "events_jsd_profile": events_jsd_profile,
     "events_fano": events_fano,
     "sql_part_skyline": sql_part_skyline,
@@ -3202,6 +3253,7 @@ QUERIES = {
 
 ORACLES = {
     "events_psi_drift": EVENTS_PSI_SQL,
+    "sql_copurchase_degree_dist": _sql_copurchase_degree_dist_sql(),
     "events_jsd_profile": EVENTS_JSD_SQL,
     "events_fano": EVENTS_FANO_SQL,
     "sql_part_skyline": SQL_PART_SKYLINE_SQL,
