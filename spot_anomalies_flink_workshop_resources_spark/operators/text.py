@@ -903,3 +903,133 @@ SELECT tok AS term, n AS true_n, cms_n,
        CAST(cms_n - n AS BIGINT) AS overestimate
 FROM est
 """
+
+
+def bigram_lm_by_source(docs: DataFrame) -> DataFrame:
+    """Jelinek-Mercer interpolated WORD-bigram language model, scored
+    per source: p(w|v) = 0.75·c(v,w)/c(v) + 0.25·(c(w)+1)/(N+V). The
+    word-level complement of the char-trigram lm_score (CCNet trains
+    word-level KenLM; interpolation is the classical smoothing that
+    add-one alone gets wrong for frequent prefixes).
+
+    Exactness: both mixture terms are divisions of exact int64 counts
+    (identical doubles in either engine), λ = 0.75/0.25 are exact
+    binary fractions, ln runs through platform libm on the
+    BIGRAM-VOCAB-bounded model frame and is quantized to the 2^-20
+    grid, so per-source nll sums are exact int64 and the mean is one
+    shared-expression division chain.
+
+    Scale: the data-sized stages are the bigram explode and one
+    (source, v, w) agg; the model (distinct corpus bigrams) is
+    vocab-bounded, joins back by bigram key (broadcast while it fits),
+    and the output is |sources| rows.
+
+    Output: (source, n_bigrams, mean_nll).
+    """
+    from ..functions.libm import libm_log
+
+    arr = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+    bg = docs.selectExpr(
+        "source",
+        f"explode(CASE WHEN size({arr}) >= 2 THEN "
+        f"transform(sequence(1, size({arr}) - 1), "
+        f"i -> concat_ws(' ', element_at({arr}, i), element_at({arr}, i + 1))) "
+        "ELSE array() END) AS bg",
+    ).select(
+        "source",
+        F.substring_index("bg", " ", 1).alias("v"),
+        F.substring_index("bg", " ", -1).alias("w"),
+    )
+    src_counts = (
+        bg.groupBy("source", "v", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    cvw = src_counts.groupBy("v", "w").agg(F.sum("tf").cast("long").alias("cvw"))
+    cv = cvw.groupBy("v").agg(F.sum("cvw").cast("long").alias("cv"))
+    toks = docs.selectExpr(f"explode({arr}) AS w")
+    cw = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    tot = cw.agg(
+        F.sum("cw").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("vv"),
+    )
+    p = (
+        F.lit(0.75) * (F.col("cvw").cast("double") / F.col("cv").cast("double"))
+        + F.lit(0.25)
+        * (
+            (F.col("cw") + 1).cast("double")
+            / (F.col("nn") + F.col("vv")).cast("double")
+        )
+    )
+    model = (
+        cvw.join(cv, "v")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "q",
+            F.floor(libm_log(p) * F.lit(1048576.0) + F.lit(0.5)).cast("long"),
+        )
+        .select("v", "w", "q")
+    )
+    scored = src_counts.join(model, ["v", "w"]).groupBy("source").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum(-F.col("tf") * F.col("q")).cast("long").alias("nll_int"),
+    )
+    return scored.select(
+        "source",
+        "n_bigrams",
+        (
+            (F.col("nll_int").cast("double") / F.col("n_bigrams").cast("double"))
+            / F.lit(1048576.0)
+        ).alias("mean_nll"),
+    )
+
+
+BIGRAM_LM_SQL = f"""
+WITH bg AS MATERIALIZED (
+  SELECT source,
+         list_extract(ts, i) AS v, list_extract(ts, i + 1) AS w
+  FROM (SELECT source,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents),
+       UNNEST(generate_series(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 2
+),
+src_counts AS MATERIALIZED (
+  SELECT source, v, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM bg GROUP BY source, v, w
+),
+cvw AS MATERIALIZED (
+  SELECT v, w, CAST(SUM(tf) AS BIGINT) AS cvw FROM src_counts GROUP BY v, w
+),
+cv AS MATERIALIZED (
+  SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv FROM cvw GROUP BY v
+),
+cw AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+        FROM documents) GROUP BY w
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(cw) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS vv FROM cw
+),
+model AS MATERIALIZED (
+  SELECT cvw.v, cvw.w,
+         CAST(FLOOR(ln(0.75 * (CAST(cvw AS DOUBLE) / CAST(cv AS DOUBLE))
+                       + 0.25 * (CAST(cw + 1 AS DOUBLE)
+                                 / CAST(nn + vv AS DOUBLE)))
+                    * 1048576.0 + 0.5) AS BIGINT) AS q
+  FROM cvw JOIN cv USING (v) JOIN cw ON cw.w = cvw.w, tot
+),
+scored AS (
+  SELECT source,
+         CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         CAST(SUM(-tf * q) AS BIGINT) AS nll_int
+  FROM src_counts JOIN model USING (v, w)
+  GROUP BY source
+)
+SELECT source, n_bigrams,
+       (CAST(nll_int AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) / 1048576.0
+         AS mean_nll
+FROM scored
+"""

@@ -399,6 +399,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def text_bigram_lm(spark, sf_dir):
+    """Interpolated word-bigram LM perplexity per source
+    (operators.text.bigram_lm_by_source): Jelinek-Mercer λ=0.75 mixture
+    of bigram MLE and add-one unigram — the word-level complement of
+    the char-trigram lm_score; libm ln on the bigram-vocab frame,
+    2^-20-quantized, exact int64 per-source sums."""
+    return T.bigram_lm_by_source(_docs(spark, sf_dir))
+
+
 def corpus_gopher_rules(spark, sf_dir):
     """Per-rule Gopher quality-filter audit (operators.quality.
     gopher_rules): pass/fail counts per (source, rule) for the five
@@ -1442,6 +1451,7 @@ QUERIES = {
     "dedup_lines": dedup_lines,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "corpus_gopher_rules": corpus_gopher_rules,
+    "text_bigram_lm": text_bigram_lm,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_packed": dedup_simhash_packed,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -1524,6 +1534,7 @@ ORACLES = {
     "dedup_lines": D.line_block_dedup_sql(block_tokens=12),
     "dedup_embedding_lsh": D.embedding_near_dup_lsh_sql(threshold=0.3),
     "corpus_gopher_rules": Q.gopher_rules_sql(),
+    "text_bigram_lm": T.BIGRAM_LM_SQL,
     "dedup_simhash": D.simhash_sql(),
     "dedup_simhash_packed": D.simhash_sql(),
     "dedup_simhash_pairs": D.simhash_pairs_sql(),

@@ -1908,3 +1908,29 @@ def test_rrf_fusion_combines_disagreeing_rankings(spark):
     by_id = {r.neighbor_id: r.rrf_score for r in out}
     for n, s in scores.items():
         assert by_id[n] == pytest.approx(s / float(1 << 40), rel=1e-12)
+
+
+def test_bigram_lm_matches_python_recomputation(spark):
+    """One-source corpus 'a b a b' + 'b c': recompute the interpolated
+    model and the quantized nll in Python and match exactly."""
+    import math
+
+    df = _docs(spark, ["a b a b", "b c"])
+    out = {r.source: r for r in text.bigram_lm_by_source(df).collect()}
+    r = out["s0"]
+    # bigrams: (a,b)x2, (b,a)x1, (b,c)x1 -> n=4
+    cvw = {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
+    cv = {"a": 2, "b": 2}
+    cw = {"a": 2, "b": 3, "c": 1}
+    N, V = 6, 3
+    q = {
+        k: math.floor(
+            math.log(0.75 * (c / cv[k[0]]) + 0.25 * ((cw[k[1]] + 1) / (N + V)))
+            * 1048576.0
+            + 0.5
+        )
+        for k, c in cvw.items()
+    }
+    nll_int = -(2 * q[("a", "b")] + q[("b", "a")] + q[("b", "c")])
+    assert r.n_bigrams == 4
+    assert r.mean_nll == (nll_int / 4.0) / 1048576.0

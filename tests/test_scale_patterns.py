@@ -905,6 +905,13 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     assert "SinglePartition" not in p, p
     assert "BroadcastNestedLoopJoin" in p, p
     assert "Window" in p, p
+    # bigram LM: model built on the vocab-bounded bigram frame (libm ln
+    # there, ArrowEvalPython allowed); the scoring join keys on (v, w);
+    # the only SinglePartition stage is the 1-row totals agg
+    p = plan("text_bigram_lm")
+    assert "CartesianProduct" not in p, p
+    assert p.count("SinglePartition") <= 1, p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
 
 
 def test_pagerank_shuffle_join_no_v_sized_broadcast(spark):
