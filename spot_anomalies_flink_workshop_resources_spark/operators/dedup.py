@@ -606,6 +606,53 @@ def simhash_packed(docs: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
+def simhash_packed_cached(
+    docs: DataFrame, bits: int = 32, cache_key: str | None = None
+) -> DataFrame:
+    """Memoized eager checkpoint of :func:`simhash_packed` — the
+    fingerprint frame is recomputed (tokenize + md5 per token in
+    Python) by every simhash-family query over the same corpus; one
+    build per (session, corpus, bits) with the shingle cache's
+    live-block validation."""
+    if cache_key is None:
+        return simhash_packed(docs, bits=bits).localCheckpoint(eager=True)
+    return _cached_checkpoint(
+        docs.sparkSession,
+        (id(docs.sparkSession), cache_key, bits, "simhash_packed"),
+        lambda: simhash_packed(docs, bits=bits),
+    )
+
+
+def simhash_pairs_cached(
+    docs: DataFrame,
+    bands: int = 4,
+    bits: int = 32,
+    max_hamming: int = 3,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Memoized (fingerprints -> band buckets -> popcount-verified
+    pairs) frame: dedup_simhash_pairs and the components resolver both
+    need the same 83k-pair frame at sf0.1 — one build per (session,
+    corpus, params)."""
+    fps = simhash_packed_cached(docs, bits=bits, cache_key=cache_key)
+    if cache_key is None:
+        return simhash_pairs(fps, bands=bands, bits=bits, max_hamming=max_hamming)
+    return _cached_checkpoint(
+        docs.sparkSession,
+        (
+            id(docs.sparkSession),
+            cache_key,
+            bands,
+            bits,
+            max_hamming,
+            "simhash_pairs",
+        ),
+        lambda: simhash_pairs(
+            fps, bands=bands, bits=bits, max_hamming=max_hamming
+        ),
+    )
+
+
 def simhash_sql(bits: int = 32) -> str:
     return f"""
 WITH toks AS (
@@ -1330,6 +1377,10 @@ def components_from_pairs(
             ),
             F.col("rep").alias("old_rep"),
         )
+        # ONE pointer-jump hop per round: a second hop was measured
+        # SLOWER end-to-end at sf0.1 (7.5 s vs 5.7 s loop) — the extra
+        # |endpoints|-sized shuffle per round costs more than the
+        # rounds it saves on this graph's label-crawl profile
         jumped = (
             stepped.alias("a")
             .join(

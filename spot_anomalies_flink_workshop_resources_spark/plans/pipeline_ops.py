@@ -443,7 +443,7 @@ def dedup_simhash(spark, sf_dir):
 def dedup_simhash_packed(spark, sf_dir):
     """Arrow bit-packed twin — must hash-match the SAME oracle as the
     JVM explode variant (zero-shuffle alternative, SCALE.md trade)."""
-    return D.simhash_packed(_docs(spark, sf_dir))
+    return D.simhash_packed_cached(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def dedup_simhash_pairs(spark, sf_dir):
@@ -456,7 +456,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     to the JVM explode variant (both hash-match the same oracle), and
     ~40% cheaper, so the composed pipeline takes the faster source while
     the oracle SQL mirrors the explode formulation."""
-    return D.simhash_pairs(D.simhash_packed(_docs(spark, sf_dir)))
+    return D.simhash_pairs_cached(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def dedup_simhash_components(spark, sf_dir):
@@ -472,7 +472,9 @@ def dedup_simhash_components(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return D.components_from_pairs(
         docs.select("doc_id"),
-        D.simhash_pairs(D.simhash_packed(docs)).select("doc_a", "doc_b"),
+        D.simhash_pairs_cached(docs, cache_key=sf_dir).select(
+            "doc_a", "doc_b"
+        ),
     )
 
 
