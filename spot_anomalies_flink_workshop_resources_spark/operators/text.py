@@ -453,7 +453,7 @@ def top_terms_sketch(
     return exact
 
 
-def lm_score(docs: DataFrame, n: int = 3) -> DataFrame:
+def lm_score(docs: DataFrame, n: int = 3, cache_key: str | None = None) -> DataFrame:
     """Character-n-gram language-model scoring — the LM-based quality
     signal real corpus filters use (CCNet-style: score each document's
     perplexity under a model of its own language; outliers are boiler-
@@ -491,11 +491,26 @@ def lm_score(docs: DataFrame, n: int = 3) -> DataFrame:
     # the explode otherwise re-runs for model/stats/scoring, and the
     # scoring join carries positions instead of distinct doc-grams.
     # sum(m*q) == per-occurrence sum(q) exactly (integers).
-    gcnt = (
-        grams.groupBy("doc_id", "lang", "gram")
-        .agg(F.count(F.lit(1)).cast("long").alias("m"))
-        .localCheckpoint(eager=True)
-    )
+    def _build_gcnt():
+        return grams.groupBy("doc_id", "lang", "gram").agg(
+            F.count(F.lit(1)).cast("long").alias("m")
+        )
+
+    if cache_key is None:
+        gcnt = _build_gcnt().localCheckpoint(eager=True)
+    else:
+        # cross-query shared pass (round 7): text_lm_score,
+        # corpus_curation_sample, and corpus_ccnet_buckets all need the
+        # same (doc, gram, m) frame over the same corpus — memoize via
+        # the dedup shingle-cache machinery (late import: dedup imports
+        # TOKEN_RE from this module)
+        from .dedup import _cached_checkpoint
+
+        gcnt = _cached_checkpoint(
+            docs.sparkSession,
+            (id(docs.sparkSession), cache_key, n, "lm_gcnt"),
+            _build_gcnt,
+        )
     model = gcnt.groupBy("lang", "gram").agg(F.sum("m").alias("cnt"))
     lang_stats = model.groupBy("lang").agg(
         F.sum("cnt").cast("double").alias("total"),

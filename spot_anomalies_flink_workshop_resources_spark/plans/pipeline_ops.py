@@ -76,7 +76,7 @@ def text_lm_score(spark, sf_dir):
     """Char-trigram LM perplexity per document (operators/text.lm_score):
     the CCNet-style corpus quality signal. Broadcast vocab-sized model,
     fixed-point nll sums for partitioning-independent exactness."""
-    return T.lm_score(_docs(spark, sf_dir))
+    return T.lm_score(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def text_lang_mismatch(spark, sf_dir):
@@ -116,7 +116,7 @@ def corpus_curation_sample(spark, sf_dir):
         "doc_id", "text", "lang", "source", "n_chars",
         c["quality_score"].alias("quality_score"),
     ).where(F.col("quality_score") >= 0.5)
-    lm = T.lm_score(docs).select("doc_id", "avg_nll")
+    lm = T.lm_score(docs, cache_key=sf_dir).select("doc_id", "avg_nll")
     surv = good.join(lm, "doc_id").where(F.col("avg_nll") <= 5.42)
     keeps = (
         surv.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("h"))

@@ -1147,7 +1147,7 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scale = float(1 << 30)
     d = load_table(spark, sf_dir, "documents")
-    lm = T.lm_score(d).select("doc_id", "lang", "n_grams", "avg_nll")
+    lm = T.lm_score(d, cache_key=sf_dir).select("doc_id", "lang", "n_grams", "avg_nll")
     s_rec = F.floor(
         F.col("avg_nll") * F.col("n_grams").cast("double") * F.lit(scale)
         + F.lit(0.5)
