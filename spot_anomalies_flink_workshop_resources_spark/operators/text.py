@@ -591,7 +591,9 @@ FROM per_doc
 """
 
 
-def lang_mismatch(docs: DataFrame, n: int = 3) -> DataFrame:
+def lang_mismatch(
+    docs: DataFrame, n: int = 3, cache_key: str | None = None
+) -> DataFrame:
     """Cross-likelihood language verification: score every document
     under EVERY language's n-gram model; a document whose best-scoring
     model is not its labeled language is a mislabel candidate — the
@@ -628,11 +630,23 @@ def lang_mismatch(docs: DataFrame, n: int = 3) -> DataFrame:
     # agg would carry every gram POSITION x |langs| instead of every
     # DISTINCT doc-gram x |langs|. sum(m*q) == sum-per-occurrence(q)
     # exactly (integers), so the result is bit-identical.
-    gcnt = (
-        grams.groupBy("doc_id", "lang", "gram")
-        .agg(F.count(F.lit(1)).cast("long").alias("m"))
-        .localCheckpoint(eager=True)
-    )
+    def _build_gcnt():
+        return grams.groupBy("doc_id", "lang", "gram").agg(
+            F.count(F.lit(1)).cast("long").alias("m")
+        )
+
+    if cache_key is None:
+        gcnt = _build_gcnt().localCheckpoint(eager=True)
+    else:
+        # identical build to lm_score's frame — SAME cache key, so the
+        # LM family and the cross-likelihood verifier share one pass
+        from .dedup import _cached_checkpoint
+
+        gcnt = _cached_checkpoint(
+            docs.sparkSession,
+            (id(docs.sparkSession), cache_key, n, "lm_gcnt"),
+            _build_gcnt,
+        )
     model = gcnt.groupBy(
         F.col("lang").alias("mlang"), "gram"
     ).agg(F.sum("m").alias("cnt"))

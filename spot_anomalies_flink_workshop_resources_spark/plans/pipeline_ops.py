@@ -83,7 +83,7 @@ def text_lang_mismatch(spark, sf_dir):
     """Cross-likelihood language verification (operators/text.lang_mismatch):
     every doc scored under every language model; integer-sum argmin
     picks the best model bit-deterministically."""
-    return T.lang_mismatch(_docs(spark, sf_dir))
+    return T.lang_mismatch(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def text_bm25_topk(spark, sf_dir):
