@@ -3166,6 +3166,100 @@ ORDER BY bin
 """
 
 
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type: mean gap, coefficient
+    of variation, and the Goh-Barabási burstiness index
+    (σ−μ)/(σ+μ) ∈ [−1, 1] — the standard characterization of whether a
+    feed is periodic (≈−1), Poisson (≈0), or bursty (→1); the
+    distributional complement of events_silence_gaps (which ranks
+    individual worst gaps) and events_fano (count dispersion).
+
+    Exactness: gaps are integer epoch-second differences; n/Σg/Σg² are
+    exact int64; mean and var use the shared-subexpression form
+    (sqq/n − (sq/n)²) from exact integers, sqrt is correctly rounded,
+    and the final ratios compose PROJECTED columns (the events_icc
+    materialization recipe). Scale: one per-type sort window (the
+    sessionization shape) then a |types|-row agg.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("s"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("s", "event_id")
+    gaps = (
+        pts.withColumn("prev", F.lag("s").over(w))
+        .where(F.col("prev").isNotNull())
+        .select("event_type", (F.col("s") - F.col("prev")).alias("g"))
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g").cast("long").alias("sq"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sqq"),
+    )
+    stage1 = agg.select(
+        "event_type",
+        "n",
+        (F.col("sq").cast("double") / F.col("n").cast("double")).alias(
+            "mean_gap"
+        ),
+        (
+            F.col("sqq").cast("double") / F.col("n").cast("double")
+            - (F.col("sq").cast("double") / F.col("n").cast("double"))
+            * (F.col("sq").cast("double") / F.col("n").cast("double"))
+        ).alias("var_gap"),
+    )
+    stage2 = stage1.select(
+        "event_type", "n", "mean_gap", F.sqrt(F.col("var_gap")).alias("sd_gap")
+    )
+    return stage2.select(
+        "event_type",
+        "n",
+        "mean_gap",
+        (F.col("sd_gap") / F.col("mean_gap")).alias("cv"),
+        (
+            (F.col("sd_gap") - F.col("mean_gap"))
+            / (F.col("sd_gap") + F.col("mean_gap"))
+        ).alias("burstiness"),
+    )
+
+
+EVENTS_INTERARRIVAL_SQL = """
+WITH pts AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, event_id
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         s - lag(s) OVER (PARTITION BY event_type ORDER BY s, event_id) AS g
+  FROM pts
+),
+agg AS MATERIALIZED (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(g) AS BIGINT) AS sq,
+         CAST(SUM(g * g) AS BIGINT) AS sqq
+  FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+),
+stage1 AS MATERIALIZED (
+  SELECT event_type, n,
+         CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap,
+         CAST(sqq AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) AS var_gap
+  FROM agg
+),
+stage2 AS MATERIALIZED (
+  SELECT event_type, n, mean_gap, sqrt(var_gap) AS sd_gap FROM stage1
+)
+SELECT event_type, n, mean_gap,
+       sd_gap / mean_gap AS cv,
+       (sd_gap - mean_gap) / (sd_gap + mean_gap) AS burstiness
+FROM stage2
+"""
+
+
 def sql_copurchase_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the co-purchase graph: (degree, n_nodes,
     share) — the first sanity read on any data-derived graph (hub
@@ -3219,6 +3313,7 @@ FROM hist, tot
 QUERIES = {
     "events_psi_drift": events_psi_drift,
     "sql_copurchase_degree_dist": sql_copurchase_degree_dist,
+    "events_interarrival": events_interarrival,
     "events_jsd_profile": events_jsd_profile,
     "events_fano": events_fano,
     "sql_part_skyline": sql_part_skyline,
@@ -3254,6 +3349,7 @@ QUERIES = {
 ORACLES = {
     "events_psi_drift": EVENTS_PSI_SQL,
     "sql_copurchase_degree_dist": _sql_copurchase_degree_dist_sql(),
+    "events_interarrival": EVENTS_INTERARRIVAL_SQL,
     "events_jsd_profile": EVENTS_JSD_SQL,
     "events_fano": EVENTS_FANO_SQL,
     "sql_part_skyline": SQL_PART_SKYLINE_SQL,

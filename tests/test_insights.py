@@ -719,3 +719,28 @@ def test_stl_decompose_excludes_gap_windows(spark, tmp_path):
     # only day 3 (window 0-6) and day 11 (window 8-14) have contiguous
     # complete windows
     assert days == [base + dt.timedelta(days=3), base + dt.timedelta(days=11)]
+
+
+def test_interarrival_periodic_vs_bursty(spark, tmp_path):
+    """A perfectly periodic feed has sd 0 -> burstiness -1, cv 0; a
+    bursty feed (tight cluster + one long silence) has burstiness > 0."""
+    from spot_anomalies_flink_workshop_resources_spark.plans.insights import (
+        events_interarrival,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):  # periodic: every 60s
+        rows.append((i, str(base + dt.timedelta(seconds=60 * i)), 1, "tick", 1.0))
+    # bursty: 9 events 1s apart then one 10000s later
+    for i in range(9):
+        rows.append((100 + i, str(base + dt.timedelta(seconds=i)), 1, "burst", 1.0))
+    rows.append((109, str(base + dt.timedelta(seconds=10000)), 1, "burst", 1.0))
+    _events(spark, tmp_path, rows)
+    out = {r.event_type: r for r in events_interarrival(spark, str(tmp_path)).collect()}
+    assert out["tick"].burstiness == pytest.approx(-1.0)
+    assert out["tick"].cv == pytest.approx(0.0)
+    assert out["tick"].mean_gap == pytest.approx(60.0)
+    assert out["burst"].burstiness > 0.4
+    assert out["burst"].cv > 2.0
