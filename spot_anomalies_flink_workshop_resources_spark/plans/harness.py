@@ -1119,6 +1119,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_copurchase_degree_dist",  # NEW: graph degree histogram
     "text_bigram_lm",              # NEW: interpolated word-bigram LM
     "events_interarrival",         # NEW: gap CV + burstiness index
+    "events_page_hinkley",         # NEW: sequential drift detector
     "sql_copurchase_pagerank",     # NEW: shuffle-join PageRank, data-scaled |V|
     "dedup_simhash_components",    # CHANGED: fixpoint resolver (assert caught truncation)
     "sql_copurchase_reach",        # CHANGED: bound 6->12 (assert caught live frontier)

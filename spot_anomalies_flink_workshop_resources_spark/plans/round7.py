@@ -1584,8 +1584,97 @@ FROM parts
 """
 
 
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector on the zero-filled daily count grid
+    per event type — the sequential mean-shift test that fires on
+    sustained upward drift (vs CUSUM's two-sided shift and
+    events_changepoint's offline split): m_t = Σ(x_i − x̄_i − δ),
+    alarm when m_t − min(m_i) > λ.
+
+    Exactness: the running mean x̄_i = cum_i/i is quantized onto the
+    2^-20 grid PER TERM before the cumulative sum (a float cumsum's
+    accumulation order is an engine detail; an int64 cumsum is not),
+    so m_t, its running min, and the alarm comparison are all exact
+    integers. δ=0, λ=32 counts (documented demo thresholds). Scale:
+    everything runs on the calendar-bounded day grid.
+
+    Output: (event_type, day, ph_gap, is_alarm).
+    """
+    grid = _daily_grid(spark, sf_dir)
+    scale = 1 << 20
+    lam = 32
+    w = Window.partitionBy("t").orderBy("d")
+    cum = grid.select(
+        "t",
+        "d",
+        F.sum("n").over(w).cast("long").alias("cum"),
+        F.row_number().over(w).cast("long").alias("i"),
+        F.col("n").cast("long").alias("n"),
+    )
+    # per-term quantized running mean, then integer cumulative machinery
+    q = cum.withColumn(
+        "mean_q",
+        F.floor(
+            (F.col("cum").cast("double") / F.col("i").cast("double"))
+            * F.lit(float(scale))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    w2 = Window.partitionBy("t").orderBy("d")
+    m = q.withColumn(
+        "m_int",
+        (F.lit(scale) * F.col("cum") - F.sum("mean_q").over(w2)).cast("long"),
+    )
+    g = m.withColumn(
+        "m_min", F.min("m_int").over(w2).cast("long")
+    ).withColumn("gap_int", (F.col("m_int") - F.col("m_min")).cast("long"))
+    return g.select(
+        F.col("t").alias("event_type"),
+        F.col("d").alias("day"),
+        (F.col("gap_int").cast("double") / F.lit(float(scale))).alias("ph_gap"),
+        (F.col("gap_int") > lam * scale).alias("is_alarm"),
+    )
+
+
+def _events_page_hinkley_sql() -> str:
+    scale = 1 << 20
+    lam = 32
+    return f"""
+WITH {_DAILY_GRID_SQL},
+cum AS MATERIALIZED (
+  SELECT t, d,
+         CAST(SUM(n) OVER w AS BIGINT) AS cum,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS i
+  FROM grid
+  WINDOW w AS (PARTITION BY t ORDER BY d)
+),
+q AS MATERIALIZED (
+  SELECT t, d, cum, i,
+         CAST(FLOOR((CAST(cum AS DOUBLE) / CAST(i AS DOUBLE))
+                    * {float(scale)!r} + 0.5) AS BIGINT) AS mean_q
+  FROM cum
+),
+m AS MATERIALIZED (
+  SELECT t, d,
+         CAST({scale} * cum - SUM(mean_q) OVER
+              (PARTITION BY t ORDER BY d) AS BIGINT) AS m_int
+  FROM q
+),
+g AS (
+  SELECT t, d, m_int,
+         CAST(MIN(m_int) OVER (PARTITION BY t ORDER BY d) AS BIGINT) AS m_min
+  FROM m
+)
+SELECT t AS event_type, d AS day,
+       CAST(m_int - m_min AS DOUBLE) / {float(scale)!r} AS ph_gap,
+       (m_int - m_min) > {lam} * {scale} AS is_alarm
+FROM g
+"""
+
+
 QUERIES = {
     "events_stl_decompose": events_stl_decompose,
+    "events_page_hinkley": events_page_hinkley,
     "events_markov_stationary": events_markov_stationary,
     "events_hurst": events_hurst,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
@@ -1602,6 +1691,7 @@ QUERIES = {
 
 ORACLES = {
     "events_stl_decompose": EVENTS_STL_SQL,
+    "events_page_hinkley": _events_page_hinkley_sql(),
     "events_markov_stationary": _events_markov_stationary_sql(),
     "events_hurst": EVENTS_HURST_SQL,
     "corpus_ccnet_buckets": _corpus_ccnet_buckets_sql(),

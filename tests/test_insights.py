@@ -744,3 +744,32 @@ def test_interarrival_periodic_vs_bursty(spark, tmp_path):
     assert out["tick"].mean_gap == pytest.approx(60.0)
     assert out["burst"].burstiness > 0.4
     assert out["burst"].cv > 2.0
+
+
+def test_page_hinkley_fires_on_planted_drift(spark, tmp_path):
+    """10 days at 5 events/day then 10 days at 60/day: the gap must
+    stay 0 during the flat prefix and alarm (>32) after the shift;
+    a constant-rate type never alarms."""
+    from spot_anomalies_flink_workshop_resources_spark.plans.round7 import (
+        events_page_hinkley,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12)
+    rows = []
+    eid = 0
+    for d in range(20):
+        n = 5 if d < 10 else 60
+        for k in range(n):
+            rows.append((eid, str(base + dt.timedelta(days=d, seconds=k)), 1, "drift", 1.0))
+            eid += 1
+        for k in range(7):  # constant type
+            rows.append((eid, str(base + dt.timedelta(days=d, seconds=500 + k)), 1, "flat", 1.0))
+            eid += 1
+    _events(spark, tmp_path, rows)
+    out = events_page_hinkley(spark, str(tmp_path)).collect()
+    drift = sorted([r for r in out if r.event_type == "drift"], key=lambda r: r.day)
+    flat = [r for r in out if r.event_type == "flat"]
+    assert not any(r.is_alarm for r in drift[:10])
+    assert any(r.is_alarm for r in drift[10:])
+    assert not any(r.is_alarm for r in flat)
