@@ -3260,6 +3260,116 @@ FROM stage2
 """
 
 
+def events_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the value distribution's tail index per event
+    type (k = 100 top order statistics): α̂⁻¹ = (1/k)Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎).
+    The standard heavy-tail read — α < 2 means infinite variance and
+    every mean-based alarm threshold is unstable; the input that
+    decides between z-score and quantile alarming.
+
+    Exactness: order statistics on integer cents (deterministic
+    multiset under ties), each ratio divides two exact ints, ln runs
+    through platform libm on the k-BOUNDED frame and quantizes to the
+    2^-20 grid, so the sum is exact int64 and the estimate is one
+    division chain over projected columns. Scale: TakeOrdered-style
+    per-type rank over the cents agg; the expensive stage is one
+    (type, cents) hash agg.
+
+    Output: (event_type, k, x_k1, hill_inv_alpha, alpha).
+    """
+    from ..functions.libm import libm_log
+
+    k = 100
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+        "event_id",
+    ).where(F.col("c") > 0)
+    w = Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("event_id"))
+    ranked = cents.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k + 1
+    )
+    xk1 = ranked.where(F.col("rn") == k + 1).select(
+        "event_type", F.col("c").alias("ck1")
+    )
+    top = ranked.where(F.col("rn") <= k)
+    q = (
+        top.join(F.broadcast(xk1), "event_type")
+        .withColumn(
+            "lq",
+            F.floor(
+                libm_log(F.col("c").cast("double") / F.col("ck1").cast("double"))
+                * F.lit(1048576.0)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("lq").cast("long").alias("s"),
+            F.min("ck1").cast("long").alias("ck1"),
+        )
+    )
+    stage = q.select(
+        "event_type",
+        "k",
+        (F.col("ck1").cast("double") / F.lit(100.0)).alias("x_k1"),
+        (
+            (F.col("s").cast("double") / F.col("k").cast("double"))
+            / F.lit(1048576.0)
+        ).alias("hill_inv_alpha"),
+    )
+    return stage.select(
+        "event_type",
+        "k",
+        "x_k1",
+        "hill_inv_alpha",
+        (F.lit(1.0) / F.col("hill_inv_alpha")).alias("alpha"),
+    )
+
+
+EVENTS_TAIL_INDEX_SQL = """
+WITH cents AS (
+  SELECT event_type,
+         CAST(FLOOR(abs(value) * 100 + 0.5) AS BIGINT) AS c, event_id
+  FROM events
+  WHERE CAST(FLOOR(abs(value) * 100 + 0.5) AS BIGINT) > 0
+),
+ranked AS MATERIALIZED (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY c DESC, event_id ASC) AS rn
+  FROM cents
+),
+xk1 AS MATERIALIZED (
+  SELECT event_type, c AS ck1 FROM ranked WHERE rn = 101
+),
+q AS MATERIALIZED (
+  SELECT r.event_type,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(FLOOR(ln(CAST(r.c AS DOUBLE) / CAST(x.ck1 AS DOUBLE))
+                             * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(MIN(x.ck1) AS BIGINT) AS ck1
+  FROM ranked r JOIN xk1 x USING (event_type)
+  WHERE r.rn <= 100
+  GROUP BY r.event_type
+),
+stage AS MATERIALIZED (
+  SELECT event_type, k,
+         CAST(ck1 AS DOUBLE) / 100.0 AS x_k1,
+         (CAST(s AS DOUBLE) / CAST(k AS DOUBLE)) / 1048576.0
+           AS hill_inv_alpha
+  FROM q
+)
+SELECT event_type, k, x_k1, hill_inv_alpha,
+       1.0 / hill_inv_alpha AS alpha
+FROM stage
+"""
+
+
 def sql_copurchase_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the co-purchase graph: (degree, n_nodes,
     share) — the first sanity read on any data-derived graph (hub
@@ -3314,6 +3424,7 @@ QUERIES = {
     "events_psi_drift": events_psi_drift,
     "sql_copurchase_degree_dist": sql_copurchase_degree_dist,
     "events_interarrival": events_interarrival,
+    "events_tail_index": events_tail_index,
     "events_jsd_profile": events_jsd_profile,
     "events_fano": events_fano,
     "sql_part_skyline": sql_part_skyline,
@@ -3350,6 +3461,7 @@ ORACLES = {
     "events_psi_drift": EVENTS_PSI_SQL,
     "sql_copurchase_degree_dist": _sql_copurchase_degree_dist_sql(),
     "events_interarrival": EVENTS_INTERARRIVAL_SQL,
+    "events_tail_index": EVENTS_TAIL_INDEX_SQL,
     "events_jsd_profile": EVENTS_JSD_SQL,
     "events_fano": EVENTS_FANO_SQL,
     "sql_part_skyline": SQL_PART_SKYLINE_SQL,

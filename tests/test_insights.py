@@ -773,3 +773,29 @@ def test_page_hinkley_fires_on_planted_drift(spark, tmp_path):
     assert not any(r.is_alarm for r in drift[:10])
     assert any(r.is_alarm for r in drift[10:])
     assert not any(r.is_alarm for r in flat)
+
+
+def test_tail_index_matches_python_recomputation(spark, tmp_path):
+    """150 values 1.00..150.00: top-100 are 51..150, x_(101) = 50.00;
+    recompute the quantized Hill sum in Python and match exactly."""
+    from spot_anomalies_flink_workshop_resources_spark.plans.insights import (
+        events_tail_index,
+    )
+    import datetime as dt
+    import math
+
+    base = dt.datetime(2024, 1, 2)
+    rows = [
+        (i, str(base + dt.timedelta(seconds=i)), 1, "pay", float(i + 1))
+        for i in range(150)
+    ]
+    _events(spark, tmp_path, rows)
+    r = events_tail_index(spark, str(tmp_path)).collect()[0]
+    s = sum(
+        math.floor(math.log((c * 100) / 5000.0) * 1048576.0 + 0.5)
+        for c in range(51, 151)
+    )
+    assert r.k == 100
+    assert r.x_k1 == 50.0
+    assert r.hill_inv_alpha == (s / 100.0) / 1048576.0
+    assert r.alpha == 1.0 / r.hill_inv_alpha
