@@ -1672,9 +1672,113 @@ FROM g
 """
 
 
+# Python-precomputed double literals (the integer-DCG recipe): no
+# runtime pi/gamma disagreement can exist if both engines read the
+# same 17-digit literal.
+_SQRT6_OVER_PI = 0.7796968012336609  # sqrt(6)/pi
+_EULER_GAMMA = 0.5772156649015329
+_GUMBEL_Q99 = 4.600149226776579  # -ln(-ln(0.99))
+
+
+def events_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit on WEEKLY BLOCK MAXIMA of daily counts
+    per event type (method of moments: β̂ = s·√6/π, μ̂ = m̄ − γ·β̂) plus
+    the 99% return level μ̂ + β̂·(−ln(−ln 0.99)) — the principled "how
+    big can a normal week get" threshold that a plain max() cannot
+    give (it answers with the observed max, not the distribution).
+
+    Exactness: block maxima are exact integers (max of daily counts);
+    mean/var use the shared-subexpression form over exact int64 power
+    sums; √6/π, γ, and the 0.99 quantile factor are PRE-COMPUTED
+    17-digit double literals embedded in both engines; compositions go
+    through projected columns. Scale: one (type, day) agg, one
+    (type, week) max, one |types|-row fit.
+
+    Output: (event_type, n_blocks, mean_max, gumbel_beta, gumbel_mu,
+    return_level_99).
+    """
+    grid = _daily_grid(spark, sf_dir)
+    wk = grid.select(
+        "t", F.expr("datediff(d, DATE '1970-01-01') div 7").alias("wk"), "n"
+    )
+    blocks = wk.groupBy("t", "wk").agg(F.max("n").cast("long").alias("mx"))
+    agg = blocks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("s2"),
+    )
+    stage1 = agg.select(
+        "t",
+        "nb",
+        (F.col("s1").cast("double") / F.col("nb").cast("double")).alias("m"),
+        (
+            F.col("s2").cast("double") / F.col("nb").cast("double")
+            - (F.col("s1").cast("double") / F.col("nb").cast("double"))
+            * (F.col("s1").cast("double") / F.col("nb").cast("double"))
+        ).alias("v"),
+    )
+    stage2 = stage1.select(
+        "t", "nb", "m", (F.sqrt(F.col("v")) * F.lit(_SQRT6_OVER_PI)).alias("beta")
+    )
+    stage3 = stage2.select(
+        "t",
+        "nb",
+        "m",
+        "beta",
+        (F.col("m") - F.lit(_EULER_GAMMA) * F.col("beta")).alias("mu"),
+    )
+    return stage3.select(
+        F.col("t").alias("event_type"),
+        F.col("nb").alias("n_blocks"),
+        F.col("m").alias("mean_max"),
+        F.col("beta").alias("gumbel_beta"),
+        F.col("mu").alias("gumbel_mu"),
+        (F.col("mu") + F.col("beta") * F.lit(_GUMBEL_Q99)).alias(
+            "return_level_99"
+        ),
+    )
+
+
+def _events_block_maxima_sql() -> str:
+    return f"""
+WITH {_DAILY_GRID_SQL},
+wk AS (
+  SELECT t, (d - DATE '1970-01-01') // 7 AS wk, n FROM grid
+),
+blocks AS MATERIALIZED (
+  SELECT t, wk, CAST(MAX(n) AS BIGINT) AS mx FROM wk GROUP BY t, wk
+),
+agg AS MATERIALIZED (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(mx) AS BIGINT) AS s1,
+         CAST(SUM(mx * mx) AS BIGINT) AS s2
+  FROM blocks GROUP BY t
+),
+stage1 AS MATERIALIZED (
+  SELECT t, nb,
+         CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE) AS m,
+         CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)) AS v
+  FROM agg
+),
+stage2 AS MATERIALIZED (
+  SELECT t, nb, m, sqrt(v) * {_SQRT6_OVER_PI!r} AS beta FROM stage1
+),
+stage3 AS MATERIALIZED (
+  SELECT t, nb, m, beta, m - {_EULER_GAMMA!r} * beta AS mu FROM stage2
+)
+SELECT t AS event_type, nb AS n_blocks, m AS mean_max,
+       beta AS gumbel_beta, mu AS gumbel_mu,
+       mu + beta * {_GUMBEL_Q99!r} AS return_level_99
+FROM stage3
+"""
+
+
 QUERIES = {
     "events_stl_decompose": events_stl_decompose,
     "events_page_hinkley": events_page_hinkley,
+    "events_block_maxima": events_block_maxima,
     "events_markov_stationary": events_markov_stationary,
     "events_hurst": events_hurst,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
@@ -1692,6 +1796,7 @@ QUERIES = {
 ORACLES = {
     "events_stl_decompose": EVENTS_STL_SQL,
     "events_page_hinkley": _events_page_hinkley_sql(),
+    "events_block_maxima": _events_block_maxima_sql(),
     "events_markov_stationary": _events_markov_stationary_sql(),
     "events_hurst": EVENTS_HURST_SQL,
     "corpus_ccnet_buckets": _corpus_ccnet_buckets_sql(),

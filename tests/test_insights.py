@@ -799,3 +799,44 @@ def test_tail_index_matches_python_recomputation(spark, tmp_path):
     assert r.x_k1 == 50.0
     assert r.hill_inv_alpha == (s / 100.0) / 1048576.0
     assert r.alpha == 1.0 / r.hill_inv_alpha
+
+
+def test_block_maxima_gumbel_fit_hand_checked(spark, tmp_path):
+    """Three weeks with daily counts engineered so block maxima are
+    (3, 5, 7): mean 5, var 8/3 -> beta = sqrt(8/3)*sqrt6/pi, mu, and
+    the 99% return level recompose exactly from the same literals."""
+    from spot_anomalies_flink_workshop_resources_spark.plans.round7 import (
+        _EULER_GAMMA,
+        _GUMBEL_Q99,
+        _SQRT6_OVER_PI,
+        events_block_maxima,
+    )
+    import datetime as dt
+    import math
+
+    # weeks are epoch-aligned; 2024-01-01 is a Monday but epoch weeks
+    # start on Thursday — use explicit epoch-day math to fill 3 blocks
+    base_epoch_day = (dt.date(2024, 1, 4) - dt.date(1970, 1, 1)).days
+    assert base_epoch_day % 7 == 0
+    rows, eid = [], 0
+    maxima = [3, 5, 7]
+    for wk, mx in enumerate(maxima):
+        for day in range(7):
+            n = mx if day == 0 else 1
+            d = dt.datetime(1970, 1, 1) + dt.timedelta(
+                days=base_epoch_day + wk * 7 + day, hours=12
+            )
+            for k in range(n):
+                rows.append((eid, str(d + dt.timedelta(seconds=k)), 1, "x", 1.0))
+                eid += 1
+    _events(spark, tmp_path, rows)
+    r = events_block_maxima(spark, str(tmp_path)).collect()[0]
+    m = 5.0
+    v = (9 + 25 + 49) / 3.0 - m * m
+    beta = math.sqrt(v) * _SQRT6_OVER_PI
+    mu = m - _EULER_GAMMA * beta
+    assert r.n_blocks == 3
+    assert r.mean_max == m
+    assert r.gumbel_beta == beta
+    assert r.gumbel_mu == mu
+    assert r.return_level_99 == mu + beta * _GUMBEL_Q99
