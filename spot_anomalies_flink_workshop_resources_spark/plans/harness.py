@@ -1122,6 +1122,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_page_hinkley",         # NEW: sequential drift detector
     "events_tail_index",           # NEW: Hill heavy-tail estimator
     "events_block_maxima",         # NEW: Gumbel weekly-maxima fit
+    "sql_copurchase_modularity",   # NEW: Newman Q over LPA communities
     "sql_copurchase_pagerank",     # NEW: shuffle-join PageRank, data-scaled |V|
     "dedup_simhash_components",    # CHANGED: fixpoint resolver (assert caught truncation)
     "sql_copurchase_reach",        # CHANGED: bound 6->12 (assert caught live frontier)

@@ -384,6 +384,106 @@ SELECT node, lab AS community FROM lab4
 """
 
 
+def sql_copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the label-propagation partition — the
+    standard "is this community structure real" score, per community:
+    contribution_c = (4m·e_c − d_c²) / (4m²), Q = Σ contributions.
+    Writing each term over the COMMON denominator 4m² makes the
+    numerator an exact int64 (no per-community float sum ordering),
+    so every row is one exact division; 4m·e_c stays inside int64
+    until m ~ 2^30 edges (note the DECIMAL upgrade past that).
+
+    Reuses the oracled communities assignment and the shared edge
+    frame (checkpointed once — it feeds propagation, the within-edge
+    join, and degrees). Scale: beyond the edge derivation everything
+    is |V|- or |C|-sized.
+
+    Output: (community, n_nodes, e_in, d_tot, contribution).
+    """
+    from ..operators.graph import label_propagation
+    from .relational import _copurchase_edges
+
+    edges = (
+        _copurchase_edges(spark, sf_dir)
+        .select("x", "y")
+        .localCheckpoint(eager=True)
+    )
+    comm = label_propagation(edges, rounds=4).select(
+        "node", F.col("community").alias("c")
+    )
+    m = edges.count()
+    within = (
+        edges.join(comm.select(F.col("node").alias("x"), F.col("c").alias("cx")), "x")
+        .join(comm.select(F.col("node").alias("y"), F.col("c").alias("cy")), "y")
+        .where(F.col("cx") == F.col("cy"))
+        .groupBy(F.col("cx").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    deg = (
+        edges.select(F.col("x").alias("node"))
+        .unionByName(edges.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    per_comm = (
+        comm.join(deg, "node", "left")
+        .na.fill({"d": 0})
+        .groupBy(F.col("c").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("d_tot"),
+        )
+    )
+    joined = per_comm.join(within, "community", "left").na.fill({"e_in": 0})
+    num = (
+        F.lit(4 * m) * F.col("e_in") - F.col("d_tot") * F.col("d_tot")
+    ).cast("long")
+    return joined.select(
+        "community",
+        "n_nodes",
+        "e_in",
+        "d_tot",
+        (num.cast("double") / F.lit(float(4 * m * m))).alias("contribution"),
+    )
+
+
+def _sql_copurchase_modularity_sql() -> str:
+    from ..operators.graph import label_propagation_ctes
+    from .relational import _COPURCHASE_EDGES_CTE
+
+    return f"""
+{label_propagation_ctes(_COPURCHASE_EDGES_CTE, rounds=4)},
+comm AS MATERIALIZED (SELECT node, lab AS c FROM lab4),
+mtot AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+within AS MATERIALIZED (
+  SELECT a.c AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+  FROM edges e
+  JOIN comm a ON a.node = e.x
+  JOIN comm b ON b.node = e.y
+  WHERE a.c = b.c
+  GROUP BY a.c
+),
+deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT x AS node FROM edges UNION ALL SELECT y FROM edges
+  ) GROUP BY node
+),
+per_comm AS MATERIALIZED (
+  SELECT c AS community,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(COALESCE(d, 0)) AS BIGINT) AS d_tot
+  FROM comm LEFT JOIN deg USING (node)
+  GROUP BY c
+)
+SELECT p.community, p.n_nodes,
+       CAST(COALESCE(w.e_in, 0) AS BIGINT) AS e_in,
+       p.d_tot,
+       CAST(4 * t.m * COALESCE(w.e_in, 0) - p.d_tot * p.d_tot AS DOUBLE)
+         / CAST(4 * t.m * t.m AS DOUBLE) AS contribution
+FROM per_comm p LEFT JOIN within w USING (community), mtot t
+"""
+
+
 def sql_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance to the nearest seed part
     (partkey % 97 == 0) over the co-purchase graph
@@ -2913,6 +3013,7 @@ QUERIES = {
     "events_pit_enrich": events_pit_enrich,
     "simsearch_mmr": simsearch_mmr,
     "simsearch_rrf": simsearch_rrf,
+    "sql_copurchase_modularity": sql_copurchase_modularity,
     "events_holt_winters": events_holt_winters,
     "sql_region_share": sql_region_share,
     "sql_supplier_hhi": sql_supplier_hhi,
@@ -2956,6 +3057,7 @@ ORACLES = {
     "events_pit_enrich": EVENTS_PIT_SQL,
     "simsearch_mmr": _simsearch_mmr_sql(),
     "simsearch_rrf": _simsearch_rrf_sql(),
+    "sql_copurchase_modularity": _sql_copurchase_modularity_sql(),
     "events_holt_winters": _hw_sql(),
     "sql_region_share": SQL_REGION_SHARE_SQL,
     "sql_supplier_hhi": SQL_SUPPLIER_HHI_SQL,

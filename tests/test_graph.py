@@ -305,3 +305,38 @@ def test_bfs_hops_picks_nearest_seed(spark):
     e = _tri_edges(spark, [(i, i + 1) for i in range(6)])
     got = {r.node: r.hops for r in bfs_hops(e, seed_mod=6, max_hops=6).collect()}
     assert got == {0: 0, 6: 0, 1: 1, 5: 1, 2: 2, 4: 2, 3: 3}
+
+
+def test_modularity_contributions_consistent(spark, tmp_path):
+    """Two triangles + one bridge: every row's contribution must equal
+    (4m*e_in - d_tot^2)/(4m^2) recomputed from its own integer columns,
+    the identity Σd_tot = 2m must hold, and Q must land in (0, 1) for
+    this clearly-clustered graph."""
+    import pyspark.sql.functions as F
+
+    from spot_anomalies_flink_workshop_resources_spark.plans.stattests import (
+        sql_copurchase_modularity,
+    )
+
+    # synthesize a lineitem table whose co-purchase graph IS the fixture:
+    # orders 1..7 each carry one edge's two parts twice (support >= 2)
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    rows = []
+    ok = 0
+    for (a, b) in edges:
+        for rep in range(2):  # support 2 so every edge survives
+            ok += 1
+            rows.append((ok, a))
+            rows.append((ok, b))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = sql_copurchase_modularity(spark, str(tmp_path)).collect()
+    m = 7
+    total_d = sum(r.d_tot for r in out)
+    assert total_d == 2 * m
+    q = 0.0
+    for r in out:
+        expect = (4 * m * r.e_in - r.d_tot * r.d_tot) / float(4 * m * m)
+        assert r.contribution == expect
+        q += expect
+    assert 0.0 < q < 1.0
