@@ -468,3 +468,99 @@ def test_split_drift_matches_python(spark, tmp_path, seed):
     row = C.corpus_split_drift(spark, str(tmp_path)).collect()[0]
     assert (row.n_train, row.n_test) == (n1, n2)
     assert row.d_stat == pytest.approx(d_num / (n1 * n2))
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_line_block_dedup_matches_python_bruteforce(spark, seed, tmp_path):
+    """Random small-vocab corpora (collisions guaranteed): recount the
+    first-occurrence block dedup in pure Python."""
+    import re
+
+    from spot_anomalies_flink_workshop_resources_spark.operators import (
+        dedup as D,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for i in range(40):
+        n = rng.randint(0, 30)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n)),
+                     "en", f"s{i % 3}", n))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    bt = 4
+    got = {
+        r.source: (r.n_blocks, r.n_dups, r.dup_chars)
+        for r in D.line_block_dedup(df, block_tokens=bt).collect()
+    }
+    # pure-Python recount
+    tok_re = re.compile("[a-z0-9]+")
+    seen = {}
+    per_src = {}
+    for doc_id, text, _lang, src, _n in docs:
+        toks = tok_re.findall(text.lower())
+        if not toks:
+            continue
+        for bi in range(0, (len(toks) + bt - 1) // bt):
+            blk = " ".join(toks[bi * bt:(bi + 1) * bt])
+            nb, nd, dc = per_src.get(src, (0, 0, 0))
+            first = seen.setdefault(blk, (doc_id, bi))
+            dup = first != (doc_id, bi)
+            per_src[src] = (
+                nb + 1, nd + (1 if dup else 0), dc + (len(blk) if dup else 0)
+            )
+    assert got == per_src
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_gopher_rules_match_python_bruteforce(spark, seed, tmp_path):
+    """Random corpora incl. stopwords and repeated tokens: recount every
+    rule's pass/fail in pure Python."""
+    import re
+
+    from spot_anomalies_flink_workshop_resources_spark.operators import (
+        quality as Q,
+    )
+
+    rng = random.Random(seed)
+    words = ["the", "a", "of", "data", "spark", "xx", "yyyy", "zzzzzz"]
+    docs = []
+    for i in range(30):
+        n = rng.randint(0, 60)
+        docs.append((i, " ".join(rng.choice(words) for _ in range(n)),
+                     "en", f"s{i % 2}", n))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r.source, r.rule): (r.n_pass, r.n_fail)
+        for r in Q.gopher_rules(df).collect()
+    }
+    tok_re = re.compile("[a-z0-9]+")
+    stopset = set(Q.GOPHER_STOPWORDS)
+    expect = {}
+    for doc_id, text, _lang, src, _n in docs:
+        toks = tok_re.findall(text.lower())
+        n = len(toks)
+        sum_len = sum(len(t) for t in toks)
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        max_tf = max(tf.values()) if tf else 0
+        n_stop = len(set(toks) & stopset)
+        n_alpha = sum(c for t, c in tf.items() if re.search("[a-z]", t))
+        rules = {
+            "word_count": Q.GOPHER_MIN_WORDS <= n <= Q.GOPHER_MAX_WORDS,
+            "mean_word_len": n > 0
+            and Q.GOPHER_MIN_MEAN_WORD_LEN * n <= sum_len
+            <= Q.GOPHER_MAX_MEAN_WORD_LEN * n,
+            "stopwords": n_stop >= Q.GOPHER_MIN_STOPWORDS,
+            "repetition": n > 0 and Q.GOPHER_MAX_TOP_TOKEN_X5 * max_tf <= n,
+            "alpha_ratio": n > 0 and 5 * n_alpha >= 4 * n,
+        }
+        for rule, ok in rules.items():
+            p, f = expect.get((src, rule), (0, 0))
+            expect[(src, rule)] = (p + (1 if ok else 0), f + (0 if ok else 1))
+    assert got == expect

@@ -912,6 +912,13 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert p.count("SinglePartition") <= 1, p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
+    # modularity: node-keyed equi-joins over the checkpointed edge
+    # frame; m is a Python literal (no 1-row crossJoin), so no
+    # nested-loop and no single-partition stage
+    p = plan("sql_copurchase_modularity")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "SinglePartition" not in p, p
 
 
 def test_pagerank_shuffle_join_no_v_sized_broadcast(spark):
