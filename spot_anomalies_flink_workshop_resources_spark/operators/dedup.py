@@ -229,6 +229,14 @@ def protected_rdd_ids() -> set:
     return out
 
 
+def _session_key(spark) -> str:
+    """Context-unique cache-key component: a stopped session's id()
+    can be reused by a NEW session whose RDD ids restart from 0, which
+    would let live-block validation accept a dead entry —
+    applicationId cannot collide that way."""
+    return spark.sparkContext.applicationId
+
+
 def _cached_checkpoint(spark, key: tuple, builder) -> DataFrame:
     """Memoized eager localCheckpoint with live-block validation."""
     hit = _SHINGLE_CACHE.get(key)
@@ -255,7 +263,7 @@ def shingle_frame(
         return _shingles(docs, n).localCheckpoint(eager=True)
     return _cached_checkpoint(
         docs.sparkSession,
-        (id(docs.sparkSession), cache_key, n, "shingles"),
+        (_session_key(docs.sparkSession), cache_key, n, "shingles"),
         lambda: _shingles(docs, n),
     )
 
@@ -286,7 +294,7 @@ def minhash_wide_frame(
         return build()
     return _cached_checkpoint(
         docs.sparkSession,
-        (id(docs.sparkSession), cache_key, num_hashes, shingle_n, "wide"),
+        (_session_key(docs.sparkSession), cache_key, num_hashes, shingle_n, "wide"),
         build,
     )
 
@@ -618,7 +626,7 @@ def simhash_packed_cached(
         return simhash_packed(docs, bits=bits).localCheckpoint(eager=True)
     return _cached_checkpoint(
         docs.sparkSession,
-        (id(docs.sparkSession), cache_key, bits, "simhash_packed"),
+        (_session_key(docs.sparkSession), cache_key, bits, "simhash_packed"),
         lambda: simhash_packed(docs, bits=bits),
     )
 
@@ -640,7 +648,7 @@ def simhash_pairs_cached(
     return _cached_checkpoint(
         docs.sparkSession,
         (
-            id(docs.sparkSession),
+            _session_key(docs.sparkSession),
             cache_key,
             bands,
             bits,

@@ -505,10 +505,11 @@ def lm_score(docs: DataFrame, n: int = 3, cache_key: str | None = None) -> DataF
         # the dedup shingle-cache machinery (late import: dedup imports
         # TOKEN_RE from this module)
         from .dedup import _cached_checkpoint
+        from .dedup import _session_key as _sk
 
         gcnt = _cached_checkpoint(
             docs.sparkSession,
-            (id(docs.sparkSession), cache_key, n, "lm_gcnt"),
+            (_sk(docs.sparkSession), cache_key, n, "lm_gcnt"),
             _build_gcnt,
         )
     model = gcnt.groupBy("lang", "gram").agg(F.sum("m").alias("cnt"))
@@ -641,10 +642,11 @@ def lang_mismatch(
         # identical build to lm_score's frame — SAME cache key, so the
         # LM family and the cross-likelihood verifier share one pass
         from .dedup import _cached_checkpoint
+        from .dedup import _session_key as _sk
 
         gcnt = _cached_checkpoint(
             docs.sparkSession,
-            (id(docs.sparkSession), cache_key, n, "lm_gcnt"),
+            (_sk(docs.sparkSession), cache_key, n, "lm_gcnt"),
             _build_gcnt,
         )
     model = gcnt.groupBy(

@@ -64,7 +64,9 @@ def _gram_pass(spark: SparkSession, sf_dir: str) -> dict:
     unrecoverable (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, found by
     simulating bench's _clear_cached_state). A stale hit silently
     rebuilds."""
-    key = (id(spark), sf_dir)
+    from ..operators.dedup import _session_key
+
+    key = (_session_key(spark), sf_dir)
     hit = _GRAM_PASS_CACHE.get(key)
     if hit is not None:
         live = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())

@@ -1319,10 +1319,10 @@ _BPE_MERGES_CACHE: dict = {}
 
 def _bpe_encoded(spark, sf_dir, n_merges=16):
     from ..operators.bpe import bpe_encode, learn_merges
-    from ..operators.dedup import _cached_checkpoint
+    from ..operators.dedup import _cached_checkpoint, _session_key
 
     docs = _docs(spark, sf_dir)
-    mkey = (id(spark), sf_dir, n_merges)
+    mkey = (_session_key(spark), sf_dir, n_merges)
     if mkey not in _BPE_MERGES_CACHE:
         if len(_BPE_MERGES_CACHE) >= 8:
             _BPE_MERGES_CACHE.clear()
@@ -1332,7 +1332,7 @@ def _bpe_encoded(spark, sf_dir, n_merges=16):
     merges = _BPE_MERGES_CACHE[mkey]
     return _cached_checkpoint(
         spark,
-        (id(spark), sf_dir, n_merges, "bpe_encode"),
+        (_session_key(spark), sf_dir, n_merges, "bpe_encode"),
         lambda: bpe_encode(docs, merges),
     )
 
