@@ -1347,6 +1347,77 @@ def corpus_bpe_encode(spark, sf_dir):
     return _bpe_encoded(spark, sf_dir)
 
 
+def corpus_bpe_curve(spark, sf_dir):
+    """Tokenizer COMPRESSION CURVE: corpus symbols-per-token at merge
+    depths 4/8/16 — the ROI read that decides how many merges a
+    vocabulary budget is worth (the curve flattens where additional
+    merges stop paying). Serial BPE has the PREFIX PROPERTY (merge i
+    never depends on the final merge count), and the batched trainer is
+    serial-equivalent, so merges[:k] from the cached 16-merge table IS
+    the k-merge vocabulary — one training run feeds all three depths;
+    each depth is one vocab-keyed fold + broadcast join. The oracle
+    re-trains each depth from scratch via the unrolled-CTE chain.
+
+    Output: (n_merges, n_tokens, n_bpe_tokens, symbols_per_token).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.bpe import bpe_encode, learn_merges
+    from ..operators.dedup import _session_key
+
+    docs = _docs(spark, sf_dir)
+    mkey = (_session_key(spark), sf_dir, 16)
+    if mkey not in _BPE_MERGES_CACHE:
+        if len(_BPE_MERGES_CACHE) >= 8:
+            _BPE_MERGES_CACHE.clear()
+        _BPE_MERGES_CACHE[mkey] = [
+            tuple(r) for r in learn_merges(docs, n_merges=16).collect()
+        ]
+    merges = _BPE_MERGES_CACHE[mkey]
+    out = None
+    for k in (4, 8, 16):
+        agg = (
+            bpe_encode(docs, merges[:k])
+            .agg(
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            )
+            .select(
+                F.lit(k).cast("long").alias("n_merges"),
+                "n_tokens",
+                "n_bpe_tokens",
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select(
+        "n_merges",
+        "n_tokens",
+        "n_bpe_tokens",
+        (
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("symbols_per_token"),
+    )
+
+
+def _corpus_bpe_curve_sql() -> str:
+    from ..operators.bpe import bpe_encode_sql
+
+    legs = []
+    for k in (4, 8, 16):
+        inner = bpe_encode_sql(n_merges=k).strip()
+        legs.append(
+            f"""
+SELECT CAST({k} AS BIGINT) AS n_merges,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+         AS symbols_per_token
+FROM ({inner})"""
+        )
+    return " UNION ALL ".join(legs)
+
+
 def corpus_bpe_fertility(spark, sf_dir):
     """Tokenizer FERTILITY by language: BPE symbols per whitespace
     token under the trained 16-merge vocabulary — the eval that
@@ -1476,6 +1547,7 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "corpus_gopher_rules": corpus_gopher_rules,
     "text_bigram_lm": text_bigram_lm,
+    "corpus_bpe_curve": corpus_bpe_curve,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_packed": dedup_simhash_packed,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -1559,6 +1631,7 @@ ORACLES = {
     "dedup_embedding_lsh": D.embedding_near_dup_lsh_sql(threshold=0.3),
     "corpus_gopher_rules": Q.gopher_rules_sql(),
     "text_bigram_lm": T.BIGRAM_LM_SQL,
+    "corpus_bpe_curve": _corpus_bpe_curve_sql(),
     "dedup_simhash": D.simhash_sql(),
     "dedup_simhash_packed": D.simhash_sql(),
     "dedup_simhash_pairs": D.simhash_pairs_sql(),

@@ -270,3 +270,34 @@ def test_pair_counts_rank_is_total_order(spark):
     assert ranks == list(range(1, len(rows) + 1))
     keyed = [(-r.pair_count, r.pair) for r in rows]
     assert keyed == sorted(keyed)
+
+
+def test_bpe_curve_monotone_and_prefix_consistent(spark, tmp_path):
+    """symbols_per_token must be non-increasing in merge depth and
+    >= 1.0 (a token is at least one symbol); depth-16 row must equal a
+    direct 16-merge encode."""
+    import pyspark.sql.functions as F
+
+    from spot_anomalies_flink_workshop_resources_spark.plans import (
+        pipeline_ops as P,
+    )
+
+    texts = ["the data table scans fast", "the data table joins slow",
+             "fast scans beat slow joins", "the the the data data"] * 5
+    df = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = sorted(
+        P.corpus_bpe_curve(spark, str(tmp_path)).collect(),
+        key=lambda r: r.n_merges,
+    )
+    spts = [r.symbols_per_token for r in rows]
+    assert [r.n_merges for r in rows] == [4, 8, 16]
+    assert all(s >= 1.0 for s in spts)
+    assert spts[0] >= spts[1] >= spts[2]
+    enc16 = P.corpus_bpe_encode(spark, str(tmp_path)).agg(
+        F.sum("n_bpe_tokens").alias("s"), F.sum("n_tokens").alias("n")
+    ).collect()[0]
+    assert rows[2].n_bpe_tokens == enc16.s and rows[2].n_tokens == enc16.n
