@@ -3260,6 +3260,60 @@ FROM stage2
 """
 
 
+def events_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic concentration: the share of all events generated by the
+    top-k busiest users for k ∈ {1, 5, 10, 25} — the single-table
+    abuse/capacity read ("is this workload a few hot tenants or a long
+    tail?") that complements the Gini coefficient (distribution-wide)
+    and the skew profile (key-level). Integer-exact: users rank by
+    (count DESC, user_id), cumulative counts are int64 window sums on
+    the |users| frame, each share is one division.
+
+    Output: (top_k_users, events_covered, share).
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # top-25 via TakeOrdered heap FIRST — the only global window then
+    # runs over 25 rows (k-bounded), never the data-sized user frame
+    top = per_user.orderBy(F.desc("n"), F.asc("user_id")).limit(25)
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = top.select(
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("n").over(wcum).cast("long").alias("cum"),
+    )
+    total = e.count()
+    ks = [1, 5, 10, 25]
+    picks = ranked.where(F.col("rk").isin(ks))
+    return picks.select(
+        F.col("rk").alias("top_k_users"),
+        F.col("cum").alias("events_covered"),
+        (F.col("cum").cast("double") / F.lit(float(total))).alias("share"),
+    )
+
+
+EVENTS_USER_CONCENTRATION_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+),
+ranked AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS BIGINT)
+           AS rk,
+         CAST(SUM(n) OVER (ORDER BY n DESC, user_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM per_user
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM events)
+SELECT rk AS top_k_users, cum AS events_covered,
+       CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS share
+FROM ranked, total
+WHERE rk IN (1, 5, 10, 25)
+"""
+
+
 def events_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill estimator of the value distribution's tail index per event
     type (k = 100 top order statistics): α̂⁻¹ = (1/k)Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎).
@@ -3425,6 +3479,7 @@ QUERIES = {
     "sql_copurchase_degree_dist": sql_copurchase_degree_dist,
     "events_interarrival": events_interarrival,
     "events_tail_index": events_tail_index,
+    "events_user_concentration": events_user_concentration,
     "events_jsd_profile": events_jsd_profile,
     "events_fano": events_fano,
     "sql_part_skyline": sql_part_skyline,
@@ -3462,6 +3517,7 @@ ORACLES = {
     "sql_copurchase_degree_dist": _sql_copurchase_degree_dist_sql(),
     "events_interarrival": EVENTS_INTERARRIVAL_SQL,
     "events_tail_index": EVENTS_TAIL_INDEX_SQL,
+    "events_user_concentration": EVENTS_USER_CONCENTRATION_SQL,
     "events_jsd_profile": EVENTS_JSD_SQL,
     "events_fano": EVENTS_FANO_SQL,
     "sql_part_skyline": SQL_PART_SKYLINE_SQL,

@@ -840,3 +840,27 @@ def test_block_maxima_gumbel_fit_hand_checked(spark, tmp_path):
     assert r.gumbel_beta == beta
     assert r.gumbel_mu == mu
     assert r.return_level_99 == mu + beta * _GUMBEL_Q99
+
+
+def test_user_concentration_hand_computed(spark, tmp_path):
+    """30 users: user 0 fires 70 events, users 1-29 one each -> top-1
+    share 0.70, top-5 74/100, top-10 79/100, top-25 94/100."""
+    from spot_anomalies_flink_workshop_resources_spark.plans.insights import (
+        events_user_concentration,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for k in range(70):
+        rows.append((eid, str(base + dt.timedelta(seconds=eid)), 0, "a", 1.0)); eid += 1
+    for u in range(1, 31):
+        rows.append((eid, str(base + dt.timedelta(seconds=eid)), u, "a", 1.0)); eid += 1
+    _events(spark, tmp_path, rows)
+    got = {r.top_k_users: (r.events_covered, r.share)
+           for r in events_user_concentration(spark, str(tmp_path)).collect()}
+    assert got[1] == (70, 0.70)
+    assert got[5] == (74, 0.74)
+    assert got[10] == (79, 0.79)
+    assert got[25] == (94, 0.94)
