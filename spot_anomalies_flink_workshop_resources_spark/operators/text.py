@@ -177,12 +177,10 @@ FROM ranked WHERE rk <= {top_k}
 """
 
 
-def corpus_prep_stages_sql(min_quality: float = 0.5) -> str:
-    """The scored/good/keeps CTE stage bodies of the corpus-prep oracle
-    (no WITH keyword, no final select) — exposed so composed pipelines
-    (plans/pipeline_ops._corpus_prep_chunked_oracle) can reuse the
-    exact same stages instead of text-splitting the full query."""
-    quality = (
+def quality_score_sql() -> str:
+    """The DuckDB quality-score expression (same rational blend as
+    stat_cols()['quality_score']) — exposed for composed oracles."""
+    return (
         f"({_hits_sql('lower(text)', STOPWORDS['en'])}"
         f"   / greatest(len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 1)) * 0.4"
         f" + (len(regexp_extract_all(lower(text), '[a-z]'))"
@@ -190,6 +188,14 @@ def corpus_prep_stages_sql(min_quality: float = 0.5) -> str:
         f" + (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END)"
         f"   * 0.3"
     )
+
+
+def corpus_prep_stages_sql(min_quality: float = 0.5) -> str:
+    """The scored/good/keeps CTE stage bodies of the corpus-prep oracle
+    (no WITH keyword, no final select) — exposed so composed pipelines
+    (plans/pipeline_ops._corpus_prep_chunked_oracle) can reuse the
+    exact same stages instead of text-splitting the full query."""
+    quality = quality_score_sql()
     return f"""scored AS (
   SELECT doc_id, text, lang, source,
          len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,

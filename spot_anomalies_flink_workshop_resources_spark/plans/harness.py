@@ -1125,6 +1125,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_copurchase_modularity",   # NEW: Newman Q over LPA communities
     "corpus_bpe_curve",            # NEW: tokenizer compression-ROI curve
     "events_user_concentration",   # NEW: top-k tenant traffic shares
+    "corpus_gate_overlap",         # NEW: quality x dup 2x2 interaction
     "sql_copurchase_pagerank",     # NEW: shuffle-join PageRank, data-scaled |V|
     "dedup_simhash_components",    # CHANGED: fixpoint resolver (assert caught truncation)
     "sql_copurchase_reach",        # CHANGED: bound 6->12 (assert caught live frontier)

@@ -408,6 +408,64 @@ def text_bigram_lm(spark, sf_dir):
     return T.bigram_lm_by_source(_docs(spark, sf_dir))
 
 
+def corpus_gate_overlap(spark, sf_dir):
+    """Interaction audit between the two cheapest pipeline gates: the
+    2x2 contingency of quality pass/fail x exact-duplicate yes/no, per
+    cell count plus each cell's share — tells a curation team whether
+    dedup and the quality gate remove the SAME documents (wasted
+    compute if one subsumes the other) or different ones. A duplicate
+    here is any doc that is NOT its content group's keeper (min
+    doc_id). Integer counts, one exact division per row; one narrow
+    scan feeds both gate expressions (Catalyst fuses them), the only
+    wide stages are the content-hash agg and the 4-group rollup."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    c = T.stat_cols()
+    scored = docs.select(
+        "doc_id",
+        (c["quality_score"] >= 0.5).alias("q_pass"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    keeps = scored.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    flagged = scored.join(keeps, "h").select(
+        "q_pass", (F.col("doc_id") != F.col("keep_id")).alias("is_dup")
+    )
+    cells = flagged.groupBy("q_pass", "is_dup").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = docs.count()
+    return cells.select(
+        "q_pass",
+        "is_dup",
+        "n",
+        (F.col("n").cast("double") / F.lit(float(total))).alias("share"),
+    )
+
+
+def _corpus_gate_overlap_sql() -> str:
+    q = T.quality_score_sql()
+    return f"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, ({q}) >= 0.5 AS q_pass,
+         md5(lower(trim(text))) AS h
+  FROM documents
+),
+keeps AS MATERIALIZED (
+  SELECT h, MIN(doc_id) AS keep_id FROM scored GROUP BY h
+),
+flagged AS (
+  SELECT s.q_pass, s.doc_id <> k.keep_id AS is_dup
+  FROM scored s JOIN keeps k USING (h)
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents)
+SELECT q_pass, is_dup, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE) / CAST(MAX(t) AS DOUBLE) AS share
+FROM flagged, total
+GROUP BY q_pass, is_dup
+"""
+
+
 def corpus_gopher_rules(spark, sf_dir):
     """Per-rule Gopher quality-filter audit (operators.quality.
     gopher_rules): pass/fail counts per (source, rule) for the five
@@ -1548,6 +1606,7 @@ QUERIES = {
     "corpus_gopher_rules": corpus_gopher_rules,
     "text_bigram_lm": text_bigram_lm,
     "corpus_bpe_curve": corpus_bpe_curve,
+    "corpus_gate_overlap": corpus_gate_overlap,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_packed": dedup_simhash_packed,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -1632,6 +1691,7 @@ ORACLES = {
     "corpus_gopher_rules": Q.gopher_rules_sql(),
     "text_bigram_lm": T.BIGRAM_LM_SQL,
     "corpus_bpe_curve": _corpus_bpe_curve_sql(),
+    "corpus_gate_overlap": _corpus_gate_overlap_sql(),
     "dedup_simhash": D.simhash_sql(),
     "dedup_simhash_packed": D.simhash_sql(),
     "dedup_simhash_pairs": D.simhash_pairs_sql(),

@@ -190,3 +190,34 @@ def test_gopher_rules_empty_doc_fails_all(spark):
         "repetition": 1,
         "alpha_ratio": 1,
     }
+
+
+def test_gate_overlap_counts_all_four_cells(spark, tmp_path):
+    """Craft docs so every (q_pass, is_dup) cell is non-empty and the
+    counts match a hand recount. Quality gate: stopword-rich, 100-2000
+    chars => pass."""
+    from spot_anomalies_flink_workshop_resources_spark.plans.pipeline_ops import (
+        corpus_gate_overlap,
+    )
+
+    good = ("the data of the table is in the scan and the filter " * 4).strip()
+    bad = "zz qq xx"
+    rows = [
+        (0, good, "en", "s0", len(good)),         # q_pass, keeper
+        (1, good, "en", "s0", len(good)),         # q_pass, dup of 0
+        (2, bad, "en", "s0", len(bad)),           # q_fail, keeper
+        (3, bad, "en", "s0", len(bad)),           # q_fail, dup of 2
+        (4, bad + " extra", "en", "s0", 11),      # q_fail, unique
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.q_pass, r.is_dup): (r.n, r.share)
+        for r in corpus_gate_overlap(spark, str(tmp_path)).collect()
+    }
+    assert got[(True, False)] == (1, 0.2)
+    assert got[(True, True)] == (1, 0.2)
+    assert got[(False, False)] == (2, 0.4)
+    assert got[(False, True)] == (1, 0.2)
