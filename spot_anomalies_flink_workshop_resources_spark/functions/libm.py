@@ -25,6 +25,11 @@ accept 1-ulp drift, or pin executors to a known libm.
 
 Null semantics mirror Spark's: NULL / non-positive -> NULL for log;
 NULL -> NULL for exp (overflow saturates to +inf like the builtins).
+NULL handling CANNOT live inside the pandas UDF: Arrow hands SQL NULLs
+to a float64 Series as NaN, so ``v is None`` never fires there (ADVICE
+r7). The public wrappers therefore mask NULL JVM-side with
+``F.when(col.isNull(), NULL)`` before the UDF result is consulted —
+that is the only place the NULL/NaN distinction still exists.
 """
 
 from __future__ import annotations
@@ -33,6 +38,7 @@ import math
 
 import pandas as pd
 from pyspark.sql import Column
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
@@ -67,10 +73,29 @@ def _libm_exp(x: pd.Series) -> pd.Series:
 
 
 def libm_log(col: Column) -> Column:
-    """ln(col) evaluated by the platform libm (bit-matches DuckDB)."""
-    return _libm_log(col)
+    """ln(col) evaluated by the platform libm (bit-matches DuckDB).
+
+    NULL -> NULL and NaN -> NaN like ``F.log``. Both are masked
+    JVM-side: inside the UDF a SQL NULL is indistinguishable from NaN
+    in the Arrow float64 batch, and on the way OUT Arrow's from_pandas
+    null inference turns an emitted NaN into SQL NULL — so neither
+    direction can be handled in Python.
+    """
+    return (
+        F.when(col.isNull(), F.lit(None).cast("double"))
+        .when(F.isnan(col), F.lit(float("nan")))
+        .otherwise(_libm_log(col))
+    )
 
 
 def libm_exp(col: Column) -> Column:
-    """exp(col) evaluated by the platform libm (bit-matches DuckDB)."""
-    return _libm_exp(col)
+    """exp(col) evaluated by the platform libm (bit-matches DuckDB).
+
+    NULL -> NULL and NaN -> NaN like ``F.exp`` (masked JVM-side, see
+    :func:`libm_log`).
+    """
+    return (
+        F.when(col.isNull(), F.lit(None).cast("double"))
+        .when(F.isnan(col), F.lit(float("nan")))
+        .otherwise(_libm_exp(col))
+    )

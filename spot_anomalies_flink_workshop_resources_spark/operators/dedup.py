@@ -237,6 +237,26 @@ def _session_key(spark) -> str:
     return spark.sparkContext.applicationId
 
 
+def _unpersist_rdd_ids(spark, ids: set) -> None:
+    """Best-effort unpersist of checkpoint blocks by RDD id.
+
+    Eviction hygiene (ADVICE r7): dropping a cache entry without
+    unpersisting its localCheckpoint blocks leaks storage memory for
+    the rest of the session. Ids from a stopped/foreign context simply
+    won't be found in this context's persistent-RDD map; any JVM-side
+    surprise is swallowed — eviction must never fail a query.
+    """
+    if not ids:
+        return
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for entry in jmap.entrySet().toArray():
+            if int(entry.getKey()) in ids:
+                entry.getValue().unpersist(False)
+    except Exception:
+        pass
+
+
 def _cached_checkpoint(spark, key: tuple, builder) -> DataFrame:
     """Memoized eager localCheckpoint with live-block validation."""
     hit = _SHINGLE_CACHE.get(key)
@@ -246,11 +266,22 @@ def _cached_checkpoint(spark, key: tuple, builder) -> DataFrame:
         .keySet()
         .toArray()
     }
-    if hit is not None and hit["rdd_ids"] <= live():
-        return hit["frame"]
+    if hit is not None:
+        if hit["rdd_ids"] <= live():
+            return hit["frame"]
+        # Stale entry (some blocks already dropped): release the rest.
+        _unpersist_rdd_ids(spark, hit["rdd_ids"])
+        _SHINGLE_CACHE.pop(key, None)
     ids_before = live()
     frame = builder().localCheckpoint(eager=True)
     if len(_SHINGLE_CACHE) >= 8:
+        # Unpersist every evicted entry's blocks before dropping the
+        # dict refs (ADVICE r7) — a sibling entry sharing a block will
+        # fail its own live-block validation and rebuild, so this is
+        # correctness-neutral. The just-built frame's blocks are NOT in
+        # any old entry's rdd_ids (those were captured before it existed).
+        for v in _SHINGLE_CACHE.values():
+            _unpersist_rdd_ids(spark, v.get("rdd_ids", set()))
         _SHINGLE_CACHE.clear()
     _SHINGLE_CACHE[key] = {"frame": frame, "rdd_ids": live() - ids_before}
     return frame
@@ -642,9 +673,14 @@ def simhash_pairs_cached(
     pairs) frame: dedup_simhash_pairs and the components resolver both
     need the same 83k-pair frame at sf0.1 — one build per (session,
     corpus, params)."""
-    fps = simhash_packed_cached(docs, bits=bits, cache_key=cache_key)
     if cache_key is None:
+        fps = simhash_packed_cached(docs, bits=bits, cache_key=None)
         return simhash_pairs(fps, bands=bands, bits=bits, max_hamming=max_hamming)
+    # Consult the pairs-level cache FIRST (ADVICE r7): a valid pairs hit
+    # must not pay a fingerprint rebuild when the fps entry was evicted
+    # but the pairs entry survived. The fingerprint frame is built
+    # lazily inside the builder (which itself goes through the fps
+    # cache, so a live fps entry is still reused on a pairs miss).
     return _cached_checkpoint(
         docs.sparkSession,
         (
@@ -656,7 +692,10 @@ def simhash_pairs_cached(
             "simhash_pairs",
         ),
         lambda: simhash_pairs(
-            fps, bands=bands, bits=bits, max_hamming=max_hamming
+            simhash_packed_cached(docs, bits=bits, cache_key=cache_key),
+            bands=bands,
+            bits=bits,
+            max_hamming=max_hamming,
         ),
     )
 

@@ -64,7 +64,7 @@ def _gram_pass(spark: SparkSession, sf_dir: str) -> dict:
     unrecoverable (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, found by
     simulating bench's _clear_cached_state). A stale hit silently
     rebuilds."""
-    from ..operators.dedup import _session_key
+    from ..operators.dedup import _session_key, _unpersist_rdd_ids
 
     key = (_session_key(spark), sf_dir)
     hit = _GRAM_PASS_CACHE.get(key)
@@ -72,6 +72,10 @@ def _gram_pass(spark: SparkSession, sf_dir: str) -> dict:
         live = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
         if hit["_rdd_ids"] <= {int(i) for i in live}:
             return hit
+        # Stale entry: release its surviving blocks before rebuild
+        # (ADVICE r7 eviction hygiene).
+        for v in _GRAM_PASS_CACHE.values():
+            _unpersist_rdd_ids(spark, v.get("_rdd_ids", set()))
         _GRAM_PASS_CACHE.clear()
     ids_before = {
         int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet()
@@ -130,7 +134,12 @@ def _gram_pass(spark: SparkSession, sf_dir: str) -> dict:
         "boiler": boiler,
         "_rdd_ids": ids_after - ids_before,
     }
-    _GRAM_PASS_CACHE.clear()  # single entry: drop prior corpus's frames
+    # single entry: drop (and unpersist) the prior corpus's frames —
+    # the new build's blocks are in ids_after-ids_before, never in a
+    # prior entry's set, so this cannot touch them.
+    for v in _GRAM_PASS_CACHE.values():
+        _unpersist_rdd_ids(spark, v.get("_rdd_ids", set()))
+    _GRAM_PASS_CACHE.clear()
     _GRAM_PASS_CACHE[key] = out
     return out
 

@@ -1107,6 +1107,35 @@ WHERE src_endpoint.ip LIKE '10.%'
 # order behind them. The full surface (all oracles) is still verified
 # locally each round via tools/check_oracles.py — see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- round 8 block 0: the 22 queries never yet inside the driver's
+    # ~50-row window (VERDICT r7 "What's wrong #1": registry minus the
+    # union of CORRECTNESS_r01..r07 keys). All bit-exact in local sweeps
+    # for 2+ rounds; fronted UNCONDITIONALLY this round — round-8
+    # newcomers are inserted BEHIND this block, never ahead of it, so
+    # CORRECTNESS_r08 closes the never-checked backlog to zero. --
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q16_parts_supplier_relationship",
+    "q20_dominant_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "corpus_boilerplate",
+    "corpus_template_strip",
+    "simsearch_ndcg",
+    "dq_join_fanout",
+    "sql_order_cycle_percentiles",
+    "events_entropy_rate",
+    "sql_cohort_retention_matrix",
+    "corpus_split_drift",
+    "sql_price_elasticity",
+    "events_icc",
+    "events_score_brier",
+    "sql_ship_logrank",
+    "events_adf",
+    "events_pacf",
+    "events_ljung_box",
+    # -- round 8 newcomers (BEHIND the backlog block, per VERDICT r7 #1) --
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit
@@ -1164,28 +1193,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_region_share",
     "sql_supplier_hhi",
     "multimodal_entropy",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q16_parts_supplier_relationship",
-    "q20_dominant_part_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "corpus_boilerplate",
-    "corpus_template_strip",
-    "simsearch_ndcg",
-    "dq_join_fanout",
-    "sql_order_cycle_percentiles",
-    "events_entropy_rate",
-    "sql_cohort_retention_matrix",
-    "corpus_split_drift",
-    "sql_price_elasticity",
-    "events_icc",
-    "events_score_brier",
-    "sql_ship_logrank",
-    "events_adf",
-    "events_pacf",
-    "events_ljung_box",
+    # (the 22 never-checked entries that used to sit here were promoted
+    #  to round-8 block 0 at the top of this tuple)
     # -- round 6 second wave: drift / dispersion / frontier surface --
     "events_psi_drift",            # NEW: quantized-fold PSI drift gate
     "events_jsd_profile",          # NEW: hour-profile Jensen-Shannon

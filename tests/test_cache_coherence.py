@@ -1,0 +1,144 @@
+"""Torture test for the shared-pass checkpoint cache (VERDICT r7 #7).
+
+The cache layer (`operators.dedup._cached_checkpoint`,
+`plans.curation._GRAM_PASS_CACHE`) memoizes eager localCheckpoints per
+(applicationId, corpus, params) with live-block validation. Its sharp
+edges, each pinned here:
+
+- a FILTERED SUBSET of a corpus must use its own cache key (the
+  `sf_dir + "#doc_id_lt_200"` convention) — interleaving full + subset
+  must never cross-contaminate results;
+- EVICTION (dict past 8 entries) must unpersist the evicted entries'
+  checkpoint blocks (ADVICE r7 storage-leak fix) without corrupting
+  survivors — any survivor sharing a block rebuilds via live-block
+  validation;
+- an EXTERNAL UNPERSIST of every cached block (bench-style hygiene,
+  memory pressure) must force a rebuild that reproduces the same
+  results, never a CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND error.
+"""
+
+from pyspark.sql import functions as F
+
+from spot_anomalies_flink_workshop_resources_spark import catalog
+from spot_anomalies_flink_workshop_resources_spark.operators import dedup
+from spot_anomalies_flink_workshop_resources_spark.plans import curation
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _unpersist_everything(spark):
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for entry in jmap.entrySet().toArray():
+        entry.getValue().unpersist(True)
+
+
+def _live_ids(spark):
+    return {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def test_interleaved_corpora_with_eviction_and_unpersist(spark):
+    docs = catalog.load_table(spark, SF, "documents")
+    sub = docs.where(F.col("doc_id") < 200)
+    sub_key = SF + "#doc_id_lt_200"
+
+    dedup._SHINGLE_CACHE.clear()
+    curation._GRAM_PASS_CACHE.clear()
+
+    # Uncached ground truth (cache_key=None path never memoizes).
+    base_full = _rows(dedup.minhash_wide_frame(docs, 8, 3, cache_key=None))
+    base_sub = _rows(dedup.minhash_wide_frame(sub, 8, 3, cache_key=None))
+    base_pairs = _rows(
+        dedup.simhash_pairs_cached(docs, bands=4, bits=32, cache_key=None)
+    )
+
+    for round_i in range(3):
+        # Interleave full corpus and filtered subset (distinct keys).
+        got_full = _rows(dedup.minhash_wide_frame(docs, 8, 3, cache_key=SF))
+        got_sub = _rows(dedup.minhash_wide_frame(sub, 8, 3, cache_key=sub_key))
+        got_pairs = _rows(
+            dedup.simhash_pairs_cached(docs, bands=4, bits=32, cache_key=SF)
+        )
+        assert got_full == base_full, f"full corpus drifted (round {round_i})"
+        assert got_sub == base_sub, f"subset drifted (round {round_i})"
+        assert got_pairs == base_pairs, f"simhash pairs drifted (round {round_i})"
+
+        if round_i == 0:
+            # Force EVICTION: fill the dict past 8 entries with dummy
+            # builds, then verify the evicted blocks were unpersisted.
+            pre_ids = dedup.protected_rdd_ids()
+            assert pre_ids, "expected live cached blocks before eviction"
+            for j in range(9):
+                dedup._cached_checkpoint(
+                    spark,
+                    (dedup._session_key(spark), f"dummy{j}", "torture"),
+                    lambda: spark.range(3).select(
+                        F.col("id").alias("doc_id")
+                    ),
+                )
+            assert len(dedup._SHINGLE_CACHE) <= 9
+            leaked = pre_ids & _live_ids(spark)
+            assert not leaked, f"evicted blocks still persisted: {leaked}"
+        elif round_i == 1:
+            # External unpersist of EVERYTHING (bench hygiene under
+            # memory pressure): next round must rebuild, same rows.
+            _unpersist_everything(spark)
+            assert not dedup.protected_rdd_ids() & _live_ids(spark)
+
+    dedup._SHINGLE_CACHE.clear()
+
+
+def test_gram_pass_survives_block_loss(spark):
+    curation._GRAM_PASS_CACHE.clear()
+    first = _rows(
+        curation._gram_pass(spark, SF)["per_gram"].select(
+            "source", "g", "df", "positions"
+        )
+    )
+    # Cache hit path returns identical frame.
+    again = _rows(
+        curation._gram_pass(spark, SF)["per_gram"].select(
+            "source", "g", "df", "positions"
+        )
+    )
+    assert again == first
+
+    # Drop every persisted block out from under the cache; the stale
+    # entry must be detected, unpersisted, and rebuilt bit-identically.
+    _unpersist_everything(spark)
+    rebuilt = _rows(
+        curation._gram_pass(spark, SF)["per_gram"].select(
+            "source", "g", "df", "positions"
+        )
+    )
+    assert rebuilt == first
+    curation._GRAM_PASS_CACHE.clear()
+
+
+def test_stale_entry_is_unpersisted_not_leaked(spark):
+    dedup._SHINGLE_CACHE.clear()
+    dedup.shingle_frame(
+        catalog.load_table(spark, SF, "documents"), 3, cache_key=SF
+    )
+    (key, entry), = list(dedup._SHINGLE_CACHE.items())
+    ids = set(entry["rdd_ids"])
+    assert ids <= _live_ids(spark)
+    # Invalidate by unpersisting ONE of its blocks: next access must
+    # treat the whole entry as stale, release the rest, and rebuild.
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    victim = min(ids)
+    for e in jmap.entrySet().toArray():
+        if int(e.getKey()) == victim:
+            e.getValue().unpersist(True)
+    dedup.shingle_frame(
+        catalog.load_table(spark, SF, "documents"), 3, cache_key=SF
+    )
+    # The old entry's surviving blocks must be gone from storage.
+    assert not ids & _live_ids(spark)
+    dedup._SHINGLE_CACHE.clear()

@@ -43,6 +43,7 @@ Usage: python tools/make_scale_data.py [out_dir] [n_replicas]
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -179,7 +180,40 @@ def main(out: str, n: int) -> None:
         print(t, spark.read.parquet(f"{out}/{t}.parquet").count())
 
 
+def parse_args(argv):
+    """Argparse front-end.
+
+    Round-7's bare ``sys.argv`` parsing treated ``--help`` as the output
+    directory and silently wrote a 111 MB parquet dataset into a
+    dash-prefixed path that ``git add -A`` then committed (ADVICE r7).
+    argparse rejects unknown flags and we additionally refuse any output
+    path whose basename starts with '-'.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Generate a scaled synthetic dataset (sf1-style) for SCALE.md spot-runs."
+    )
+    p.add_argument(
+        "out",
+        nargs="?",
+        default="/root/repo/.scale/sf1",
+        help="output directory (default: /root/repo/.scale/sf1, gitignored)",
+    )
+    p.add_argument(
+        "mult",
+        nargs="?",
+        type=int,
+        default=10,
+        help="scale multiplier over sf0.1 (default: 10)",
+    )
+    args = p.parse_args(argv)
+    base = os.path.basename(os.path.normpath(args.out))
+    if base.startswith("-") or not base:
+        p.error(f"refusing suspicious output dir {args.out!r} (dash-prefixed or empty)")
+    return args
+
+
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    main(out, n)
+    _a = parse_args(sys.argv[1:])
+    main(_a.out, _a.mult)
