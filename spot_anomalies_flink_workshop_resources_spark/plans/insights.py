@@ -576,12 +576,10 @@ def sql_copurchase_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .relational import _copurchase_edges
 
-    # one lineage cut: the support-thresholded edge build (a lineitem
-    # pair self-join) feeds und/adj/deg AND the final anti-join — four
-    # consumers would each re-expand it (the triangle_counts lesson)
-    e = _copurchase_edges(spark, sf_dir).select("x", "y").localCheckpoint(
-        eager=True
-    )
+    # _copurchase_edges is a session-cached eager checkpoint, so the
+    # four consumers here (und/adj/deg + the final anti-join) all read
+    # the same materialized blocks — no per-consumer re-expansion
+    e = _copurchase_edges(spark, sf_dir).select("x", "y")
     und = e.union(e.select(F.col("y"), F.col("x")))
     adj = und.select(F.col("x").alias("node"), F.col("y").alias("z"))
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -1693,9 +1691,7 @@ def sql_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .relational import _copurchase_edges
 
-    e = _copurchase_edges(spark, sf_dir).select("x", "y").localCheckpoint(
-        eager=True
-    )
+    e = _copurchase_edges(spark, sf_dir).select("x", "y")
     und = e.union(e.select(F.col("y"), F.col("x")))
     deg = und.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     stubs = (
@@ -2150,9 +2146,7 @@ def sql_copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import _copurchase_edges
 
     scale = 1 << 20
-    e = _copurchase_edges(spark, sf_dir).select("x", "y").localCheckpoint(
-        eager=True
-    )
+    e = _copurchase_edges(spark, sf_dir).select("x", "y")
     deg = (
         e.select(F.col("x").alias("node"))
         .union(e.select(F.col("y").alias("node")))

@@ -1228,20 +1228,39 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries: parts appearing together in >= 2 distinct orders. Pair
     generation is per-order (fan-out bounded by order width, ~21 pairs
     max) and the support threshold bounds graph density the way
-    production co-occurrence graphs always do."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a = li.select("o", F.col("pk").alias("x"))
-    b = li.select("o", F.col("pk").alias("y"))
-    return (
-        a.join(b, "o")
-        .where(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-        .where(F.col("n_orders") >= 2)
+    production co-occurrence graphs always do.
+
+    Shared-pass cached (VERDICT r7 #5): eleven registered graph queries
+    (triangles, kcore, recs, linkpred, assortativity, clustering,
+    pagerank, degree_dist, communities, modularity, reach) derive from
+    this exact (x, y, n_orders) frame — the distinct-scan + self-join +
+    support agg now runs once per (session, corpus) via the dedup
+    cache layer (same live-block validation / eviction-unpersist
+    hygiene as the shingle index). At 100 TB this becomes a written
+    staging table; the memoized eager checkpoint is the local-mode
+    equivalent."""
+    from ..operators.dedup import _cached_checkpoint, _session_key
+
+    def build() -> DataFrame:
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk")
+            )
+            .distinct()
+        )
+        a = li.select("o", F.col("pk").alias("x"))
+        b = li.select("o", F.col("pk").alias("y"))
+        return (
+            a.join(b, "o")
+            .where(F.col("x") < F.col("y"))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+            .where(F.col("n_orders") >= 2)
+        )
+
+    return _cached_checkpoint(
+        spark, (_session_key(spark), sf_dir, "copurchase_edges"), build
     )
 
 

@@ -43,42 +43,59 @@ def sql_copurchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-width-bounded fan-out; support >= 2 bounds density."""
     from ..operators.graph import hits
 
-    o = load_table(spark, sf_dir, "orders")
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    seq = (
-        o.select(
-            "o_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            F.lead("o_orderkey").over(w).alias("next_ok"),
-        )
-        .where(F.col("next_ok").isNotNull())
-        .select("o_orderkey", "next_ok")
-    )
-    edges = (
-        seq.join(li.withColumnRenamed("ok", "o_orderkey"), "o_orderkey")
-        .withColumnRenamed("pk", "src_pk")
-        .join(li.withColumnRenamed("ok", "next_ok"), "next_ok")
-        .groupBy(
-            F.col("src_pk").cast("string").alias("src"),
-            F.col("pk").cast("string").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .where(F.col("w") >= 2)
-    )
-    out = hits(edges, iters=4, broadcast_scores=False)
+    out = hits(_repeat_edges(spark, sf_dir), iters=4, broadcast_scores=False)
     return out.orderBy(F.col("authority").desc(), "node").limit(100)
 
 
-def _sql_copurchase_hits_sql() -> str:
-    from ..operators.graph import HSCALE, hits_ctes
+def _repeat_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED repeat-purchase part graph (src, dst, w): parts in a
+    customer's order pointing at parts in their NEXT order, weight =
+    occurrence count, support >= 2. Shared-pass cached like
+    relational._copurchase_edges (VERDICT r7 #5): the LEAD window + two
+    order-key joins + support agg run once per (session, corpus) and
+    feed every registered query over this graph."""
+    from ..operators.dedup import _cached_checkpoint, _session_key
 
-    edges_cte = """WITH seq AS MATERIALIZED (
+    def build() -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+            )
+            .distinct()
+        )
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        seq = (
+            o.select(
+                "o_custkey",
+                "o_orderkey",
+                "o_orderdate",
+                F.lead("o_orderkey").over(w).alias("next_ok"),
+            )
+            .where(F.col("next_ok").isNotNull())
+            .select("o_orderkey", "next_ok")
+        )
+        return (
+            seq.join(li.withColumnRenamed("ok", "o_orderkey"), "o_orderkey")
+            .withColumnRenamed("pk", "src_pk")
+            .join(li.withColumnRenamed("ok", "next_ok"), "next_ok")
+            .groupBy(
+                F.col("src_pk").cast("string").alias("src"),
+                F.col("pk").cast("string").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+            .where(F.col("w") >= 2)
+        )
+
+    return _cached_checkpoint(
+        spark, (_session_key(spark), sf_dir, "repeat_edges"), build
+    )
+
+
+# Shared oracle CTE for the repeat-purchase graph (twin of the Spark
+# _repeat_edges builder above).
+_REPEAT_EDGES_CTE = """WITH seq AS MATERIALIZED (
   SELECT o_orderkey,
          LEAD(o_orderkey) OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey) AS next_ok
@@ -96,6 +113,12 @@ edges AS MATERIALIZED (
   GROUP BY a.pk, b.pk
   HAVING COUNT(*) >= 2
 )"""
+
+
+def _sql_copurchase_hits_sql() -> str:
+    from ..operators.graph import HSCALE, hits_ctes
+
+    edges_cte = _REPEAT_EDGES_CTE
     return f"""
 {hits_ctes(edges_cte, iters=4)}
 SELECT a.node,

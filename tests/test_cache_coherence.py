@@ -70,11 +70,11 @@ def test_interleaved_corpora_with_eviction_and_unpersist(spark):
         assert got_pairs == base_pairs, f"simhash pairs drifted (round {round_i})"
 
         if round_i == 0:
-            # Force EVICTION: fill the dict past 8 entries with dummy
+            # Force EVICTION: fill the dict past the cap with dummy
             # builds, then verify the evicted blocks were unpersisted.
             pre_ids = dedup.protected_rdd_ids()
             assert pre_ids, "expected live cached blocks before eviction"
-            for j in range(9):
+            for j in range(17):
                 dedup._cached_checkpoint(
                     spark,
                     (dedup._session_key(spark), f"dummy{j}", "torture"),
@@ -82,7 +82,7 @@ def test_interleaved_corpora_with_eviction_and_unpersist(spark):
                         F.col("id").alias("doc_id")
                     ),
                 )
-            assert len(dedup._SHINGLE_CACHE) <= 9
+            assert len(dedup._SHINGLE_CACHE) <= 17
             leaked = pre_ids & _live_ids(spark)
             assert not leaked, f"evicted blocks still persisted: {leaked}"
         elif round_i == 1:
