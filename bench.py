@@ -141,18 +141,23 @@ def main() -> None:
     # retry discipline as batch queries. Rates regress DOWNWARD, so the
     # guard triggers when the measured rate drops >20% below the
     # committed prior and keeps the better of two real runs.
+    # 400k events per run (was 100k): each streaming query carries a
+    # ~1.4 s fixed start/stop cost, so at 100k events the measured rate
+    # was mostly startup jitter (the r6->r7 "drift" 43k->34.5k ev/s was
+    # +-0.6 s of THAT, not a data-path regression — paired same-session
+    # runs in SCALE.md decompose it; steady-state is ~97k ev/s).
     sys.path.insert(
         0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
     )
     from bench_streaming import measure as _measure_stream
 
     _measure_stream(spark, 20_000, 4, tag="warm")  # state-store/codegen warmup
-    stream_stats = _measure_stream(spark, 100_000, 20, tag="r1")
+    stream_stats = _measure_stream(spark, 400_000, 80, tag="r1")
     if (
         prior_stream_rate
         and stream_stats["events_per_sec"] < prior_stream_rate / 1.2
     ):
-        second = _measure_stream(spark, 100_000, 20, tag="r2")
+        second = _measure_stream(spark, 400_000, 80, tag="r2")
         if second["events_per_sec"] > stream_stats["events_per_sec"]:
             stream_stats = second
         stream_stats["retried"] = True
@@ -170,11 +175,11 @@ def main() -> None:
         except (json.JSONDecodeError, OSError):
             pass
     hot_stats = _measure_stream(
-        spark, 100_000, 20, tag="h1", hot_key_frac=0.5
+        spark, 400_000, 80, tag="h1", hot_key_frac=0.5
     )
     if prior_hot_rate and hot_stats["events_per_sec"] < prior_hot_rate / 1.2:
         second = _measure_stream(
-            spark, 100_000, 20, tag="h2", hot_key_frac=0.5
+            spark, 400_000, 80, tag="h2", hot_key_frac=0.5
         )
         if second["events_per_sec"] > hot_stats["events_per_sec"]:
             hot_stats = second
