@@ -826,13 +826,28 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-record cost only, no reprocessing batch."""
     from ..operators import text as T
 
+    import os
+
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    # The streaming file source needs a DIRECTORY basePath. Two layouts
+    # exist: the driver's testdata keeps documents.parquet as a single
+    # FILE (so we stream the parent dir with a leaf-file glob), while
+    # Spark-written corpora (the sf1 scale data) make it a directory of
+    # part-files (streamed directly — the glob form matches leaf files
+    # only and silently streamed ZERO rows there; caught by the round-8
+    # sf1 spot-run).
+    doc_path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(doc_path):
+        stream = (
+            spark.readStream.schema(raw_schema).format("parquet").load(doc_path)
+        )
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "documents.parquet")
+            .load(sf_dir)
+        )
     c = T.stat_cols()
     from pyspark.sql import functions as F
 
