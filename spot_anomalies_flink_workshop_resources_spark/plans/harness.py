@@ -1151,6 +1151,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_pacf",
     "events_ljung_box",
     # -- round 8 newcomers (BEHIND the backlog block, per VERDICT r7 #1) --
+    "sql_repeat_pagerank",         # NEW: directed-graph PageRank, shared repeat edges
+    "sql_repeat_reciprocity",      # NEW: directed-edge reciprocity share
+    "sql_repeat_degree_imbalance", # NEW: gateway/terminal part imbalance
+    "sql_nation_trade_balance",    # NEW: supplier-vs-customer net revenue
+    "sql_customer_gap_cv",         # NEW: inter-order gap dispersion
+    "sql_rank_momentum",           # NEW: brand rank movers report
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit
@@ -1448,7 +1454,15 @@ def build_queries() -> dict[str, QueryFn]:
     }
     registry.update(relational.QUERIES)
     registry.update(pipeline_ops.QUERIES)
-    from . import curation, insights, relational_sql, round7, stattests, tpch_tail
+    from . import (
+        curation,
+        insights,
+        relational_sql,
+        round7,
+        round8,
+        stattests,
+        tpch_tail,
+    )
 
     registry.update(relational_sql.QUERIES)
     registry.update(stattests.QUERIES)
@@ -1456,6 +1470,7 @@ def build_queries() -> dict[str, QueryFn]:
     registry.update(tpch_tail.QUERIES)
     registry.update(curation.QUERIES)
     registry.update(round7.QUERIES)
+    registry.update(round8.QUERIES)
 
     out: dict[str, QueryFn] = {}
     for name in DRIVER_PRIORITY:
@@ -1507,7 +1522,15 @@ def build_oracles() -> dict[str, str]:
     }
     out.update(relational.ORACLES)
     out.update(pipeline_ops.ORACLES)
-    from . import curation, insights, relational_sql, round7, stattests, tpch_tail
+    from . import (
+        curation,
+        insights,
+        relational_sql,
+        round7,
+        round8,
+        stattests,
+        tpch_tail,
+    )
 
     out.update(relational_sql.ORACLES)
     out.update(stattests.ORACLES)
@@ -1515,4 +1538,5 @@ def build_oracles() -> dict[str, str]:
     out.update(tpch_tail.ORACLES)
     out.update(curation.ORACLES)
     out.update(round7.ORACLES)
+    out.update(round8.ORACLES)
     return out
