@@ -1665,6 +1665,24 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, source, lang, weight) — top 25 by weight.
     """
+    score = _dsir_scores(spark, sf_dir)
+    return (
+        score.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(25)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            (F.col("s").cast("double") / F.lit(1048576.0)).alias("weight"),
+        )
+    )
+
+
+def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR log-likelihood-ratio scores on the 2^-20
+    integer grid — the shared frame behind corpus_dsir_select (top-k
+    selection) and round8.corpus_dsir_ess (effective sample size).
+    Returns (doc_id, source, lang, s) with s an exact int64."""
     from ..functions.libm import libm_log
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1713,24 +1731,16 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("lr") * F.lit(1048576.0) + F.lit(0.5)).alias("lr_q"),
         )
     )
-    score = (
+    return (
         pt.join(lr, "tok")
         .groupBy("doc_id", "source", "lang")
         .agg(F.sum(F.col("tf") * F.col("lr_q")).cast("long").alias("s"))
     )
-    return (
-        score.orderBy(F.desc("s"), F.asc("doc_id"))
-        .limit(25)
-        .select(
-            "doc_id",
-            "source",
-            "lang",
-            (F.col("s").cast("double") / F.lit(1048576.0)).alias("weight"),
-        )
-    )
 
 
-CORPUS_DSIR_SQL = f"""
+# Shared CTE chain ending at score(doc_id, source, lang, s) — the SQL
+# twin of _dsir_scores, reused by round8's ESS oracle.
+DSIR_SCORE_CTES = f"""
 WITH toks AS (
   SELECT doc_id, source, lang,
          unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS tok
@@ -1764,7 +1774,9 @@ score AS (
   SELECT doc_id, source, lang, CAST(SUM(tf * lr_q) AS BIGINT) AS s
   FROM pt JOIN lr USING (tok)
   GROUP BY doc_id, source, lang
-)
+)"""
+
+CORPUS_DSIR_SQL = f"""{DSIR_SCORE_CTES}
 SELECT doc_id, source, lang, CAST(s AS DOUBLE) / 1048576.0 AS weight
 FROM score
 ORDER BY s DESC, doc_id ASC

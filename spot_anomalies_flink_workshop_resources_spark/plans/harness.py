@@ -1157,6 +1157,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_nation_trade_balance",    # NEW: supplier-vs-customer net revenue
     "sql_customer_gap_cv",         # NEW: inter-order gap dispersion
     "sql_rank_momentum",           # NEW: brand rank movers report
+    "dedup_minhash_scurve",        # NEW: LSH band-layout detection curve
+    "corpus_dsir_ess",             # NEW: importance-weight effective size
+    "corpus_oov_rate",             # NEW: per-source OOV vs top-1k vocab
+    "corpus_doclen_quartiles",     # NEW: type-7 length profile per source
+    "text_char_trigram_entropy",   # NEW: char-trigram Shannon entropy
+    "events_kruskal_wallis",       # NEW: rank-based k-group test
+    "events_mood_median",          # NEW: median-split chi-square screen
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit

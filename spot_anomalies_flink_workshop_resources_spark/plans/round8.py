@@ -457,3 +457,823 @@ ORACLES = {
     "sql_customer_gap_cv": SQL_CUSTOMER_GAP_CV,
     "sql_rank_momentum": SQL_RANK_MOMENTUM,
 }
+
+
+# --------------------------------------------- LSH band-tuning S-curve
+
+
+def dedup_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BAND-TUNING S-CURVE on real candidate pairs: for every
+    banded candidate pair, the signature agreement count m (of 16
+    minhash rows) estimates Jaccard s = m/16; the detection probability
+    of alternative band layouts (r rows x b bands, rb = 16) at that s
+    is p = 1 - (1 - s^r)^b. Grouped by m this is the empirical S-curve
+    a dedup operator owner reads before changing the band layout —
+    computed ONLY over bucket-colliding pairs (the banded, bounded
+    set), never all pairs.
+
+    Exactness: m is an integer column; s = m/16 is an exact binary
+    rational; every power is an EXPLICIT left-associated multiplication
+    chain generated once in Python and embedded verbatim in both
+    engines, so each correctly-rounded double op sequence is identical.
+    Scale: candidate-pair frame (banded) + one 16-comparison select +
+    a 17-row group-by."""
+    from ..operators.dedup import NUM_HASHES, minhash_wide_frame
+
+    wide = minhash_wide_frame(
+        load_table(spark, sf_dir, "documents"), NUM_HASHES, 3,
+        cache_key=sf_dir,
+    )
+    band_size, n_bands = 2, NUM_HASHES // 2
+    band_hash_cols = [
+        F.md5(
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"sig{b * band_size + r}").cast("string")
+                    for r in range(band_size)
+                ],
+            )
+        ).alias(f"bh{b}")
+        for b in range(n_bands)
+    ]
+    stack_args = ", ".join(f"{b}, bh{b}" for b in range(n_bands))
+    bands = wide.select("doc_id", *band_hash_cols).selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, band_hash)"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    m_col = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    ).cast("long")
+    hist = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(m_col.alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    out = hist
+    for r_, b_, nm in _SCURVE_CONFIGS:
+        out = out.withColumn(nm, F.expr(_scurve_expr(r_, b_)))
+    return out.orderBy("m")
+
+
+# Alternative band layouts for 16 hashes: (rows per band, bands, column)
+_SCURVE_CONFIGS = [(2, 8, "p_r2_b8"), (4, 4, "p_r4_b4"), (8, 2, "p_r8_b2")]
+
+
+def _scurve_expr(r: int, b: int) -> str:
+    """1 - (1 - s^r)^b at s = m/16 as an explicit multiplication chain
+    (identical text evaluated by both engines)."""
+    s = "(CAST(m AS DOUBLE)/16.0)"
+    sr = "(" + "*".join([s] * r) + ")"
+    q = f"(1.0 - {sr})"
+    qb = "(" + "*".join([q] * b) + ")"
+    return f"(1.0 - {qb})"
+
+
+def _dedup_minhash_scurve_sql() -> str:
+    from ..operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NUM_HASHES,
+        _shingles_sql,
+    )
+
+    band_size, n_bands = 2, NUM_HASHES // 2
+    sig_exprs = ", ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS sig{i}"
+        for i in range(NUM_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(':', {cols})) AS band_hash "
+        "FROM sigs".format(
+            b=bb,
+            cols=", ".join(
+                f"CAST(sig{bb * band_size + r} AS VARCHAR)"
+                for r in range(band_size)
+            ),
+        )
+        for bb in range(n_bands)
+    )
+    m_expr = " + ".join(
+        f"(CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    cfg_cols = ",\n       ".join(
+        f"{_scurve_expr(r_, b_)} AS {nm}" for r_, b_, nm in _SCURVE_CONFIGS
+    )
+    return f"""
+WITH toks AS ({_shingles_sql(3)}
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id, {sig_exprs}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+matches AS (
+  SELECT CAST({m_expr} AS BIGINT) AS m
+  FROM cand
+  JOIN sigs a ON a.doc_id = cand.doc_a
+  JOIN sigs b ON b.doc_id = cand.doc_b
+),
+hist AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM matches GROUP BY m
+)
+SELECT m, n_pairs,
+       {cfg_cols}
+FROM hist
+ORDER BY m
+"""
+
+
+# ------------------------------------------------ DSIR effective size
+
+
+def corpus_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE SAMPLE SIZE of the DSIR importance weights — the
+    standard diagnostic for importance resampling (Kong 1992): with
+    normalized weights w_i proportional to exp(score_i), ESS =
+    (SUM w)^2 / SUM w^2. A low ESS/n warns that a resampled corpus
+    would be dominated by a few documents. Shares the per-doc score
+    frame (curation._dsir_scores, exact int64 on the 2^-20 grid).
+
+    Exactness: w_i = exp((s_i - max_s)/2^20) <= 1 via the libm-exact
+    exp twin (functions/libm), quantized to the 2^-20 grid so both
+    sums are exact int64 folds; the final ratio is one shared float
+    expression over exact ints. Scale: one max, one narrow map, one
+    2-sum agg over the doc-sized score frame."""
+    from ..functions.libm import libm_exp
+    from .curation import _dsir_scores
+
+    score = _dsir_scores(spark, sf_dir)
+    mx = score.agg(F.max("s").cast("long").alias("mx"))
+    w = (
+        score.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "w",
+            libm_exp(
+                (F.col("s") - F.col("mx")).cast("double")
+                / F.lit(1048576.0)
+            ),
+        )
+        .select(
+            F.floor(F.col("w") * F.lit(1048576.0) + F.lit(0.5))
+            .cast("long")
+            .alias("wq")
+        )
+    )
+    agg = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("wq").cast("long").alias("sw"),
+        F.sum(F.col("wq") * F.col("wq")).cast("long").alias("sq"),
+    )
+    ess = (
+        F.col("sw").cast("double") * F.col("sw").cast("double")
+        / F.col("sq").cast("double")
+    )
+    return agg.select(
+        "n_docs",
+        ess.alias("ess"),
+        (ess / F.col("n_docs").cast("double")).alias("ess_ratio"),
+    )
+
+
+def _corpus_dsir_ess_sql() -> str:
+    from .curation import DSIR_SCORE_CTES
+
+    return f"""{DSIR_SCORE_CTES},
+mx AS (SELECT CAST(MAX(s) AS BIGINT) AS mx FROM score),
+w AS (
+  SELECT CAST(FLOOR(exp(CAST(s - mx AS DOUBLE) / 1048576.0)
+                    * 1048576.0 + 0.5) AS BIGINT) AS wq
+  FROM score, mx
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(wq) AS BIGINT) AS sw,
+         CAST(SUM(wq * wq) AS BIGINT) AS sq
+  FROM w
+)
+SELECT n_docs,
+       CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sq AS DOUBLE) AS ess,
+       CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sq AS DOUBLE)
+         / CAST(n_docs AS DOUBLE) AS ess_ratio
+FROM agg
+"""
+
+
+# ---------------------------------------------------- OOV-rate audit
+
+
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-VOCABULARY rate per source against the corpus-global
+    top-1000 token vocabulary — the pre-tokenizer audit that tells you
+    which sources a fixed vocab will shred into unknowns. Vocabulary
+    selection is deterministic (count desc, token asc). Integer counts;
+    one final division. Scale: one token explode -> vocab agg (the only
+    data-sized shuffle); ranking runs on the vocab-sized frame; the
+    in-vocab probe is a semi join against a 1000-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "source",
+        "explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok",
+    )
+    per_src_tok = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vocab = per_src_tok.groupBy("tok").agg(F.sum("c").cast("long").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    top = (
+        vocab.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 1000)
+        .select("tok")
+    )
+    totals = per_src_tok.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens")
+    )
+    iv = (
+        per_src_tok.join(F.broadcast(top), "tok", "left_semi")
+        .groupBy("source")
+        .agg(F.sum("c").cast("long").alias("n_in_vocab"))
+    )
+    return (
+        totals.join(iv, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.col("n_in_vocab"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_oov"),
+            (
+                (
+                    F.col("n_tokens")
+                    - F.coalesce(F.col("n_in_vocab"), F.lit(0))
+                ).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_OOV_RATE_SQL = """
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+pst AS MATERIALIZED (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+),
+vocab AS (
+  SELECT tok, CAST(SUM(c) AS BIGINT) AS n FROM pst GROUP BY tok
+),
+top AS (
+  SELECT tok FROM vocab ORDER BY n DESC, tok ASC LIMIT 1000
+),
+totals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM pst GROUP BY source
+),
+iv AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_in_vocab
+  FROM pst WHERE tok IN (SELECT tok FROM top)
+  GROUP BY source
+)
+SELECT t.source, t.n_tokens,
+       CAST(t.n_tokens - COALESCE(i.n_in_vocab, 0) AS BIGINT) AS n_oov,
+       CAST(t.n_tokens - COALESCE(i.n_in_vocab, 0) AS DOUBLE)
+         / CAST(t.n_tokens AS DOUBLE) AS oov_rate
+FROM totals t LEFT JOIN iv i ON i.source = t.source
+ORDER BY t.source
+"""
+
+
+# -------------------------------------- per-source length quartiles
+
+
+def corpus_doclen_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-7 interpolated length quartiles (p25/p50/p75 of n_chars)
+    per source — the length-profile read any mixture-weighting or
+    packing decision starts from. Follows the repo's exact type-7
+    recipe: h = (n-1)k/4 splits into integer rank and remainder, both
+    bracketing order statistics are selected by cumulative-count rank
+    on the integer n_chars grid, and the interpolation stays integer
+    until one final division. Scale: (source, n_chars) grid agg;
+    windows on the bounded grid."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("v")
+    )
+    grid = docs.groupBy("source", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn("cum", F.sum("cnt").over(wcum).cast("long"))
+    ns = grid.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+    ks = spark.range(1, 4).select(F.col("id").cast("long").alias("k"))
+    ranks = ns.crossJoin(F.broadcast(ks)).select(
+        "source",
+        "k",
+        "n",
+        F.expr("((n - 1) * k) % 4").alias("rem"),
+        (F.expr("((n - 1) * k) div 4") + 1).alias("r1"),
+        F.least(F.expr("((n - 1) * k) div 4") + 2, F.col("n")).alias("r2"),
+    )
+    x1 = (
+        F.broadcast(ranks)
+        .join(cum, "source")
+        .where(F.col("cum") >= F.col("r1"))
+        .groupBy("source", "k", "rem")
+        .agg(F.min("v").cast("long").alias("x1"))
+    )
+    x2 = (
+        F.broadcast(ranks)
+        .join(cum, "source")
+        .where(F.col("cum") >= F.col("r2"))
+        .groupBy("source", "k")
+        .agg(F.min("v").cast("long").alias("x2"))
+    )
+    return (
+        x1.join(F.broadcast(x2), ["source", "k"])
+        .select(
+            "source",
+            F.col("k").alias("quartile"),
+            (
+                (
+                    F.col("x1") * (4 - F.col("rem"))
+                    + F.col("x2") * F.col("rem")
+                ).cast("double")
+                / F.lit(4.0)
+            ).alias("n_chars_q"),
+        )
+        .orderBy("source", "quartile")
+    )
+
+
+CORPUS_DOCLEN_QUARTILES_SQL = """
+WITH grid AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source, n_chars
+),
+cum AS (
+  SELECT source, v,
+         CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM grid
+),
+ns AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM grid GROUP BY source),
+ranks AS (
+  SELECT ns.source, CAST(k.k AS BIGINT) AS k, ns.n,
+         ((ns.n - 1) * k.k) % 4 AS rem,
+         ((ns.n - 1) * k.k) // 4 + 1 AS r1,
+         LEAST(((ns.n - 1) * k.k) // 4 + 2, ns.n) AS r2
+  FROM ns CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS k) k
+),
+x1 AS (
+  SELECT r.source, r.k, r.rem, CAST(MIN(c.v) AS BIGINT) AS x1
+  FROM ranks r JOIN cum c ON c.source = r.source AND c.cum >= r.r1
+  GROUP BY r.source, r.k, r.rem
+),
+x2 AS (
+  SELECT r.source, r.k, CAST(MIN(c.v) AS BIGINT) AS x2
+  FROM ranks r JOIN cum c ON c.source = r.source AND c.cum >= r.r2
+  GROUP BY r.source, r.k
+)
+SELECT x1.source, x1.k AS quartile,
+       CAST(x1.x1 * (4 - x1.rem) + x2.x2 * x1.rem AS DOUBLE) / 4.0
+         AS n_chars_q
+FROM x1 JOIN x2 ON x2.source = x1.source AND x2.k = x1.k
+ORDER BY x1.source, quartile
+"""
+
+
+# ----------------------------------------- char-trigram entropy
+
+
+def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy (nats) of the character-trigram
+    distribution — the compressibility / gibberish signal that
+    separates templated or machine-generated sources from natural
+    text. H = ln(N) - SUM(c*ln(c))/N over the (source, gram) count
+    frame.
+
+    Exactness: ln via the libm-exact twin on the vocab-bounded count
+    frame, each c*ln(c) term quantized to the 2^-20 grid before the
+    int64 fold (the events_user_entropy recipe); the final composition
+    is one shared float expression. Scale: one data-sized explode ->
+    (source, gram) agg; everything after is vocab-bounded."""
+    from ..functions.libm import libm_log
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source",
+        F.explode(
+            F.when(
+                F.length(F.lower(F.col("text"))) >= 3,
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.length(F.lower(F.col("text"))) - 2
+                    ),
+                    lambda i: F.lower(F.col("text")).substr(i, F.lit(3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    counts = grams.groupBy("source", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    terms = counts.select(
+        "source",
+        "c",
+        F.floor(
+            F.col("c").cast("double") * libm_log(F.col("c").cast("double"))
+            * F.lit(1048576.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tq"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("tq").cast("long").alias("s"),
+    )
+    ent = libm_log(F.col("n").cast("double")) - (
+        F.col("s").cast("double") / F.lit(1048576.0)
+    ) / F.col("n").cast("double")
+    return agg.select(
+        "source",
+        F.col("n").alias("n_grams"),
+        F.col("v").alias("vocab"),
+        ent.alias("entropy_nats"),
+    ).orderBy("source")
+
+
+TEXT_CHAR_TRIGRAM_ENTROPY_SQL = """
+WITH grams AS (
+  SELECT source, substr(lower(text), i, 3) AS g
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(lower(text)) - 2))
+                AS i) s
+  WHERE length(lower(text)) >= 3
+),
+counts AS (
+  SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM grams GROUP BY source, g
+),
+terms AS (
+  SELECT source, c,
+         CAST(FLOOR(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                    * 1048576.0 + 0.5) AS BIGINT) AS tq
+  FROM counts
+),
+agg AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(tq) AS BIGINT) AS s
+  FROM terms GROUP BY source
+)
+SELECT source, n AS n_grams, v AS vocab,
+       ln(CAST(n AS DOUBLE))
+         - (CAST(s AS DOUBLE) / 1048576.0) / CAST(n AS DOUBLE)
+         AS entropy_nats
+FROM agg
+ORDER BY source
+"""
+
+
+# ------------------------------------------------ Kruskal-Wallis H
+
+
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS rank test: do the k event types draw their
+    values from the same distribution? The non-parametric ANOVA twin
+    (complements events_anova / events_mannwhitney) on the cents-
+    quantized value grid both engines share.
+
+    Exactness: DOUBLED midranks d = 2*cum - cnt + 1 are exact integers
+    on the grid; per-type doubled-rank sums R2_j and n_j are int64;
+    each per-type term R2_j^2/(4 n_j) converts the exact ints to
+    doubles in the SAME op order, and the k-term sum is an ORDERED fold
+    (sorted by event_type) so no engine reorders it; tie correction
+    SUM(cnt^3 - cnt) stays int64 (exact while per-value counts stay
+    under ~2M — holds at every committed sf). Scale: one data-sized
+    grid agg; everything after is grid/type-bounded."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    grid = ev.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = grid.withColumn(
+        "d", (2 * F.sum("cnt").over(wcum) - F.col("cnt") + 1).cast("long")
+    )
+    per_tc = ev.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("tcnt")
+    )
+    per_type = (
+        per_tc.join(ranked.select("c", "d"), "c")
+        .groupBy("event_type")
+        .agg(
+            F.sum("tcnt").cast("long").alias("nj"),
+            F.sum(F.col("tcnt") * F.col("d")).cast("long").alias("r2"),
+        )
+    )
+    term = (
+        F.col("r2").cast("double") * F.col("r2").cast("double")
+        / (F.lit(4.0) * F.col("nj").cast("double"))
+    )
+    folded = per_type.select(
+        F.col("event_type").alias("t"), F.col("nj"), term.alias("term")
+    )
+    stats = folded.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("t"), F.col("term")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("sr"),
+    )
+    ties = grid.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tt")
+    )
+    nd = F.col("n").cast("double")
+    h = F.lit(12.0) * F.col("sr") / (nd * (nd + F.lit(1.0))) - F.lit(
+        3.0
+    ) * (nd + F.lit(1.0))
+    corr = F.lit(1.0) - F.col("tt").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return stats.crossJoin(F.broadcast(ties)).select(
+        "n",
+        "k",
+        h.alias("h"),
+        (h / corr).alias("h_tie_corrected"),
+    )
+
+
+EVENTS_KRUSKAL_WALLIS_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+grid AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY c
+),
+ranked AS (
+  SELECT c, cnt,
+         CAST(2 * SUM(cnt) OVER (ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - cnt + 1 AS BIGINT) AS d
+  FROM grid
+),
+per_tc AS (
+  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS tcnt
+  FROM ev GROUP BY event_type, c
+),
+per_type AS (
+  SELECT t.event_type,
+         CAST(SUM(t.tcnt) AS BIGINT) AS nj,
+         CAST(SUM(t.tcnt * r.d) AS BIGINT) AS r2
+  FROM per_tc t JOIN ranked r ON r.c = t.c
+  GROUP BY t.event_type
+),
+folded AS (
+  SELECT CAST(SUM(nj) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         list_reduce(
+           list_prepend(0.0,
+             list(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                  / (4.0 * CAST(nj AS DOUBLE)) ORDER BY event_type)),
+           (a, x) -> a + x) AS sr
+  FROM per_type
+),
+ties AS (
+  SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tt FROM grid
+)
+SELECT n, k,
+       12.0 * sr / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+         - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+       (12.0 * sr / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+         - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+         / (1.0 - CAST(tt AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(n AS DOUBLE))) AS h_tie_corrected
+FROM folded, ties
+"""
+
+
+# ------------------------------------------------ Mood's median test
+
+
+def events_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOOD'S MEDIAN TEST across event types: split every value at the
+    corpus-global lower median and chi-square the resulting k x 2
+    table — the robust 'do the groups straddle the same center?'
+    screen that survives heavy tails where means lie.
+
+    Exactness: the median is SELECTED (min cents value whose cumulative
+    count reaches (N+1) div 2 — selection-only, no interpolation);
+    cell terms (o*N - row*col)^2/(row*col*N) convert exact int64
+    counts to doubles in the same op order, quantize to the 2^-20
+    grid, and fold as int64 (the chi2_independence recipe). Scale:
+    one grid agg + type-bounded table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    grid = ev.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.withColumn("cum", F.sum("cnt").over(wcum).cast("long"))
+    tot = grid.agg(F.sum("cnt").cast("long").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("c").cast("long").alias("med"))
+    )
+    per_type = (
+        ev.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nj"),
+            F.sum(F.when(F.col("c") <= F.col("med"), 1).otherwise(0))
+            .cast("long")
+            .alias("below"),
+        )
+        .withColumn("above", (F.col("nj") - F.col("below")).cast("long"))
+    )
+    cols = per_type.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.sum("below").cast("long").alias("cb"),
+        F.sum("above").cast("long").alias("ca"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    cells = per_type.crossJoin(F.broadcast(cols)).select(
+        "event_type",
+        "n",
+        "k",
+        F.stack(
+            F.lit(2),
+            F.lit("below"),
+            F.col("below"),
+            F.col("cb"),
+            F.lit("above"),
+            F.col("above"),
+            F.col("ca"),
+        ).alias("side", "o", "coltot"),
+        F.col("nj").alias("rowtot"),
+    )
+    num = (
+        F.col("o") * F.col("n") - F.col("rowtot") * F.col("coltot")
+    ).cast("double")
+    den = (F.col("rowtot") * F.col("coltot")).cast("double") * F.col(
+        "n"
+    ).cast("double")
+    term_q = F.floor(num * num / den * F.lit(1048576.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    agg = cells.groupBy("n", "k").agg(
+        F.sum(term_q).cast("long").alias("chi2_q")
+    )
+    return agg.crossJoin(F.broadcast(med)).select(
+        "n",
+        (F.col("k") - 1).cast("long").alias("dof"),
+        (F.col("med").cast("double") / F.lit(100.0)).alias("median"),
+        (F.col("chi2_q").cast("double") / F.lit(1048576.0)).alias("chi2"),
+    )
+
+
+EVENTS_MOOD_MEDIAN_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+grid AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY c),
+cum AS (
+  SELECT c, CAST(SUM(cnt) OVER (ORDER BY c
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM grid
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM grid),
+med AS (
+  SELECT CAST(MIN(c) AS BIGINT) AS med
+  FROM cum, tot WHERE cum >= (n + 1) // 2
+),
+per_type AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS nj,
+         CAST(SUM(CASE WHEN c <= med THEN 1 ELSE 0 END) AS BIGINT) AS below
+  FROM ev, med GROUP BY event_type
+),
+pt2 AS (
+  SELECT event_type, nj, below,
+         CAST(nj - below AS BIGINT) AS above
+  FROM per_type
+),
+cols AS (
+  SELECT CAST(SUM(nj) AS BIGINT) AS n,
+         CAST(SUM(below) AS BIGINT) AS cb,
+         CAST(SUM(above) AS BIGINT) AS ca,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM pt2
+),
+cells AS (
+  SELECT p.nj AS rowtot, c.n, c.k, u.o, u.coltot
+  FROM pt2 p, cols c,
+       LATERAL (VALUES (p.below, c.cb), (p.above, c.ca)) AS u(o, coltot)
+),
+terms AS (
+  SELECT n, k,
+         CAST(FLOOR(
+           CAST(o * n - rowtot * coltot AS DOUBLE)
+           * CAST(o * n - rowtot * coltot AS DOUBLE)
+           / (CAST(rowtot * coltot AS DOUBLE) * CAST(n AS DOUBLE))
+           * 1048576.0 + 0.5) AS BIGINT) AS tq
+  FROM cells
+),
+agg AS (
+  SELECT n, k, CAST(SUM(tq) AS BIGINT) AS chi2_q FROM terms GROUP BY n, k
+)
+SELECT n, CAST(k - 1 AS BIGINT) AS dof,
+       CAST(med AS DOUBLE) / 100.0 AS median,
+       CAST(chi2_q AS DOUBLE) / 1048576.0 AS chi2
+FROM agg, med
+"""
+
+
+QUERIES.update(
+    {
+        "dedup_minhash_scurve": dedup_minhash_scurve,
+        "corpus_dsir_ess": corpus_dsir_ess,
+        "corpus_oov_rate": corpus_oov_rate,
+        "corpus_doclen_quartiles": corpus_doclen_quartiles,
+        "text_char_trigram_entropy": text_char_trigram_entropy,
+        "events_kruskal_wallis": events_kruskal_wallis,
+        "events_mood_median": events_mood_median,
+    }
+)
+
+ORACLES.update(
+    {
+        "dedup_minhash_scurve": _dedup_minhash_scurve_sql(),
+        "corpus_dsir_ess": _corpus_dsir_ess_sql(),
+        "corpus_oov_rate": CORPUS_OOV_RATE_SQL,
+        "corpus_doclen_quartiles": CORPUS_DOCLEN_QUARTILES_SQL,
+        "text_char_trigram_entropy": TEXT_CHAR_TRIGRAM_ENTROPY_SQL,
+        "events_kruskal_wallis": EVENTS_KRUSKAL_WALLIS_SQL,
+        "events_mood_median": EVENTS_MOOD_MEDIAN_SQL,
+    }
+)
