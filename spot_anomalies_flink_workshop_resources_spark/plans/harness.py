@@ -1164,6 +1164,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_char_trigram_entropy",   # NEW: char-trigram Shannon entropy
     "events_kruskal_wallis",       # NEW: rank-based k-group test
     "events_mood_median",          # NEW: median-split chi-square screen
+    "simsearch_result_diversity",  # NEW: top-k redundancy (MMR motivation)
+    "sql_supplier_overlap",        # NEW: catalog Jaccard via part index
+    "sql_repeat_funnel_paths",     # NEW: 2-hop bottleneck purchase chains
+    "multimodal_size_quartiles",   # NEW: type-7 byte-size profile
+    "events_seasonal_strength",    # NEW: Var(R)/Var(detrended) decision scalar
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit

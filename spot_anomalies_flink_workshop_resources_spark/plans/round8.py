@@ -1277,3 +1277,518 @@ ORACLES.update(
         "events_mood_median": EVENTS_MOOD_MEDIAN_SQL,
     }
 )
+
+
+# ------------------------------------------- result-set diversity
+
+
+def simsearch_result_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise cosine WITHIN each query's top-5 cosine result set
+    — the redundancy read that motivates MMR: a panel whose results all
+    say the same thing scores near 1. Reuses the brute-force top-k
+    operator (same _dot fold the established oracle parity covers),
+    then pairs the 5 results per query (10 pairs, panel-bounded) and
+    folds their cosines as 2^-20-quantized int64.
+
+    Scale: top-k via the panel-broadcast scan; the pairing join runs on
+    the (8 queries x 5 results) frame."""
+    from ..operators.simsearch import _with_norm, _dot, brute_force_topk
+    from .pipeline_ops import _embs
+
+    embs = _with_norm(_embs(spark, sf_dir))
+    top = brute_force_topk(_embs(spark, sf_dir), n_queries=8, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    a = top.select("query_id", F.col("neighbor_id").alias("ia"), F.col("rank").alias("ra"))
+    b = top.select("query_id", F.col("neighbor_id").alias("ib"), F.col("rank").alias("rb"))
+    pairs = a.join(b, "query_id").where(F.col("ra") < F.col("rb"))
+    ea = embs.select(
+        F.col("vec_id").alias("ia"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    eb = embs.select(
+        F.col("vec_id").alias("ib"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    scored = (
+        pairs.join(F.broadcast(ea), "ia")
+        .join(F.broadcast(eb), "ib")
+        .select(
+            "query_id",
+            F.floor(cos * F.lit(1048576.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    agg = scored.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("cq").cast("long").alias("s"),
+    )
+    return agg.select(
+        "query_id",
+        "n_pairs",
+        (
+            F.col("s").cast("double")
+            / F.col("n_pairs").cast("double")
+            / F.lit(1048576.0)
+        ).alias("mean_pairwise_cosine"),
+    ).orderBy("query_id")
+
+
+def _simsearch_result_diversity_sql() -> str:
+    from ..operators.simsearch import DIM, _cos_sql, brute_force_topk_sql
+
+    return f"""
+WITH topk AS MATERIALIZED ({brute_force_topk_sql(8, 5, DIM)}
+),
+pairs AS (
+  SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib
+  FROM topk a JOIN topk b
+    ON b.query_id = a.query_id AND a.rank < b.rank
+),
+scored AS (
+  SELECT p.query_id,
+         CAST(FLOOR({_cos_sql('x', 'y', DIM)} * 1048576.0 + 0.5) AS BIGINT)
+           AS cq
+  FROM pairs p
+  JOIN embeddings x ON x.vec_id = p.ia
+  JOIN embeddings y ON y.vec_id = p.ib
+)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(cq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1048576.0
+         AS mean_pairwise_cosine
+FROM scored GROUP BY query_id
+ORDER BY query_id
+"""
+
+
+# ------------------------------------------- supplier catalog overlap
+
+
+def sql_supplier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 supplier pairs by CATALOG JACCARD (shared parts /
+    union parts, derived from lineitem since the synthetic schema
+    ships no partsupp) — the supplier-redundancy read procurement
+    consolidation starts from. Inverted-index join on part (the LSH
+    candidate shape: a part with d suppliers yields d^2 candidate
+    rows, bounded by the df cap 64 — measured max 52 at sf0.1), never
+    an all-pairs supplier join. Integer counts; jaccard is one
+    division; minimum overlap 2 bounds the pair frame."""
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    freq = sp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    capped = sp.join(
+        F.broadcast(freq.where(F.col("d") > 64)), "p", "left_anti"
+    )
+    sizes = capped.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = capped.select("p", F.col("s").alias("sa"))
+    b = capped.select("p", F.col("s").alias("sb"))
+    shared = (
+        a.join(b, "p")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= 2)
+    )
+    na = sizes.select(F.col("s").alias("sa"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("s").alias("sb"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, "sa")
+        .join(nb, "sb")
+        .select(
+            "sa",
+            "sb",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "sa", "sb")
+        .limit(20)
+    )
+
+
+SQL_SUPPLIER_OVERLAP = """
+WITH sp AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+freq AS (SELECT p, COUNT(*) AS d FROM sp GROUP BY p),
+capped AS MATERIALIZED (
+  SELECT sp.* FROM sp WHERE sp.p NOT IN (SELECT p FROM freq WHERE d > 64)
+),
+sizes AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM capped GROUP BY s),
+shared AS (
+  SELECT a.s AS sa, b.s AS sb, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s HAVING COUNT(*) >= 2
+)
+SELECT sa, sb, shared,
+       CAST(shared AS DOUBLE) / CAST(na.n + nb.n - shared AS DOUBLE)
+         AS jaccard
+FROM shared
+JOIN sizes na ON na.s = sa
+JOIN sizes nb ON nb.s = sb
+ORDER BY jaccard DESC, sa, sb
+LIMIT 20
+"""
+
+
+# --------------------------------------------- 2-hop purchase funnels
+
+
+def sql_repeat_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 TWO-HOP purchase chains src -> mid -> dst on the
+    repeat-purchase graph, scored by the bottleneck weight
+    LEAST(w1, w2) — the cross-sell sequences a merchandiser would
+    stage. One self-join of the session-cached edge frame on the
+    middle node (support >= 2 bounds fan-out), integer weights,
+    deterministic (score desc, src, mid, dst) top-k heap; trivial
+    cycles (dst = src) excluded."""
+    from .round7 import _repeat_edges
+
+    e = _repeat_edges(spark, sf_dir)
+    e1 = e.select(
+        F.col("src"), F.col("dst").alias("mid"), F.col("w").alias("w1")
+    )
+    e2 = e.select(
+        F.col("src").alias("mid"), F.col("dst"), F.col("w").alias("w2")
+    )
+    return (
+        e1.join(e2, "mid")
+        .where(F.col("dst") != F.col("src"))
+        .select(
+            "src",
+            "mid",
+            "dst",
+            "w1",
+            "w2",
+            F.least(F.col("w1"), F.col("w2")).cast("long").alias("path_w"),
+        )
+        .orderBy(F.col("path_w").desc(), "src", "mid", "dst")
+        .limit(20)
+    )
+
+
+def _sql_repeat_funnel_paths_sql() -> str:
+    from .round7 import _REPEAT_EDGES_CTE
+
+    return f"""
+{_REPEAT_EDGES_CTE}
+SELECT e1.src, e1.dst AS mid, e2.dst, e1.w AS w1, e2.w AS w2,
+       CAST(LEAST(e1.w, e2.w) AS BIGINT) AS path_w
+FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+WHERE e2.dst <> e1.src
+ORDER BY path_w DESC, e1.src, mid, e2.dst
+LIMIT 20
+"""
+
+
+# --------------------------------------------- media size quartiles
+
+
+def multimodal_size_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-7 byte-size quartiles per sniffed container type — the
+    storage-planning profile for a mixed media corpus (page sizing,
+    row-group targets, decode batch shape). Runs through the real
+    multimodal plumbing (magic-byte sniff, opaque-content byte
+    accounting); the quantile recipe is the exact integer type-7
+    selection on the n_bytes grid."""
+    from ..operators import multimodal as M
+    from .pipeline_ops import _media
+
+    media = M.media_stats(M.sniff_media_type(_media(spark, sf_dir))).select(
+        F.col("sniffed_type").alias("source"),
+        F.col("n_bytes").alias("v"),
+    )
+    grid = media.groupBy("source", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn("cum", F.sum("cnt").over(wcum).cast("long"))
+    ns = grid.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+    ks = spark.range(1, 4).select(F.col("id").cast("long").alias("k"))
+    ranks = ns.crossJoin(F.broadcast(ks)).select(
+        "source",
+        "k",
+        "n",
+        F.expr("((n - 1) * k) % 4").alias("rem"),
+        (F.expr("((n - 1) * k) div 4") + 1).alias("r1"),
+        F.least(F.expr("((n - 1) * k) div 4") + 2, F.col("n")).alias("r2"),
+    )
+    x1 = (
+        F.broadcast(ranks)
+        .join(cum, "source")
+        .where(F.col("cum") >= F.col("r1"))
+        .groupBy("source", "k", "rem")
+        .agg(F.min("v").cast("long").alias("x1"))
+    )
+    x2 = (
+        F.broadcast(ranks)
+        .join(cum, "source")
+        .where(F.col("cum") >= F.col("r2"))
+        .groupBy("source", "k")
+        .agg(F.min("v").cast("long").alias("x2"))
+    )
+    return (
+        x1.join(F.broadcast(x2), ["source", "k"])
+        .select(
+            F.col("source").alias("sniffed_type"),
+            F.col("k").alias("quartile"),
+            (
+                (
+                    F.col("x1") * (4 - F.col("rem"))
+                    + F.col("x2") * F.col("rem")
+                ).cast("double")
+                / F.lit(4.0)
+            ).alias("n_bytes_q"),
+        )
+        .orderBy("sniffed_type", "quartile")
+    )
+
+
+MULTIMODAL_SIZE_QUARTILES_SQL = r"""
+WITH media AS (
+  SELECT (CASE doc_id % 4
+            WHEN 0 THEN '\x89\x50\x4E\x47'::BLOB
+            WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+            WHEN 2 THEN '\x52\x49\x46\x46'::BLOB
+            ELSE '\x00\x00\x00\x18'::BLOB END) || encode(text) AS content
+  FROM documents
+),
+sniffed AS (
+  SELECT CASE
+           WHEN substr(hex(content), 1, 8) = '89504E47' THEN 'image/png'
+           WHEN substr(hex(content), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+           WHEN substr(hex(content), 1, 8) = '52494646' THEN 'audio/wav'
+           WHEN substr(hex(content), 1, 8) IN ('00000018', '00000020')
+             THEN 'video/mp4'
+           ELSE 'application/octet-stream'
+         END AS source,
+         CAST(octet_length(content) AS BIGINT) AS v
+  FROM media
+),
+grid AS (
+  SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM sniffed GROUP BY source, v
+),
+cum AS (
+  SELECT source, v,
+         CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM grid
+),
+ns AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM grid GROUP BY source),
+ranks AS (
+  SELECT ns.source, CAST(k.k AS BIGINT) AS k, ns.n,
+         ((ns.n - 1) * k.k) % 4 AS rem,
+         ((ns.n - 1) * k.k) // 4 + 1 AS r1,
+         LEAST(((ns.n - 1) * k.k) // 4 + 2, ns.n) AS r2
+  FROM ns CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS k) k
+),
+x1 AS (
+  SELECT r.source, r.k, r.rem, CAST(MIN(c.v) AS BIGINT) AS x1
+  FROM ranks r JOIN cum c ON c.source = r.source AND c.cum >= r.r1
+  GROUP BY r.source, r.k, r.rem
+),
+x2 AS (
+  SELECT r.source, r.k, CAST(MIN(c.v) AS BIGINT) AS x2
+  FROM ranks r JOIN cum c ON c.source = r.source AND c.cum >= r.r2
+  GROUP BY r.source, r.k
+)
+SELECT x1.source AS sniffed_type, x1.k AS quartile,
+       CAST(x1.x1 * (4 - x1.rem) + x2.x2 * x1.rem AS DOUBLE) / 4.0
+         AS n_bytes_q
+FROM x1 JOIN x2 ON x2.source = x1.source AND x2.k = x1.k
+ORDER BY sniffed_type, quartile
+"""
+
+
+# --------------------------------------------- seasonal strength
+
+
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL STRENGTH per event type: 1 - Var(remainder) /
+    Var(detrended) over the classical 7-day decomposition — the scalar
+    that says whether the weekly profile is signal or noise (Hyndman's
+    F_s measure on the moving-average decomposition). Complements
+    events_stl_decompose (which reports the components) with the
+    decision number.
+
+    Exactness: detrended and remainder series follow the STL recipe
+    (int64 sevenths); both are quantized to WHOLE CENTS per day
+    (floor(x + 0.5) of exact-operand doubles, identical both engines)
+    so the variance power sums fold as int64; the final ratio is one
+    shared float expression. The operator's contract is defined ON the
+    cents grid — the quantization is part of the statistic, applied
+    identically in both engines. Scale: one (type, day) agg, then
+    calendar-bounded frames throughout (int64 power sums hold while
+    per-day cents stay under ~3e9 - true at every committed sf)."""
+    e = load_table(spark, sf_dir, "events")
+    dd = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = e.groupBy("event_type", dd.alias("dd")).agg(
+        F.sum(cents).cast("long").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("dd").rowsBetween(-3, 3)
+    win = daily.select(
+        "event_type",
+        "dd",
+        "y",
+        F.sum("y").over(w).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w).alias("c7"),
+        (F.max("dd").over(w) - F.min("dd").over(w)).alias("span"),
+    )
+    valid = win.where((F.col("c7") == 7) & (F.col("span") == 6)).select(
+        "event_type",
+        "dd",
+        ((F.col("dd") + 4) % 7).cast("long").alias("dow"),
+        (F.lit(7) * F.col("y") - F.col("s7")).alias("d7"),
+    )
+    seas = valid.groupBy("event_type", "dow").agg(
+        F.sum("d7").cast("long").alias("sd7"),
+        F.count(F.lit(1)).cast("long").alias("cd"),
+    )
+    rows = valid.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        F.floor(
+            F.col("d7").cast("double") / F.lit(7.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dq"),
+        F.floor(
+            (
+                F.col("d7").cast("double") / F.lit(7.0)
+                - F.col("sd7").cast("double")
+                / (F.lit(7) * F.col("cd")).cast("double")
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rq"),
+    )
+    agg = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dq").cast("long").alias("sd"),
+        F.sum(F.col("dq") * F.col("dq")).cast("long").alias("qd"),
+        F.sum("rq").cast("long").alias("sr"),
+        F.sum(F.col("rq") * F.col("rq")).cast("long").alias("qr"),
+    )
+    nd = F.col("n").cast("double")
+    var_d = F.col("qd").cast("double") / nd - (
+        F.col("sd").cast("double") / nd
+    ) * (F.col("sd").cast("double") / nd)
+    var_r = F.col("qr").cast("double") / nd - (
+        F.col("sr").cast("double") / nd
+    ) * (F.col("sr").cast("double") / nd)
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        (var_d / F.lit(10000.0)).alias("var_detrended"),
+        (var_r / F.lit(10000.0)).alias("var_remainder"),
+        F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_d).alias(
+            "seasonal_strength"
+        ),
+    ).orderBy("event_type")
+
+
+EVENTS_SEASONAL_STRENGTH_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS dd,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+win AS (
+  SELECT event_type, dd, y,
+         CAST(SUM(y) OVER w AS BIGINT) AS s7,
+         COUNT(*) OVER w AS c7,
+         MAX(dd) OVER w - MIN(dd) OVER w AS span
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY dd
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+valid AS (
+  SELECT event_type, dd, (dd + 4) % 7 AS dow,
+         7 * y - s7 AS d7
+  FROM win WHERE c7 = 7 AND span = 6
+),
+seas AS (
+  SELECT event_type, dow, CAST(SUM(d7) AS BIGINT) AS sd7,
+         CAST(COUNT(*) AS BIGINT) AS cd
+  FROM valid GROUP BY event_type, dow
+),
+rows_ AS (
+  SELECT v.event_type,
+         CAST(FLOOR(CAST(v.d7 AS DOUBLE) / 7.0 + 0.5) AS BIGINT) AS dq,
+         CAST(FLOOR((CAST(v.d7 AS DOUBLE) / 7.0
+                     - CAST(s.sd7 AS DOUBLE)
+                       / CAST(7 * s.cd AS DOUBLE)) + 0.5) AS BIGINT) AS rq
+  FROM valid v JOIN seas s ON s.event_type = v.event_type AND s.dow = v.dow
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dq) AS BIGINT) AS sd,
+         CAST(SUM(dq * dq) AS BIGINT) AS qd,
+         CAST(SUM(rq) AS BIGINT) AS sr,
+         CAST(SUM(rq * rq) AS BIGINT) AS qr
+  FROM rows_ GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       (CAST(qd AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))) / 10000.0
+         AS var_detrended,
+       (CAST(qr AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))) / 10000.0
+         AS var_remainder,
+       GREATEST(0.0, 1.0
+         - (CAST(qr AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)))
+           / (CAST(qd AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))))
+         AS seasonal_strength
+FROM agg
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "simsearch_result_diversity": simsearch_result_diversity,
+        "sql_supplier_overlap": sql_supplier_overlap,
+        "sql_repeat_funnel_paths": sql_repeat_funnel_paths,
+        "multimodal_size_quartiles": multimodal_size_quartiles,
+        "events_seasonal_strength": events_seasonal_strength,
+    }
+)
+
+ORACLES.update(
+    {
+        "simsearch_result_diversity": _simsearch_result_diversity_sql(),
+        "sql_supplier_overlap": SQL_SUPPLIER_OVERLAP,
+        "sql_repeat_funnel_paths": _sql_repeat_funnel_paths_sql(),
+        "multimodal_size_quartiles": MULTIMODAL_SIZE_QUARTILES_SQL,
+        "events_seasonal_strength": EVENTS_SEASONAL_STRENGTH_SQL,
+    }
+)

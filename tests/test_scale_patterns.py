@@ -1232,3 +1232,38 @@ def test_round8_plan_invariants(spark, sf_dir):
         p = plan(name)
         assert "CartesianProduct" not in p, p
         assert "BatchEvalPython" not in p, p
+
+
+def test_round8_wave3_plan_invariants(spark, sf_dir):
+    """Scale pins for the round-8 third wave."""
+    from spot_anomalies_flink_workshop_resources_spark.plans import harness
+
+    def plan(name):
+        df = harness.build_queries()[name](spark, sf_dir)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # result diversity: panel-bounded pairing; embeddings broadcast onto
+    # the 80-row pair frame, never the reverse
+    p = plan("simsearch_result_diversity")
+    assert "CartesianProduct" not in p, p
+    # supplier overlap: inverted-index join on part (equi), df-capped;
+    # top-20 heap
+    p = plan("sql_supplier_overlap")
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    # funnel paths: edge self-join on the MID node (equi), heap top-k
+    p = plan("sql_repeat_funnel_paths")
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    # media size quartiles: source-partitioned grid windows only
+    p = plan("multimodal_size_quartiles")
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
+    # seasonal strength: (type, day) agg then calendar-bounded windows
+    p = plan("events_seasonal_strength")
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
