@@ -1242,19 +1242,33 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _cached_checkpoint, _session_key
 
     def build() -> DataFrame:
-        li = (
-            load_table(spark, sf_dir, "lineitem")
-            .select(
-                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk")
-            )
-            .distinct()
+        # Pair generation via per-order SORTED ARRAYS (round 8): one
+        # order-keyed agg collects each basket, then combinations are
+        # enumerated narrowly (transform over the array with slice) —
+        # ONE data-sized shuffle instead of the distinct+self-join
+        # form's two (the distinct output had to re-shuffle by order
+        # key for the join). array_sort makes x < y structural. Basket
+        # width bounds both the array (max 7 parts/order here; baskets
+        # are width-bounded in any co-occurrence workload) and the
+        # per-row fan-out. Result identical to the self-join form
+        # (prototype-verified row-for-row).
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk")
         )
-        a = li.select("o", F.col("pk").alias("x"))
-        b = li.select("o", F.col("pk").alias("y"))
+        per_order = li.groupBy("o").agg(
+            F.array_sort(F.collect_set("pk")).alias("pks")
+        )
+        pairs = per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(pks, (x, i) -> "
+                    "transform(slice(pks, i + 2, size(pks) - 1 - i), "
+                    "y -> struct(x, y))))"
+                )
+            ).alias("p")
+        ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         return (
-            a.join(b, "o")
-            .where(F.col("x") < F.col("y"))
-            .groupBy("x", "y")
+            pairs.groupBy("x", "y")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
             .where(F.col("n_orders") >= 2)
         )
