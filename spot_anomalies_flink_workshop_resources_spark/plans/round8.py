@@ -1696,14 +1696,18 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_r = F.col("qr").cast("double") / nd - (
         F.col("sr").cast("double") / nd
     ) * (F.col("sr").cast("double") / nd)
+    # zero-guard (ANSI mode errors on x/0): a constant series has no
+    # detrended variance and therefore no seasonal signal -> strength 0
+    strength = F.when(
+        var_d > F.lit(0.0),
+        F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_d),
+    ).otherwise(F.lit(0.0))
     return agg.select(
         "event_type",
         F.col("n").alias("n_days"),
         (var_d / F.lit(10000.0)).alias("var_detrended"),
         (var_r / F.lit(10000.0)).alias("var_remainder"),
-        F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_d).alias(
-            "seasonal_strength"
-        ),
+        strength.alias("seasonal_strength"),
     ).orderBy("event_type")
 
 
@@ -1760,13 +1764,17 @@ SELECT event_type, n AS n_days,
         - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
           * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))) / 10000.0
          AS var_remainder,
-       GREATEST(0.0, 1.0
+       CASE WHEN (CAST(qd AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))) > 0.0
+       THEN GREATEST(0.0, 1.0
          - (CAST(qr AS DOUBLE) / CAST(n AS DOUBLE)
             - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
               * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)))
            / (CAST(qd AS DOUBLE) / CAST(n AS DOUBLE)
               - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
                 * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))))
+       ELSE 0.0 END
          AS seasonal_strength
 FROM agg
 ORDER BY event_type
