@@ -405,7 +405,7 @@ def text_bigram_lm(spark, sf_dir):
     of bigram MLE and add-one unigram — the word-level complement of
     the char-trigram lm_score; libm ln on the bigram-vocab frame,
     2^-20-quantized, exact int64 per-source sums."""
-    return T.bigram_lm_by_source(_docs(spark, sf_dir))
+    return T.bigram_lm_by_source(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def corpus_gate_overlap(spark, sf_dir):

@@ -905,27 +905,20 @@ def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: ln via the libm-exact twin on the vocab-bounded count
     frame, each c*ln(c) term quantized to the 2^-20 grid before the
     int64 fold (the events_user_entropy recipe); the final composition
-    is one shared float expression. Scale: one data-sized explode ->
-    (source, gram) agg; everything after is vocab-bounded."""
+    is one shared float expression. Scale: REUSES the char-LM family's
+    shared (doc, gram, m) pass (text.char_gram_counts, same "lm_gcnt"
+    cache key as lm_score/lang_mismatch/ccnet) — the only added work is
+    a doc-keyed source lookup + one (source, gram) re-agg; everything
+    after is vocab-bounded."""
     from ..functions.libm import libm_log
+    from ..operators.text import char_gram_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "source",
-        F.explode(
-            F.when(
-                F.length(F.lower(F.col("text"))) >= 3,
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.length(F.lower(F.col("text"))) - 2
-                    ),
-                    lambda i: F.lower(F.col("text")).substr(i, F.lit(3)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
-    )
-    counts = grams.groupBy("source", "g").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    gcnt = char_gram_counts(docs, 3, cache_key=sf_dir)
+    counts = (
+        gcnt.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", F.col("gram").alias("g"))
+        .agg(F.sum("m").cast("long").alias("c"))
     )
     terms = counts.select(
         "source",
