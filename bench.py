@@ -274,4 +274,18 @@ def _clear_cached_state(spark) -> None:
 
 
 if __name__ == "__main__":
+    # Guard against stray CLI args (the make_scale_data '--help' lesson):
+    # bench is configured via env vars (SPARK_GRAFT_SF_DIR,
+    # SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_PASSES) — any positional or
+    # flag argument is a mistake, and silently running a 15-minute
+    # bench on '--help' (overwriting BENCH_DETAIL.json) is the failure
+    # mode this prevents.
+    if len(sys.argv) > 1:
+        print(
+            "bench.py takes no arguments; configure via env vars "
+            "SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS / "
+            "SPARK_GRAFT_BENCH_PASSES",
+            file=sys.stderr,
+        )
+        raise SystemExit(0 if sys.argv[1] in ("-h", "--help") else 2)
     main()
