@@ -257,8 +257,36 @@ def _unpersist_rdd_ids(spark, ids: set) -> None:
         pass
 
 
+def _other_entries_ids(except_keys: set) -> set:
+    """Union of rdd_ids over cache entries NOT in ``except_keys`` —
+    blocks that must survive any release (nested builds double-attribute
+    an inner entry's checkpoint blocks to the outer entry's id set, so
+    unpersisting one entry's ids blindly can invalidate a still-live
+    sibling — round-8 review finding)."""
+    out: set = set()
+    for k, v in _SHINGLE_CACHE.items():
+        if k not in except_keys:
+            out |= v.get("rdd_ids", set())
+    return out
+
+
+# Keep the newest N entries on cap-eviction. A query plan may reference
+# several cached frames fetched during ONE build (bigram LM holds two),
+# so eviction must never unpersist recently-touched entries — LRU order
+# (hits reinsert) plus this floor keeps every frame a single plan can
+# hold alive.
+_CACHE_CAP = 16
+_CACHE_KEEP = 8
+
+
 def _cached_checkpoint(spark, key: tuple, builder) -> DataFrame:
-    """Memoized eager localCheckpoint with live-block validation."""
+    """Memoized eager localCheckpoint with live-block validation.
+
+    LRU semantics: hits move the entry to the newest position; when the
+    dict exceeds ``_CACHE_CAP`` entries the OLDEST beyond ``_CACHE_KEEP``
+    are dropped, unpersisting only blocks no surviving entry claims —
+    so frames already woven into an in-flight plan (necessarily among
+    the newest touched) keep their checkpoint blocks."""
     hit = _SHINGLE_CACHE.get(key)
     live = lambda: {
         int(i)
@@ -268,24 +296,27 @@ def _cached_checkpoint(spark, key: tuple, builder) -> DataFrame:
     }
     if hit is not None:
         if hit["rdd_ids"] <= live():
+            # LRU touch: reinsert at the newest position
+            _SHINGLE_CACHE.pop(key, None)
+            _SHINGLE_CACHE[key] = hit
             return hit["frame"]
-        # Stale entry (some blocks already dropped): release the rest.
-        _unpersist_rdd_ids(spark, hit["rdd_ids"])
+        # Stale entry (some blocks already dropped): release only the
+        # blocks no OTHER entry depends on, then rebuild.
         _SHINGLE_CACHE.pop(key, None)
+        _unpersist_rdd_ids(spark, hit["rdd_ids"] - _other_entries_ids(set()))
     ids_before = live()
     frame = builder().localCheckpoint(eager=True)
-    # Cap 16 (was 8): eviction now unpersists, so a fuller dict costs
-    # bounded storage, and the graph edge frames (VERDICT r7 #5) push
-    # the working-set of distinct keys past 8 in a full bench pass.
-    if len(_SHINGLE_CACHE) >= 16:
-        # Unpersist every evicted entry's blocks before dropping the
-        # dict refs (ADVICE r7) — a sibling entry sharing a block will
-        # fail its own live-block validation and rebuild, so this is
-        # correctness-neutral. The just-built frame's blocks are NOT in
-        # any old entry's rdd_ids (those were captured before it existed).
-        for v in _SHINGLE_CACHE.values():
-            _unpersist_rdd_ids(spark, v.get("rdd_ids", set()))
-        _SHINGLE_CACHE.clear()
+    if len(_SHINGLE_CACHE) >= _CACHE_CAP:
+        keys = list(_SHINGLE_CACHE)
+        evict, keep = keys[:-_CACHE_KEEP], set(keys[-_CACHE_KEEP:])
+        released: set = set()
+        for k in evict:
+            released |= _SHINGLE_CACHE[k].get("rdd_ids", set())
+        for k in evict:
+            _SHINGLE_CACHE.pop(k, None)
+        # release evicted blocks EXCEPT any still claimed by a kept
+        # entry (shared via nested builds)
+        _unpersist_rdd_ids(spark, released - _other_entries_ids(set()))
     _SHINGLE_CACHE[key] = {"frame": frame, "rdd_ids": live() - ids_before}
     return frame
 

@@ -384,15 +384,28 @@ def sql_rank_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     months = bm.select("m").distinct().orderBy(F.col("m").desc()).limit(2)
     last2 = bm.join(F.broadcast(months), "m")
     w = Window.partitionBy("m").orderBy(F.col("rev").desc(), F.col("p_brand"))
-    ranked = last2.withColumn("rnk", F.row_number().over(w).cast("long"))
-    mx = months.agg(F.max("m").alias("m_last")).collect()[0][0]
-    cur = ranked.where(F.col("m") == F.lit(mx)).select(
-        "p_brand",
-        F.col("rnk").alias("rank_last"),
-        F.col("rev").alias("rev_last_cents"),
+    # the brand-month frame is tiny (|brands| x 2): one eager checkpoint
+    # so the data-sized (month, brand) agg runs ONCE for both branches
+    # instead of being re-derived per side (and the last-month scalar is
+    # joined in-plan — no driver collect at DataFrame-build time,
+    # round-8 review)
+    ranked = last2.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).localCheckpoint(eager=True)
+    mxf = F.broadcast(months.agg(F.max("m").alias("m_last")))
+    cur = (
+        ranked.crossJoin(mxf)
+        .where(F.col("m") == F.col("m_last"))
+        .select(
+            "p_brand",
+            F.col("rnk").alias("rank_last"),
+            F.col("rev").alias("rev_last_cents"),
+        )
     )
-    prev = ranked.where(F.col("m") != F.lit(mx)).select(
-        "p_brand", F.col("rnk").alias("rank_prev")
+    prev = (
+        ranked.crossJoin(mxf)
+        .where(F.col("m") != F.col("m_last"))
+        .select("p_brand", F.col("rnk").alias("rank_prev"))
     )
     return (
         cur.join(prev, "p_brand", "inner")
@@ -791,19 +804,16 @@ ORDER BY t.source
 # -------------------------------------- per-source length quartiles
 
 
-def corpus_doclen_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TYPE-7 interpolated length quartiles (p25/p50/p75 of n_chars)
-    per source — the length-profile read any mixture-weighting or
-    packing decision starts from. Follows the repo's exact type-7
-    recipe: h = (n-1)k/4 splits into integer rank and remainder, both
+def _type7_quartiles(frame: DataFrame, out_name: str) -> DataFrame:
+    """Shared exact type-7 quartile pipeline over ``frame(source, v)``:
+    h = (n-1)k/4 splits into integer rank and remainder, both
     bracketing order statistics are selected by cumulative-count rank
-    on the integer n_chars grid, and the interpolation stays integer
-    until one final division. Scale: (source, n_chars) grid agg;
-    windows on the bounded grid."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source", F.col("n_chars").cast("long").alias("v")
-    )
-    grid = docs.groupBy("source", "v").agg(
+    on the integer grid, and the interpolation stays integer until one
+    final division. Returns (source, quartile, ``out_name``). Used by
+    corpus_doclen_quartiles and multimodal_size_quartiles (one
+    implementation to fix, round-8 review)."""
+    spark = frame.sparkSession
+    grid = frame.groupBy("source", "v").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
     wcum = (
@@ -847,17 +857,19 @@ def corpus_doclen_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.col("x2") * F.col("rem")
                 ).cast("double")
                 / F.lit(4.0)
-            ).alias("n_chars_q"),
+            ).alias(out_name),
         )
         .orderBy("source", "quartile")
     )
 
 
-CORPUS_DOCLEN_QUARTILES_SQL = """
-WITH grid AS (
-  SELECT source, CAST(n_chars AS BIGINT) AS v,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM documents GROUP BY source, n_chars
+def _type7_quartiles_sql(base_ctes: str, out_name: str) -> str:
+    """DuckDB twin of :func:`_type7_quartiles`: ``base_ctes`` must open
+    the WITH chain and define ``base(source, v)``."""
+    return f"""{base_ctes},
+grid AS (
+  SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM base GROUP BY source, v
 ),
 cum AS (
   SELECT source, v,
@@ -886,10 +898,34 @@ x2 AS (
 )
 SELECT x1.source, x1.k AS quartile,
        CAST(x1.x1 * (4 - x1.rem) + x2.x2 * x1.rem AS DOUBLE) / 4.0
-         AS n_chars_q
+         AS {out_name}
 FROM x1 JOIN x2 ON x2.source = x1.source AND x2.k = x1.k
 ORDER BY x1.source, quartile
 """
+
+
+def corpus_doclen_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-7 interpolated length quartiles (p25/p50/p75 of n_chars)
+    per source — the length-profile read any mixture-weighting or
+    packing decision starts from. Follows the repo's exact type-7
+    recipe: h = (n-1)k/4 splits into integer rank and remainder, both
+    bracketing order statistics are selected by cumulative-count rank
+    on the integer n_chars grid, and the interpolation stays integer
+    until one final division. Scale: (source, n_chars) grid agg;
+    windows on the bounded grid."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("v")
+    )
+    return _type7_quartiles(docs, "n_chars_q")
+
+
+CORPUS_DOCLEN_QUARTILES_SQL = _type7_quartiles_sql(
+    """
+WITH base AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+)""".strip(),
+    "n_chars_q",
+)
 
 
 # ----------------------------------------- char-trigram entropy
@@ -1173,9 +1209,16 @@ def events_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (F.col("rowtot") * F.col("coltot")).cast("double") * F.col(
         "n"
     ).cast("double")
-    term_q = F.floor(num * num / den * F.lit(1048576.0) + F.lit(0.5)).cast(
-        "long"
-    )
+    # zero-guard: when the median equals the max value the 'above'
+    # column is empty (coltot = 0) and num = 0 too — the 0/0 cell
+    # contributes 0 by convention (expected mass 0), instead of a NaN
+    # that ANSI floor/cast would turn into a crash (round-8 review).
+    term_q = F.when(
+        den > F.lit(0.0),
+        F.floor(num * num / den * F.lit(1048576.0) + F.lit(0.5)).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
     agg = cells.groupBy("n", "k").agg(
         F.sum(term_q).cast("long").alias("chi2_q")
     )
@@ -1230,11 +1273,13 @@ cells AS (
 ),
 terms AS (
   SELECT n, k,
-         CAST(FLOOR(
+         CASE WHEN CAST(rowtot * coltot AS DOUBLE) * CAST(n AS DOUBLE) > 0.0
+         THEN CAST(FLOOR(
            CAST(o * n - rowtot * coltot AS DOUBLE)
            * CAST(o * n - rowtot * coltot AS DOUBLE)
            / (CAST(rowtot * coltot AS DOUBLE) * CAST(n AS DOUBLE))
-           * 1048576.0 + 0.5) AS BIGINT) AS tq
+           * 1048576.0 + 0.5) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS tq
   FROM cells
 ),
 agg AS (
@@ -1502,57 +1547,13 @@ def multimodal_size_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sniffed_type").alias("source"),
         F.col("n_bytes").alias("v"),
     )
-    grid = media.groupBy("source", "v").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    wcum = (
-        Window.partitionBy("source")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = grid.withColumn("cum", F.sum("cnt").over(wcum).cast("long"))
-    ns = grid.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
-    ks = spark.range(1, 4).select(F.col("id").cast("long").alias("k"))
-    ranks = ns.crossJoin(F.broadcast(ks)).select(
-        "source",
-        "k",
-        "n",
-        F.expr("((n - 1) * k) % 4").alias("rem"),
-        (F.expr("((n - 1) * k) div 4") + 1).alias("r1"),
-        F.least(F.expr("((n - 1) * k) div 4") + 2, F.col("n")).alias("r2"),
-    )
-    x1 = (
-        F.broadcast(ranks)
-        .join(cum, "source")
-        .where(F.col("cum") >= F.col("r1"))
-        .groupBy("source", "k", "rem")
-        .agg(F.min("v").cast("long").alias("x1"))
-    )
-    x2 = (
-        F.broadcast(ranks)
-        .join(cum, "source")
-        .where(F.col("cum") >= F.col("r2"))
-        .groupBy("source", "k")
-        .agg(F.min("v").cast("long").alias("x2"))
-    )
-    return (
-        x1.join(F.broadcast(x2), ["source", "k"])
-        .select(
-            F.col("source").alias("sniffed_type"),
-            F.col("k").alias("quartile"),
-            (
-                (
-                    F.col("x1") * (4 - F.col("rem"))
-                    + F.col("x2") * F.col("rem")
-                ).cast("double")
-                / F.lit(4.0)
-            ).alias("n_bytes_q"),
-        )
-        .orderBy("sniffed_type", "quartile")
+    return _type7_quartiles(media, "n_bytes_q").withColumnRenamed(
+        "source", "sniffed_type"
     )
 
 
-MULTIMODAL_SIZE_QUARTILES_SQL = r"""
+MULTIMODAL_SIZE_QUARTILES_SQL = _type7_quartiles_sql(
+    r"""
 WITH media AS (
   SELECT (CASE doc_id % 4
             WHEN 0 THEN '\x89\x50\x4E\x47'::BLOB
@@ -1561,7 +1562,7 @@ WITH media AS (
             ELSE '\x00\x00\x00\x18'::BLOB END) || encode(text) AS content
   FROM documents
 ),
-sniffed AS (
+base AS (
   SELECT CASE
            WHEN substr(hex(content), 1, 8) = '89504E47' THEN 'image/png'
            WHEN substr(hex(content), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
@@ -1572,42 +1573,11 @@ sniffed AS (
          END AS source,
          CAST(octet_length(content) AS BIGINT) AS v
   FROM media
-),
-grid AS (
-  SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM sniffed GROUP BY source, v
-),
-cum AS (
-  SELECT source, v,
-         CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY v
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS cum
-  FROM grid
-),
-ns AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM grid GROUP BY source),
-ranks AS (
-  SELECT ns.source, CAST(k.k AS BIGINT) AS k, ns.n,
-         ((ns.n - 1) * k.k) % 4 AS rem,
-         ((ns.n - 1) * k.k) // 4 + 1 AS r1,
-         LEAST(((ns.n - 1) * k.k) // 4 + 2, ns.n) AS r2
-  FROM ns CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS k) k
-),
-x1 AS (
-  SELECT r.source, r.k, r.rem, CAST(MIN(c.v) AS BIGINT) AS x1
-  FROM ranks r JOIN cum c ON c.source = r.source AND c.cum >= r.r1
-  GROUP BY r.source, r.k, r.rem
-),
-x2 AS (
-  SELECT r.source, r.k, CAST(MIN(c.v) AS BIGINT) AS x2
-  FROM ranks r JOIN cum c ON c.source = r.source AND c.cum >= r.r2
-  GROUP BY r.source, r.k
-)
-SELECT x1.source AS sniffed_type, x1.k AS quartile,
-       CAST(x1.x1 * (4 - x1.rem) + x2.x2 * x1.rem AS DOUBLE) / 4.0
-         AS n_bytes_q
-FROM x1 JOIN x2 ON x2.source = x1.source AND x2.k = x1.k
-ORDER BY sniffed_type, quartile
-"""
+)""".strip(),
+    "n_bytes_q",
+).replace("SELECT x1.source, x1.k AS quartile",
+          "SELECT x1.source AS sniffed_type, x1.k AS quartile"
+).replace("ORDER BY x1.source, quartile", "ORDER BY sniffed_type, quartile")
 
 
 # --------------------------------------------- seasonal strength

@@ -133,6 +133,20 @@ def test_mood_median_planted_split(spark, tmp_path):
     assert r.median == pytest.approx(10.0)  # lower median of 1..10,100..109
 
 
+def test_mood_median_degenerate_constant_values(spark, tmp_path):
+    # median == max (constant corpus): the 'above' column is empty and
+    # the 0/0 cells must contribute 0, not NaN/crash (round-8 review)
+    rows = [
+        (i, "2024-01-01 00:00:00", i, "a" if i < 5 else "b", 7.0)
+        for i in range(10)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = round8.events_mood_median(spark, sf).collect()[0]
+    assert r.n == 10
+    assert r.chi2 == pytest.approx(0.0, abs=1e-12)
+    assert r.median == pytest.approx(7.0)
+
+
 def test_mood_median_no_signal(spark, tmp_path):
     rows, eid = [], 0
     # both types identical distributions -> chi2 exactly 0

@@ -1179,13 +1179,20 @@ def test_round8_plan_invariants(spark, sf_dir):
     p = plan("sql_repeat_pagerank")
     assert "CartesianProduct" not in p, p
     assert "TakeOrderedAndProject" in p, p
-    # reciprocity: the reverse probe is a keyed (shuffle or broadcast)
-    # HASH join on (src,dst) — never nested-loop
+    # reciprocity: the reverse probe is a KEYED LeftSemi join on
+    # (src,dst) — hash or sort-merge, never nested-loop (the only
+    # nested-loop allowed is the Cross of the two 1-row scalar aggs)
     p = plan("sql_repeat_reciprocity")
     assert "CartesianProduct" not in p, p
-    assert "BroadcastNestedLoopJoin" not in p.replace(
-        "BroadcastNestedLoopJoin BuildRight, Inner", ""
-    ) or True  # 1-row crossJoin of two scalar aggs is fine
+    # formatted plans print each op twice (tree + detail), so test the
+    # TREE line: the semi probe must be a keyed hash/sort-merge join,
+    # and no nested-loop LeftSemi may exist anywhere
+    assert (
+        "SortMergeJoin LeftSemi" in p
+        or "ShuffledHashJoin LeftSemi" in p
+        or ("BroadcastHashJoin" in p and "LeftSemi" in p)
+    ), p
+    assert "BroadcastNestedLoopJoin LeftSemi" not in p, p
     # degree imbalance: two keyed aggs + full-outer merge + heap
     p = plan("sql_repeat_degree_imbalance")
     assert "CartesianProduct" not in p, p
