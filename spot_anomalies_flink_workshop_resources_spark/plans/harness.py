@@ -1169,6 +1169,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_repeat_funnel_paths",     # NEW: 2-hop bottleneck purchase chains
     "multimodal_size_quartiles",   # NEW: type-7 byte-size profile
     "events_seasonal_strength",    # NEW: Var(R)/Var(detrended) decision scalar
+    "sql_return_rate_by_brand",    # NEW: brand return-rate + revenue at risk
+    "simsearch_centroid_balance",  # NEW: IVF list-size skew audit
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit

@@ -1763,3 +1763,151 @@ ORACLES.update(
         "events_seasonal_strength": EVENTS_SEASONAL_STRENGTH_SQL,
     }
 )
+
+
+# ------------------------------------------- brand return-rate report
+
+
+def sql_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETURN-RATE by product brand with revenue at risk: per brand the
+    line count, returned-line count (l_returnflag = 'R'), the return
+    rate, and the decimal-exact returned revenue — the product-quality
+    screen merchandising reads next to rank momentum. One broadcast
+    part join + one brand agg; integer counts, decimal-staged revenue,
+    one division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev_dec = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", rev_dec).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).alias("ret_dec"),
+        )
+    )
+    return agg.select(
+        F.col("p_brand").alias("brand"),
+        "n_lines",
+        "n_returned",
+        (
+            F.col("n_returned").cast("double") / F.col("n_lines").cast("double")
+        ).alias("return_rate"),
+        F.col("ret_dec").cast("string").cast("double").alias("returned_revenue"),
+    ).orderBy(F.col("return_rate").desc(), "brand")
+
+
+SQL_RETURN_RATE_BY_BRAND = """
+SELECT p.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS return_rate,
+       CAST(CAST(SUM(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4))
+                         - CAST(l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+         AS returned_revenue
+FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey
+GROUP BY p.p_brand
+ORDER BY return_rate DESC, brand
+"""
+
+
+# --------------------------------------------- IVF list-balance audit
+
+
+def simsearch_centroid_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF INDEX BALANCE audit: per trained centroid the assigned-list
+    size and share, INCLUDING empty lists — skewed inverted lists are
+    the latency killer of a probe-bounded ANN index (a probe into a
+    hot list scans its whole occupancy), so this histogram is the
+    health read before shipping an IVF index. Trains the same
+    integer-Lloyd spherical k-means as simsearch_ivf_kmeans (tol=0.0,
+    fixed 5 iterations) and assigns via the zero-shuffle broadcast
+    argmax pass; the oracle re-trains from scratch through the
+    unrolled Lloyd CTEs (same cross-engine contract, incl. the
+    documented argmax margin assumption). Integer counts; share is one
+    division."""
+    from ..operators import simsearch as S
+    from .pipeline_ops import _embs
+
+    embs = _embs(spark, sf_dir)
+    C = S.kmeans_centroids(embs, n_centroids=16, max_iters=5, tol=0.0)
+    assigned = S.assign_buckets_argmax(embs, C, n_probes=1).select(
+        "vec_id", "cent_id"
+    )
+    hist = assigned.groupBy("cent_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    ids = spark.range(0, len(C)).select(F.col("id").cast("long").alias("cent_id"))
+    tot = hist.agg(F.sum("n_vectors").cast("long").alias("nt"))
+    return (
+        ids.join(hist, "cent_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cent_id",
+            F.coalesce(F.col("n_vectors"), F.lit(0))
+            .cast("long")
+            .alias("n_vectors"),
+            (
+                F.coalesce(F.col("n_vectors"), F.lit(0)).cast("double")
+                / F.col("nt").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+def _simsearch_centroid_balance_sql() -> str:
+    from ..operators.simsearch import DIM, _cos_trained_sql, kmeans_centroids_ctes
+
+    return f"""
+WITH {kmeans_centroids_ctes(16, 5, DIM)},
+assign_scored AS (
+  SELECT e.vec_id, c.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_cos_trained_sql('e', 'c', DIM)} DESC,
+                                     c.cent_id ASC) AS rn
+  FROM embeddings e CROSS JOIN trained_cent c
+),
+assigned AS (SELECT vec_id, cent_id FROM assign_scored WHERE rn = 1),
+hist AS (
+  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM assigned GROUP BY cent_id
+),
+ids AS (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS cent_id),
+tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS nt FROM hist)
+SELECT ids.cent_id,
+       CAST(COALESCE(h.n_vectors, 0) AS BIGINT) AS n_vectors,
+       CAST(COALESCE(h.n_vectors, 0) AS DOUBLE) / CAST(tot.nt AS DOUBLE)
+         AS share
+FROM ids LEFT JOIN hist h ON h.cent_id = ids.cent_id, tot
+ORDER BY ids.cent_id
+"""
+
+
+QUERIES.update(
+    {
+        "sql_return_rate_by_brand": sql_return_rate_by_brand,
+        "simsearch_centroid_balance": simsearch_centroid_balance,
+    }
+)
+
+ORACLES.update(
+    {
+        "sql_return_rate_by_brand": SQL_RETURN_RATE_BY_BRAND,
+        "simsearch_centroid_balance": _simsearch_centroid_balance_sql(),
+    }
+)

@@ -1274,3 +1274,26 @@ def test_round8_wave3_plan_invariants(spark, sf_dir):
     p = plan("events_seasonal_strength")
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_round8_wave4_plan_invariants(spark, sf_dir):
+    """Scale pins for the final round-8 additions."""
+    from spot_anomalies_flink_workshop_resources_spark.plans import harness
+
+    def plan(name):
+        df = harness.build_queries()[name](spark, sf_dir)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # return rate: part broadcast onto lineitem, one brand agg
+    p = plan("sql_return_rate_by_brand")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    # centroid balance: zero-shuffle argmax assignment (ArrowEval, no
+    # row-at-a-time Python), 16-row histogram tail
+    p = plan("simsearch_centroid_balance")
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
