@@ -113,16 +113,28 @@ def ml_ipinsights_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    ev_path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(ev_path).schema
+    # Same two-layout rule as the documents stream (harness.py
+    # _docs_stream, round-8 sf1 lesson): a Spark-written corpus makes
+    # events.parquet a DIRECTORY of part-files, where the leaf-file
+    # glob silently streams zero rows — stream the directory directly.
+    if os.path.isdir(ev_path):
+        stream = (
+            spark.readStream.schema(raw_schema).format("parquet").load(ev_path)
+        )
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     if isinstance(raw_schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return stream
@@ -1171,6 +1183,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_seasonal_strength",    # NEW: Var(R)/Var(detrended) decision scalar
     "sql_return_rate_by_brand",    # NEW: brand return-rate + revenue at risk
     "simsearch_centroid_balance",  # NEW: IVF list-size skew audit
+    # -- round 8 second wave (still behind the backlog block; with the
+    # 22 + 20 above these fill the ~50-row window — the last one or two
+    # may overflow into round 9's window, verified locally either way) --
+    "events_wasserstein",          # NEW: W1 transport-cost drift per type
+    "events_energy_distance",      # NEW: weekday/weekend two-sample energy
+    "events_durbin_watson",        # NEW: residual autocorr after OLS detrend
+    "events_turning_points",       # NEW: randomness screen on daily series
+    "dq_duplicate_orders",         # NEW: same-day duplicate-invoice pairs
+    "dq_price_consistency",        # NEW: unit-price plausibility vs catalog
+    "simsearch_pq_distortion",     # NEW: per-subspace PQ reconstruction MSE
+    "stream_ewma_alert",           # NEW: complete-mode EWMA deviation alert
+    "text_burstiness",             # NEW: Church-Gale VMR for top-df terms
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit
@@ -1474,6 +1498,7 @@ def build_queries() -> dict[str, QueryFn]:
         relational_sql,
         round7,
         round8,
+        round8b,
         stattests,
         tpch_tail,
     )
@@ -1485,6 +1510,7 @@ def build_queries() -> dict[str, QueryFn]:
     registry.update(curation.QUERIES)
     registry.update(round7.QUERIES)
     registry.update(round8.QUERIES)
+    registry.update(round8b.QUERIES)
 
     out: dict[str, QueryFn] = {}
     for name in DRIVER_PRIORITY:
@@ -1542,6 +1568,7 @@ def build_oracles() -> dict[str, str]:
         relational_sql,
         round7,
         round8,
+        round8b,
         stattests,
         tpch_tail,
     )
@@ -1553,4 +1580,5 @@ def build_oracles() -> dict[str, str]:
     out.update(curation.ORACLES)
     out.update(round7.ORACLES)
     out.update(round8.ORACLES)
+    out.update(round8b.ORACLES)
     return out
