@@ -1195,6 +1195,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "simsearch_pq_distortion",     # NEW: per-subspace PQ reconstruction MSE
     "stream_ewma_alert",           # NEW: complete-mode EWMA deviation alert
     "text_burstiness",             # NEW: Church-Gale VMR for top-df terms
+    "events_friedman",             # NEW: week-blocked rank test (doubled midranks)
+    "sql_seasonal_index",          # NEW: classical 2x12 ratio-to-MA index
+    "sql_copurchase_edge_jaccard", # NEW: sparsification-threshold histogram
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit

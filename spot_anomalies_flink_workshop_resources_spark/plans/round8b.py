@@ -957,6 +957,426 @@ ORDER BY df DESC, term ASC
 """
 
 
+# ---------------------------------------------- Friedman rank test
+
+
+def events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN repeated-measures rank test: within each calendar WEEK
+    BLOCK, rank the k event types by weekly volume; do the types keep
+    the same ordering week after week (large chi2) or shuffle randomly
+    (small)? The blocked twin of Kruskal-Wallis — week blocks absorb
+    global traffic drift that would contaminate the unblocked test.
+
+    Exactness: week blocks are integer day-offsets DIV 7 from the
+    global min day (engine week-of-year rules differ — never used);
+    DOUBLED midranks d = 2*cum - cnt + 1 are exact integers per block;
+    rank sums D_j and the tie term sum(cnt^3 - cnt) are int64; the
+    statistic composes 3*sum(D_j^2)/(n*k*(k+1)) - 3*n*(k+1) in one
+    fixed float expression (sum(D_j^2) is an integer hash agg —
+    order-free). Scale: one data-sized (type, week) agg; ranking
+    windows run per block over k rows."""
+    from .round7 import _daily_grid
+
+    g = _daily_grid(spark, sf_dir)
+    mind = g.agg(F.min("d").alias("d0"))
+    yw = (
+        g.crossJoin(F.broadcast(mind))
+        .select(
+            "t",
+            # integer division explicitly (DuckDB's BIGINT cast of a
+            # float division ROUNDS; Spark's truncates — DIV on both)
+            F.expr("CAST(datediff(d, d0) DIV 7 AS BIGINT)").alias("w"),
+            "n",
+        )
+        .groupBy("t", "w")
+        .agg(F.sum("n").cast("long").alias("v"))
+    )
+    per_wv = yw.groupBy("w", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("w")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = per_wv.withColumn(
+        "d", (2 * F.sum("cnt").over(wcum) - F.col("cnt") + 1).cast("long")
+    )
+    dtw = yw.join(ranked.select("w", "v", "d"), ["w", "v"])
+    per_type = dtw.groupBy("t").agg(
+        F.sum("d").cast("long").alias("dj"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    stats = per_type.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n_blocks").cast("long").alias("n"),
+        F.sum(F.col("dj") * F.col("dj")).cast("long").alias("sd2"),
+    )
+    ties = per_wv.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tt")
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    chi2 = F.lit(3.0) * F.col("sd2").cast("double") / (
+        nd * kd * (kd + F.lit(1.0))
+    ) - F.lit(3.0) * nd * (kd + F.lit(1.0))
+    corr = F.lit(1.0) - F.col("tt").cast("double") / (
+        nd * kd * (kd * kd - F.lit(1.0))
+    )
+    return stats.crossJoin(F.broadcast(ties)).select(
+        F.col("n").alias("n_blocks"),
+        "k",
+        chi2.alias("friedman_chi2"),
+        (chi2 / corr).alias("chi2_tie_corrected"),
+    )
+
+
+def _events_friedman_sql() -> str:
+    from .round7 import _DAILY_GRID_SQL
+
+    return f"""
+WITH {_DAILY_GRID_SQL.lstrip()},
+mind AS (SELECT MIN(d) AS d0 FROM grid),
+yw AS (
+  SELECT t, CAST(DATEDIFF('day', d0, d) // 7 AS BIGINT) AS w,
+         CAST(SUM(n) AS BIGINT) AS v
+  FROM grid, mind GROUP BY t, CAST(DATEDIFF('day', d0, d) // 7 AS BIGINT)
+),
+per_wv AS (
+  SELECT w, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM yw GROUP BY w, v
+),
+ranked AS (
+  SELECT w, v,
+         CAST(2 * SUM(cnt) OVER (PARTITION BY w ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - cnt + 1 AS BIGINT) AS d
+  FROM per_wv
+),
+per_type AS (
+  SELECT yw.t, CAST(SUM(r.d) AS BIGINT) AS dj,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks
+  FROM yw JOIN ranked r ON r.w = yw.w AND r.v = yw.v
+  GROUP BY yw.t
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(n_blocks) AS BIGINT) AS n,
+         CAST(SUM(dj * dj) AS BIGINT) AS sd2
+  FROM per_type
+),
+ties AS (
+  SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tt FROM per_wv
+)
+SELECT n AS n_blocks, k,
+       3.0 * CAST(sd2 AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+            * (CAST(k AS DOUBLE) + 1.0))
+         - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+         AS friedman_chi2,
+       (3.0 * CAST(sd2 AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+             * (CAST(k AS DOUBLE) + 1.0))
+          - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+         / (1.0 - CAST(tt AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+               * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)))
+         AS chi2_tie_corrected
+FROM stats, ties
+"""
+
+
+# ------------------------------------------ classical seasonal index
+
+
+def sql_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL SEASONAL INDEX of monthly order revenue: the
+    ratio-to-centered-moving-average decomposition (the 2x12 MA that
+    predates STL) — per calendar month, the mean ratio of actual
+    revenue to its 13-month centered average, then normalized so the
+    twelve indices average 1. The planning number behind 'August ships
+    7% light'.
+
+    Exactness: monthly revenue is exact integer cents (zero-filled
+    over the continuous month range); each 2x12 MA denominator
+    N_i = c[i-6] + c[i+6] + 2*sum(c[i-5..i+5]) is an int64 fold; each
+    ratio divides 24*c_i by N_i once; the per-month mean and the
+    normalization are ORDERED folds over month-index-sorted doubles
+    (the ewma recipe). Scale: ONE data-sized monthly agg; everything
+    after runs on the CALENDAR-bounded month array (80 entries at
+    every sf — the bounded-domain contract)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+            "mi"
+        )
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    bounds = monthly.agg(
+        F.min("mi").alias("mi0"), F.max("mi").alias("mi1")
+    )
+    months = bounds.select(
+        "mi0",
+        F.explode(F.sequence(F.col("mi0"), F.col("mi1"))).alias("mi"),
+    )
+    filled = months.join(monthly, "mi", "left").select(
+        "mi0",
+        "mi",
+        F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("cents"),
+    )
+    series = filled.groupBy("mi0").agg(
+        F.count(F.lit(1)).cast("long").alias("nm"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("mi", "cents"))),
+            lambda p: p["cents"],
+        ).alias("ys"),
+    )
+    el = lambda i: F.element_at(F.col("ys"), i)  # noqa: E731
+    inner = lambda i: F.aggregate(  # 2*sum of the 11 middles   # noqa: E731
+        F.transform(
+            F.sequence(i - F.lit(5), i + F.lit(5)), lambda j: el(j)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ratios = series.where(F.col("nm") >= 13).select(
+        "mi0",
+        "nm",
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(7), (F.col("nm") - 6).cast("int")),
+                lambda i: F.struct(
+                    (
+                        (
+                            (F.col("mi0") + i.cast("long") - 1) % 12
+                        )
+                        + 1
+                    ).alias("moy"),
+                    i.cast("long").alias("i"),
+                    F.when(
+                        el(i - F.lit(6))
+                        + el(i + F.lit(6))
+                        + 2 * inner(i)
+                        > 0,
+                        (el(i) * 24).cast("double")
+                        / (
+                            el(i - F.lit(6))
+                            + el(i + F.lit(6))
+                            + 2 * inner(i)
+                        ).cast("double"),
+                    ).alias("r"),
+                ),
+            ),
+            lambda s: s["r"].isNotNull(),
+        ).alias("rs"),
+    )
+    per_moy = (
+        ratios.select(F.explode("rs").alias("s"))
+        .select(
+            F.col("s.moy").alias("month_of_year"),
+            F.col("s.i").alias("i"),
+            F.col("s.r").alias("r"),
+        )
+        .groupBy("month_of_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ratios"),
+            (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "r"))),
+                        lambda p: p["r"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("index_raw"),
+        )
+    )
+    norm = per_moy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_moy"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("month_of_year", "index_raw"))
+                ),
+                lambda p: p["index_raw"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s_raw"),
+    )
+    return (
+        per_moy.crossJoin(F.broadcast(norm))
+        .select(
+            "month_of_year",
+            "n_ratios",
+            "index_raw",
+            (
+                F.col("index_raw")
+                * F.col("n_moy").cast("double")
+                / F.col("s_raw")
+            ).alias("index_norm"),
+        )
+        .orderBy("month_of_year")
+    )
+
+
+SQL_SEASONAL_INDEX_SQL = """
+WITH monthly AS (
+  SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT)
+           AS mi,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+bounds AS (SELECT MIN(mi) AS mi0, MAX(mi) AS mi1 FROM monthly),
+months AS (
+  SELECT b.mi0, UNNEST(generate_series(b.mi0, b.mi1)) AS mi FROM bounds b
+),
+filled AS (
+  SELECT m.mi0, m.mi, CAST(COALESCE(mo.cents, 0) AS BIGINT) AS cents
+  FROM months m LEFT JOIN monthly mo ON mo.mi = m.mi
+),
+series AS (
+  SELECT mi0, CAST(COUNT(*) AS BIGINT) AS nm,
+         list(cents ORDER BY mi) AS ys
+  FROM filled GROUP BY mi0
+),
+rat AS (
+  SELECT u.s.moy AS month_of_year, u.s.i AS i, u.s.r AS r
+  FROM (
+    SELECT UNNEST(list_filter(
+      list_transform(generate_series(7, CAST(nm AS INTEGER) - 6),
+        i -> struct_pack(
+          moy := ((mi0 + i - 1) % 12) + 1,
+          i := CAST(i AS BIGINT),
+          r := CASE WHEN ys[i - 6] + ys[i + 6]
+                         + 2 * list_reduce(list_prepend(
+                             CAST(0 AS BIGINT),
+                             list_transform(generate_series(i - 5, i + 5),
+                               j -> ys[j])),
+                             (acc, x) -> acc + x) > 0
+               THEN CAST(ys[i] * 24 AS DOUBLE)
+                    / CAST(ys[i - 6] + ys[i + 6]
+                           + 2 * list_reduce(list_prepend(
+                               CAST(0 AS BIGINT),
+                               list_transform(
+                                 generate_series(i - 5, i + 5),
+                                 j -> ys[j])),
+                               (acc, x) -> acc + x) AS DOUBLE)
+               END)),
+      s -> s.r IS NOT NULL)) AS s
+    FROM series WHERE nm >= 13
+  ) u
+),
+per_moy AS (
+  SELECT month_of_year, CAST(COUNT(*) AS BIGINT) AS n_ratios,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(r ORDER BY i)), (acc, x) -> acc + x)
+           / CAST(COUNT(*) AS DOUBLE) AS index_raw
+  FROM rat GROUP BY month_of_year
+),
+norm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_moy,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(index_raw ORDER BY month_of_year)),
+           (acc, x) -> acc + x) AS s_raw
+  FROM per_moy
+)
+SELECT month_of_year, n_ratios, index_raw,
+       index_raw * CAST(n_moy AS DOUBLE) / s_raw AS index_norm
+FROM per_moy, norm
+ORDER BY month_of_year
+"""
+
+
+# ------------------------------------- edge-Jaccard sparsification
+
+
+def sql_copurchase_edge_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEIGHBORHOOD-JACCARD histogram of the co-purchase edges — the
+    graph-sparsification audit (Satuluri-style local sparsification
+    keeps each node's highest-Jaccard edges; this histogram is the
+    read that picks the threshold). For edge (x, y):
+    J = |N(x) ∩ N(y)| / |N(x) ∪ N(y)| with open neighborhoods (the
+    union retains x and y themselves since y ∈ N(x), x ∈ N(y)).
+
+    Exactness: common-neighbor counts come from the triangle-shaped
+    two-hop join on the CACHED edge frame; degrees are int64; the
+    histogram bin is INTEGER division (10*cn) DIV union — no float
+    anywhere. Scale: per-edge fan-out is deg-bounded on the
+    support-thresholded graph (the triangles argument); everything
+    joins keyed, nothing cartesian."""
+    from .relational import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir).select("x", "y")
+    adj = e.union(
+        e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).select(F.col("x").alias("a"), F.col("y").alias("z"))
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ax = adj.select(F.col("a").alias("x"), "z")
+    ay = adj.select(F.col("a").alias("y"), "z")
+    cn = (
+        e.join(ax, "x")
+        .join(ay, ["y", "z"])
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    scored = (
+        e.join(cn, ["x", "y"], "left")
+        .join(deg.select(F.col("a").alias("x"), F.col("deg").alias("dx")), "x")
+        .join(deg.select(F.col("a").alias("y"), F.col("deg").alias("dy")), "y")
+        .select(
+            F.coalesce(F.col("cn"), F.lit(0)).cast("long").alias("cn"),
+            (F.col("dx") + F.col("dy")).alias("dsum"),
+        )
+        .select(
+            F.expr("(10 * cn) DIV (dsum - cn)").cast("long").alias("jbin")
+        )
+    )
+    return (
+        scored.groupBy("jbin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .orderBy("jbin")
+    )
+
+
+def _sql_copurchase_edge_jaccard_sql() -> str:
+    from .relational import _COPURCHASE_EDGES_CTE
+
+    return f"""
+{_COPURCHASE_EDGES_CTE},
+adj AS MATERIALIZED (
+  SELECT x AS a, y AS z FROM edges
+  UNION ALL SELECT y AS a, x AS z FROM edges
+),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY a),
+cn AS (
+  SELECT e.x, e.y, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM edges e
+  JOIN adj ax ON ax.a = e.x
+  JOIN adj ay ON ay.a = e.y AND ay.z = ax.z
+  GROUP BY e.x, e.y
+),
+scored AS (
+  SELECT CAST((10 * COALESCE(c.cn, 0))
+              // (dx.deg + dy.deg - COALESCE(c.cn, 0)) AS BIGINT) AS jbin
+  FROM edges e
+  LEFT JOIN cn c ON c.x = e.x AND c.y = e.y
+  JOIN deg dx ON dx.a = e.x
+  JOIN deg dy ON dy.a = e.y
+)
+SELECT jbin, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM scored GROUP BY jbin ORDER BY jbin
+"""
+
+
 QUERIES = {
     "events_wasserstein": events_wasserstein,
     "events_energy_distance": events_energy_distance,
@@ -967,6 +1387,9 @@ QUERIES = {
     "simsearch_pq_distortion": simsearch_pq_distortion,
     "stream_ewma_alert": stream_ewma_alert,
     "text_burstiness": text_burstiness,
+    "events_friedman": events_friedman,
+    "sql_seasonal_index": sql_seasonal_index,
+    "sql_copurchase_edge_jaccard": sql_copurchase_edge_jaccard,
 }
 
 ORACLES = {
@@ -979,4 +1402,7 @@ ORACLES = {
     "simsearch_pq_distortion": _simsearch_pq_distortion_sql(),
     "stream_ewma_alert": STREAM_EWMA_ALERT_SQL,
     "text_burstiness": _text_burstiness_sql(),
+    "events_friedman": _events_friedman_sql(),
+    "sql_seasonal_index": SQL_SEASONAL_INDEX_SQL,
+    "sql_copurchase_edge_jaccard": _sql_copurchase_edge_jaccard_sql(),
 }

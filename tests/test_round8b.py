@@ -243,3 +243,71 @@ def test_burstiness_poisson_vs_bursty(spark, tmp_path):
     ex2 = 16 / n
     assert got["burst"].vmr == pytest.approx((ex2 - m * m) / m, rel=1e-12)
     assert got["burst"].df == 1 and got["burst"].total_count == 4
+
+
+# ---------------------------------------------------- Friedman test
+
+
+def test_friedman_consistent_ranking_matches_python(spark, tmp_path):
+    """Three weeks (21 days), counts arranged so type ranks are
+    IDENTICAL every week (a: low, b: mid, c: high) with no ties:
+    R_a=3, R_b=6, R_c=9; chi2 = 12/(n k(k+1)) * sum R^2 - 3n(k+1)."""
+    counts = {
+        "a": [1] * 21,
+        "b": [2] * 21,
+        "c": [3] * 21,
+    }
+    sf = _daily_series(spark, tmp_path, counts)
+    row = round8b.events_friedman(spark, sf).collect()[0]
+    n, k = 3, 3
+    rs = {"a": 1 * n, "b": 2 * n, "c": 3 * n}
+    chi2 = (12.0 / (n * k * (k + 1))) * sum(
+        r * r for r in rs.values()
+    ) - 3.0 * n * (k + 1)
+    assert row.n_blocks == n and row.k == k
+    assert row.friedman_chi2 == pytest.approx(chi2, rel=1e-12)
+    # perfectly consistent ranking maximizes the statistic: n(k-1)
+    assert chi2 == pytest.approx(n * (k - 1))
+    assert row.chi2_tie_corrected == pytest.approx(chi2, rel=1e-12)
+
+
+# ------------------------------------------------- seasonal index
+
+
+def test_seasonal_index_flat_series_is_one(spark, tmp_path):
+    """Constant monthly revenue over 26 months: every ratio is 1, so
+    every index (raw and normalized) is exactly 1."""
+    rows = []
+    k = 0
+    for ym in range(26):
+        y, m = 2020 + ym // 12, ym % 12 + 1
+        rows.append((k, 1000, "O", 100.0, f"{y}-{m:02d}-15", "1-URGENT"))
+        k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate", "o_orderpriority",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    rows_out = round8b.sql_seasonal_index(spark, str(tmp_path)).collect()
+    assert len(rows_out) > 0
+    for r in rows_out:
+        assert r.index_raw == pytest.approx(1.0)
+        assert r.index_norm == pytest.approx(1.0)
+
+
+# --------------------------------------------- edge Jaccard audit
+
+
+def test_edge_jaccard_histogram_totals_match_edge_count(spark):
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        _copurchase_edges,
+    )
+
+    hist = round8b.sql_copurchase_edge_jaccard(spark, SF_DIR).collect()
+    n_edges = _copurchase_edges(spark, SF_DIR).count()
+    assert sum(r.n_edges for r in hist) == n_edges
+    for r in hist:
+        assert 0 <= r.jbin <= 9  # J < 1 strictly (union >= cn + 2)
