@@ -1198,6 +1198,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_friedman",             # NEW: week-blocked rank test (doubled midranks)
     "sql_seasonal_index",          # NEW: classical 2x12 ratio-to-MA index
     "sql_copurchase_edge_jaccard", # NEW: sparsification-threshold histogram
+    # -- round 8 third wave (behind everything above; overflow past the
+    # ~50-row window is expected — verified locally, queued for round 9) --
+    "events_total_variation",      # NEW: bounded sup-gap drift distance
+    "events_hellinger",            # NEW: Bhattacharyya + Hellinger drift
+    "events_cliffs_delta",         # NEW: grid-exact nonparametric effect size
+    "events_cohens_d",             # NEW: pooled-variance effect size
+    "sql_theil_index",             # NEW: decomposable inequality index
+    "sql_lorenz_deciles",          # NEW: decile revenue-share curve
+    "text_yule_k",                 # NEW: Yule K / Simpson D / hapax share
+    "sql_copurchase_richclub",     # NEW: hub-interlink coefficient
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit
@@ -1502,6 +1512,7 @@ def build_queries() -> dict[str, QueryFn]:
         round7,
         round8,
         round8b,
+        round8c,
         stattests,
         tpch_tail,
     )
@@ -1514,6 +1525,7 @@ def build_queries() -> dict[str, QueryFn]:
     registry.update(round7.QUERIES)
     registry.update(round8.QUERIES)
     registry.update(round8b.QUERIES)
+    registry.update(round8c.QUERIES)
 
     out: dict[str, QueryFn] = {}
     for name in DRIVER_PRIORITY:
@@ -1572,6 +1584,7 @@ def build_oracles() -> dict[str, str]:
         round7,
         round8,
         round8b,
+        round8c,
         stattests,
         tpch_tail,
     )
@@ -1584,4 +1597,5 @@ def build_oracles() -> dict[str, str]:
     out.update(round7.ORACLES)
     out.update(round8.ORACLES)
     out.update(round8b.ORACLES)
+    out.update(round8c.ORACLES)
     return out
