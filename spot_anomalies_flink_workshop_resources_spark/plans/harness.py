@@ -1208,6 +1208,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_lorenz_deciles",          # NEW: decile revenue-share curve
     "text_yule_k",                 # NEW: Yule K / Simpson D / hapax share
     "sql_copurchase_richclub",     # NEW: hub-interlink coefficient
+    "events_grubbs",               # NEW: max studentized deviate + peak day
+    "events_mcnemar_activity",     # NEW: paired week1/week2 user-activity test
+    "dq_date_sanity",              # NEW: cross-table date-ordering audit
+    "sql_cr4_concentration",       # NEW: top-4 supplier revenue share
+    "sql_price_index_fisher",      # NEW: Laspeyres/Paasche/Fisher indices
+    "simsearch_sq8_distortion",    # NEW: 8-bit scalar-quantization MSE audit
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit

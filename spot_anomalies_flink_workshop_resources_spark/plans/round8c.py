@@ -835,6 +835,584 @@ ORDER BY n.k_threshold
     )
 
 
+# ------------------------------------------------- Grubbs outlier test
+
+
+def events_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRUBBS statistic on the daily event-count series per type: the
+    maximum studentized deviate G = max|x - mean| / sd and the day that
+    achieves it — the single-outlier screen a capacity review runs
+    before trusting a mean (events_robust_outliers flags rows; this
+    scores the SERIES and names the worst day).
+
+    Exactness: daily counts are int64; the argmax day is selected by
+    the INTEGER cross-product |x*n - S| (no float ever compared, ties
+    broken by earliest day); mean/sd compose the welch_t recipe from
+    int64 (n, S, Q), and G = dev_num / (n * sd) is two divisions + one
+    sqrt in fixed order. Scale: one data-sized hash agg to (type, day);
+    everything after is calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    dev = (
+        daily.join(F.broadcast(stats), "event_type")
+        .where(F.col("n") > 1)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "s",
+            "q",
+            F.abs(F.col("x") * F.col("n") - F.col("s"))
+            .cast("long")
+            .alias("dev_num"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("dev_num"), F.asc("day")
+    )
+    top = dev.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("q").cast("double") / F.col("n").cast("double") - m * m
+    ) * (F.col("n").cast("double") / (F.col("n") - 1).cast("double"))
+    return top.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("day").alias("peak_day"),
+        (
+            F.col("dev_num").cast("double")
+            / (F.col("n").cast("double") * F.sqrt(var))
+        ).alias("g_stat"),
+    ).orderBy("event_type")
+
+
+EVENTS_GRUBBS_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.day, st.n, st.s, st.q,
+         CAST(ABS(d.x * st.n - st.s) AS BIGINT) AS dev_num,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type
+                            ORDER BY ABS(d.x * st.n - st.s) DESC,
+                                     d.day ASC) AS rn
+  FROM daily d JOIN stats st ON st.event_type = d.event_type
+  WHERE st.n > 1
+)
+SELECT event_type, n AS n_days, day AS peak_day,
+       CAST(dev_num AS DOUBLE)
+         / (CAST(n AS DOUBLE)
+            * sqrt((CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                   * (CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))))
+         AS g_stat
+FROM dev WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+# -------------------------------------------------- McNemar activity
+
+
+def events_mcnemar_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR test of paired user activity, first week vs second week
+    of the span, per event type — the paired pre/post screen ("did the
+    SAME users change behavior?") that the independent two-sample tests
+    (welch, mannwhitney) cannot answer. chi2 = (b - c)^2 / (b + c) over
+    the discordant pairs b = active-then-quiet, c = quiet-then-active.
+
+    Exactness: week membership is integer day arithmetic off the
+    global min date (datediff DIV 7 — engine week-of-year rules never
+    consulted); b and c are exact int64; chi2 is ONE division of exact
+    integers. Scale: one data-sized hash agg to (type, user, week);
+    the pair frame is user-dimension bounded."""
+    e = load_table(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    wk = (
+        e.crossJoin(F.broadcast(d0))
+        .select(
+            "event_type",
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("d0")) / 7
+            )
+            .cast("long")
+            .alias("wk"),
+        )
+        .where(F.col("wk").isin(0, 1))
+        .distinct()
+    )
+    flags = wk.groupBy("event_type", "user_id").agg(
+        F.max(F.when(F.col("wk") == 0, 1).otherwise(0)).alias("w1"),
+        F.max(F.when(F.col("wk") == 1, 1).otherwise(0)).alias("w2"),
+    )
+    agg = flags.groupBy("event_type").agg(
+        F.sum(F.when((F.col("w1") == 1) & (F.col("w2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("w1") == 0) & (F.col("w2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    return agg.where(F.col("b") + F.col("c") > 0).select(
+        "event_type",
+        "n_users",
+        F.col("b").alias("lapsed"),
+        F.col("c").alias("adopted"),
+        (
+            ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))).cast(
+                "double"
+            )
+            / (F.col("b") + F.col("c")).cast("double")
+        ).alias("mcnemar_chi2"),
+    ).orderBy("event_type")
+
+
+EVENTS_MCNEMAR_SQL = """
+WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+wk AS (
+  SELECT DISTINCT event_type, user_id,
+         CAST(FLOOR(date_diff('day', d0.d0, CAST(ts AS DATE)) / 7)
+              AS BIGINT) AS wk
+  FROM events CROSS JOIN d0
+  WHERE CAST(FLOOR(date_diff('day', d0.d0, CAST(ts AS DATE)) / 7)
+             AS BIGINT) IN (0, 1)
+),
+flags AS (
+  SELECT event_type, user_id,
+         MAX(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS w1,
+         MAX(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS w2
+  FROM wk GROUP BY event_type, user_id
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN w1 = 1 AND w2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN w1 = 0 AND w2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM flags GROUP BY event_type
+)
+SELECT event_type, n_users, b AS lapsed, c AS adopted,
+       CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE)
+         AS mcnemar_chi2
+FROM agg WHERE b + c > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------- date-sanity DQ
+
+
+def dq_date_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE-ORDERING sanity audit across orders x lineitem: lines
+    shipped BEFORE their order date (hard impossibility), shipped more
+    than 120 days after (stale fulfilment), and orders dated outside
+    the warehouse's observed calendar years — the cross-table DQ
+    screen next to dq_referential_integrity's key checks.
+
+    Exactness: every class is an integer date comparison counted in
+    int64; shares are ONE division. Scale: one keyed equi-join on
+    orderkey (never data x data), map-side-combinable count agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff(F.col("sd"), F.col("od")).cast("long").alias("lag")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("lag") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ship_before_order"),
+        F.sum(F.when(F.col("lag") > 120, 1).otherwise(0))
+        .cast("long")
+        .alias("ship_lag_over_120d"),
+        F.max("lag").cast("long").alias("max_lag_days"),
+    )
+    return agg.select(
+        "n_lines",
+        "ship_before_order",
+        "ship_lag_over_120d",
+        "max_lag_days",
+        (
+            F.col("ship_lag_over_120d").cast("double")
+            / F.col("n_lines").cast("double")
+        ).alias("stale_share"),
+    )
+
+
+DQ_DATE_SANITY_SQL = """
+WITH j AS (
+  SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN lag < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS ship_before_order,
+       CAST(SUM(CASE WHEN lag > 120 THEN 1 ELSE 0 END) AS BIGINT)
+         AS ship_lag_over_120d,
+       CAST(MAX(lag) AS BIGINT) AS max_lag_days,
+       CAST(SUM(CASE WHEN lag > 120 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS stale_share
+FROM j
+"""
+
+
+# --------------------------------------------------- CR4 concentration
+
+
+def sql_cr4_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CR4 CONCENTRATION RATIO per region: the revenue share of the
+    four largest suppliers — the antitrust-style market-structure
+    number sql_supplier_hhi summarizes into one index (CR4 reads the
+    head directly; regulators quote both).
+
+    Exactness: supplier revenue is exact int64 cents; the top-4 pick
+    is a deterministic (revenue DESC, suppkey ASC) row_number; CR4 is
+    ONE division. Scale: lineitem collapses to the supplier dimension
+    in one hash agg; nation/region dims broadcast; the ranking window
+    partitions by region over the supplier-dimension frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(cents).cast("long").alias("rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("r_name", "l_suppkey", "rev")
+    )
+    w = Window.partitionBy("r_name").orderBy(
+        F.desc("rev"), F.asc("l_suppkey")
+    )
+    ranked = per_supp.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("rev").cast("long").alias("tot"),
+            F.sum(F.when(F.col("rn") <= 4, F.col("rev")).otherwise(0))
+            .cast("long")
+            .alias("top4"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            "n_suppliers",
+            (F.col("top4").cast("double") / F.lit(100.0)).alias(
+                "top4_revenue"
+            ),
+            (
+                F.col("top4").cast("double") / F.col("tot").cast("double")
+            ).alias("cr4"),
+        )
+        .orderBy("region")
+    )
+
+
+SQL_CR4_CONCENTRATION_SQL = """
+WITH per_supp AS (
+  SELECT r.r_name, li.l_suppkey,
+         CAST(SUM(CAST(FLOOR(li.l_extendedprice * (1.0 - li.l_discount)
+                             * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem li
+  JOIN supplier s ON s.s_suppkey = li.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, li.l_suppkey
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY r_name
+                               ORDER BY rev DESC, l_suppkey ASC) AS rn
+  FROM per_supp
+)
+SELECT r_name AS region,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CASE WHEN rn <= 4 THEN rev ELSE 0 END) AS DOUBLE) / 100.0
+         AS top4_revenue,
+       CAST(SUM(CASE WHEN rn <= 4 THEN rev ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS cr4
+FROM ranked
+GROUP BY r_name
+ORDER BY region
+"""
+
+
+# ---------------------------------------- Laspeyres / Paasche / Fisher
+
+
+def sql_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LASPEYRES, PAASCHE and FISHER price indices between the first
+    and last order year, over parts traded in BOTH — the classical
+    "how much did the catalog's price level move" decomposition
+    (sql_monthly_growth tracks revenue; these separate price from
+    volume).
+
+    Exactness: per-(part, year) quantity and revenue-cents are exact
+    int64; base-period value sums (sum p0*q0 = sum rev0, sum p1*q1 =
+    sum rev1) are EXACT integers by construction; the two cross terms
+    (p1*q0, p0*q1) compose one division + one product per part,
+    quantized onto the 2^-20 grid before the int64 fold. Fisher is one
+    sqrt of the two ratios. Scale: one data-sized hash agg to the
+    (part, year) frame; everything after is part-dimension bounded."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    py = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_partkey", "yr")
+        .agg(
+            F.sum(qty).cast("long").alias("q"),
+            F.sum(cents).cast("long").alias("rev"),
+        )
+    )
+    yrs = py.agg(
+        F.min("yr").cast("long").alias("y0"),
+        F.max("yr").cast("long").alias("y1"),
+    )
+    both = (
+        py.crossJoin(F.broadcast(yrs))
+        .where((F.col("yr") == F.col("y0")) | (F.col("yr") == F.col("y1")))
+        .groupBy("l_partkey", "y0", "y1")
+        .agg(
+            F.sum(F.when(F.col("yr") == F.col("y0"), F.col("q"))).cast(
+                "long"
+            ).alias("q0"),
+            F.sum(F.when(F.col("yr") == F.col("y0"), F.col("rev"))).cast(
+                "long"
+            ).alias("rev0"),
+            F.sum(F.when(F.col("yr") == F.col("y1"), F.col("q"))).cast(
+                "long"
+            ).alias("q1"),
+            F.sum(F.when(F.col("yr") == F.col("y1"), F.col("rev"))).cast(
+                "long"
+            ).alias("rev1"),
+        )
+        .where(
+            F.col("q0").isNotNull()
+            & F.col("q1").isNotNull()
+            & (F.col("q0") > 0)
+            & (F.col("q1") > 0)
+        )
+    )
+    p0 = F.col("rev0").cast("double") / F.col("q0").cast("double")
+    p1 = F.col("rev1").cast("double") / F.col("q1").cast("double")
+    t10 = F.floor(
+        p1 * F.col("q0").cast("double") * F.lit(float(_Q20)) + F.lit(0.5)
+    ).cast("long")
+    t01 = F.floor(
+        p0 * F.col("q1").cast("double") * F.lit(float(_Q20)) + F.lit(0.5)
+    ).cast("long")
+    agg = both.groupBy("y0", "y1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev0").cast("long").alias("v00"),
+        F.sum("rev1").cast("long").alias("v11"),
+        F.sum(t10).cast("long").alias("v10q"),
+        F.sum(t01).cast("long").alias("v01q"),
+    )
+    lasp = (F.col("v10q").cast("double") / F.lit(float(_Q20))) / F.col(
+        "v00"
+    ).cast("double")
+    paas = F.col("v11").cast("double") / (
+        F.col("v01q").cast("double") / F.lit(float(_Q20))
+    )
+    return agg.select(
+        F.col("y0").alias("base_year"),
+        F.col("y1").alias("compare_year"),
+        "n_parts",
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
+        F.sqrt(lasp * paas).alias("fisher"),
+    )
+
+
+SQL_PRICE_INDEX_FISHER_SQL = f"""
+WITH py AS (
+  SELECT l.l_partkey, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS q,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_partkey, CAST(year(o.o_orderdate) AS BIGINT)
+),
+yrs AS (
+  SELECT CAST(MIN(yr) AS BIGINT) AS y0, CAST(MAX(yr) AS BIGINT) AS y1
+  FROM py
+),
+common_parts AS (
+  SELECT l_partkey, y0, y1,
+         CAST(SUM(CASE WHEN yr = y0 THEN q END) AS BIGINT) AS q0,
+         CAST(SUM(CASE WHEN yr = y0 THEN rev END) AS BIGINT) AS rev0,
+         CAST(SUM(CASE WHEN yr = y1 THEN q END) AS BIGINT) AS q1,
+         CAST(SUM(CASE WHEN yr = y1 THEN rev END) AS BIGINT) AS rev1
+  FROM py CROSS JOIN yrs
+  WHERE yr = y0 OR yr = y1
+  GROUP BY l_partkey, y0, y1
+  HAVING SUM(CASE WHEN yr = y0 THEN q END) > 0
+     AND SUM(CASE WHEN yr = y1 THEN q END) > 0
+),
+agg AS (
+  SELECT y0, y1, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(rev0) AS BIGINT) AS v00,
+         CAST(SUM(rev1) AS BIGINT) AS v11,
+         CAST(SUM(CAST(FLOOR(
+             (CAST(rev1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+             * CAST(q0 AS DOUBLE) * {float(_Q20)!r} + 0.5) AS BIGINT))
+           AS BIGINT) AS v10q,
+         CAST(SUM(CAST(FLOOR(
+             (CAST(rev0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+             * CAST(q1 AS DOUBLE) * {float(_Q20)!r} + 0.5) AS BIGINT))
+           AS BIGINT) AS v01q
+  FROM common_parts GROUP BY y0, y1
+)
+SELECT y0 AS base_year, y1 AS compare_year, n_parts,
+       (CAST(v10q AS DOUBLE) / {float(_Q20)!r}) / CAST(v00 AS DOUBLE)
+         AS laspeyres,
+       CAST(v11 AS DOUBLE) / (CAST(v01q AS DOUBLE) / {float(_Q20)!r})
+         AS paasche,
+       sqrt(((CAST(v10q AS DOUBLE) / {float(_Q20)!r})
+             / CAST(v00 AS DOUBLE))
+            * (CAST(v11 AS DOUBLE)
+               / (CAST(v01q AS DOUBLE) / {float(_Q20)!r}))) AS fisher
+FROM agg
+"""
+
+
+# ------------------------------------------------ SQ8 distortion audit
+
+
+def simsearch_sq8_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR-QUANTIZATION (SQ8) distortion audit: quantize every
+    embedding dimension to 8 bits over its observed [min, max] range
+    and report per-dimension reconstruction MSE plus the worst cell
+    error — the index-health read for the 4x-smaller SQ index family,
+    next to simsearch_pq_distortion's codebook view (SQ8 is what
+    FAISS/IVF deployments try FIRST; the audit says whether 8 bits is
+    enough per axis).
+
+    Exactness: per-dim min/max are exact float comparisons; the code
+    floor((x - mn) / (mx - mn) * 255 + 0.5) and the reconstruction
+    compose identically on both engines; squared errors quantize onto
+    the 2^-40 grid before the int64 fold (errors are bounded by half a
+    quantization step squared, so terms are tiny and the fold exact).
+    Scale: the dim explode is |rows| x 64 narrow longs; per-dim stats
+    and the error agg are both map-side-combinable hash aggs keyed by
+    the 64-value dim."""
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "d", "x"
+        ),
+    )
+    rng = flat.groupBy("d").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    q40 = float(1 << 40)
+    code = F.floor(
+        (F.col("x") - F.col("mn"))
+        / (F.col("mx") - F.col("mn"))
+        * F.lit(255.0)
+        + F.lit(0.5)
+    ).cast("long")
+    joined = flat.join(F.broadcast(rng), "d").where(
+        F.col("mx") > F.col("mn")
+    )
+    recon = F.col("mn") + F.col("code").cast("double") * (
+        F.col("mx") - F.col("mn")
+    ) / F.lit(255.0)
+    errq = F.floor(
+        (F.col("x") - F.col("recon"))
+        * (F.col("x") - F.col("recon"))
+        * F.lit(q40)
+        + F.lit(0.5)
+    ).cast("long")
+    staged = joined.withColumn("code", code).withColumn("recon", recon)
+    agg = staged.withColumn("errq", errq).groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("errq").cast("long").alias("se"),
+        F.max("errq").cast("long").alias("worst"),
+    )
+    return agg.select(
+        F.col("d").cast("long").alias("dim"),
+        "n",
+        (
+            F.col("se").cast("double")
+            / (F.lit(q40) * F.col("n").cast("double"))
+        ).alias("mse"),
+        (F.col("worst").cast("double") / F.lit(q40)).alias("worst_sq_err"),
+    ).orderBy("dim")
+
+
+def _simsearch_sq8_distortion_sql(dim: int = 64) -> str:
+    q40 = float(1 << 40)
+    return f"""
+WITH flat AS (
+  SELECT vec_id, g.i - 1 AS d, embedding[g.i]::DOUBLE AS x
+  FROM embeddings, generate_series(1, {dim}) AS g(i)
+),
+rng AS (
+  SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM flat GROUP BY d
+),
+staged AS (
+  SELECT f.d, f.x, r.mn, r.mx,
+         CAST(FLOOR((f.x - r.mn) / (r.mx - r.mn) * 255.0 + 0.5)
+              AS BIGINT) AS code
+  FROM flat f JOIN rng r ON r.d = f.d
+  WHERE r.mx > r.mn
+),
+errs AS (
+  SELECT d,
+         CAST(FLOOR((x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0))
+                    * (x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0))
+                    * {q40!r} + 0.5) AS BIGINT) AS errq
+  FROM staged
+)
+SELECT CAST(d AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(errq) AS DOUBLE) / ({q40!r} * CAST(COUNT(*) AS DOUBLE))
+         AS mse,
+       CAST(MAX(errq) AS DOUBLE) / {q40!r} AS worst_sq_err
+FROM errs GROUP BY d
+ORDER BY dim
+"""
+
+
 QUERIES = {
     "events_total_variation": events_total_variation,
     "events_hellinger": events_hellinger,
@@ -844,6 +1422,12 @@ QUERIES = {
     "sql_lorenz_deciles": sql_lorenz_deciles,
     "text_yule_k": text_yule_k,
     "sql_copurchase_richclub": sql_copurchase_richclub,
+    "events_grubbs": events_grubbs,
+    "events_mcnemar_activity": events_mcnemar_activity,
+    "dq_date_sanity": dq_date_sanity,
+    "sql_cr4_concentration": sql_cr4_concentration,
+    "sql_price_index_fisher": sql_price_index_fisher,
+    "simsearch_sq8_distortion": simsearch_sq8_distortion,
 }
 
 ORACLES = {
@@ -855,4 +1439,10 @@ ORACLES = {
     "sql_lorenz_deciles": SQL_LORENZ_DECILES_SQL,
     "text_yule_k": TEXT_YULE_K_SQL,
     "sql_copurchase_richclub": _sql_copurchase_richclub_sql(),
+    "events_grubbs": EVENTS_GRUBBS_SQL,
+    "events_mcnemar_activity": EVENTS_MCNEMAR_SQL,
+    "dq_date_sanity": DQ_DATE_SANITY_SQL,
+    "sql_cr4_concentration": SQL_CR4_CONCENTRATION_SQL,
+    "sql_price_index_fisher": SQL_PRICE_INDEX_FISHER_SQL,
+    "simsearch_sq8_distortion": _simsearch_sq8_distortion_sql(),
 }

@@ -273,6 +273,172 @@ def test_yule_k_python_recompute(spark, tmp_path):
     assert d.hapax_share == pytest.approx(1.0)
 
 
+# ------------------------------------------------------ Grubbs test
+
+
+def test_grubbs_planted_spike(spark, tmp_path):
+    """Daily counts [5, 5, 5, 5, 20]: the spike day is named and G
+    matches the Python recomputation."""
+    counts = [5, 5, 5, 5, 20]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append((eid, f"2024-03-{day:02d} 12:00:00", 1, "a", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    n = len(counts)
+    m = sum(counts) / n
+    sd = math.sqrt(sum((x - m) ** 2 for x in counts) / (n - 1))
+    row = round8c.events_grubbs(spark, sf).collect()[0]
+    assert str(row.peak_day) == "2024-03-05"
+    assert row.n_days == n
+    assert row.g_stat == pytest.approx(max(abs(x - m) for x in counts) / sd)
+
+
+# -------------------------------------------------- McNemar activity
+
+
+def test_mcnemar_planted_discordance(spark, tmp_path):
+    """Users 1-3 active week1 only (b=3), user 4 active week2 only
+    (c=1), user 5 active both (concordant): chi2 = (3-1)^2/4 = 1."""
+    rows = []
+    eid = 0
+    for u in (1, 2, 3, 5):
+        rows.append((eid, "2024-03-01 10:00:00", u, "a", 1.0))
+        eid += 1
+    for u in (4, 5):
+        rows.append((eid, "2024-03-08 10:00:00", u, "a", 1.0))
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    row = round8c.events_mcnemar_activity(spark, sf).collect()[0]
+    assert row.lapsed == 3 and row.adopted == 1 and row.n_users == 5
+    assert row.mcnemar_chi2 == pytest.approx((3 - 1) ** 2 / 4)
+
+
+# ----------------------------------------------------- date sanity DQ
+
+
+def test_dq_date_sanity_planted_violations(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, "2024-03-10"), (2, "2024-03-01")],
+        "o_orderkey long, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    li = [
+        (1, "2024-03-05"),   # ships before order date -> violation
+        (1, "2024-03-12"),   # fine
+        (2, "2024-08-01"),   # 153-day lag -> stale
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_shipdate string"
+    ).selectExpr(
+        "l_orderkey", "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    row = round8c.dq_date_sanity(spark, str(tmp_path)).collect()[0]
+    assert row.n_lines == 3
+    assert row.ship_before_order == 1
+    assert row.ship_lag_over_120d == 1
+    assert row.max_lag_days == 153
+    assert row.stale_share == pytest.approx(1 / 3)
+
+
+# --------------------------------------------------------------- CR4
+
+
+def test_cr4_top4_share(spark, tmp_path):
+    """6 suppliers in one region with revenues 60..10: CR4 =
+    (60+50+40+30)/210."""
+    revs = [60.0, 50.0, 40.0, 30.0, 20.0, 10.0]
+    spark.createDataFrame(
+        [(i, i, 1.0, r, 0.0) for i, r in enumerate(revs)],
+        "l_orderkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(i, f"S{i}", 0) for i in range(len(revs))],
+        "s_suppkey long, s_name string, s_nationkey long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/supplier.parquet")
+    spark.createDataFrame(
+        [(0, "ALPHA", 0)], "n_nationkey long, n_name string, n_regionkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/nation.parquet")
+    spark.createDataFrame(
+        [(0, "R1")], "r_regionkey long, r_name string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/region.parquet")
+    row = round8c.sql_cr4_concentration(spark, str(tmp_path)).collect()[0]
+    assert row.n_suppliers == 6
+    assert row.cr4 == pytest.approx(180 / 210)
+    assert row.top4_revenue == pytest.approx(180.0)
+
+
+# ----------------------------------------------------- price indices
+
+
+def test_fisher_index_python_recompute(spark, tmp_path):
+    """Two parts traded in 2020 and 2023 with known prices/quantities;
+    a third part missing from the base year is excluded."""
+    # (orderkey, year)
+    spark.createDataFrame(
+        [(1, "2020-06-01"), (2, "2023-06-01")],
+        "o_orderkey long, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    # (orderkey, partkey, qty, extprice): price0 = ext/qty
+    li = [
+        (1, 10, 2.0, 20.0),   # part 10, y0: q=2,  p=10
+        (1, 11, 5.0, 25.0),   # part 11, y0: q=5,  p=5
+        (2, 10, 4.0, 60.0),   # part 10, y1: q=4,  p=15
+        (2, 11, 2.0, 16.0),   # part 11, y1: q=2,  p=8
+        (2, 12, 1.0, 99.0),   # part 12 only in y1 -> excluded
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    row = round8c.sql_price_index_fisher(spark, str(tmp_path)).collect()[0]
+    lasp = (15 * 2 + 8 * 5) / (10 * 2 + 5 * 5)
+    paas = (15 * 4 + 8 * 2) / (10 * 4 + 5 * 2)
+    assert row.base_year == 2020 and row.compare_year == 2023
+    assert row.n_parts == 2
+    assert row.laspeyres == pytest.approx(lasp, abs=1e-5)
+    assert row.paasche == pytest.approx(paas, abs=1e-5)
+    assert row.fisher == pytest.approx(math.sqrt(lasp * paas), abs=1e-5)
+
+
+# ------------------------------------------------------ SQ8 distortion
+
+
+def test_sq8_distortion_two_dims(spark, tmp_path):
+    """Dim 0 takes only the range endpoints (codes 0/255 -> zero
+    error); dim 1 takes the midpoint of [0, 1] whose nearest code
+    128/255 leaves a known squared error."""
+    import numpy as np
+
+    vecs = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 1.0]),
+        (2, [0.0, 0.5]),
+    ]
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    rows = {
+        r.dim: r
+        for r in round8c.simsearch_sq8_distortion(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows[0].mse == pytest.approx(0.0)
+    # midpoint 0.5 -> code floor(0.5*255+0.5) = 128, recon = 128/255
+    err = (0.5 - 128 / 255) ** 2
+    assert rows[1].worst_sq_err == pytest.approx(err, abs=1e-9)
+    assert rows[1].mse == pytest.approx(err / 3, abs=1e-9)
+
+
 # ----------------------------------------------------- rich-club phi
 
 
