@@ -1214,6 +1214,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_cr4_concentration",       # NEW: top-4 supplier revenue share
     "sql_price_index_fisher",      # NEW: Laspeyres/Paasche/Fisher indices
     "simsearch_sq8_distortion",    # NEW: 8-bit scalar-quantization MSE audit
+    "events_cochran_q",            # NEW: 3-week paired-activity k-sample test
+    "events_jonckheere",           # NEW: ordered-daypart trend test
+    "events_seasonal_mann_kendall",# NEW: Hirsch-Slack same-weekday MK
+    "events_poisson_rate",         # NEW: weekend/weekday rate ratio + z
+    "corpus_length_lognormal",     # NEW: mu/sigma/median of ln length
+    "text_honore_sichel",          # NEW: Honore R + Sichel S constants
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit
@@ -1519,6 +1525,7 @@ def build_queries() -> dict[str, QueryFn]:
         round8,
         round8b,
         round8c,
+        round8d,
         stattests,
         tpch_tail,
     )
@@ -1532,6 +1539,7 @@ def build_queries() -> dict[str, QueryFn]:
     registry.update(round8.QUERIES)
     registry.update(round8b.QUERIES)
     registry.update(round8c.QUERIES)
+    registry.update(round8d.QUERIES)
 
     out: dict[str, QueryFn] = {}
     for name in DRIVER_PRIORITY:
@@ -1591,6 +1599,7 @@ def build_oracles() -> dict[str, str]:
         round8,
         round8b,
         round8c,
+        round8d,
         stattests,
         tpch_tail,
     )
@@ -1604,4 +1613,5 @@ def build_oracles() -> dict[str, str]:
     out.update(round8.ORACLES)
     out.update(round8b.ORACLES)
     out.update(round8c.ORACLES)
+    out.update(round8d.ORACLES)
     return out
