@@ -1220,6 +1220,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_poisson_rate",         # NEW: weekend/weekday rate ratio + z
     "corpus_length_lognormal",     # NEW: mu/sigma/median of ln length
     "text_honore_sichel",          # NEW: Honore R + Sichel S constants
+    "events_series_similarity",    # NEW: per-user daily-series top-5 Pearson
+    "events_sax_motifs",           # NEW: weekly SAX-word motif counts
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit

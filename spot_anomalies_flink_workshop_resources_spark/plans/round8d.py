@@ -664,6 +664,302 @@ ORDER BY source
 """
 
 
+# ------------------------------------- time-series similarity search
+
+
+def events_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES SIMILARITY SEARCH over per-user daily activity: for
+    the 8 lowest user ids, the top-5 most-correlated other users by
+    Pearson r of their zero-filled daily event-count series — the
+    "find tenants that behave like this one" retrieval the streaming
+    literature builds sketch indexes for (EDBT'19 similarity-search
+    shape; brute-force twin here, the same baseline-vs-index contract
+    as simsearch_brute_force).
+
+    Exactness: zero days need NO materialization — with D the global
+    day count, r's sufficient statistics (sum x, sum x^2 over present
+    days; sum xy over the inner join of present days, zeros contribute
+    nothing) are all exact int64, and r composes once as (D*Sxy -
+    Sx*Sy) / (sqrt(D*Sxx - Sx^2) * sqrt(D*Syy - Sy^2)). Top-5 breaks
+    float ties by neighbor id. Scale: one data-sized hash agg to the
+    (user, day) frame; the query side is 8 users' series (broadcast),
+    so the score join is |users|-dimension bounded."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    )
+    days = e.agg(F.countDistinct("d").cast("long").alias("dd"))
+    ud = e.groupBy("user_id", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    stats = ud.groupBy("user_id").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    q_ud = ud.where(F.col("user_id") < 8).select(
+        F.col("user_id").alias("query_id"),
+        "d",
+        F.col("x").alias("qx"),
+    )
+    sxy = (
+        F.broadcast(q_ud)
+        .join(ud, "d")
+        .where(F.col("user_id") != F.col("query_id"))
+        .groupBy("query_id", "user_id")
+        .agg(F.sum(F.col("qx") * F.col("x")).cast("long").alias("sxy"))
+    )
+    q_stats = stats.where(F.col("user_id") < 8).select(
+        F.col("user_id").alias("query_id"),
+        F.col("sx").alias("qsx"),
+        F.col("sxx").alias("qsxx"),
+    )
+    j = (
+        sxy.join(F.broadcast(q_stats), "query_id")
+        .join(stats, "user_id")
+        .crossJoin(F.broadcast(days))
+        # zero-variance series (constant daily counts) have no defined
+        # r: filter BEFORE the division — ANSI Spark would throw where
+        # DuckDB yields NULL, so the guard must be structural
+        .where(
+            (F.col("dd") * F.col("qsxx") - F.col("qsx") * F.col("qsx") > 0)
+            & (F.col("dd") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        )
+    )
+    num = (
+        F.col("dd") * F.col("sxy") - F.col("qsx") * F.col("sx")
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("dd") * F.col("qsxx") - F.col("qsx") * F.col("qsx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("dd") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    scored = j.select(
+        "query_id",
+        F.col("user_id").alias("neighbor_id"),
+        (num / den).alias("r"),
+    ).where(F.col("r").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("r"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+EVENTS_SERIES_SIMILARITY_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d
+  FROM events
+),
+days AS (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS dd FROM ev),
+ud AS (
+  SELECT user_id, d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM ev GROUP BY user_id, d
+),
+stats AS (
+  SELECT user_id, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM ud GROUP BY user_id
+),
+sxy AS (
+  SELECT q.user_id AS query_id, c.user_id,
+         CAST(SUM(q.x * c.x) AS BIGINT) AS sxy
+  FROM ud q JOIN ud c ON c.d = q.d AND c.user_id <> q.user_id
+  WHERE q.user_id < 8
+  GROUP BY q.user_id, c.user_id
+),
+scored AS (
+  SELECT s.query_id, s.user_id AS neighbor_id,
+         CAST(days.dd * s.sxy - qs.sx * cs.sx AS DOUBLE)
+           / (sqrt(CAST(days.dd * qs.sxx - qs.sx * qs.sx AS DOUBLE))
+              * sqrt(CAST(days.dd * cs.sxx - cs.sx * cs.sx AS DOUBLE)))
+           AS r
+  FROM sxy s
+  JOIN stats qs ON qs.user_id = s.query_id
+  JOIN stats cs ON cs.user_id = s.user_id
+  CROSS JOIN days
+  WHERE days.dd * qs.sxx - qs.sx * qs.sx > 0
+    AND days.dd * cs.sxx - cs.sx * cs.sx > 0
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY r DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored WHERE r IS NOT NULL
+)
+SELECT query_id, neighbor_id, r, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# ------------------------------------------------- SAX motif counts
+
+
+def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX MOTIF DISCOVERY on daily volume per event type: each full
+    week becomes a 7-symbol SAX word (per-day z-score against the
+    type's own mean/sd, 4-symbol alphabet at the standard N(0,1)
+    quartile breakpoints +-0.6745), and recurring words are the
+    series' motifs — the iSAX-lineage symbolic index shape, reduced to
+    its audit ("does this type have a repeating weekly signature?").
+
+    Exactness: daily counts int64 on the observed calendar (weeks are
+    epoch-day offsets from the type's first day, DIV/% 7 — engine week
+    rules never consulted); mu/sd compose the welch recipe once; the
+    symbol compare z < breakpoint uses literals identical on both
+    engines; words assemble by ORDER BY day-in-week string_agg (Spark:
+    sorted-struct array transform). Scale: one data-sized hash agg to
+    (type, day); everything after is calendar-bounded."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    )
+    daily = e.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.min("d").cast("long").alias("d0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("q").cast("double") / F.col("n").cast("double") - m * m
+    ) * (F.col("n").cast("double") / (F.col("n") - 1).cast("double"))
+    z = (F.col("x").cast("double") - m) / F.sqrt(var)
+    sym = (
+        F.when(z < F.lit(-0.6745), F.lit("a"))
+        .when(z < F.lit(0.0), F.lit("b"))
+        .when(z < F.lit(0.6745), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    sd = (
+        daily.join(F.broadcast(stats), "event_type")
+        .where(F.col("n") > 1)
+        .select(
+            "event_type",
+            ((F.col("d") - F.col("d0")) / 7).cast("long").alias("wk"),
+            F.pmod(F.col("d") - F.col("d0"), F.lit(7))
+            .cast("long")
+            .alias("dow"),
+            sym.alias("sym"),
+        )
+    )
+    words = (
+        sd.groupBy("event_type", "wk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dow", "sym"))
+                    ),
+                    lambda s: s.sym,
+                ),
+                "",
+            ).alias("word"),
+        )
+        .where(F.col("n_days") == 7)
+    )
+    return (
+        words.groupBy("event_type", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_weeks"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.desc("n_weeks"), F.asc("word")
+                )
+            ),
+        )
+        .where(F.col("rk") <= 3)
+        .select("event_type", "word", "n_weeks")
+        .orderBy("event_type", F.desc("n_weeks"), "word")
+    )
+
+
+EVENTS_SAX_MOTIFS_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d
+  FROM events
+),
+daily AS (
+  SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM ev GROUP BY event_type, d
+),
+stats AS (
+  SELECT event_type, CAST(MIN(d) AS BIGINT) AS d0,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q
+  FROM daily GROUP BY event_type
+),
+sd AS (
+  SELECT daily.event_type,
+         CAST((daily.d - st.d0) // 7 AS BIGINT) AS wk,
+         CAST((daily.d - st.d0) % 7 AS BIGINT) AS dow,
+         CASE WHEN (CAST(daily.x AS DOUBLE)
+                    - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                   / sqrt((CAST(st.q AS DOUBLE) / CAST(st.n AS DOUBLE)
+                           - (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                             * (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)))
+                          * (CAST(st.n AS DOUBLE)
+                             / CAST(st.n - 1 AS DOUBLE)))
+                   < -0.6745 THEN 'a'
+              WHEN (CAST(daily.x AS DOUBLE)
+                    - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                   / sqrt((CAST(st.q AS DOUBLE) / CAST(st.n AS DOUBLE)
+                           - (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                             * (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)))
+                          * (CAST(st.n AS DOUBLE)
+                             / CAST(st.n - 1 AS DOUBLE)))
+                   < 0.0 THEN 'b'
+              WHEN (CAST(daily.x AS DOUBLE)
+                    - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                   / sqrt((CAST(st.q AS DOUBLE) / CAST(st.n AS DOUBLE)
+                           - (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                             * (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)))
+                          * (CAST(st.n AS DOUBLE)
+                             / CAST(st.n - 1 AS DOUBLE)))
+                   < 0.6745 THEN 'c'
+              ELSE 'd' END AS sym
+  FROM daily JOIN stats st ON st.event_type = daily.event_type
+  WHERE st.n > 1
+),
+words AS (
+  SELECT event_type, wk, CAST(COUNT(*) AS BIGINT) AS n_days,
+         string_agg(sym, '' ORDER BY dow) AS word
+  FROM sd GROUP BY event_type, wk
+),
+counted AS (
+  SELECT event_type, word, CAST(COUNT(*) AS BIGINT) AS n_weeks
+  FROM words WHERE n_days = 7
+  GROUP BY event_type, word
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY n_weeks DESC, word ASC) AS rk
+  FROM counted
+)
+SELECT event_type, word, n_weeks FROM ranked WHERE rk <= 3
+ORDER BY event_type, n_weeks DESC, word
+"""
+
+
 QUERIES = {
     "events_cochran_q": events_cochran_q,
     "events_jonckheere": events_jonckheere,
@@ -671,6 +967,8 @@ QUERIES = {
     "events_poisson_rate": events_poisson_rate,
     "corpus_length_lognormal": corpus_length_lognormal,
     "text_honore_sichel": text_honore_sichel,
+    "events_series_similarity": events_series_similarity,
+    "events_sax_motifs": events_sax_motifs,
 }
 
 ORACLES = {
@@ -680,4 +978,6 @@ ORACLES = {
     "events_poisson_rate": EVENTS_POISSON_RATE_SQL,
     "corpus_length_lognormal": CORPUS_LENGTH_LOGNORMAL_SQL,
     "text_honore_sichel": TEXT_HONORE_SICHEL_SQL,
+    "events_series_similarity": EVENTS_SERIES_SIMILARITY_SQL,
+    "events_sax_motifs": EVENTS_SAX_MOTIFS_SQL,
 }

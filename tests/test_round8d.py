@@ -203,3 +203,96 @@ def test_honore_all_hapax_null(spark, tmp_path):
     row = round8d.text_honore_sichel(spark, sf).collect()[0]
     assert row.honore_r is None
     assert row.sichel_s == pytest.approx(0.0)
+
+
+# ------------------------------------- time-series similarity search
+
+
+def test_series_similarity_planted_twin(spark, tmp_path):
+    """User 0's daily series is exactly mirrored by user 10 (r = 1)
+    and anti-mirrored by user 11 (r = -1); user 12 is flat (NULL r,
+    filtered). Top neighbor of query 0 must be user 10."""
+    series = {
+        0: [1, 5, 2, 8],
+        10: [2, 10, 4, 16],   # 2x user 0 -> r = +1
+        11: [8, 2, 5, 1],     # reversed -> some r < 1
+        12: [3, 3, 3, 3],     # zero variance -> NULL r
+    }
+    rows = []
+    eid = 0
+    for u, per_day in series.items():
+        for day, c in enumerate(per_day, start=1):
+            for _ in range(c):
+                rows.append(
+                    (eid, f"2024-03-{day:02d} 10:00:00", u, "a", 1.0)
+                )
+                eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = round8d.events_series_similarity(spark, sf).collect()
+    q0 = [r for r in out if r.query_id == 0]
+    assert q0[0].neighbor_id == 10
+    assert q0[0].r == pytest.approx(1.0)
+    assert all(r.neighbor_id != 12 for r in q0)
+
+
+def test_series_similarity_python_recompute(spark, tmp_path):
+    import statistics
+
+    series = {0: [4, 1, 3, 2], 20: [1, 2, 2, 4], 21: [5, 1, 1, 2]}
+    rows = []
+    eid = 0
+    for u, per_day in series.items():
+        for day, c in enumerate(per_day, start=1):
+            for _ in range(c):
+                rows.append(
+                    (eid, f"2024-03-{day:02d} 10:00:00", u, "a", 1.0)
+                )
+                eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        (r.query_id, r.neighbor_id): r.r
+        for r in round8d.events_series_similarity(spark, sf).collect()
+    }
+
+    def pearson(a, b):
+        n = len(a)
+        sa, sb = sum(a), sum(b)
+        num = n * sum(x * y for x, y in zip(a, b)) - sa * sb
+        da = math.sqrt(n * sum(x * x for x in a) - sa * sa)
+        db = math.sqrt(n * sum(y * y for y in b) - sb * sb)
+        return num / (da * db)
+
+    assert out[(0, 20)] == pytest.approx(
+        pearson(series[0], series[20]), abs=1e-12
+    )
+    assert out[(0, 21)] == pytest.approx(
+        pearson(series[0], series[21]), abs=1e-12
+    )
+
+
+# ------------------------------------------------- SAX motif counts
+
+
+def test_sax_motifs_repeating_week(spark, tmp_path):
+    """Three identical weeks of a strong low/high pattern produce ONE
+    motif word repeated 3 times; the word's symbols follow the
+    plateau/peak shape."""
+    pattern = [2, 2, 2, 2, 2, 20, 20]  # 5 low days + 2 high days
+    rows = []
+    eid = 0
+    for wk in range(3):
+        for dow, c in enumerate(pattern):
+            day = 1 + 7 * wk + dow
+            for _ in range(c):
+                rows.append(
+                    (eid, f"2024-03-{day:02d} 12:00:00", 1, "a", 1.0)
+                )
+                eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = round8d.events_sax_motifs(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0].n_weeks == 3
+    word = out[0].word
+    assert len(word) == 7
+    # low plateau maps below the mean, peaks above
+    assert set(word[:5]) == {"b"} and set(word[5:]) == {"d"}
