@@ -142,3 +142,23 @@ def test_stale_entry_is_unpersisted_not_leaked(spark):
     # The old entry's surviving blocks must be gone from storage.
     assert not ids & _live_ids(spark)
     dedup._SHINGLE_CACHE.clear()
+
+
+def test_graph_edge_cache_keyed_per_corpus(spark):
+    """Round-8 extension: the co-purchase edge cache is keyed by
+    (session, sf_dir) — interleaving two corpora twice must return
+    identical per-corpus frames (no cross-corpus bleed), and the second
+    round must hit the cache (same checkpointed plan object)."""
+    from spot_anomalies_flink_workshop_resources_spark.plans.relational import (
+        _copurchase_edges,
+    )
+
+    a1 = _copurchase_edges(spark, "/root/testdata/sf0.001")
+    b1 = _copurchase_edges(spark, "/root/testdata/sf0.01")
+    a2 = _copurchase_edges(spark, "/root/testdata/sf0.001")
+    b2 = _copurchase_edges(spark, "/root/testdata/sf0.01")
+    ca1, cb1 = a1.count(), b1.count()
+    assert ca1 != cb1  # different corpora -> different graphs
+    assert a2.count() == ca1 and b2.count() == cb1
+    # cache hit: the memoized frame IS the same object
+    assert a2 is a1 and b2 is b1
