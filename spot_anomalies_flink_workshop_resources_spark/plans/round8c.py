@@ -862,7 +862,12 @@ def events_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = (
         daily.join(F.broadcast(stats), "event_type")
-        .where(F.col("n") > 1)
+        # n > 1 AND positive variance (integer form n*q - s*s > 0):
+        # a constant series has no G and would hit ANSI divide-by-zero
+        .where(
+            (F.col("n") > 1)
+            & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0)
+        )
         .select(
             "event_type",
             "day",
@@ -914,7 +919,7 @@ dev AS (
                             ORDER BY ABS(d.x * st.n - st.s) DESC,
                                      d.day ASC) AS rn
   FROM daily d JOIN stats st ON st.event_type = d.event_type
-  WHERE st.n > 1
+  WHERE st.n > 1 AND st.n * st.q - st.s * st.s > 0
 )
 SELECT event_type, n AS n_days, day AS peak_day,
        CAST(dev_num AS DOUBLE)

@@ -212,12 +212,19 @@ def events_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("j2").cast("double") - e2.cast("double") / F.lit(2.0)) / (
         F.lit(2.0) * F.sqrt(var)
     )
-    return agg.select(
-        "event_type",
-        n.cast("long").alias("n_events"),
-        F.col("j2").alias("j2_stat"),
-        z.alias("z"),
-    ).orderBy("event_type")
+    varnum = n * n * (2 * n + 3) - sum_cu
+    return (
+        # positive variance in integer form: a single-group series
+        # (all mass in one daypart) has Var = 0 and no z
+        agg.where((n >= 2) & (varnum > 0))
+        .select(
+            "event_type",
+            n.cast("long").alias("n_events"),
+            F.col("j2").alias("j2_stat"),
+            z.alias("z"),
+        )
+        .orderBy("event_type")
+    )
 
 
 EVENTS_JONCKHEERE_SQL = """
@@ -267,6 +274,11 @@ SELECT event_type,
                      + t2*t2*(2*t2 + 3) + t3*t3*(2*t3 + 3)) AS DOUBLE)
              / 72.0)) AS z
 FROM agg
+WHERE t0 + t1 + t2 + t3 >= 2
+  AND (t0 + t1 + t2 + t3) * (t0 + t1 + t2 + t3)
+      * (2 * (t0 + t1 + t2 + t3) + 3)
+      - (t0*t0*(2*t0 + 3) + t1*t1*(2*t1 + 3)
+         + t2*t2*(2*t2 + 3) + t3*t3*(2*t3 + 3)) > 0
 ORDER BY event_type
 """
 
@@ -847,7 +859,12 @@ def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sd = (
         daily.join(F.broadcast(stats), "event_type")
-        .where(F.col("n") > 1)
+        # positive variance in integer form: a constant daily series
+        # has no z-scores and would hit ANSI divide-by-zero
+        .where(
+            (F.col("n") > 1)
+            & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0)
+        )
         .select(
             "event_type",
             ((F.col("d") - F.col("d0")) / 7).cast("long").alias("wk"),
@@ -938,7 +955,7 @@ sd AS (
                    < 0.6745 THEN 'c'
               ELSE 'd' END AS sym
   FROM daily JOIN stats st ON st.event_type = daily.event_type
-  WHERE st.n > 1
+  WHERE st.n > 1 AND st.n * st.q - st.s * st.s > 0
 ),
 words AS (
   SELECT event_type, wk, CAST(COUNT(*) AS BIGINT) AS n_days,

@@ -296,3 +296,22 @@ def test_sax_motifs_repeating_week(spark, tmp_path):
     assert len(word) == 7
     # low plateau maps below the mean, peaks above
     assert set(word[:5]) == {"b"} and set(word[5:]) == {"d"}
+
+
+def test_degenerate_constant_series_do_not_crash(spark, tmp_path):
+    """A perfectly constant daily series (zero variance) must be
+    FILTERED by grubbs / sax / jonckheere-single-cell, not crash
+    ANSI division (DuckDB would NULL where Spark throws)."""
+    from spot_anomalies_flink_workshop_resources_spark.plans import round8c
+
+    rows = []
+    eid = 0
+    for day in range(1, 8):
+        for _ in range(3):  # same count every day, same value always
+            rows.append((eid, f"2024-03-{day:02d} 10:00:00", 1, "a", 5.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    assert round8c.events_grubbs(spark, sf).collect() == []
+    assert round8d.events_sax_motifs(spark, sf).collect() == []
+    # single-daypart data has Var = 0: filtered, not crashed
+    assert round8d.events_jonckheere(spark, sf).collect() == []
