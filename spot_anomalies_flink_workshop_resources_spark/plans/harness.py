@@ -1222,6 +1222,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_honore_sichel",          # NEW: Honore R + Sichel S constants
     "events_series_similarity",    # NEW: per-user daily-series top-5 Pearson
     "events_sax_motifs",           # NEW: weekly SAX-word motif counts
+    "simsearch_ivf_recall_curve",  # NEW: recall@5 vs brute at nprobe 1/2/4
+    "corpus_dedup_token_loss",     # NEW: exact-dedup token yield accounting
+    "dq_id_continuity",            # NEW: duplicate/missing id audit
+    "sql_priority_trend",          # NEW: Cochran-Armitage urgent-share trend
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit
@@ -1528,6 +1532,7 @@ def build_queries() -> dict[str, QueryFn]:
         round8b,
         round8c,
         round8d,
+        round8e,
         stattests,
         tpch_tail,
     )
@@ -1542,6 +1547,7 @@ def build_queries() -> dict[str, QueryFn]:
     registry.update(round8b.QUERIES)
     registry.update(round8c.QUERIES)
     registry.update(round8d.QUERIES)
+    registry.update(round8e.QUERIES)
 
     out: dict[str, QueryFn] = {}
     for name in DRIVER_PRIORITY:
@@ -1602,6 +1608,7 @@ def build_oracles() -> dict[str, str]:
         round8b,
         round8c,
         round8d,
+        round8e,
         stattests,
         tpch_tail,
     )
@@ -1616,4 +1623,5 @@ def build_oracles() -> dict[str, str]:
     out.update(round8b.ORACLES)
     out.update(round8c.ORACLES)
     out.update(round8d.ORACLES)
+    out.update(round8e.ORACLES)
     return out

@@ -1,0 +1,351 @@
+"""Round-8 fifth wave: ANN recall-vs-probe evaluation, dedup yield
+accounting, ingestion id-continuity DQ, and an ordered-proportion
+trend test.
+
+The recall CURVE is the number an ANN rollout actually tunes on —
+recall@k against the exact brute-force baseline at nprobe 1/2/4 (the
+knob simsearch_ivf_probe2 exposes, now measured instead of assumed).
+The dedup TOKEN-LOSS accounting answers "what does exact dedup cost
+us, per source, in training tokens" — the go/no-go readout next to
+dedup_rate_curve's pair counts. The id-continuity audit is the classic
+ingestion screen (duplicate ids, range holes) expressed WITHOUT any
+data-sized window — two O(n) aggregates. The COCHRAN-ARMITAGE trend
+test asks whether the urgent-order share drifts across calendar years
+— the ordered-categories companion to events_chi2_independence.
+
+Exactness: integer sufficient statistics everywhere; the CA z composes
+once from int64 sums; recall joins are integer set intersections; the
+only floats are final divisions. The reference's scope ends at
+fixed-threshold detection (AD.java:200); this layer is
+beyond-reference by design (SURVEY.md §2 extension family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+# ------------------------------------------------ IVF recall curve
+
+
+def simsearch_ivf_recall_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RECALL@5 of the IVF index vs the exact brute-force baseline at
+    nprobe = 1, 2, 4 — the recall/latency tradeoff table an ANN
+    deployment reads before picking its probe count (multi-probe scans
+    ~nprobe/n_centroids of the corpus; this query says what that buys).
+
+    Exactness: both sides are the ALREADY-ORACLED operators
+    (operators/simsearch.brute_force_topk / ivf_topk with
+    deterministic seed centroids); recall is an integer set
+    intersection over (query, neighbor) pairs divided once. Scale: the
+    probe sweep reuses one assignment pass per probe count over the
+    bucketed lists — the documented IVF cost shape; the eval join is
+    (n_queries x k)-bounded."""
+    from ..operators import simsearch as S
+
+    brute = S.brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+    bpairs = brute.select("query_id", "neighbor_id")
+    n_pairs = 8 * 5
+    parts = []
+    for p in (1, 2, 4):
+        ivf = S.ivf_topk(
+            load_table(spark, sf_dir, "embeddings"), n_probes=p
+        ).select("query_id", "neighbor_id")
+        hits = ivf.join(bpairs, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        parts.append(
+            hits.select(
+                F.lit(p).cast("long").alias("n_probes"),
+                F.col("n_hits"),
+                (
+                    F.col("n_hits").cast("double") / F.lit(float(n_pairs))
+                ).alias("recall_at_5"),
+            )
+        )
+    out = parts[0]
+    for frame in parts[1:]:
+        out = out.unionAll(frame)
+    return out.orderBy("n_probes")
+
+
+def _simsearch_ivf_recall_curve_sql() -> str:
+    from ..operators.simsearch import brute_force_topk_sql, ivf_topk_sql
+
+    blocks = []
+    for p in (1, 2, 4):
+        blocks.append(
+            f"""
+SELECT CAST({p} AS BIGINT) AS n_probes,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / 40.0 AS recall_at_5
+FROM ({ivf_topk_sql(n_probes=p)}) i
+JOIN ({brute_force_topk_sql()}) b
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id"""
+        )
+    return " UNION ALL ".join(blocks) + "\nORDER BY n_probes"
+
+
+# ---------------------------------------------- dedup token loss
+
+
+def corpus_dedup_token_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-DEDUP YIELD ACCOUNTING per source: how many documents and
+    training TOKENS survive md5-exact text dedup (first doc_id wins,
+    the dedup_exact survivor rule), and the token share lost to
+    duplicate copies — the cost/benefit line a curation rollout reports
+    next to dedup_rate_curve's pair counts.
+
+    Exactness: token counts use the engine token rule ([a-z0-9]+),
+    survivorship is integer min(doc_id) per (source, md5); every
+    output is int64 with ONE division. Scale: one data-sized hash agg
+    to (source, hash) with min/sum combiners — the dedup_exact shape;
+    no window, no join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.md5(F.col("text")).alias("h"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    per_hash = toks.groupBy("source", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("copies"),
+        F.sum("n_tok").cast("long").alias("tok_all"),
+        F.min(F.struct("doc_id", "n_tok")).alias("survivor"),
+    )
+    agg = per_hash.groupBy("source").agg(
+        F.sum("copies").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum("tok_all").cast("long").alias("tokens_before"),
+        F.sum(F.col("survivor.n_tok")).cast("long").alias("tokens_after"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        "tokens_before",
+        "tokens_after",
+        (
+            (F.col("tokens_before") - F.col("tokens_after")).cast("double")
+            / F.col("tokens_before").cast("double")
+        ).alias("token_loss_share"),
+    ).orderBy("source")
+
+
+CORPUS_DEDUP_TOKEN_LOSS_SQL = """
+WITH toks AS (
+  SELECT source, doc_id, md5(text) AS h,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS BIGINT) AS n_tok
+  FROM documents
+),
+per_hash AS (
+  SELECT source, h,
+         CAST(COUNT(*) AS BIGINT) AS copies,
+         CAST(SUM(n_tok) AS BIGINT) AS tok_all,
+         CAST(MIN(doc_id) AS BIGINT) AS sdoc
+  FROM toks GROUP BY source, h
+),
+surv AS (
+  SELECT p.source, p.copies, p.tok_all, t.n_tok AS s_tok
+  FROM per_hash p
+  JOIN toks t ON t.source = p.source AND t.h = p.h AND t.doc_id = p.sdoc
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(copies) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_unique,
+         CAST(SUM(tok_all) AS BIGINT) AS tokens_before,
+         CAST(SUM(s_tok) AS BIGINT) AS tokens_after
+  FROM surv GROUP BY source
+)
+SELECT source, n_docs, n_unique, tokens_before, tokens_after,
+       CAST(tokens_before - tokens_after AS DOUBLE)
+         / CAST(tokens_before AS DOUBLE) AS token_loss_share
+FROM agg
+ORDER BY source
+"""
+
+
+# ------------------------------------------------ id continuity DQ
+
+
+def dq_id_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-CONTINUITY audit of the events stream: duplicate event_ids,
+    holes in the id range, and coverage — the first screen an
+    ingestion incident review runs ("did the producer skip or repeat
+    sequence numbers?").
+
+    Exactness: every output is an exact int64 off two aggregates
+    (count, countDistinct, min, max); shares are ONE division. Scale:
+    deliberately NO data-sized window — a naive max-gap needs a global
+    id sort, so the audit reports range holes (max-min+1 minus
+    distinct) instead, which two O(n) map-side-combinable aggs
+    deliver at any scale."""
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    agg = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("event_id").cast("long").alias("n_ids"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )
+    span = F.col("max_id") - F.col("min_id") + 1
+    return agg.select(
+        "n_rows",
+        "n_ids",
+        "min_id",
+        "max_id",
+        (F.col("n_rows") - F.col("n_ids")).alias("duplicate_rows"),
+        (span - F.col("n_ids")).alias("missing_in_range"),
+        (
+            F.col("n_ids").cast("double") / span.cast("double")
+        ).alias("range_coverage"),
+    )
+
+
+DQ_ID_CONTINUITY_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id,
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+         AS duplicate_rows,
+       CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(DISTINCT event_id)
+            AS BIGINT) AS missing_in_range,
+       CAST(COUNT(DISTINCT event_id) AS DOUBLE)
+         / CAST(MAX(event_id) - MIN(event_id) + 1 AS DOUBLE)
+         AS range_coverage
+FROM events
+"""
+
+
+# ------------------------------------- Cochran-Armitage trend test
+
+
+def sql_priority_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-ARMITAGE trend test: does the share of URGENT/HIGH
+    priority orders drift monotonically across calendar years? The
+    ordered-categories companion to a plain chi-square — years carry
+    integer scores, so a monotone mix shift shows up as trend, not
+    just heterogeneity.
+
+    Exactness: per-year totals n_i, successes x_i and CENTERED scores
+    w_i = year - min_year are exact int64 (centering keeps every
+    sufficient statistic < 2^53 at any sf, so the double casts are
+    exact); z composes once from the six statistics in the SAME op
+    order both engines (the welch_t staging recipe), one sqrt. Scale:
+    one hash agg to the |years| frame."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = o.select(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_urgent"),
+    )
+    y0 = yr.agg(F.min("y").alias("y0"))
+    per_year = (
+        yr.crossJoin(F.broadcast(y0))
+        .select((F.col("y") - F.col("y0")).alias("w"), "is_urgent")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("is_urgent").cast("long").alias("x"),
+        )
+    )
+    agg = per_year.agg(
+        F.count(F.lit(1)).cast("long").alias("n_years"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("x").cast("long").alias("xx"),
+        F.sum(F.col("x") * F.col("w")).cast("long").alias("sxw"),
+        F.sum(F.col("n") * F.col("w")).cast("long").alias("snw"),
+        F.sum(F.col("n") * F.col("w") * F.col("w"))
+        .cast("long")
+        .alias("snww"),
+    )
+    nn = F.col("nn").cast("double")
+    xx = F.col("xx").cast("double")
+    pbar = xx / nn
+    num = F.col("sxw").cast("double") - pbar * F.col("snw").cast("double")
+    var = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (
+            F.col("snww").cast("double")
+            - (
+                F.col("snw").cast("double")
+                * F.col("snw").cast("double")
+            )
+            / nn
+        )
+    )
+    return agg.select(
+        "n_years",
+        F.col("nn").alias("n_orders"),
+        pbar.alias("urgent_share"),
+        (num / F.sqrt(var)).alias("ca_z"),
+    )
+
+
+SQL_PRIORITY_TREND_SQL = """
+WITH yr AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END AS BIGINT) AS is_urgent
+  FROM orders
+),
+y0 AS (SELECT MIN(y) AS y0 FROM yr),
+per_year AS (
+  SELECT yr.y - y0.y0 AS w,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(is_urgent) AS BIGINT) AS x
+  FROM yr CROSS JOIN y0
+  GROUP BY yr.y - y0.y0
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_years,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(x) AS BIGINT) AS xx,
+         CAST(SUM(x * w) AS BIGINT) AS sxw,
+         CAST(SUM(n * w) AS BIGINT) AS snw,
+         CAST(SUM(n * w * w) AS BIGINT) AS snww
+  FROM per_year
+)
+SELECT n_years, nn AS n_orders,
+       CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE) AS urgent_share,
+       (CAST(sxw AS DOUBLE)
+        - (CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))
+          * CAST(snw AS DOUBLE))
+         / sqrt((CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))
+                * (1.0 - CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))
+                * (CAST(snww AS DOUBLE)
+                   - (CAST(snw AS DOUBLE) * CAST(snw AS DOUBLE))
+                     / CAST(nn AS DOUBLE))) AS ca_z
+FROM agg
+"""
+
+
+QUERIES = {
+    "simsearch_ivf_recall_curve": simsearch_ivf_recall_curve,
+    "corpus_dedup_token_loss": corpus_dedup_token_loss,
+    "dq_id_continuity": dq_id_continuity,
+    "sql_priority_trend": sql_priority_trend,
+}
+
+ORACLES = {
+    "simsearch_ivf_recall_curve": _simsearch_ivf_recall_curve_sql(),
+    "corpus_dedup_token_loss": CORPUS_DEDUP_TOKEN_LOSS_SQL,
+    "dq_id_continuity": DQ_ID_CONTINUITY_SQL,
+    "sql_priority_trend": SQL_PRIORITY_TREND_SQL,
+}

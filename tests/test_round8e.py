@@ -1,0 +1,148 @@
+"""Unit tests for the round-8 fifth wave: Python recomputations on
+planted fixtures (the repo's standard second leg next to the DuckDB
+oracles)."""
+
+import math
+
+import pytest
+
+from spot_anomalies_flink_workshop_resources_spark.plans import round8e
+
+
+# ------------------------------------------------ IVF recall curve
+
+
+def test_ivf_recall_curve_shape_and_monotonicity(spark):
+    """On the real sf0.001 embeddings: three rows (nprobe 1/2/4),
+    recall in [0, 1] and NON-DECREASING in probes (more lists scanned
+    can only add candidates)."""
+    rows = round8e.simsearch_ivf_recall_curve(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r.n_probes for r in rows] == [1, 2, 4]
+    vals = [r.recall_at_5 for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert vals[0] <= vals[1] <= vals[2]
+    assert all(r.n_hits == round(r.recall_at_5 * 40) for r in rows)
+
+
+# ---------------------------------------------- dedup token loss
+
+
+def test_dedup_token_loss_planted_copies(spark, tmp_path):
+    """Source s1: one doc duplicated 3x (4 tokens each) + one unique
+    doc (2 tokens): before = 14, after = 6, loss = 8/14."""
+    docs = [
+        (0, "alpha beta gamma delta", "s1"),
+        (1, "alpha beta gamma delta", "s1"),
+        (2, "alpha beta gamma delta", "s1"),
+        (3, "epsilon zeta", "s1"),
+        (4, "solo doc here", "s2"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r.source: r
+        for r in round8e.corpus_dedup_token_loss(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    s1 = rows["s1"]
+    assert s1.n_docs == 4 and s1.n_unique == 2
+    assert s1.tokens_before == 14 and s1.tokens_after == 6
+    assert s1.token_loss_share == pytest.approx(8 / 14)
+    s2 = rows["s2"]
+    assert s2.token_loss_share == pytest.approx(0.0)
+
+
+# ------------------------------------------------ id continuity DQ
+
+
+def test_id_continuity_planted_holes_and_dups(spark, tmp_path):
+    """ids [0, 1, 1, 5]: 1 duplicate row, range 0..5 holds 6 slots,
+    3 distinct -> 3 missing, coverage 0.5."""
+    rows = [(i, eid) for i, eid in enumerate([0, 1, 1, 5])]
+    spark.createDataFrame(
+        [(eid, "2024-03-01 10:00:00", 1, "a", 1.0) for _, eid in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "'{}' AS props",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = round8e.dq_id_continuity(spark, str(tmp_path)).collect()[0]
+    assert r.n_rows == 4 and r.n_ids == 3
+    assert r.duplicate_rows == 1
+    assert r.missing_in_range == 3
+    assert r.range_coverage == pytest.approx(0.5)
+
+
+# ------------------------------------- Cochran-Armitage trend test
+
+
+def test_priority_trend_python_recompute(spark, tmp_path):
+    """Three years with urgent shares 20%, 50%, 80% (n=10 each):
+    strong positive trend; z matches the Python recomputation."""
+    rows = []
+    oid = 0
+    for w, (year, k) in enumerate([(2020, 2), (2021, 5), (2022, 8)]):
+        for i in range(10):
+            pri = "1-URGENT" if i < k else "3-MEDIUM"
+            rows.append((oid, 1, f"{year}-06-01", pri, 100.0))
+            oid += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate string,"
+        " o_orderpriority string, o_totalprice double",
+    ).selectExpr(
+        "o_orderkey", "o_custkey",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "o_orderpriority", "o_totalprice",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = round8e.sql_priority_trend(spark, str(tmp_path)).collect()[0]
+    ns = [10, 10, 10]
+    xs = [2, 5, 8]
+    ws = [0, 1, 2]
+    nn, xx = sum(ns), sum(xs)
+    pbar = xx / nn
+    num = sum(x * w for x, w in zip(xs, ws)) - pbar * sum(
+        n * w for n, w in zip(ns, ws)
+    )
+    var = (
+        pbar
+        * (1 - pbar)
+        * (
+            sum(n * w * w for n, w in zip(ns, ws))
+            - sum(n * w for n, w in zip(ns, ws)) ** 2 / nn
+        )
+    )
+    assert r.n_years == 3 and r.n_orders == 30
+    assert r.urgent_share == pytest.approx(0.5)
+    assert r.ca_z == pytest.approx(num / math.sqrt(var))
+    assert r.ca_z > 2  # strong monotone trend
+
+
+def test_priority_trend_flat_is_zero(spark, tmp_path):
+    """Identical shares every year -> z = 0 exactly."""
+    rows = []
+    oid = 0
+    for year in (2020, 2021, 2022):
+        for i in range(10):
+            pri = "1-URGENT" if i < 5 else "3-MEDIUM"
+            rows.append((oid, 1, f"{year}-06-01", pri, 100.0))
+            oid += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate string,"
+        " o_orderpriority string, o_totalprice double",
+    ).selectExpr(
+        "o_orderkey", "o_custkey",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "o_orderpriority", "o_totalprice",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = round8e.sql_priority_trend(spark, str(tmp_path)).collect()[0]
+    assert r.ca_z == pytest.approx(0.0)
