@@ -1226,6 +1226,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_dedup_token_loss",     # NEW: exact-dedup token yield accounting
     "dq_id_continuity",            # NEW: duplicate/missing id audit
     "sql_priority_trend",          # NEW: Cochran-Armitage urgent-share trend
+    "events_circular_rayleigh",    # NEW: diurnal concentration, quantized trig
+    "events_user_gini",            # NEW: tenant-load inequality index
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit

@@ -336,11 +336,158 @@ FROM agg
 """
 
 
+# ---------------------------------------- circular stats / Rayleigh
+
+_QCOS24 = (
+    1024, 989, 887, 724, 512, 265, 0, -265, -512, -724, -887, -989,
+    -1024, -989, -887, -724, -512, -265, 0, 265, 512, 724, 887, 989,
+)
+_QSIN24 = (
+    0, 265, 512, 724, 887, 989, 1024, 989, 887, 724, 512, 265,
+    0, -265, -512, -724, -887, -989, -1024, -989, -887, -724, -512, -265,
+)
+
+
+def events_circular_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIRCULAR concentration of event times around the 24-hour clock,
+    per type: the mean resultant length R-bar and the RAYLEIGH test
+    statistic z = n * R-bar^2 ("is this type's traffic diurnal or
+    uniform?") plus the integer modal hour — the circular-statistics
+    screen linear moments cannot express (23:00 and 01:00 average to
+    midnight, not noon).
+
+    Exactness: hour angles take only 24 values, so cos/sin enter as
+    PRE-QUANTIZED 2^10-grid integer tables embedded as literals in
+    BOTH engines (the events_dominant_period trick — no runtime trig);
+    the resultant components are int64 sums, R-bar needs one sqrt over
+    identically-cast doubles, and the modal hour is integer argmax
+    (ties to the earliest hour). Scale: one data-sized (type, hour)
+    hash agg; everything after is a 24-row frame per type."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("h")
+    )
+    hourly = e.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h")
+    )
+    qcos = F.element_at(
+        F.array(*[F.lit(v) for v in _QCOS24]), F.col("h") + 1
+    ).cast("long")
+    qsin = F.element_at(
+        F.array(*[F.lit(v) for v in _QSIN24]), F.col("h") + 1
+    ).cast("long")
+    agg = hourly.select(
+        "event_type",
+        "h",
+        "n_h",
+        (F.col("n_h") * qcos).alias("c"),
+        (F.col("n_h") * qsin).alias("s"),
+    ).groupBy("event_type").agg(
+        F.sum("n_h").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum("s").cast("long").alias("ss"),
+        F.max(F.struct(F.col("n_h"), (-F.col("h")).alias("nh")))
+        .getField("nh")
+        .alias("neg_modal"),
+    )
+    rbar = F.sqrt(
+        (
+            F.col("sc").cast("double") * F.col("sc").cast("double")
+            + F.col("ss").cast("double") * F.col("ss").cast("double")
+        )
+    ) / (F.lit(1024.0) * F.col("n").cast("double"))
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        (-F.col("neg_modal")).cast("long").alias("modal_hour"),
+        rbar.alias("rbar"),
+        (F.col("n").cast("double") * rbar * rbar).alias("rayleigh_z"),
+    ).orderBy("event_type")
+
+
+def _events_circular_rayleigh_sql() -> str:
+    cos_cases = " ".join(
+        f"WHEN {h} THEN {v}" for h, v in enumerate(_QCOS24)
+    )
+    sin_cases = " ".join(
+        f"WHEN {h} THEN {v}" for h, v in enumerate(_QSIN24)
+    )
+    return f"""
+WITH hourly AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n_h
+  FROM events GROUP BY event_type, CAST(hour(ts) AS INT)
+),
+marked AS (
+  SELECT *, MAX(n_h) OVER (PARTITION BY event_type) AS mh
+  FROM hourly
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(n_h) AS BIGINT) AS n,
+         CAST(SUM(n_h * (CASE h {cos_cases} END)) AS BIGINT) AS sc,
+         CAST(SUM(n_h * (CASE h {sin_cases} END)) AS BIGINT) AS ss,
+         CAST(MIN(h) FILTER (WHERE n_h = mh) AS BIGINT) AS modal_hour
+  FROM marked GROUP BY event_type
+)
+SELECT event_type, n AS n_events, modal_hour,
+       sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+            + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+         / (1024.0 * CAST(n AS DOUBLE)) AS rbar,
+       CAST(n AS DOUBLE)
+         * (sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                 + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+            / (1024.0 * CAST(n AS DOUBLE)))
+         * (sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                 + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+            / (1024.0 * CAST(n AS DOUBLE))) AS rayleigh_z
+FROM agg
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------- tenant load gini
+
+
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI concentration of event volume across users, per type — the
+    full tenant-load-inequality index next to
+    events_user_concentration's top-k shares ("is this type's traffic
+    one noisy neighbor or genuinely broad?"). Reuses the exact-integer
+    gini operator (operators/stats.gini) on per-user event counts
+    scaled x100 onto its cents grid, so total_value reads back as the
+    exact event count. Scale: one data-sized hash agg to the (type,
+    user) frame; the ranking window is user-dimension bounded."""
+    from ..operators import stats as ST
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        (F.count(F.lit(1)) * 100).cast("long").alias("cnt_cents")
+    )
+    return ST.gini(
+        per_user, "event_type", "user_id", "cnt_cents"
+    ).withColumnRenamed("total_value", "n_events")
+
+
+def _events_user_gini_sql() -> str:
+    from ..operators.stats import gini_sql
+
+    src = (
+        "SELECT event_type, user_id,"
+        " CAST(COUNT(*) * 100 AS BIGINT) AS cnt_cents"
+        " FROM events GROUP BY event_type, user_id"
+    )
+    return gini_sql(src, "event_type", "user_id", "cnt_cents").replace(
+        "AS total_value", "AS n_events"
+    )
+
+
 QUERIES = {
     "simsearch_ivf_recall_curve": simsearch_ivf_recall_curve,
     "corpus_dedup_token_loss": corpus_dedup_token_loss,
     "dq_id_continuity": dq_id_continuity,
     "sql_priority_trend": sql_priority_trend,
+    "events_circular_rayleigh": events_circular_rayleigh,
+    "events_user_gini": events_user_gini,
 }
 
 ORACLES = {
@@ -348,4 +495,6 @@ ORACLES = {
     "corpus_dedup_token_loss": CORPUS_DEDUP_TOKEN_LOSS_SQL,
     "dq_id_continuity": DQ_ID_CONTINUITY_SQL,
     "sql_priority_trend": SQL_PRIORITY_TREND_SQL,
+    "events_circular_rayleigh": _events_circular_rayleigh_sql(),
+    "events_user_gini": _events_user_gini_sql(),
 }

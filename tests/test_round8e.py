@@ -146,3 +146,79 @@ def test_priority_trend_flat_is_zero(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
     r = round8e.sql_priority_trend(spark, str(tmp_path)).collect()[0]
     assert r.ca_z == pytest.approx(0.0)
+
+
+# ---------------------------------------- circular stats / Rayleigh
+
+
+def test_circular_rayleigh_concentrated_vs_uniform(spark, tmp_path):
+    """All events at hour 9 -> rbar ~ 1 (quantization-exact), modal
+    hour 9, z ~ n; events spread evenly over all 24 hours -> rbar ~ 0."""
+    rows = []
+    eid = 0
+    for _ in range(24):
+        rows.append((eid, "2024-03-01 09:15:00", 1, "peak", 1.0))
+        eid += 1
+    for h in range(24):
+        rows.append((eid, f"2024-03-01 {h:02d}:15:00", 1, "flat", 1.0))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "'{}' AS props",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.event_type: r
+        for r in round8e.events_circular_rayleigh(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    peak = out["peak"]
+    assert peak.modal_hour == 9
+    assert peak.rbar == pytest.approx(1.0, abs=2e-3)
+    assert peak.rayleigh_z == pytest.approx(24.0, rel=5e-3)
+    flat = out["flat"]
+    assert flat.rbar == pytest.approx(0.0, abs=2e-3)
+    assert flat.modal_hour == 0  # all tied -> earliest hour
+
+
+# --------------------------------------------------- tenant load gini
+
+
+def test_user_gini_extremes(spark, tmp_path):
+    """Type 'eq': 4 users with equal counts -> G = 0 on the exact
+    grid (up to the (n+1)/n small-sample term: 2*sum(i*x)-(n+1)*sx =
+    x*(2*10-5*4) = 0 exactly). Type 'conc': one user holds nearly
+    everything -> G near (n-1)/n."""
+    rows = []
+    eid = 0
+    for u in range(4):
+        for _ in range(5):
+            rows.append((eid, "2024-03-01 10:00:00", u, "eq", 1.0))
+            eid += 1
+    for _ in range(97):
+        rows.append((eid, "2024-03-01 10:00:00", 0, "conc", 1.0))
+        eid += 1
+    for u in (1, 2, 3):
+        rows.append((eid, "2024-03-01 10:00:00", u, "conc", 1.0))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "'{}' AS props",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.event_type: r
+        for r in round8e.events_user_gini(spark, str(tmp_path)).collect()
+    }
+    assert out["eq"].gini == pytest.approx(0.0)
+    assert out["eq"].n_events == pytest.approx(20.0)
+    # exact: x = (97,1,1,1) ascending (1,1,1,97): G = (2*(1+2+3+4*97)
+    # - 5*100) / (4*100) = (2*394 - 500)/400 = 0.72
+    assert out["conc"].gini == pytest.approx(0.72)
