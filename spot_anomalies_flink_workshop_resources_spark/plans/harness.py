@@ -1228,6 +1228,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_priority_trend",          # NEW: Cochran-Armitage urgent-share trend
     "events_circular_rayleigh",    # NEW: diurnal concentration, quantized trig
     "events_user_gini",            # NEW: tenant-load inequality index
+    "events_anomaly_ensemble",     # NEW: SPC+robust+EWMA consensus votes
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit

@@ -481,6 +481,180 @@ def _events_user_gini_sql() -> str:
     )
 
 
+# ------------------------------------------------ anomaly ensemble
+
+
+def events_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANOMALY-DETECTOR ENSEMBLE on daily arrival counts per type: the
+    per-type agreement summary of three independent detectors — the
+    Shewhart 3-sigma gate (events_spc_control's integer decision), the
+    median/MAD robust gate (events_robust_outliers' 4.4478 factor),
+    and an EWMA-baseline shift gate (the stream_ewma_alert prefix
+    recipe, alpha = 1/8, first-day seeded) — with the consensus count
+    (days flagged by >= 2 detectors). This is the reference's OWN
+    domain (AD.java:200 hardcodes one threshold) upgraded to the
+    ensemble an SRE dashboard actually pages on: single-detector flags
+    are noise candidates, consensus flags are incidents.
+
+    Exactness: SPC is pure integer algebra ((n*x - S)^2 > 9*(nQ -
+    S^2)); the robust gate compares against quantile-selected
+    median/MAD (selection parity pinned by sql_price_quantiles) with
+    one product; the EWMA prefix folds run the IDENTICAL IEEE sequence
+    both engines (exact binary alpha, init-first list fold) and the
+    shift compare uses identically-composed 3*sd. Scale: ONE
+    data-sized hash agg to (type, day); every detector then works the
+    calendar-bounded day frame (the EWMA prefix is O(days^2) on that
+    bounded list — the events_cusum cost contract)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+        F.expr("percentile(x, 0.5)").alias("med"),
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("arr"),
+    )
+    mad = (
+        daily.join(
+            F.broadcast(stats.select("event_type", "med")), "event_type"
+        )
+        .select(
+            "event_type", F.abs(F.col("x") - F.col("med")).alias("adev")
+        )
+        .groupBy("event_type")
+        .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    )
+    j = stats.join(F.broadcast(mad), "event_type").where(
+        (F.col("n") > 1)
+        & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0)
+    )
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    sd = F.sqrt(var_n2.cast("double")) / F.col("n").cast("double")
+    xs = F.transform(F.col("arr"), lambda p: p["x"].cast("double"))
+    # per-position votes; i is 0-based inside transform
+    fold = lambda acc, v: acc * F.lit(0.875) + v * F.lit(0.125)  # noqa: E731
+    votes = F.transform(
+        F.col("arr"),
+        lambda p, i: (
+            # SPC: integer 3-sigma decision
+            F.when(
+                (F.col("n") * p["x"] - F.col("s"))
+                * (F.col("n") * p["x"] - F.col("s"))
+                > F.lit(9) * var_n2,
+                1,
+            ).otherwise(0)
+            # robust: |x - med| > 4.4478 * MAD
+            + F.when(
+                F.abs(p["x"].cast("double") - F.col("med"))
+                > F.col("mad") * F.lit(4.4478),
+                1,
+            ).otherwise(0)
+            # EWMA shift: |x_i - prefix-ewma| > 3 * sd, days 2..n only
+            + F.when(
+                (i >= 1)
+                & (
+                    F.abs(
+                        p["x"].cast("double")
+                        - F.aggregate(
+                            F.slice(xs, 2, F.greatest(F.lit(0), i - 1)),
+                            F.element_at(xs, 1),
+                            fold,
+                        )
+                    )
+                    > F.lit(3.0) * sd
+                ),
+                1,
+            ).otherwise(0)
+        ).cast("long"),
+    )
+    agg = j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.aggregate(
+            votes,
+            F.lit(0).cast("long"),
+            lambda a, v: a + F.when(v >= 1, 1).otherwise(0),
+        ).alias("flagged_any"),
+        F.aggregate(
+            votes,
+            F.lit(0).cast("long"),
+            lambda a, v: a + F.when(v >= 2, 1).otherwise(0),
+        ).alias("flagged_consensus"),
+        F.aggregate(
+            votes, F.lit(0).cast("long"), lambda a, v: F.greatest(a, v)
+        ).alias("max_votes"),
+    )
+    return agg.orderBy("event_type")
+
+
+EVENTS_ANOMALY_ENSEMBLE_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q,
+         quantile_cont(x, 0.5) AS med,
+         list(CAST(x AS DOUBLE) ORDER BY d) AS xs,
+         list(x ORDER BY d) AS xi
+  FROM daily GROUP BY event_type
+),
+md AS (
+  SELECT daily.event_type,
+         quantile_cont(abs(daily.x - st.med), 0.5) AS mad
+  FROM daily JOIN st ON st.event_type = daily.event_type
+  GROUP BY daily.event_type
+),
+votes AS (
+  SELECT st.event_type, st.n,
+         list_transform(generate_series(1, CAST(st.n AS INTEGER)), i ->
+           CAST(CASE WHEN (st.n * xi[i] - st.s) * (st.n * xi[i] - st.s)
+                          > 9 * (st.n * st.q - st.s * st.s)
+                     THEN 1 ELSE 0 END
+              + CASE WHEN abs(CAST(xi[i] AS DOUBLE) - st.med)
+                          > md.mad * 4.4478
+                     THEN 1 ELSE 0 END
+              + CASE WHEN i >= 2 AND
+                          abs(CAST(xi[i] AS DOUBLE)
+                              - list_reduce(
+                                  list_prepend(xs[1],
+                                    list_slice(xs, 2, i - 1)),
+                                  (acc, v) -> acc * 0.875 + v * 0.125))
+                          > 3.0 * (sqrt(CAST(st.n * st.q - st.s * st.s
+                                             AS DOUBLE))
+                                   / CAST(st.n AS DOUBLE))
+                     THEN 1 ELSE 0 END AS BIGINT)) AS v
+  FROM st JOIN md ON md.event_type = st.event_type
+  WHERE st.n > 1 AND st.n * st.q - st.s * st.s > 0
+)
+SELECT event_type, n AS n_days,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(v, t -> CASE WHEN t >= 1
+                                     THEN CAST(1 AS BIGINT)
+                                     ELSE CAST(0 AS BIGINT) END)),
+         (a, b) -> a + b) AS flagged_any,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(v, t -> CASE WHEN t >= 2
+                                     THEN CAST(1 AS BIGINT)
+                                     ELSE CAST(0 AS BIGINT) END)),
+         (a, b) -> a + b) AS flagged_consensus,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), v),
+         (a, b) -> GREATEST(a, b)) AS max_votes
+FROM votes
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "simsearch_ivf_recall_curve": simsearch_ivf_recall_curve,
     "corpus_dedup_token_loss": corpus_dedup_token_loss,
@@ -488,6 +662,7 @@ QUERIES = {
     "sql_priority_trend": sql_priority_trend,
     "events_circular_rayleigh": events_circular_rayleigh,
     "events_user_gini": events_user_gini,
+    "events_anomaly_ensemble": events_anomaly_ensemble,
 }
 
 ORACLES = {
@@ -497,4 +672,5 @@ ORACLES = {
     "sql_priority_trend": SQL_PRIORITY_TREND_SQL,
     "events_circular_rayleigh": _events_circular_rayleigh_sql(),
     "events_user_gini": _events_user_gini_sql(),
+    "events_anomaly_ensemble": EVENTS_ANOMALY_ENSEMBLE_SQL,
 }

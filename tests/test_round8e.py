@@ -222,3 +222,55 @@ def test_user_gini_extremes(spark, tmp_path):
     # exact: x = (97,1,1,1) ascending (1,1,1,97): G = (2*(1+2+3+4*97)
     # - 5*100) / (4*100) = (2*394 - 500)/400 = 0.72
     assert out["conc"].gini == pytest.approx(0.72)
+
+
+# ------------------------------------------------ anomaly ensemble
+
+
+def test_anomaly_ensemble_planted_spike(spark, tmp_path):
+    """13 flat days (5 events) + one 60-event spike at the end: the
+    spike day trips SPC, robust AND the EWMA baseline -> one
+    consensus-flagged day with max_votes = 3."""
+    rows = []
+    eid = 0
+    counts = [5] * 13 + [60]
+    for day, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append((eid, f"2024-03-{day:02d} 10:00:00", 1, "a", 1.0))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "'{}' AS props",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = round8e.events_anomaly_ensemble(spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 14
+    assert r.flagged_consensus == 1
+    assert r.max_votes == 3
+    # flat days: MAD = 0 makes any deviation "robust"-flag... 5 == med,
+    # so flat days carry 0 votes
+    assert r.flagged_any == 1
+
+
+def test_anomaly_ensemble_flat_series_no_flags(spark, tmp_path):
+    """A series with tiny jitter flags nothing at 3-sigma consensus."""
+    rows = []
+    eid = 0
+    for day, c in enumerate([5, 6, 5, 6, 5, 6, 5, 6], start=1):
+        for _ in range(c):
+            rows.append((eid, f"2024-03-{day:02d} 10:00:00", 1, "a", 1.0))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "'{}' AS props",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = round8e.events_anomaly_ensemble(spark, str(tmp_path)).collect()[0]
+    assert r.flagged_consensus == 0
+    assert r.max_votes <= 1
