@@ -1229,6 +1229,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_circular_rayleigh",    # NEW: diurnal concentration, quantized trig
     "events_user_gini",            # NEW: tenant-load inequality index
     "events_anomaly_ensemble",     # NEW: SPC+robust+EWMA consensus votes
+    "sql_acctbal_spend_corr",      # NEW: balance-vs-spend Pearson by segment
+    "dq_segment_balance",          # NEW: segment x nation chi2 balance audit
     # -- round 7 newcomers / semantics-changed --
     "dedup_lines",                 # NEW: Gopher-style line-block exact dedup
     "corpus_gopher_rules",         # NEW: per-rule integer quality audit

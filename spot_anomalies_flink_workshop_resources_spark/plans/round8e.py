@@ -655,6 +655,197 @@ ORDER BY event_type
 """
 
 
+# -------------------------------------------- acctbal/spend Pearson
+
+
+def sql_acctbal_spend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEARSON correlation between a customer's account balance and
+    their total order spend, per market segment — the CRM sanity
+    check ("does the balance field carry any signal about actual
+    spend?") behind segment-level credit policies.
+
+    Exactness: balances and spend quantize to WHOLE DOLLARS (the
+    operator's documented grid — cents squared overflow int64 sums on
+    big segments; dollars keep sum-of-squares exact through ~sf100,
+    and r is grid-invariant up to the shared quantization); all
+    five sufficient statistics are int64 hash-agg sums; r composes
+    once as (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy -
+    Sy^2)) over identically-cast doubles (int64 cross products stay
+    exact in double through the customer dimension; the series-
+    similarity recipe), with a structural zero-variance guard. Scale:
+    orders collapse to the customer dimension in one hash agg; the
+    stats agg is segment-keyed."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("y")
+    )
+    j = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+    ).join(spend, F.col("c_custkey") == spend.o_custkey)
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    vx = F.col("n").cast("double") * F.col("sxx").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
+    vy = F.col("n").cast("double") * F.col("syy").cast("double") - F.col(
+        "sy"
+    ).cast("double") * F.col("sy").cast("double")
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    return (
+        agg.where((vx > 0) & (vy > 0))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n").alias("n_customers"),
+            (num / (F.sqrt(vx) * F.sqrt(vy))).alias("pearson_r"),
+        )
+        .orderBy("segment")
+    )
+
+
+SQL_ACCTBAL_SPEND_CORR_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c.c_mktsegment,
+         CAST(FLOOR(c.c_acctbal + 0.5) AS BIGINT) AS x,
+         s.y
+  FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey
+),
+agg AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM j GROUP BY c_mktsegment
+)
+SELECT c_mktsegment AS segment, n AS n_customers,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS pearson_r
+FROM agg
+WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+  AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+ORDER BY segment
+"""
+
+
+# ------------------------------------------- dimension balance DQ
+
+
+def dq_segment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMENSION-BALANCE audit: chi-square of independence between
+    market segment and nation over the customer dimension — the
+    sampling-balance screen ("is any nation's segment mix skewed?") a
+    warehouse runs after a partial load or a biased upstream extract.
+
+    Exactness: the events_chi2_independence recipe on the customer
+    dim — exact int64 cell/marginal counts, each cell term
+    (O*N - rt*ct)^2 / (rt*ct*N) quantized onto the 2^-20 grid before
+    the int64 fold, one final division (the O*N cross product stays
+    int64-exact through ~3e9 customers — documented bound). Scale:
+    one dimension-sized hash agg; the cell frame is
+    |segments| x |nations|."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nk"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    cells = cells.localCheckpoint(eager=True)
+    rt = cells.groupBy("seg").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("nk").agg(F.sum("o").cast("long").alias("ct"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    dims = cells.agg(
+        F.countDistinct("seg").cast("long").alias("r"),
+        F.countDistinct("nk").cast("long").alias("c"),
+    )
+    q20 = float(1 << 20)
+    dev = (
+        F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
+    ).cast("double")
+    term = F.floor(
+        (dev * dev)
+        / (
+            (F.col("rt") * F.col("ct")).cast("double")
+            * F.col("n").cast("double")
+        )
+        * F.lit(q20)
+        + F.lit(0.5)
+    ).cast("long")
+    summed = (
+        cells.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "nk")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("t"), "n")
+        .groupBy("n")
+        .agg(F.sum("t").cast("long").alias("sq"))
+    )
+    return summed.crossJoin(F.broadcast(dims)).select(
+        F.col("n").alias("n_customers"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("df"),
+        (F.col("sq").cast("double") / F.lit(q20)).alias("chi2"),
+    )
+
+
+def _dq_segment_balance_sql() -> str:
+    q20 = float(1 << 20)
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT c_mktsegment AS seg, c_nationkey AS nk,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+),
+rt AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY seg),
+ct AS (SELECT nk, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY nk),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+dims AS (SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS r,
+                CAST(COUNT(DISTINCT nk) AS BIGINT) AS c FROM cells),
+summed AS (
+  SELECT n.n,
+         CAST(SUM(CAST(FLOOR(
+             (CAST(cells.o * n.n - rt.rt * ct.ct AS DOUBLE)
+              * CAST(cells.o * n.n - rt.rt * ct.ct AS DOUBLE))
+             / (CAST(rt.rt * ct.ct AS DOUBLE) * CAST(n.n AS DOUBLE))
+             * {q20!r} + 0.5) AS BIGINT)) AS BIGINT) AS sq
+  FROM cells JOIN rt ON rt.seg = cells.seg JOIN ct ON ct.nk = cells.nk
+  CROSS JOIN n
+  GROUP BY n.n
+)
+SELECT summed.n AS n_customers,
+       (dims.r - 1) * (dims.c - 1) AS df,
+       CAST(sq AS DOUBLE) / {q20!r} AS chi2
+FROM summed CROSS JOIN dims
+"""
+
+
 QUERIES = {
     "simsearch_ivf_recall_curve": simsearch_ivf_recall_curve,
     "corpus_dedup_token_loss": corpus_dedup_token_loss,
@@ -663,6 +854,8 @@ QUERIES = {
     "events_circular_rayleigh": events_circular_rayleigh,
     "events_user_gini": events_user_gini,
     "events_anomaly_ensemble": events_anomaly_ensemble,
+    "sql_acctbal_spend_corr": sql_acctbal_spend_corr,
+    "dq_segment_balance": dq_segment_balance,
 }
 
 ORACLES = {
@@ -673,4 +866,6 @@ ORACLES = {
     "events_circular_rayleigh": _events_circular_rayleigh_sql(),
     "events_user_gini": _events_user_gini_sql(),
     "events_anomaly_ensemble": EVENTS_ANOMALY_ENSEMBLE_SQL,
+    "sql_acctbal_spend_corr": SQL_ACCTBAL_SPEND_CORR_SQL,
+    "dq_segment_balance": _dq_segment_balance_sql(),
 }

@@ -274,3 +274,80 @@ def test_anomaly_ensemble_flat_series_no_flags(spark, tmp_path):
     r = round8e.events_anomaly_ensemble(spark, str(tmp_path)).collect()[0]
     assert r.flagged_consensus == 0
     assert r.max_votes <= 1
+
+
+# -------------------------------------------- acctbal/spend Pearson
+
+
+def test_acctbal_spend_corr_planted(spark, tmp_path):
+    """Segment A: spend = 2 * balance exactly -> r = 1. Segment B:
+    spend anti-correlated -> r = -1."""
+    cust = []
+    orders = []
+    oid = 0
+    bals = [100.0, 200.0, 300.0, 400.0]
+    for i, b in enumerate(bals):
+        cust.append((i, f"C{i}", 0, b, "A"))
+        orders.append((oid, i, 2 * b))
+        oid += 1
+    for i, b in enumerate(bals):
+        k = 10 + i
+        cust.append((k, f"C{k}", 0, b, "B"))
+        orders.append((oid, k, 1000.0 - 2 * b))
+        oid += 1
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = {
+        r.segment: r.pearson_r
+        for r in round8e.sql_acctbal_spend_corr(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["A"] == pytest.approx(1.0)
+    assert out["B"] == pytest.approx(-1.0)
+
+
+# ------------------------------------------- dimension balance DQ
+
+
+def test_segment_balance_independent_is_zero(spark, tmp_path):
+    """A perfectly balanced segment x nation grid has chi2 = 0; a
+    skewed one is strictly positive."""
+    cust = []
+    k = 0
+    for seg in ("A", "B"):
+        for nk in (0, 1):
+            for _ in range(5):
+                cust.append((k, f"C{k}", nk, 10.0, seg))
+                k += 1
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    r = round8e.dq_segment_balance(spark, str(tmp_path)).collect()[0]
+    assert r.n_customers == 20 and r.df == 1
+    assert r.chi2 == pytest.approx(0.0)
+
+
+def test_segment_balance_skewed_positive(spark, tmp_path):
+    cust = []
+    k = 0
+    for seg, nk, n in [("A", 0, 9), ("A", 1, 1), ("B", 0, 1), ("B", 1, 9)]:
+        for _ in range(n):
+            cust.append((k, f"C{k}", nk, 10.0, seg))
+            k += 1
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    r = round8e.dq_segment_balance(spark, str(tmp_path)).collect()[0]
+    # chi2 for [[9,1],[1,9]] = 20*(9*9-1*1)^2/(10*10*10*10) = 12.8
+    assert r.chi2 == pytest.approx(12.8, abs=1e-4)
