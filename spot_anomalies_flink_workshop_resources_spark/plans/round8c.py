@@ -369,8 +369,17 @@ def events_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("s2"),
         F.col("q").alias("q2"),
     )
+    # integer positive-variance guard (ADVICE r8): pooled SS computed
+    # in floating point can round to a tiny NEGATIVE for zero-variance
+    # groups, and DuckDB sqrt(<0) hard-errors where Spark returns NaN.
+    # n*q - s^2 = n * (sum of squared deviations) exactly in int64, so
+    # requiring the integer total > 0 guarantees the float radicand is
+    # the sum of two non-negative terms, at least one positive.
+    pos_var = (
+        F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")
+    ) + (F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2"))
     j = wd.join(we_, "event_type").where(
-        (F.col("n1") > 1) & (F.col("n2") > 1)
+        (F.col("n1") > 1) & (F.col("n2") > 1) & (pos_var > 0)
     )
     m1 = F.col("s1").cast("double") / F.col("n1").cast("double")
     m2 = F.col("s2").cast("double") / F.col("n2").cast("double")
@@ -413,6 +422,7 @@ j AS (
   FROM base a JOIN base b
     ON a.event_type = b.event_type AND a.we = 0 AND b.we = 1
   WHERE a.n > 1 AND b.n > 1
+    AND (a.n * a.q - a.s * a.s) + (b.n * b.q - b.s * b.s) > 0
 ),
 staged AS (
   SELECT event_type, n1, n2,
@@ -657,9 +667,11 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: S1, S2, vocabulary size and the hapax count are exact
     int64 off one (source, token) hash agg; every output is ONE
-    division of exact integers. Scale: one token explode + two
-    map-side-combinable hash aggs; the spectrum frame is
-    vocab x sources bounded."""
+    division of exact integers. Sources with S1 <= 1 are filtered
+    structurally on BOTH engines (D's denominator S1*(S1-1) is zero
+    there; ANSI Spark would throw where DuckDB yields NULL — ADVICE
+    r8). Scale: one token explode + two map-side-combinable hash
+    aggs; the spectrum frame is vocab x sources bounded."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "source",
@@ -678,6 +690,9 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v1"),
     )
+    # structural guard: simpson_d divides by s1*(s1-1) — a 1-token
+    # source would make ANSI Spark throw DIVIDE_BY_ZERO (ADVICE r8)
+    agg = agg.where(F.col("s1") > 1)
     return agg.select(
         "source",
         F.col("s1").alias("n_tokens"),
@@ -722,6 +737,7 @@ SELECT source, s1 AS n_tokens, v AS vocab,
          AS simpson_d,
        CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE) AS hapax_share
 FROM agg
+WHERE s1 > 1
 ORDER BY source
 """
 

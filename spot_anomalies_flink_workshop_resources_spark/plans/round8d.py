@@ -434,8 +434,11 @@ def events_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: event counts and the weekend/weekday day counts (off
     the pooled calendar of observed days, epoch-day % 7) are exact
-    int64; z composes once in the same op order both engines. Scale:
-    one data-sized hash agg; the calendar frame is span-bounded."""
+    int64; z composes once in the same op order both engines. A span
+    observing no weekend (t1 = 0) or no weekday (t2 = 0) epoch-days is
+    filtered structurally on BOTH engines — rate_ratio and p0 would
+    divide by zero (ADVICE r8). Scale: one data-sized hash agg; the
+    calendar frame is span-bounded."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
@@ -455,7 +458,9 @@ def events_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_we, 1).otherwise(0)).cast("long").alias("k1"),
         F.sum(F.when(is_we, 0).otherwise(1)).cast("long").alias("k2"),
     )
-    j = cnt.crossJoin(F.broadcast(cal))
+    j = cnt.crossJoin(F.broadcast(cal)).where(
+        (F.col("t1") > 0) & (F.col("t2") > 0)
+    )
     n = (F.col("k1") + F.col("k2")).cast("double")
     p0 = F.col("t1").cast("double") / (F.col("t1") + F.col("t2")).cast(
         "double"
@@ -512,6 +517,7 @@ SELECT event_type,
                 * (1.0 - CAST(t1 AS DOUBLE) / CAST(t1 + t2 AS DOUBLE)))
          AS z
 FROM cnt CROSS JOIN cal
+WHERE t1 > 0 AND t2 > 0
 ORDER BY event_type
 """
 

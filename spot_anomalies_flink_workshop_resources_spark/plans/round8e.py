@@ -242,7 +242,12 @@ def sql_priority_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_i = year - min_year are exact int64 (centering keeps every
     sufficient statistic < 2^53 at any sf, so the double casts are
     exact); z composes once from the six statistics in the SAME op
-    order both engines (the welch_t staging recipe), one sqrt. Scale:
+    order both engines (the welch_t staging recipe), one sqrt. The
+    degenerate frames where var = 0 — a single observed order-year, or
+    urgent share exactly 0 or 1 — are filtered structurally in INTEGER
+    form on BOTH engines (n_years > 1 AND 0 < xx < nn; with centered
+    integer scores and n_years > 1 the score variance term is strictly
+    positive), so ANSI Spark never divides by zero (ADVICE r8). Scale:
     one hash agg to the |years| frame."""
     o = load_table(spark, sf_dir, "orders")
     yr = o.select(
@@ -273,6 +278,11 @@ def sql_priority_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("w") * F.col("w"))
         .cast("long")
         .alias("snww"),
+    )
+    agg = agg.where(
+        (F.col("n_years") > 1)
+        & (F.col("xx") > 0)
+        & (F.col("xx") < F.col("nn"))
     )
     nn = F.col("nn").cast("double")
     xx = F.col("xx").cast("double")
@@ -333,6 +343,7 @@ SELECT n_years, nn AS n_orders,
                    - (CAST(snw AS DOUBLE) * CAST(snw AS DOUBLE))
                      / CAST(nn AS DOUBLE))) AS ca_z
 FROM agg
+WHERE n_years > 1 AND xx > 0 AND xx < nn
 """
 
 
