@@ -162,3 +162,58 @@ def test_graph_edge_cache_keyed_per_corpus(spark):
     assert a2.count() == ca1 and b2.count() == cb1
     # cache hit: the memoized frame IS the same object
     assert a2 is a1 and b2 is b1
+
+
+def test_shared_block_protection_on_eviction(spark):
+    """Pins `_other_entries_ids`' shared-block protection (VERDICT r8
+    #6): nested builds can double-attribute an inner entry's checkpoint
+    blocks to the outer entry's rdd_ids set. Evicting the outer entry
+    must NOT unpersist the blocks the surviving inner sibling claims —
+    only the evictee's exclusive blocks — and the sibling's frame must
+    still compute afterwards."""
+    dedup._SHINGLE_CACHE.clear()
+    _unpersist_everything(spark)
+
+    # Entry B (the future evictee) owns some blocks of its own...
+    dedup._cached_checkpoint(
+        spark, ("t", "B"), lambda: spark.range(50).withColumn("b", F.lit(1))
+    )
+    ids_b_own = set(dedup._SHINGLE_CACHE[("t", "B")]["rdd_ids"])
+    assert ids_b_own, "B checkpoint produced no persistent blocks"
+
+    # ...then 7 filler entries so B sits inside the evict slice
+    # (oldest 8 of 16) while A lands in the keep slice (newest 8).
+    for i in range(7):
+        dedup._SHINGLE_CACHE[("fill-old", i)] = {"frame": None, "rdd_ids": set()}
+
+    frame_a = dedup._cached_checkpoint(
+        spark, ("t", "A"), lambda: spark.range(100).withColumn("a", F.lit(1))
+    )
+    ids_a = set(dedup._SHINGLE_CACHE[("t", "A")]["rdd_ids"])
+    assert ids_a and ids_a.isdisjoint(ids_b_own)
+    expected_a = _rows(frame_a)
+
+    # Simulate the nested-build double-attribution: B's recorded set
+    # also claims A's blocks (overlapping rdd_ids across two entries).
+    dedup._SHINGLE_CACHE[("t", "B")]["rdd_ids"] |= ids_a
+
+    for i in range(7):
+        dedup._SHINGLE_CACHE[("fill-new", i)] = {"frame": None, "rdd_ids": set()}
+    assert len(dedup._SHINGLE_CACHE) == dedup._CACHE_CAP
+
+    # Next insert triggers cap-eviction of the oldest 8 — including B.
+    dedup._cached_checkpoint(
+        spark, ("t", "C"), lambda: spark.range(10).withColumn("c", F.lit(1))
+    )
+    assert ("t", "B") not in dedup._SHINGLE_CACHE
+    assert ("t", "A") in dedup._SHINGLE_CACHE
+
+    live = _live_ids(spark)
+    # B's exclusive blocks were released; A's shared-claimed blocks survive.
+    assert ids_b_own.isdisjoint(live), "evictee's exclusive blocks leaked"
+    assert ids_a <= live, "eviction unpersisted a surviving sibling's blocks"
+    # The surviving sibling's frame still computes, identically.
+    assert _rows(frame_a) == expected_a
+
+    dedup._SHINGLE_CACHE.clear()
+    _unpersist_everything(spark)
