@@ -151,6 +151,33 @@ def main() -> None:
     for name, sec in timings.items():
         families[_family(name)] = round(families.get(_family(name), 0.0) + sec, 4)
 
+    # Per-stream-query fixed cost (VERDICT r8 #5): each stream_* query
+    # pays a data-independent start/stop + state-store-open floor that
+    # is harness overhead, not plan cost. Measure it directly — min of
+    # 3 runs of a minimal stateful query over the tiny warm corpus —
+    # and record wall-minus-fixed per stream query so the honest data
+    # cost is separable from the per-query replay fixture cost.
+    def _stream_fixed_sec() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            harness._run_to_completion(
+                harness._events_stream(spark, warm_dir)
+                .groupBy("event_type")
+                .count(),
+                spark,
+                output_mode="complete",
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    stream_fixed = _stream_fixed_sec()
+    stream_net = {
+        name: round(max(0.0, sec - stream_fixed), 4)
+        for name, sec in timings.items()
+        if name.startswith("stream_") or name == "cep_fragmentation_stream"
+    }
+
     # Sustained-rate streaming throughput (VERDICT r4 #7): events/s
     # through parse -> stateful detect -> serialize at fixed key
     # cardinality, recorded per-round under the same prior-relative
@@ -211,6 +238,8 @@ def main() -> None:
                 "repeated_full_pass": repeated_full_pass,
                 "streaming": stream_stats,
                 "streaming_hotkey": hot_stats,
+                "stream_fixed_sec": stream_fixed,
+                "stream_net_of_fixed": stream_net,
                 "queries": timings,
             },
             f,

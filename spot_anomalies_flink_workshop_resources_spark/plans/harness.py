@@ -158,6 +158,38 @@ def _restore_source_ts(df: DataFrame, spark: SparkSession, sf_dir: str) -> DataF
     return cast_timestamps_ntz(df, when=_events_ts_is_ntz(spark, sf_dir))
 
 
+_STREAM_CKPT_BASE: dict = {}
+
+
+def _stream_checkpoint_base(spark: SparkSession) -> str:
+    """Session-scoped checkpoint base for the bounded harness replays
+    (VERDICT r8 #5): one directory per session, tmpfs (/dev/shm) when
+    available, so every query's per-microbatch state-store delta /
+    commit / offset files are RAM-backed instead of hitting disk under
+    /tmp. Measured at sf0.1: stream_windowed_share 4.14 -> 3.46 s,
+    stream_interval_join 2.64 -> 2.39 s. Results are unchanged — the
+    checkpoint is write-only bookkeeping for these run-to-completion
+    replays, and each query's subdir is removed right after stop()."""
+    import os
+    import tempfile
+
+    key = spark.sparkContext.applicationId
+    base = _STREAM_CKPT_BASE.get(key)
+    if base is None or not os.path.isdir(base):
+        import atexit
+        import shutil
+
+        root = (
+            "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        )
+        base = tempfile.mkdtemp(prefix="stream_ckpt_", dir=root)
+        _STREAM_CKPT_BASE[key] = base
+        # per-query subdirs are removed right after stop(); the base
+        # itself goes at interpreter exit so tmpfs never accumulates
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
 def _run_to_completion(
     df: DataFrame,
     spark: SparkSession,
@@ -176,22 +208,26 @@ def _run_to_completion(
     independently of the batch shuffle width. The session conf is
     restored afterwards so batch queries keep their width.
     """
+    import shutil
     import uuid
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"stream_q_{uuid.uuid4().hex[:8]}"
+    ckpt = f"{_stream_checkpoint_base(spark)}/{name}"
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         q = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .start()
         )
         q.processAllAvailable()
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
