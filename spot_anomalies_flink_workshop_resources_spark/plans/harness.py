@@ -1216,6 +1216,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_acctbal_spend_corr",
     "dq_segment_balance",
     # -- round 9 newcomers (BEHIND the backlog block; cap 15) --
+    "dq_temporal_drift",          # NEW: first-vs-second-half skew audit
+    "sql_new_vs_returning",       # NEW: monthly acquisition/retention split
+    "sql_hhi_trend",              # NEW: per-year supplier concentration
+    "sql_discount_elasticity",    # NEW: demand response OLS on discount grid
+    "corpus_temperature_mix",     # NEW: p^0.7 source rebalancing weights
 )
 
 # Rows-only (no-oracle-by-design) queries are pushed BEHIND every
@@ -1311,6 +1316,7 @@ def build_queries() -> dict[str, QueryFn]:
         round8c,
         round8d,
         round8e,
+        round9,
         stattests,
         tpch_tail,
     )
@@ -1326,6 +1332,7 @@ def build_queries() -> dict[str, QueryFn]:
     registry.update(round8c.QUERIES)
     registry.update(round8d.QUERIES)
     registry.update(round8e.QUERIES)
+    registry.update(round9.QUERIES)
 
     out: dict[str, QueryFn] = {}
     for name in DRIVER_PRIORITY:
@@ -1399,6 +1406,7 @@ def build_oracles() -> dict[str, str]:
         round8c,
         round8d,
         round8e,
+        round9,
         stattests,
         tpch_tail,
     )
@@ -1414,4 +1422,5 @@ def build_oracles() -> dict[str, str]:
     out.update(round8c.ORACLES)
     out.update(round8d.ORACLES)
     out.update(round8e.ORACLES)
+    out.update(round9.ORACLES)
     return out
