@@ -1221,6 +1221,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_hhi_trend",              # NEW: per-year supplier concentration
     "sql_discount_elasticity",    # NEW: demand response OLS on discount grid
     "corpus_temperature_mix",     # NEW: p^0.7 source rebalancing weights
+    "sql_shapley_attribution",    # NEW: exact coalition-lattice attribution
+    "events_permutation_entropy", # NEW: Bandt-Pompe ordinal complexity
+    "events_growth_accounting",   # NEW: WAU new/retained/resurrected/churned
+    "events_partial_corr",        # NEW: confounder-controlled co-movement
+    "text_stutter_rate",          # NEW: adjacent-token degeneration screen
 )
 
 # Rows-only (no-oracle-by-design) queries are pushed BEHIND every

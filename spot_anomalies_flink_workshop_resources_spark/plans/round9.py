@@ -483,7 +483,689 @@ ORDER BY source
 """
 
 
+
+
+# ------------------------------------------- Shapley attribution
+
+
+_SHAPLEY_CHANNELS = (
+    ("click", 1),
+    ("view", 2),
+    ("signup", 4),
+    ("error", 8),
+)
+# Shapley coalition weights x12 for n = 4 players: |S|! * (n-|S|-1)! / n!
+# = 1/4, 1/12, 1/12, 1/4 for |S| = 0..3 -> x12 = 3, 1, 1, 3 (integers).
+_SHAPLEY_W12 = (3, 1, 1, 3)
+
+
+def sql_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SHAPLEY-VALUE channel attribution: credit each touch
+    channel (click/view/signup/error) for purchase conversions by its
+    average marginal contribution over all 2^4 coalitions — the
+    game-theoretic attribution that first/last-touch
+    (events_attribution) cannot express. The coalition value v(S) is
+    the number of converted users whose ENTIRE touch set lies within S
+    (monotone by construction).
+
+    Exactness: per-user touch sets are 4-bit integer masks; v(S) sums
+    exact int64 conversion counts over the 16-subset lattice; the
+    coalition weights enter x12 as INTEGERS (3,1,1,3), so each
+    channel's 12x-Shapley value folds as int64 and the only float is
+    ONE final division by 12. Efficiency axiom (sum phi = v(full) -
+    v(empty)) is pinned by a unit test. Scale: events collapse to the
+    user dimension in one hash agg; everything after runs on <=16-row
+    frames (broadcast joins, no cartesian)."""
+    e = load_table(spark, sf_dir, "events")
+    mask_expr = None
+    for name, bit in _SHAPLEY_CHANNELS:
+        term = F.max(
+            F.when(F.col("event_type") == name, bit).otherwise(0)
+        )
+        mask_expr = term if mask_expr is None else mask_expr + term
+    users = e.groupBy("user_id").agg(
+        mask_expr.cast("long").alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("conv"),
+    )
+    per_mask = users.groupBy("mask").agg(
+        F.sum("conv").cast("long").alias("c")
+    )
+    subsets = spark.range(16).select(F.col("id").cast("long").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(per_mask),
+            F.expr("(mask & s) = mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+    )
+    chan = spark.createDataFrame(
+        list(_SHAPLEY_CHANNELS), "channel string, bit long"
+    )
+    pop = sum(
+        (F.col("s").cast("long") / F.lit(1 << b)).cast("long") % 2
+        for b in range(4)
+    )
+    w12 = (
+        F.when(pop == 0, _SHAPLEY_W12[0])
+        .when(pop == 1, _SHAPLEY_W12[1])
+        .when(pop == 2, _SHAPLEY_W12[2])
+        .otherwise(_SHAPLEY_W12[3])
+    )
+    base = (
+        F.broadcast(chan)
+        .crossJoin(F.broadcast(v.select(F.col("s"), F.col("v").alias("v_s"))))
+        .where(F.expr("(s & bit) = 0"))
+        .join(
+            F.broadcast(
+                v.select(
+                    F.col("s").alias("s_with"), F.col("v").alias("v_with")
+                )
+            ),
+            F.col("s_with") == F.col("s") + F.col("bit"),
+        )
+        .select(
+            "channel",
+            (w12.cast("long") * (F.col("v_with") - F.col("v_s")))
+            .cast("long")
+            .alias("phi12"),
+        )
+    )
+    return (
+        base.groupBy("channel")
+        .agg(F.sum("phi12").cast("long").alias("phi12"))
+        .select(
+            "channel",
+            (F.col("phi12").cast("double") / F.lit(12.0)).alias(
+                "shapley_conversions"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+def _sql_shapley_attribution_sql() -> str:
+    chan_rows = ", ".join(
+        f"('{n}', {b})" for n, b in _SHAPLEY_CHANNELS
+    )
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         CAST({" + ".join(
+             f"MAX(CASE WHEN event_type = '{n}' THEN {b} ELSE 0 END)"
+             for n, b in _SHAPLEY_CHANNELS
+         )} AS BIGINT) AS mask,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+per_mask AS (
+  SELECT mask, CAST(SUM(conv) AS BIGINT) AS c FROM users GROUP BY mask
+),
+v AS (
+  SELECT t.s,
+         CAST(COALESCE(SUM(pm.c), 0) AS BIGINT) AS v
+  FROM range(0, 16) t(s)
+  LEFT JOIN per_mask pm ON (pm.mask & t.s) = pm.mask
+  GROUP BY t.s
+),
+chan(channel, bit) AS (VALUES {chan_rows}),
+base AS (
+  SELECT chan.channel,
+         (CASE ((vs.s // 1) % 2) + ((vs.s // 2) % 2)
+               + ((vs.s // 4) % 2) + ((vs.s // 8) % 2)
+            WHEN 0 THEN {_SHAPLEY_W12[0]} WHEN 1 THEN {_SHAPLEY_W12[1]}
+            WHEN 2 THEN {_SHAPLEY_W12[2]} ELSE {_SHAPLEY_W12[3]} END)
+           * (vw.v - vs.v) AS phi12
+  FROM chan
+  CROSS JOIN v vs
+  JOIN v vw ON vw.s = vs.s + chan.bit
+  WHERE (vs.s & chan.bit) = 0
+)
+SELECT channel,
+       CAST(SUM(phi12) AS DOUBLE) / 12.0 AS shapley_conversions
+FROM base
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+# --------------------------------------- permutation entropy
+
+
+def events_permutation_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORDER-3 PERMUTATION ENTROPY of the daily-count series per event
+    type — the complexity measure that reads a series' predictability
+    from its ordinal patterns alone (Bandt-Pompe): a monotone or
+    strictly periodic series concentrates on few of the 6 patterns
+    (low H), white noise spreads over all 6 (H near ln 6).
+
+    Exactness: patterns come from integer comparisons of exact daily
+    counts over the zero-filled grid (ties break to the EARLIER day,
+    encoded a<=b / b<=c / a<=c — 6 valid 3-bit codes); pattern counts
+    are int64; each -p ln p term runs ln through the libm twin,
+    quantizes onto the 2^-20 grid and folds as int64 (order-free);
+    h_norm is ONE division by the libm ln 6. Scale: one data-sized
+    hash agg to the (type, day) grid; the lead windows and the pattern
+    agg run on the calendar-bounded frame."""
+    from ..functions.libm import libm_log
+    from .round7 import _daily_grid
+
+    g = _daily_grid(spark, sf_dir)
+    w = Window.partitionBy("t").orderBy("d")
+    tri = (
+        g.select(
+            "t",
+            F.col("n").alias("a"),
+            F.lead("n", 1).over(w).alias("b"),
+            F.lead("n", 2).over(w).alias("c"),
+        )
+        .where(F.col("c").isNotNull())
+        .select(
+            "t",
+            (
+                (F.col("a") <= F.col("b")).cast("long")
+                + (F.col("b") <= F.col("c")).cast("long") * 2
+                + (F.col("a") <= F.col("c")).cast("long") * 4
+            ).alias("pat"),
+        )
+    )
+    cnt = tri.groupBy("t", "pat").agg(
+        F.count(F.lit(1)).cast("long").alias("np")
+    )
+    tot = tri.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    p = F.col("np").cast("double") / F.col("n").cast("double")
+    term_q = F.floor(
+        p * libm_log(p) * F.lit(float(_Q20)) + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        cnt.join(tot, "t")
+        .select("t", "n", term_q.alias("tq"))
+        .groupBy("t", "n")
+        .agg(F.sum("tq").cast("long").alias("sq"))
+    )
+    h = -F.col("sq").cast("double") / F.lit(float(_Q20))
+    return agg.select(
+        F.col("t").alias("event_type"),
+        F.col("n").alias("n_windows"),
+        h.alias("perm_entropy"),
+        (h / libm_log(F.lit(6.0))).alias("perm_entropy_norm"),
+    ).orderBy("event_type")
+
+
+EVENTS_PERMUTATION_ENTROPY_SQL = f"""
+WITH raw AS (
+  SELECT event_type AS t, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT ty.t, dy.d, COALESCE(raw.n, 0) AS n
+  FROM (SELECT DISTINCT event_type AS t FROM events) ty
+  CROSS JOIN (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) dy
+  LEFT JOIN raw ON raw.t = ty.t AND raw.d = dy.d
+),
+tri AS (
+  SELECT t,
+         CAST(CASE WHEN n <= lead(n, 1) OVER w THEN 1 ELSE 0 END
+              + CASE WHEN lead(n, 1) OVER w <= lead(n, 2) OVER w
+                     THEN 2 ELSE 0 END
+              + CASE WHEN n <= lead(n, 2) OVER w THEN 4 ELSE 0 END
+              AS BIGINT) AS pat,
+         lead(n, 2) OVER w AS c
+  FROM grid
+  WINDOW w AS (PARTITION BY t ORDER BY d)
+),
+tri2 AS (SELECT t, pat FROM tri WHERE c IS NOT NULL),
+cnt AS (
+  SELECT t, pat, CAST(COUNT(*) AS BIGINT) AS np FROM tri2 GROUP BY t, pat
+),
+tot AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tri2 GROUP BY t),
+agg AS (
+  SELECT cnt.t, tot.n,
+         CAST(SUM(CAST(FLOOR(
+             (CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+             * {float(_Q20)!r} + 0.5) AS BIGINT)) AS BIGINT) AS sq
+  FROM cnt JOIN tot ON tot.t = cnt.t
+  GROUP BY cnt.t, tot.n
+)
+SELECT t AS event_type, n AS n_windows,
+       -CAST(sq AS DOUBLE) / {float(_Q20)!r} AS perm_entropy,
+       (-CAST(sq AS DOUBLE) / {float(_Q20)!r}) / ln(6.0)
+         AS perm_entropy_norm
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------- growth accounting
+
+
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING (new / retained / resurrected / churned) of
+    weekly active users per week — the standard WAU decomposition and
+    quick ratio a growth team reads before any topline claim
+    ("is WAU growth acquisition or leaky-bucket churn?").
+
+    Exactness: weeks are integer day-offsets DIV 7 from the global min
+    day (engine week rules never consulted); activity is a DISTINCT
+    (user, week) frame; every class count is an exact int64 off keyed
+    joins of that frame with its week-shifted self and the per-user
+    first week; quick_ratio is ONE guarded division (weeks with zero
+    churn emit NULL on both engines via lazy CASE). Scale: one
+    data-sized distinct to (user, week); both joins are keyed on the
+    user dimension; the report frame is |weeks| rows."""
+    e = load_table(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    uw = (
+        e.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.expr("CAST(datediff(to_date(ts), d0) DIV 7 AS BIGINT)").alias(
+                "w"
+            ),
+        )
+        .distinct()
+    )
+    first = uw.groupBy("user_id").agg(F.min("w").alias("fw"))
+    prev = uw.select("user_id", (F.col("w") + 1).alias("w"), F.lit(1).alias("was"))
+    maxw = uw.agg(F.max("w").alias("mw"))
+    cur = uw.withColumn("is_cur", F.lit(1))
+    full = (
+        cur.join(prev, ["user_id", "w"], "full")
+        .join(first, "user_id")
+        .crossJoin(F.broadcast(maxw))
+        .where(F.col("w") <= F.col("mw"))
+    )
+    agg = full.groupBy("w").agg(
+        F.sum(
+            F.when(
+                (F.col("is_cur") == 1) & (F.col("w") == F.col("fw")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("new_users"),
+        F.sum(
+            F.when((F.col("is_cur") == 1) & (F.col("was") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("retained"),
+        F.sum(
+            F.when(
+                (F.col("is_cur") == 1)
+                & F.col("was").isNull()
+                & (F.col("w") > F.col("fw")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("resurrected"),
+        F.sum(
+            F.when((F.col("was") == 1) & F.col("is_cur").isNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("churned"),
+    )
+    return agg.select(
+        F.col("w").alias("week"),
+        "new_users",
+        "retained",
+        "resurrected",
+        "churned",
+        F.when(
+            F.col("churned") > 0,
+            (F.col("new_users") + F.col("resurrected")).cast("double")
+            / F.col("churned").cast("double"),
+        ).alias("quick_ratio"),
+    ).orderBy("week")
+
+
+EVENTS_GROWTH_ACCOUNTING_SQL = """
+WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', d0.d0, CAST(ts AS DATE)) // 7 AS BIGINT)
+           AS w
+  FROM events CROSS JOIN d0
+),
+first_w AS (SELECT user_id, MIN(w) AS fw FROM uw GROUP BY user_id),
+prev AS (SELECT user_id, w + 1 AS w, 1 AS was FROM uw),
+maxw AS (SELECT MAX(w) AS mw FROM uw),
+cur AS (SELECT user_id, w, 1 AS is_cur FROM uw),
+full_f AS (
+  SELECT COALESCE(cur.user_id, prev.user_id) AS user_id,
+         COALESCE(cur.w, prev.w) AS w,
+         cur.is_cur, prev.was
+  FROM cur FULL JOIN prev
+    ON prev.user_id = cur.user_id AND prev.w = cur.w
+),
+joined AS (
+  SELECT f.*, fw.fw FROM full_f f
+  JOIN first_w fw ON fw.user_id = f.user_id
+  CROSS JOIN maxw WHERE f.w <= maxw.mw
+)
+SELECT w AS week,
+       CAST(SUM(CASE WHEN is_cur = 1 AND w = fw THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN is_cur = 1 AND was = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS retained,
+       CAST(SUM(CASE WHEN is_cur = 1 AND was IS NULL AND w > fw
+                     THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+       CAST(SUM(CASE WHEN was = 1 AND is_cur IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS churned,
+       CASE WHEN SUM(CASE WHEN was = 1 AND is_cur IS NULL THEN 1 ELSE 0
+                     END) > 0
+            THEN CAST(SUM(CASE WHEN is_cur = 1 AND w = fw THEN 1 ELSE 0
+                          END)
+                      + SUM(CASE WHEN is_cur = 1 AND was IS NULL
+                                 AND w > fw THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN was = 1 AND is_cur IS NULL
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+            END AS quick_ratio
+FROM joined
+GROUP BY w
+ORDER BY w
+"""
+
+
+# --------------------------------------------- partial correlation
+
+
+def events_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL CORRELATION of the two alphabetically-first event
+    types' daily value volumes CONTROLLING for the third — "do click
+    and error really co-move, or do both just follow purchase-driven
+    traffic?" The confounder screen the raw Pearson matrix
+    (events_hourly_corr) cannot answer.
+
+    Exactness: daily cents sums fold int64 over the zero-filled
+    calendar grid; the three pairwise r compose from exact integer
+    sufficient statistics in the events_hourly_corr op order (sqrt(a)*
+    sqrt(b) denominators, never sqrt(a*b)); the partial r is one fixed
+    float expression, with the |r| = 1 degenerate frames filtered by
+    the SAME float guard on both engines. int64 bound: day-pair
+    products n*sxy stay exact while daily per-type cents volume is
+    under ~sqrt(2^63/days) (~1.2e8 cents/day at 60 days) — the
+    documented hourly_corr bound class; past it, rebase to value units
+    before the fold. Scale: one data-sized hash agg to the (type, day)
+    grid; everything after is calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    types = [
+        r[0]
+        for r in e.select("event_type").distinct().orderBy("event_type").limit(3).collect()
+    ]
+    if len(types) < 3:
+        types = (types + ["", "", ""])[:3]
+    tx, ty, tz = types
+    daily = (
+        e.where(F.col("event_type").isin(tx, ty, tz))
+        .groupBy(
+            F.to_date("ts").alias("d"),
+            F.col("event_type").alias("t"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    wide = (
+        days.join(
+            daily.where(F.col("t") == tx).select("d", F.col("s").alias("x")),
+            "d",
+            "left",
+        )
+        .join(
+            daily.where(F.col("t") == ty).select("d", F.col("s").alias("y")),
+            "d",
+            "left",
+        )
+        .join(
+            daily.where(F.col("t") == tz).select("d", F.col("s").alias("z")),
+            "d",
+            "left",
+        )
+        .select(
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+            F.coalesce("z", F.lit(0)).alias("z"),
+        )
+    )
+    agg = wide.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("long").alias("syz"),
+    ).where(
+        (F.col("n") > 2)
+        & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        & (F.col("n") * F.col("szz") - F.col("sz") * F.col("sz") > 0)
+    )
+
+    def _r(sab, sa, sb, saa, sbb):
+        num = (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast(
+            "double"
+        )
+        da = F.sqrt(
+            (F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+        )
+        db = F.sqrt(
+            (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+        )
+        return num / (da * db)
+
+    rxy = _r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = _r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = _r("syz", "sy", "sz", "syy", "szz")
+    scored = agg.select(
+        F.lit(tx).alias("type_x"),
+        F.lit(ty).alias("type_y"),
+        F.lit(tz).alias("type_z"),
+        F.col("n").alias("n_days"),
+        rxy.alias("r_xy"),
+        rxz.alias("r_xz"),
+        ryz.alias("r_yz"),
+    ).where(
+        (F.lit(1.0) - F.col("r_xz") * F.col("r_xz") > 0)
+        & (F.lit(1.0) - F.col("r_yz") * F.col("r_yz") > 0)
+    )
+    return scored.select(
+        "type_x",
+        "type_y",
+        "type_z",
+        "n_days",
+        "r_xy",
+        (
+            (F.col("r_xy") - F.col("r_xz") * F.col("r_yz"))
+            / (
+                F.sqrt(F.lit(1.0) - F.col("r_xz") * F.col("r_xz"))
+                * F.sqrt(F.lit(1.0) - F.col("r_yz") * F.col("r_yz"))
+            )
+        ).alias("r_xy_given_z"),
+    )
+
+
+def _events_partial_corr_sql() -> str:
+    return """
+WITH types AS (
+  SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) AS rn
+  FROM (SELECT DISTINCT event_type FROM events) WHERE event_type IS NOT NULL
+),
+sel AS (
+  SELECT MAX(CASE WHEN rn = 1 THEN event_type END) AS tx,
+         MAX(CASE WHEN rn = 2 THEN event_type END) AS ty,
+         MAX(CASE WHEN rn = 3 THEN event_type END) AS tz
+  FROM types WHERE rn <= 3
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type AS t,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM events CROSS JOIN sel
+  WHERE event_type IN (sel.tx, sel.ty, sel.tz)
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT dy.d,
+         COALESCE(MAX(CASE WHEN daily.t = sel.tx THEN daily.s END), 0) AS x,
+         COALESCE(MAX(CASE WHEN daily.t = sel.ty THEN daily.s END), 0) AS y,
+         COALESCE(MAX(CASE WHEN daily.t = sel.tz THEN daily.s END), 0) AS z
+  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) dy
+  LEFT JOIN daily ON daily.d = dy.d
+  CROSS JOIN sel
+  GROUP BY dy.d
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(z * z) AS BIGINT) AS szz,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * z) AS BIGINT) AS sxz,
+         CAST(SUM(y * z) AS BIGINT) AS syz
+  FROM wide
+),
+guarded AS (
+  SELECT * FROM agg
+  WHERE n > 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    AND n * szz - sz * sz > 0
+),
+scored AS (
+  SELECT sel.tx AS type_x, sel.ty AS type_y, sel.tz AS type_z,
+         n AS n_days,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r_xy,
+         CAST(n * sxz - sx * sz AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS r_xz,
+         CAST(n * syz - sy * sz AS DOUBLE)
+           / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+              * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS r_yz
+  FROM guarded CROSS JOIN sel
+)
+SELECT type_x, type_y, type_z, n_days, r_xy,
+       (r_xy - r_xz * r_yz)
+         / (sqrt(1.0 - r_xz * r_xz) * sqrt(1.0 - r_yz * r_yz))
+         AS r_xy_given_z
+FROM scored
+WHERE 1.0 - r_xz * r_xz > 0 AND 1.0 - r_yz * r_yz > 0
+"""
+
+
+# ------------------------------------------------- stutter rate
+
+
+def text_stutter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADJACENT-TOKEN STUTTER rate per source: the share of
+    token-to-token transitions that repeat the same token ("the the",
+    degeneration loops) — the cheapest generated-text / OCR artifact
+    screen, the positional companion to text_repetition_stats' bag
+    counts.
+
+    Exactness: repeats and transitions are exact int64 counts over
+    whitespace token positions (docs with fewer than 2 tokens are
+    excluded structurally on both engines — they have no transitions);
+    the rate and the max per-doc rate are single divisions of exact
+    integers. Scale: one token-position pass (Spark: per-doc lag
+    window, partition = doc — bounded; DuckDB: list_zip) + one source
+    hash agg."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+    ).where(F.size("toks") >= 2)
+    per_doc = d.select(
+        "source",
+        "doc_id",
+        (F.size("toks") - 1).cast("long").alias("n_trans"),
+        F.expr(
+            "CAST(size(filter(zip_with(slice(toks, 1, size(toks) - 1), "
+            "slice(toks, 2, size(toks) - 1), (x, y) -> x = y), b -> b)) "
+            "AS BIGINT)"
+        ).alias("n_rep"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_trans").cast("long").alias("n_transitions"),
+        F.sum("n_rep").cast("long").alias("n_repeats"),
+        F.max(
+            F.struct(
+                (F.col("n_rep") * F.lit(1_000_000) / F.col("n_trans"))
+                .cast("long")
+                .alias("q"),
+                F.col("doc_id").alias("did"),
+            )
+        ).alias("mx"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_transitions",
+        "n_repeats",
+        (
+            F.col("n_repeats").cast("double")
+            / F.col("n_transitions").cast("double")
+        ).alias("stutter_rate"),
+        (
+            F.col("mx.q").cast("double") / F.lit(1_000_000.0)
+        ).alias("worst_doc_rate"),
+    ).orderBy("source")
+
+
+TEXT_STUTTER_RATE_SQL = """
+WITH docs AS (
+  SELECT source, doc_id, string_split(text, ' ') AS toks
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+per_doc AS (
+  SELECT source, doc_id,
+         CAST(len(toks) - 1 AS BIGINT) AS n_trans,
+         CAST(len(list_filter(
+             list_zip(toks[1:len(toks) - 1], toks[2:len(toks)]),
+             p -> p[1] = p[2])) AS BIGINT) AS n_rep
+  FROM docs
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_trans) AS BIGINT) AS n_transitions,
+       CAST(SUM(n_rep) AS BIGINT) AS n_repeats,
+       CAST(SUM(n_rep) AS DOUBLE) / CAST(SUM(n_trans) AS DOUBLE)
+         AS stutter_rate,
+       CAST(MAX((n_rep * 1000000) // n_trans) AS DOUBLE) / 1000000.0
+         AS worst_doc_rate
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
 QUERIES = {
+    "events_growth_accounting": events_growth_accounting,
+    "events_partial_corr": events_partial_corr,
+    "text_stutter_rate": text_stutter_rate,
+    "sql_shapley_attribution": sql_shapley_attribution,
+    "events_permutation_entropy": events_permutation_entropy,
     "dq_temporal_drift": dq_temporal_drift,
     "sql_new_vs_returning": sql_new_vs_returning,
     "sql_hhi_trend": sql_hhi_trend,
@@ -492,6 +1174,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_growth_accounting": EVENTS_GROWTH_ACCOUNTING_SQL,
+    "events_partial_corr": _events_partial_corr_sql(),
+    "text_stutter_rate": TEXT_STUTTER_RATE_SQL,
+    "sql_shapley_attribution": _sql_shapley_attribution_sql(),
+    "events_permutation_entropy": EVENTS_PERMUTATION_ENTROPY_SQL,
     "dq_temporal_drift": DQ_TEMPORAL_DRIFT_SQL,
     "sql_new_vs_returning": SQL_NEW_VS_RETURNING_SQL,
     "sql_hhi_trend": SQL_HHI_TREND_SQL,
