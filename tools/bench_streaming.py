@@ -114,12 +114,123 @@ def measure(
     }
 
 
+def measure_sustained(
+    spark,
+    rows_per_second: int = 50_000,
+    duration_s: float = 60.0,
+    n_keys: int = 500,
+    tag: str = "rate",
+) -> dict:
+    """Live-trigger sustained-rate run (VERDICT r8 #4): the bounded
+    replay above measures one catch-up macro-batch; this drives the
+    detector with Spark's RATE SOURCE at a fixed rowsPerSecond for
+    ``duration_s`` of wall clock, so micro-batches fire continuously
+    and the state store is read-modify-written every trigger — the
+    production shape. Event columns are synthesized executor-side from
+    (value, timestamp); per key (value % n_keys), every 1000-event
+    block embeds 14 fragment-shaped events (packets=1) closed by a
+    high event, so the CEP emit path does real work throughout.
+
+    Keeping pace is judged from StreamingQueryProgress: the rate
+    source generates rows by elapsed time, so a detector slower than
+    the offered rate shows sum(numInputRows)/duration < rows_per_second
+    (a growing catch-up backlog), while a keeping-up detector matches
+    it. Returns offered/achieved rates, batch stats, and alert count.
+    """
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", 8)
+        .load()
+    )
+    ms = (F.col("timestamp").cast("double") * 1000).cast("long")
+    pos = (F.col("value") / n_keys).cast("long") % 1000
+    packets = (
+        F.when(pos < 14, F.lit(1))
+        .when(pos == 14, F.lit(250))
+        .otherwise(F.lit(200))
+        .cast("long")
+    )
+    events = rate.select(
+        F.lit("GET").alias("event_type"),
+        F.concat(F.lit("10.1.0."), (F.col("value") % 200).cast("string")).alias(
+            "ip_src"
+        ),
+        F.concat(F.lit("10.2."), (F.col("value") % n_keys / 256).cast("int")
+                 .cast("string"), F.lit("."),
+                 (F.col("value") % n_keys % 256).cast("string")).alias("ip_dst"),
+        F.lit("443").alias("port_src"),
+        F.lit("8080").alias("port_dst"),
+        F.lit("UDP").alias("ip_proto"),
+        # strictly increasing per key: wall ms plus the per-key sequence
+        # index breaks ties deterministically inside a micro-batch
+        (ms + pos % 7).alias("timestamp_start"),
+        (ms + pos % 7 + 10).alias("timestamp_end"),
+        F.col("timestamp").alias("event_time"),
+        F.timestamp_micros(
+            (F.col("timestamp").cast("double") * 1e6).cast("long") + 10_000
+        ).alias("event_time_end"),
+        packets.alias("packets"),
+        F.when(pos < 14, F.lit(32)).otherwise(F.lit(900)).cast("long").alias(
+            "bytes"
+        ),
+        F.lit("eni-rate").alias("writer_id"),
+        F.lit("ok").alias("text"),
+    )
+    alerts = detect_fragmentation_flowlogs_stream(events)
+    name = f"bench_rate_{tag}"
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    t0 = time.time()
+    time.sleep(duration_s)
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+    wall = time.time() - t0
+    n_alerts = spark.table(name).count()
+    # drop the first batch (rate-source offset-0 bootstrap, not steady
+    # state) and any zero-row heartbeat batches
+    rows = [p for p in progress[1:] if p.get("numInputRows", 0) > 0]
+    total_in = sum(p["numInputRows"] for p in rows)
+    batch_ms = [p["batchDuration"] for p in rows]
+    span_s = sum(batch_ms) / 1000.0 if batch_ms else float("nan")
+    return {
+        "offered_rows_per_sec": rows_per_second,
+        "duration_s": round(wall, 1),
+        "n_batches": len(rows),
+        "rows_in": total_in,
+        "achieved_rows_per_sec": round(total_in / span_s) if batch_ms else 0,
+        "kept_pace": bool(total_in >= 0.95 * rows_per_second * span_s),
+        "max_batch_ms": max(batch_ms) if batch_ms else 0,
+        "mean_batch_ms": round(sum(batch_ms) / len(batch_ms)) if batch_ms else 0,
+        "alerts": n_alerts,
+    }
+
+
 def main() -> None:
     n_normal = int(os.environ.get("BENCH_STREAM_EVENTS", "200000"))
     n_bursts = int(os.environ.get("BENCH_STREAM_BURSTS", "40"))
     spark = build_session("bench-streaming")
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(measure(spark, n_normal, n_bursts)))
+    if os.environ.get("BENCH_STREAM_MODE", "replay") == "rate":
+        print(
+            json.dumps(
+                measure_sustained(
+                    spark,
+                    rows_per_second=int(
+                        os.environ.get("BENCH_STREAM_RATE", "50000")
+                    ),
+                    duration_s=float(
+                        os.environ.get("BENCH_STREAM_DURATION", "60")
+                    ),
+                )
+            )
+        )
+    else:
+        print(json.dumps(measure(spark, n_normal, n_bursts)))
     spark.stop()
 
 
