@@ -1226,6 +1226,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_growth_accounting",   # NEW: WAU new/retained/resurrected/churned
     "events_partial_corr",        # NEW: confounder-controlled co-movement
     "text_stutter_rate",          # NEW: adjacent-token degeneration screen
+    "events_xi_correlation",      # NEW: Chatterjee xi dependence
+    "events_cmh_test",            # NEW: stratified 2x2 CMH association
+    "sql_revenue_bridge",         # NEW: YoY price/volume/mix waterfall
+    "sql_promo_uplift_did",       # NEW: difference-in-differences uplift
+    "sql_growth_streaks",         # NEW: gaps-and-islands MoM streaks
 )
 
 # Rows-only (no-oracle-by-design) queries are pushed BEHIND every
@@ -1322,6 +1327,7 @@ def build_queries() -> dict[str, QueryFn]:
         round8d,
         round8e,
         round9,
+        round9b,
         stattests,
         tpch_tail,
     )
@@ -1338,6 +1344,7 @@ def build_queries() -> dict[str, QueryFn]:
     registry.update(round8d.QUERIES)
     registry.update(round8e.QUERIES)
     registry.update(round9.QUERIES)
+    registry.update(round9b.QUERIES)
 
     out: dict[str, QueryFn] = {}
     for name in DRIVER_PRIORITY:
@@ -1412,6 +1419,7 @@ def build_oracles() -> dict[str, str]:
         round8d,
         round8e,
         round9,
+        round9b,
         stattests,
         tpch_tail,
     )
@@ -1428,4 +1436,5 @@ def build_oracles() -> dict[str, str]:
     out.update(round8d.ORACLES)
     out.update(round8e.ORACLES)
     out.update(round9.ORACLES)
+    out.update(round9b.ORACLES)
     return out
