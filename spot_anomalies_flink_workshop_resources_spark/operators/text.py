@@ -945,12 +945,18 @@ def bigram_lm_by_source(docs: DataFrame, cache_key: str | None = None) -> DataFr
     from ..functions.libm import libm_log
     from ..operators.dedup import _cached_checkpoint, _session_key
 
+    # tokenize ONCE into a projected column ("toks") — inlining the
+    # regexp_extract_all inside the transform lambda re-runs the full
+    # regex per element_at, i.e. O(tokens^2) per doc (the round-9 sf10
+    # spot-run caught one straggler partition spending 25 min in
+    # interpreted RegExpExtractAll; with the projection the same
+    # partition is seconds). Same rule as the char-gram pass above.
     arr = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
-    bg = docs.selectExpr(
+    bg = docs.selectExpr("source", f"{arr} AS toks").selectExpr(
         "source",
-        f"explode(CASE WHEN size({arr}) >= 2 THEN "
-        f"transform(sequence(1, size({arr}) - 1), "
-        f"i -> concat_ws(' ', element_at({arr}, i), element_at({arr}, i + 1))) "
+        "explode(CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))) "
         "ELSE array() END) AS bg",
     ).select(
         "source",
