@@ -439,16 +439,25 @@ def test_new_operator_plan_invariants(spark, sf_dir):
     p = plan("events_gapfill")
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p, p
     assert "CartesianProduct" not in p
-    # part-name similarity (round 5, VERDICT r4 #3): the equi-join key
-    # must carry the length bucket alongside brand — brand alone is a
-    # constant-25-way split, quadratic at scale. Pin BOTH keys in the
-    # hash join and no residual brand-only join.
+    # part-name similarity (round 9, third design): dedup-first — the
+    # thresholded levenshtein runs on the DISTINCT-NAME frame (pin the
+    # distinct aggregate feeding the name-pair join), and the expansion
+    # back to part pairs is a BROADCAST of the tiny similar-name table
+    # plus (brand, name)-keyed equi-joins; never a cartesian and never
+    # a parts x parts join. (The round-5 (brand, len_bucket) block pin
+    # was retired with the design: both of those keys are bounded-
+    # cardinality, which the round-9 sf1 spot-run measured as a
+    # quadratic-in-N candidate blow-up — 691M candidates for 23M
+    # results.)
     p = plan("sql_part_name_similarity")
-    assert "len_bucket" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "levenshtein" in p, p
     import re as _re
 
-    keys = _re.search(r"Left keys \[2\]: \[brand#\d+, len_bucket#\d+L?\]", p)
-    assert keys, p
+    # the levenshtein operates on the distinct-name frame: the distinct
+    # aggregate keyed by the name column appears in the plan detail
+    assert _re.search(r"Keys \[1\]: \[nm#\d+\]", p), p
     # round-5 additions: dims/scalars broadcast, no cartesian blowups
     # supplier scorecard: supplier+nation dims broadcast; the only
     # sort-merge-eligible join is the orderkey spine
