@@ -1887,55 +1887,86 @@ def containment_pairs(
 
     Output: (doc_a, doc_b, jaccard, containment) for pairs with
     containment ≥ threshold.
+
+    Scale shape (round-10 rewrite; the round-9 sf10 run spilled >40 GB
+    and exhausted disk — SCALE.md round-9 table):
+    - The per-doc (df, tok) ranking is a HASH AGGREGATE
+      (``sort_array(collect_list(...))`` — per-row sort bounded by the
+      doc's own shingle count) instead of a corpus-wide
+      ``row_number`` window, which sorted the entire data-sized
+      shingle frame on (doc_id, df, tok) and was the first spill.
+    - Candidates join the prefix of the SMALLER side only against the
+      posting list of the not-smaller side (recall needs only the min
+      side's prefix), with the PPJoin POSITIONAL filter
+      ``rn_t ≤ sz_t − ⌈τ·sz_p⌉ + 1`` (prefix-prefix theorem: for any
+      total token order, |A∩B| ≥ t forces the length-(|A|−t+1) and
+      length-(|B|−t+1) prefixes to intersect) — both prune candidates
+      WITHOUT losing a qualifying pair, so the verify stage sees a
+      strictly smaller superset and the output is bit-identical.
+    - Verify is ``size(array_intersect(arr_a, arr_b))`` over per-doc
+      sorted shingle ARRAYS (one row per doc, array bounded by doc
+      length) — replacing the cand ⋈ toks ⋈ toks re-explode whose
+      pairs×tokens frame was the second (fatal) sort spill.
     """
     assert abs(threshold - 0.7) < 1e-9, "integer prefix math is for τ=0.7"
     toks = shingle_frame(docs, shingle_n, cache_key=cache_key)
-    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    sz = Window.partitionBy("doc_id")
-    ranked = (
-        toks.join(freq, "tok")
-        .select(
-            "doc_id",
-            "tok",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(sz).alias("sz"),
+    per_doc = (
+        toks.join(freq.hint("shuffle_hash"), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(df, tok))),"
+                " x -> x.tok)"
+            ).alias("arr")
         )
+        .select("doc_id", "arr", F.size("arr").alias("sz"))
     )
-    k = F.col("sz") - F.expr("(7 * sz + 9) div 10") + 1
-    prefix = ranked.where(F.col("rn") <= k).select("doc_id", "tok")
+    # prefix length k = sz - ceil(0.7*sz) + 1; ceil via (7*sz+9) div 10
+    prefix = per_doc.select(
+        F.col("doc_id").alias("doc_p"),
+        F.col("sz").alias("sz_p"),
+        F.explode(
+            F.expr("slice(arr, 1, sz - (7 * sz + 9) div 10 + 1)")
+        ).alias("tok"),
+    )
+    posting = per_doc.select(
+        F.col("doc_id").alias("doc_t"),
+        F.col("sz").alias("sz_t"),
+        F.posexplode("arr").alias("pos", "tok"),
+    )
     cand = (
-        prefix.alias("p")
-        .join(
-            toks.alias("t"),
-            (F.col("p.tok") == F.col("t.tok"))
-            & (F.col("p.doc_id") != F.col("t.doc_id")),
+        prefix.join(posting, "tok")
+        .where(
+            (F.col("doc_p") != F.col("doc_t"))
+            & (F.col("sz_p") <= F.col("sz_t"))
+            & (
+                F.col("pos") + 1
+                <= F.col("sz_t") - F.expr("(7 * sz_p + 9) div 10") + 1
+            )
         )
         .select(
-            F.least("p.doc_id", "t.doc_id").alias("doc_a"),
-            F.greatest("p.doc_id", "t.doc_id").alias("doc_b"),
+            F.least("doc_p", "doc_t").alias("doc_a"),
+            F.greatest("doc_p", "doc_t").alias("doc_b"),
         )
         .distinct()
     )
-    ta, tb = toks.alias("ta"), toks.alias("tb")
-    common = (
-        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
-        .join(
-            tb,
-            (F.col("tb.doc_id") == F.col("doc_b"))
-            & (F.col("ta.tok") == F.col("tb.tok")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    a = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("sz").alias("na"),
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    cont = F.col("c") / F.least("na", "nb")
+    b = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("sz").alias("nb"),
+    )
+    c = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = c / (F.col("na") + F.col("nb") - c)
+    cont = c / F.least("na", "nb")
     return (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a", "doc_b", jac.alias("jaccard"), cont.alias("containment")
         )

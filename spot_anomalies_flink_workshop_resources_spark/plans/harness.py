@@ -1174,63 +1174,39 @@ WHERE src_endpoint.ip LIKE '10.%'
 # The full surface (all oracles) is still verified locally each round via
 # tools/check_oracles.py — see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round 9 block 0: the 35 queries never yet inside the driver's
-    # ~50-row window (VERDICT r8 "What's wrong #1": registry minus the
-    # union of CORRECTNESS_r01..r08 keys — round-8 waves 3-5 outran the
-    # window). All bit-exact in local sweeps; fronted UNCONDITIONALLY,
-    # round-9 newcomers strictly BEHIND them, and round-9 adds are capped
-    # at 15 so 35 + 15 = 50 exactly fills the window (VERDICT r8 #1). --
-    "text_burstiness",
-    "events_friedman",
-    "sql_seasonal_index",
-    "sql_copurchase_edge_jaccard",
-    "events_total_variation",
-    "events_hellinger",
-    "events_cliffs_delta",
-    "events_cohens_d",
-    "sql_theil_index",
-    "sql_lorenz_deciles",
-    "text_yule_k",
-    "sql_copurchase_richclub",
-    "events_grubbs",
-    "events_mcnemar_activity",
-    "dq_date_sanity",
-    "sql_cr4_concentration",
-    "sql_price_index_fisher",
-    "simsearch_sq8_distortion",
-    "events_cochran_q",
-    "events_jonckheere",
-    "events_seasonal_mann_kendall",
-    "events_poisson_rate",
-    "corpus_length_lognormal",
-    "text_honore_sichel",
-    "events_series_similarity",
-    "events_sax_motifs",
-    "simsearch_ivf_recall_curve",
-    "corpus_dedup_token_loss",
-    "dq_id_continuity",
-    "sql_priority_trend",
-    "events_circular_rayleigh",
-    "events_user_gini",
-    "events_anomaly_ensemble",
-    "sql_acctbal_spend_corr",
-    "dq_segment_balance",
-    # -- round 9 newcomers (BEHIND the backlog block; cap 15) --
-    "dq_temporal_drift",          # NEW: first-vs-second-half skew audit
-    "sql_new_vs_returning",       # NEW: monthly acquisition/retention split
-    "sql_hhi_trend",              # NEW: per-year supplier concentration
-    "sql_discount_elasticity",    # NEW: demand response OLS on discount grid
-    "corpus_temperature_mix",     # NEW: p^0.7 source rebalancing weights
-    "sql_shapley_attribution",    # NEW: exact coalition-lattice attribution
-    "events_permutation_entropy", # NEW: Bandt-Pompe ordinal complexity
-    "events_growth_accounting",   # NEW: WAU new/retained/resurrected/churned
-    "events_partial_corr",        # NEW: confounder-controlled co-movement
-    "text_stutter_rate",          # NEW: adjacent-token degeneration screen
-    "events_xi_correlation",      # NEW: Chatterjee xi dependence
-    "events_cmh_test",            # NEW: stratified 2x2 CMH association
-    "sql_revenue_bridge",         # NEW: YoY price/volume/mix waterfall
-    "sql_promo_uplift_did",       # NEW: difference-in-differences uplift
-    "sql_growth_streaks",         # NEW: gaps-and-islands MoM streaks
+    # -- round 10 block 0 (VERDICT r9 #1): the three oracle-backed
+    # queries that have NEVER been driver-green — their only driver
+    # appearance (r3/r4) predates their oracles ("no_oracle" err), and
+    # the round-9 window was fully consumed by the 35-query backlog.
+    # All three verified bit-exact locally at sf0.01 (r9 judge + this
+    # round's tools/check_oracles.py). Fronted so CORRECTNESS_r10
+    # finally records them. --
+    "simsearch_pq",
+    "multimodal_features",
+    "corpus_bpe_encode",
+    # -- round 10 block 1 (VERDICT r9 #1/#4): queries REWRITTEN since
+    # their last driver-green round — a rewrite must force a driver
+    # re-check rather than ride the last-green rotation tail. --
+    "sql_part_name_similarity",   # dedup-first rewrite (r9); last green r5
+    "text_bigram_lm",             # O(tokens^2) tokenization fix (r9); last green r7
+    "text_lm_score",              # same tokenization fix (r9); last green r4
+    "sql_supplier_overlap",       # plan pin (r9); last green r8
+    "dedup_containment",          # df-capped rewrite THIS round (VERDICT r9 #3)
+    "sql_copurchase_hits",        # scale-armed THIS round (VERDICT r9 #4)
+    "ml_ipinsights_score_fixed",  # NEW value oracle for M2 scoring (VERDICT r9 #7)
+    # -- round 10 newcomers (12 adds incl. the fixed-score oracle; cap
+    # 15, VERDICT r9 #8) --
+    "events_benford_mad",         # NEW: Benford first-digit conformity (MAD)
+    "events_max_drawdown",        # NEW: peak-to-trough drawdown of daily value
+    "events_theil_sen",           # NEW: robust median-of-slopes daily trend
+    "events_weekly_autocorr",     # NEW: lag-7 autocorrelation of daily counts
+    "events_chao1_richness",      # NEW: Chao1 unseen-vocabulary estimate
+    "events_odd_hours_share",     # NEW: off-hours activity share per type
+    "sql_backlog_aging",          # NEW: open-order aging buckets as-of date
+    "sql_price_ladder_gaps",      # NEW: within-brand price-point gap scan
+    "sql_bullwhip_ratio",         # NEW: order-vs-ship variance amplification
+    "sql_discount_anova",         # NEW: one-way F across brands on discount
+    "sql_fill_rate_monthly",      # NEW: 30-day fulfillment share per month
 )
 
 # Rows-only (no-oracle-by-design) queries are pushed BEHIND every
@@ -1328,6 +1304,7 @@ def build_queries() -> dict[str, QueryFn]:
         round8e,
         round9,
         round9b,
+        round10,
         stattests,
         tpch_tail,
     )
@@ -1345,6 +1322,7 @@ def build_queries() -> dict[str, QueryFn]:
     registry.update(round8e.QUERIES)
     registry.update(round9.QUERIES)
     registry.update(round9b.QUERIES)
+    registry.update(round10.QUERIES)
 
     out: dict[str, QueryFn] = {}
     for name in DRIVER_PRIORITY:
@@ -1420,6 +1398,7 @@ def build_oracles() -> dict[str, str]:
         round8e,
         round9,
         round9b,
+        round10,
         stattests,
         tpch_tail,
     )
@@ -1437,4 +1416,5 @@ def build_oracles() -> dict[str, str]:
     out.update(round8e.ORACLES)
     out.update(round9.ORACLES)
     out.update(round9b.ORACLES)
+    out.update(round10.ORACLES)
     return out
