@@ -591,7 +591,7 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(cnt).alias("m"),
     )
     return (
-        ranked.where(F.col("rn") == (F.col("m") + 1) / 2)
+        ranked.where(F.col("rn") == F.expr("(m + 1) div 2"))
         .select(
             F.col("t").alias("event_type"),
             F.col("m").cast("long").alias("n_pairs"),
@@ -791,5 +791,293 @@ ORACLES.update(
         "events_theil_sen": _EVENTS_THEIL_SEN_SQL,
         "events_weekly_autocorr": _events_weekly_autocorr_sql(),
         "events_chao1_richness": _EVENTS_CHAO1_SQL,
+    }
+)
+
+
+# --------------------------------------------- bullwhip amplification
+
+
+def sql_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip effect proxy: variance amplification of ORDERED
+    monthly quantity relative to SHIPPED monthly quantity — >1 means
+    order placement is noisier than physical fulfilment, the classic
+    supply-chain instability read.
+
+    Exactness: l_quantity values are integral doubles -> exact int64;
+    monthly totals fold on the UNION month grid (a month missing on
+    one side is a real 0); variances use the integer recipe n*Sxx -
+    Sx^2; the ratio is ONE final division of exact int64 composites
+    (guarded > 0 structurally both engines). Overflow bound: monthly
+    totals ~2e5 at sf0.1 -> n*Sxx ~ 3e12; safe to ~sf100, documented.
+    Scale: two data-sized hash aggs to month grain; the grid is
+    calendar-bounded."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("m"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("q"),
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ship_m"),
+    )
+    ordered = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("m")
+        .agg(F.sum("q").cast("long").alias("qo"))
+    )
+    shipped = li.groupBy(F.col("ship_m").alias("m")).agg(
+        F.sum("q").cast("long").alias("qs")
+    )
+    grid = (
+        ordered.join(shipped, "m", "full")
+        .select(
+            "m",
+            F.coalesce("qo", F.lit(0).cast("long")).alias("qo"),
+            F.coalesce("qs", F.lit(0).cast("long")).alias("qs"),
+        )
+    )
+    s = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qo").cast("long").alias("so"),
+        F.sum(F.col("qo") * F.col("qo")).cast("long").alias("soo"),
+        F.sum("qs").cast("long").alias("ss"),
+        F.sum(F.col("qs") * F.col("qs")).cast("long").alias("sss"),
+    )
+    vo = F.col("n") * F.col("soo") - F.col("so") * F.col("so")
+    vs = F.col("n") * F.col("sss") - F.col("ss") * F.col("ss")
+    return s.select(
+        F.col("n").alias("n_months"),
+        vo.cast("long").alias("var_num_ordered"),
+        vs.cast("long").alias("var_num_shipped"),
+        F.when(vs > 0, vo.cast("double") / vs.cast("double")).alias(
+            "bullwhip"
+        ),
+    )
+
+
+_SQL_BULLWHIP_SQL = """
+WITH li AS (
+  SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS q,
+         EXTRACT(year FROM l_shipdate) * 100 +
+           EXTRACT(month FROM l_shipdate) AS ship_m
+  FROM lineitem
+),
+ordered AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) * 100 +
+           EXTRACT(month FROM o.o_orderdate) AS m,
+         CAST(SUM(li.q) AS BIGINT) AS qo
+  FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+  GROUP BY 1
+),
+shipped AS (
+  SELECT ship_m AS m, CAST(SUM(q) AS BIGINT) AS qs FROM li GROUP BY 1
+),
+grid AS (
+  SELECT COALESCE(o.m, s.m) AS m,
+         CAST(COALESCE(o.qo, 0) AS BIGINT) AS qo,
+         CAST(COALESCE(s.qs, 0) AS BIGINT) AS qs
+  FROM ordered o FULL JOIN shipped s ON s.m = o.m
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qo) AS BIGINT) AS so,
+         CAST(SUM(qo * qo) AS BIGINT) AS soo,
+         CAST(SUM(qs) AS BIGINT) AS ss,
+         CAST(SUM(qs * qs) AS BIGINT) AS sss
+  FROM grid
+)
+SELECT n AS n_months,
+       CAST(n * soo - so * so AS BIGINT) AS var_num_ordered,
+       CAST(n * sss - ss * ss AS BIGINT) AS var_num_shipped,
+       CASE WHEN n * sss - ss * ss > 0 THEN
+         CAST(n * soo - so * so AS DOUBLE) /
+         CAST(n * sss - ss * ss AS DOUBLE)
+       END AS bullwhip
+FROM st
+"""
+
+
+# --------------------------------------------- one-way discount ANOVA
+
+
+def sql_discount_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for discount level across brands —
+    "does any brand get systematically different discounts": F =
+    (SSB/(k-1)) / (SSW/(N-k)) over the d100 = round(discount*100)
+    integer grid, joined lineitem -> part for the brand factor.
+
+    Exactness: per-brand n/S/Q are exact int64; each brand's S^2/n
+    term (the one intrinsically rational quantity) is quantized to the
+    2^-20 grid BEFORE the cross-brand sum (order-free int64 fold, the
+    round-9b recipe); SSB/SSW/F compose in ONE float expression shared
+    with the oracle; k > 1, N > k, SSW > 0 guarded structurally.
+    Scale: one data-sized join+agg to the |brands|-bounded frame
+    (25 brands); everything after is constant-size."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("d"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum("d").cast("long").alias("sg"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("qg"),
+        )
+    )
+    terms = g.select(
+        "ng",
+        "sg",
+        "qg",
+        F.floor(
+            (F.col("sg") * F.col("sg")).cast("double")
+            / F.col("ng").cast("double")
+            * _Q20
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tq"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("qg").cast("long").alias("q"),
+        F.sum("tq").cast("long").alias("a_q"),
+    )
+    a = F.col("a_q").cast("double") / F.lit(float(_Q20))
+    ssb = a - (F.col("s") * F.col("s")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    ssw = F.col("q").cast("double") - a
+    f_stat = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+        (ssb / (F.col("k") - 1).cast("double"))
+        / (ssw / (F.col("n") - F.col("k")).cast("double")),
+    )
+    return s.select(
+        F.col("k").alias("n_brands"),
+        F.col("n").alias("n_items"),
+        f_stat.alias("f_stat"),
+    )
+
+
+_SQL_DISCOUNT_ANOVA = f"""
+WITH d AS (
+  SELECT p.p_brand, CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT) AS d
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+g AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(d) AS BIGINT) AS sg,
+         CAST(SUM(d * d) AS BIGINT) AS qg
+  FROM d GROUP BY p_brand
+),
+terms AS (
+  SELECT ng, sg, qg,
+         CAST(FLOOR(CAST(sg * sg AS DOUBLE) / CAST(ng AS DOUBLE)
+              * {1 << 20} + 0.5) AS BIGINT) AS tq
+  FROM g
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(SUM(sg) AS BIGINT) AS s,
+         CAST(SUM(qg) AS BIGINT) AS q,
+         CAST(SUM(tq) AS BIGINT) AS a_q
+  FROM terms
+)
+SELECT k AS n_brands,
+       n AS n_items,
+       CASE WHEN k > 1 AND n > k AND
+                 CAST(q AS DOUBLE) - CAST(a_q AS DOUBLE) / {float(1 << 20)!r}
+                   > 0
+            THEN
+         ((CAST(a_q AS DOUBLE) / {float(1 << 20)!r}
+           - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+          / CAST(k - 1 AS DOUBLE))
+         / ((CAST(q AS DOUBLE) - CAST(a_q AS DOUBLE) / {float(1 << 20)!r})
+            / CAST(n - k AS DOUBLE))
+       END AS f_stat
+FROM st
+"""
+
+
+# ---------------------------------------------- monthly fill rate
+
+
+def sql_fill_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day fulfilment share per order month: fraction of lineitems
+    shipped within 30 days of order placement — the service-level
+    trend operations watches.
+
+    Exactness: ages are epoch-day integer differences; counts int64;
+    one final division per month. Scale: one join + one hash agg to
+    the calendar-bounded month grain."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.to_date("l_shipdate").alias("sd"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (F.year("od") * 100 + F.month("od")).alias("m"),
+        (F.datediff("sd", "od") <= 30).alias("fast"),
+    )
+    agg = j.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.when(F.col("fast"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fast"),
+    )
+    return agg.select(
+        "m",
+        "n_items",
+        "n_fast",
+        (
+            F.col("n_fast").cast("double") / F.col("n_items").cast("double")
+        ).alias("fill_rate"),
+    ).orderBy("m")
+
+
+_SQL_FILL_RATE_SQL = """
+WITH j AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) * 100 +
+           EXTRACT(month FROM o.o_orderdate) AS m,
+         (date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) <= 30) AS fast
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT m,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN fast THEN 1 ELSE 0 END) AS BIGINT) AS n_fast,
+       CAST(SUM(CASE WHEN fast THEN 1 ELSE 0 END) AS DOUBLE) /
+         CAST(COUNT(*) AS DOUBLE) AS fill_rate
+FROM j GROUP BY m
+ORDER BY m
+"""
+
+
+QUERIES.update(
+    {
+        "sql_bullwhip_ratio": sql_bullwhip_ratio,
+        "sql_discount_anova": sql_discount_anova,
+        "sql_fill_rate_monthly": sql_fill_rate_monthly,
+    }
+)
+
+ORACLES.update(
+    {
+        "sql_bullwhip_ratio": _SQL_BULLWHIP_SQL,
+        "sql_discount_anova": _SQL_DISCOUNT_ANOVA,
+        "sql_fill_rate_monthly": _SQL_FILL_RATE_SQL,
     }
 )
