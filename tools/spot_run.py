@@ -58,6 +58,14 @@ def main() -> None:
         help="scale point: label=parquet_dir (repeatable, ordered)",
     )
     p.add_argument("--passes", type=int, default=2)
+    p.add_argument(
+        "--warm-dir",
+        default=None,
+        help="warmup corpus (default: the first --sf dir; ADVICE r9 — a "
+        "hard-coded /root/testdata/sf0.001 was silently skipped on hosts "
+        "without it, letting the first timed query absorb one-time "
+        "codegen/Arrow costs)",
+    )
     p.add_argument("queries", nargs="+")
     a = p.parse_args()
 
@@ -77,8 +85,14 @@ def main() -> None:
 
     # warmup (bench.py's rule): prime JVM codegen, the Python worker
     # pool + Arrow serde, and streaming state-store machinery so the
-    # first timed query doesn't absorb one-time costs
-    warm = "/root/testdata/sf0.001"
+    # first timed query doesn't absorb one-time costs. Prefer the tiny
+    # driver corpus when present, else fall back to the first --sf dir
+    # (never skip silently — ADVICE r9).
+    warm = a.warm_dir or (
+        "/root/testdata/sf0.001"
+        if os.path.isdir("/root/testdata/sf0.001")
+        else sfs[0][1]
+    )
     if os.path.isdir(warm):
         for w in ("q1_pricing_summary", "dedup_simhash_packed",
                   "cep_fragmentation_stream"):
@@ -87,6 +101,12 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 _clear_cached_state(spark)
+    else:
+        print(
+            f"spot_run: WARNING warmup dir {warm!r} missing — first timed "
+            "query will absorb one-time codegen/Arrow costs",
+            file=sys.stderr,
+        )
 
     results: dict[str, dict[str, float]] = {q: {} for q in a.queries}
     for label, d in sfs:
