@@ -1305,6 +1305,77 @@ def dup_components(
     return bounded_components_from_pairs(docs, pairs, rounds=rounds)
 
 
+# single-task fixpoint bound shared with operators.graph (round 10):
+# below this COUNTED edge volume every propagation round runs as
+# vectorized numpy in ONE executor task (identical min-label integer
+# semantics, zero per-round shuffles/actions); above it the distributed
+# rounds run unchanged — the 100 TB shape. Only pair-CONNECTED nodes
+# ever iterate, so the edge count bounds the task's working set.
+from .graph import MAX_SINGLE_TASK_EDGES as _MAX_SINGLE_TASK_EDGES
+
+
+def _components_single_task(
+    edges: DataFrame,
+    id_type: str,
+    rounds: int,
+    pointer_jump: bool,
+    track_converged: bool,
+) -> DataFrame:
+    """Label propagation over a doubled edge list ``edges(s, d)`` in one
+    vectorized task. Works in INDEX space over the sorted endpoint ids
+    (np.unique sorts ascending, so index-min == id-min for numeric and
+    lexicographic ids alike — the same ordering F.least uses).
+
+    Per round: neighbor-min (``np.minimum.at`` — the groupBy-min), then
+    optionally ONE pointer-jump hop (``rep := rep[rep]``), exactly the
+    distributed round body. Emits ``(doc_id, rep, flag)`` where flag is
+    ``converged`` (fixpoint form: no label moved in the final round) or
+    ``still_moving`` (bounded form: some edge still has
+    ``rep[d] < rep[s]``) — the caller checks it EAGERLY driver-side so
+    the refuse-to-lie raise keeps its build-time RuntimeError contract.
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        s = np.concatenate([c["s"].to_numpy() for c in chunks])
+        d = np.concatenate([c["d"].to_numpy() for c in chunks])
+        ids = np.unique(s)  # doubled edges: unique srcs == all endpoints
+        n = len(ids)
+        si = np.searchsorted(ids, s)
+        di = np.searchsorted(ids, d)
+        rep = np.arange(n, dtype=np.int64)
+        converged = False
+        for _ in range(rounds):
+            m = np.full(n, n, dtype=np.int64)  # sentinel: > any index
+            np.minimum.at(m, si, rep[di])
+            stepped = np.minimum(rep, np.where(m == n, rep, m))
+            if pointer_jump:
+                new = np.minimum(stepped, stepped[stepped])
+            else:
+                new = stepped
+            changed = int((new != rep).sum())
+            rep = new
+            if track_converged and changed == 0:
+                converged = True
+                break
+        if track_converged:
+            flag = converged
+        else:
+            flag = bool((rep[di] < rep[si]).any())  # still moving?
+        yield pd.DataFrame(
+            {"doc_id": ids, "rep": ids[rep], "flag": np.full(n, flag)}
+        )
+
+    return edges.coalesce(1).mapInPandas(
+        run, f"doc_id {id_type}, rep {id_type}, flag boolean"
+    )
+
+
 def bounded_components_from_pairs(
     docs: DataFrame,
     pairs: DataFrame,
@@ -1337,6 +1408,41 @@ def bounded_components_from_pairs(
     # truncate lineage for the iterative joins — standard practice for
     # iterative dataframe algorithms
     edges = edges.localCheckpoint(eager=True)
+    # single-task fast path (round 10, guide §2.4): when the COUNTED
+    # pair graph fits one task, run every propagation round as
+    # vectorized numpy in a single executor task — identical integer
+    # min-label semantics, zero per-round shuffles. Only pair-connected
+    # nodes iterate (isolated docs re-enter below, exactly as the
+    # distributed left-join leaves them at rep = doc_id), so the edge
+    # count bounds the task. Past the bound the distributed rounds run
+    # unchanged — the 100 TB shape.
+    if edges.count() <= _MAX_SINGLE_TASK_EDGES:
+        id_type = docs.schema["doc_id"].dataType.simpleString()
+        out = _components_single_task(
+            edges, id_type, rounds, pointer_jump=False, track_converged=False
+        )
+        if verify_converged:
+            out = out.localCheckpoint(eager=True)
+            if not out.where(F.col("flag")).isEmpty():
+                raise RuntimeError(
+                    "bounded_components_from_pairs labels still moving "
+                    f"after rounds={rounds} (component diameter >= "
+                    "rounds); raise rounds (and the oracle unroll) or "
+                    "use components_from_pairs for the fixpoint form"
+                )
+        endpoints = edges.select(F.col("s").alias("doc_id")).distinct()
+        isolated = docs.select("doc_id").join(endpoints, "doc_id", "left_anti")
+        return (
+            out.select("doc_id", "rep")
+            .unionByName(
+                isolated.select("doc_id", F.col("doc_id").alias("rep"))
+            )
+            .select(
+                "doc_id",
+                F.col("rep").alias("component_rep"),
+                (F.col("doc_id") == F.col("rep")).alias("is_kept"),
+            )
+        )
     labels = docs.select("doc_id", F.col("doc_id").alias("rep"))
     for _ in range(rounds):
         neigh = (
@@ -1437,6 +1543,35 @@ def components_from_pairs(
     isolated = nodes.select("doc_id").join(
         endpoints, "doc_id", "left_anti"
     ).localCheckpoint(eager=True)
+    # single-task fast path (round 10, guide §2.4): same rounds —
+    # neighbor-min + ONE pointer-jump hop, changed-count early stop —
+    # as vectorized numpy in one task when the counted edge frame fits;
+    # the convergence flag rides out on every row and is checked
+    # EAGERLY here so the refuse-to-lie raise stays a build-time
+    # RuntimeError exactly as in the distributed form.
+    if edges.count() <= _MAX_SINGLE_TASK_EDGES:
+        id_type = nodes.schema["doc_id"].dataType.simpleString()
+        out = _components_single_task(
+            edges, id_type, max_rounds, pointer_jump=True,
+            track_converged=True,
+        ).localCheckpoint(eager=True)
+        if not out.where(~F.col("flag")).isEmpty():
+            raise RuntimeError(
+                "components_from_pairs did not reach its label fixpoint "
+                f"within max_rounds={max_rounds}; raise the bound "
+                "(pointer jumping converges in O(log diameter) rounds)"
+            )
+        return (
+            out.select("doc_id", "rep")
+            .unionByName(
+                isolated.select("doc_id", F.col("doc_id").alias("rep"))
+            )
+            .select(
+                "doc_id",
+                F.col("rep").alias("component_rep"),
+                (F.col("doc_id") == F.col("rep")).alias("is_kept"),
+            )
+        )
     labels = endpoints.select("doc_id", F.col("doc_id").alias("rep"))
     labels = labels.localCheckpoint(eager=True)
     converged = False

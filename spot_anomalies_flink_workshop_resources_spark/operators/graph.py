@@ -35,6 +35,81 @@ from pyspark.sql import functions as F
 RSCALE = 1 << 30  # rank fixed-point grid
 DAMP = 0.85
 
+# Single-task fixpoint thresholds (round 10, guide §2.4/§4.2): when the
+# COUNTED graph fits comfortably in one task (edge list + two or three
+# |V|-vectors, tens of MB at these bounds), every iteration round runs
+# as vectorized numpy inside ONE executor task instead of as a chain of
+# per-round join+agg jobs — identical integer-grid arithmetic, zero
+# per-round shuffles/broadcasts. Past the bounds the Pregel-style
+# distributed rounds run unchanged (the 100 TB shape). The decision is
+# made from runtime counts — the same adaptive pattern as
+# ``broadcast_scores`` — so the same query auto-switches shape as its
+# graph grows with the data.
+MAX_SINGLE_TASK_NODES = 200_000
+MAX_SINGLE_TASK_EDGES = 2_000_000
+
+
+def _single_task_auto(e: DataFrame, n_nodes: int) -> bool:
+    """Auto decision for the single-task fixpoint path. ``e`` must be
+    materialized (checkpointed) so the edge count is a cheap action."""
+    return (
+        n_nodes <= MAX_SINGLE_TASK_NODES
+        and e.count() <= MAX_SINGLE_TASK_EDGES
+    )
+
+
+def _pagerank_single_task(
+    e: DataFrame, n_nodes: int, iters: int, damping: float
+) -> DataFrame:
+    """All ``iters`` PageRank rounds in one vectorized task over the
+    coalesced edge list — bit-identical to the distributed rounds: the
+    same ``floor(d * r * w / wout + 0.5)`` per-edge double chain (numpy
+    float64 and the JVM both evaluate IEEE-754 binary64 left-to-right),
+    int64 destination sums (associative — order free), the same integer
+    teleport and dangling-share terms."""
+    teleport = int((1.0 - damping) / n_nodes * RSCALE + 0.5)
+    r0 = int(RSCALE) // n_nodes
+    n_expected = n_nodes
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        src = np.concatenate([c["src"].to_numpy(object) for c in chunks])
+        dst = np.concatenate([c["dst"].to_numpy(object) for c in chunks])
+        w = np.concatenate(
+            [c["w"].to_numpy(np.int64) for c in chunks]
+        )
+        names = np.unique(np.concatenate([src, dst]))
+        n = len(names)
+        assert n == n_expected, (n, n_expected)
+        si = np.searchsorted(names, src)
+        di = np.searchsorted(names, dst)
+        wout = np.zeros(n, np.int64)
+        np.add.at(wout, si, w)
+        has_out = np.zeros(n, bool)
+        has_out[si] = True
+        woutf = np.where(has_out, wout, 1).astype(np.float64)
+        wf = w.astype(np.float64)
+        r = np.full(n, r0, np.int64)
+        for _ in range(iters):
+            c = np.floor(
+                damping * r[si].astype(np.float64) * wf / woutf[si] + 0.5
+            ).astype(np.int64)
+            cin = np.zeros(n, np.int64)
+            np.add.at(cin, di, c)
+            dr = int(r[~has_out].sum())
+            ds = int(np.floor(damping * float(dr) / float(n_nodes) + 0.5))
+            r = teleport + cin + ds
+        yield pd.DataFrame(
+            {"node": names, "rank": r.astype(np.float64) / float(RSCALE)}
+        )
+
+    return e.coalesce(1).mapInPandas(run, "node string, rank double")
+
 
 def pagerank(
     edges: DataFrame,
@@ -42,6 +117,7 @@ def pagerank(
     damping: float = DAMP,
     broadcast_scores: bool | None = None,
     max_broadcast_nodes: int = 1_000_000,
+    single_task: bool | None = None,
 ) -> DataFrame:
     """Weighted PageRank over ``edges(src, dst, w)`` for ``iters``
     fixed rounds (no early stop — the oracle unrolls the same count).
@@ -66,11 +142,14 @@ def pagerank(
       either way: the arithmetic never changes, only the join strategy.
     """
     spark = edges.sparkSession
+    # materialize the edge list ONCE: nodes-distinct, out_w and ew below
+    # each re-read it (previously the edge-building subplan re-ran for
+    # every consumer), and the single-task auto decision counts it
     e = edges.select(
         F.col("src").cast("string").alias("src"),
         F.col("dst").cast("string").alias("dst"),
         F.col("w").cast("long").alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -78,6 +157,10 @@ def pagerank(
         .localCheckpoint(eager=True)  # |V| frame, reused 3x/round
     )
     n_nodes = nodes.count()
+    if single_task is None:
+        single_task = _single_task_auto(e, n_nodes)
+    if single_task:
+        return _pagerank_single_task(e, n_nodes, iters, damping)
     if broadcast_scores is None:
         broadcast_scores = n_nodes <= max_broadcast_nodes
     _b = F.broadcast if broadcast_scores else (lambda df: df)
@@ -415,11 +498,68 @@ pr{t} AS MATERIALIZED (
 HSCALE = 1 << 20  # hub/authority fixed-point grid
 
 
+def _hits_single_task(e: DataFrame, n_nodes: int, iters: int) -> DataFrame:
+    """All ``iters`` HITS rounds in one vectorized task — bit-identical
+    to the distributed half-rounds: int64 ``w * score`` destination
+    sums, one ``floor(v / m * HSCALE + 0.5)`` renormalization per
+    half-round (same double op order), zero-max carrying the previous
+    vector forward. See ``MAX_SINGLE_TASK_NODES`` for the shape
+    rationale."""
+    n_expected = n_nodes
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        src = np.concatenate([c["src"].to_numpy(object) for c in chunks])
+        dst = np.concatenate([c["dst"].to_numpy(object) for c in chunks])
+        w = np.concatenate([c["w"].to_numpy(np.int64) for c in chunks])
+        names = np.unique(np.concatenate([src, dst]))
+        n = len(names)
+        assert n == n_expected, (n, n_expected)
+        si = np.searchsorted(names, src)
+        di = np.searchsorted(names, dst)
+        scale = float(HSCALE)
+        a = np.full(n, int(HSCALE), np.int64)
+        h = np.full(n, int(HSCALE), np.int64)
+
+        def renorm(raw, prev):
+            m = int(raw.max()) if n else 0
+            if m == 0:
+                return prev
+            return np.floor(
+                raw.astype(np.float64) / float(m) * scale + 0.5
+            ).astype(np.int64)
+
+        for _ in range(iters):
+            a_raw = np.zeros(n, np.int64)
+            np.add.at(a_raw, di, w * h[si])
+            a = renorm(a_raw, a)
+            h_raw = np.zeros(n, np.int64)
+            np.add.at(h_raw, si, w * a[di])
+            h = renorm(h_raw, h)
+        yield pd.DataFrame(
+            {
+                "node": names,
+                "authority": a.astype(np.float64) / scale,
+                "hub": h.astype(np.float64) / scale,
+            }
+        )
+
+    return e.coalesce(1).mapInPandas(
+        run, "node string, authority double, hub double"
+    )
+
+
 def hits(
     edges: DataFrame,
     iters: int = 5,
     broadcast_scores: bool | None = None,
     max_broadcast_nodes: int = 1_000_000,
+    single_task: bool | None = None,
 ) -> DataFrame:
     """HITS hubs-and-authorities over a weighted directed edge list
     ``edges(src, dst, w)`` — the bipartite-centrality complement of
@@ -456,8 +596,13 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_nodes = nodes.count()
+    if single_task is None:
+        single_task = _single_task_auto(e, n_nodes)
+    if single_task:
+        return _hits_single_task(e, n_nodes, iters)
     if broadcast_scores is None:
-        broadcast_scores = nodes.count() <= max_broadcast_nodes
+        broadcast_scores = n_nodes <= max_broadcast_nodes
     _b = F.broadcast if broadcast_scores else (lambda df: df)
     init = F.lit(int(HSCALE)).cast("long")
     a = nodes.select("node", init.alias("a"))

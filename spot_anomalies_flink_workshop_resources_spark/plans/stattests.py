@@ -2468,18 +2468,41 @@ def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as M
 
     media = M.sniff_media_type(_media_frame(spark, sf_dir))
-    hexed = media.select(
-        "sniffed_type", F.hex(F.col("content")).alias("hx")
-    )
-    bytes_ = hexed.select(
-        "sniffed_type",
-        F.explode(
-            F.expr("transform(sequence(1, length(hx) div 2), "
-                   "i -> substr(hx, 2*i - 1, 2))")
-        ).alias("b"),
-    )
-    counts = bytes_.groupBy("sniffed_type", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+
+    # Byte histograms via per-partition numpy bincount (round 10, guide
+    # §4.2): the previous form exploded ONE JVM ROW PER PAYLOAD BYTE
+    # (hex split + substr per byte) into the counting agg; a bincount
+    # over the raw buffer produces the identical exact integer counts
+    # with at most 256 rows per (partition, type) crossing the shuffle.
+    # The entropy fold below is unchanged — same n, same nn, same grid.
+    def _hist(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            for t, content in zip(pdf["sniffed_type"], pdf["content"]):
+                h = acc.get(t)
+                if h is None:
+                    h = acc[t] = np.zeros(256, np.int64)
+                h += np.bincount(
+                    np.frombuffer(content, dtype=np.uint8), minlength=256
+                )
+        for t, h in acc.items():
+            nz = np.flatnonzero(h)
+            yield pd.DataFrame(
+                {
+                    "sniffed_type": t,
+                    "b": nz.astype(np.int32),
+                    "n": h[nz],
+                }
+            )
+
+    counts = (
+        media.select("sniffed_type", "content")
+        .mapInPandas(_hist, "sniffed_type string, b int, n long")
+        .groupBy("sniffed_type", "b")
+        .agg(F.sum("n").cast("long").alias("n"))
     )
     tot = counts.groupBy("sniffed_type").agg(
         F.sum("n").cast("long").alias("nn"),
