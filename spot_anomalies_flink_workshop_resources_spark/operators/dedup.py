@@ -1147,6 +1147,7 @@ def embedding_near_dup_ivf_trained(
     max_iters: int = 5,
     n_probes: int = 1,
     tol: float = 1e-6,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Production form of :func:`embedding_near_dup_ivf`: trained
     spherical-k-means centroids + the zero-shuffle broadcast-argmax
@@ -1171,7 +1172,11 @@ def embedding_near_dup_ivf_trained(
     from .simsearch import _dot, assign_buckets_argmax, kmeans_centroids
 
     C = kmeans_centroids(
-        embeddings, n_centroids=n_centroids, max_iters=max_iters, tol=tol
+        embeddings,
+        n_centroids=n_centroids,
+        max_iters=max_iters,
+        tol=tol,
+        cache_key=cache_key,
     )
     assigned = assign_buckets_argmax(embeddings, C, n_probes=max(n_probes, 1))
     # JVM-fold norms for the verify cosine: bit-identical to the

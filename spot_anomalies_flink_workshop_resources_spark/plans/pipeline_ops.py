@@ -556,7 +556,11 @@ def dedup_embedding_ivf_trained(spark, sf_dir):
     exactly max_iters iterations). Same synthetic-data τ as the other
     embedding queries."""
     return D.embedding_near_dup_ivf_trained(
-        _embs(spark, sf_dir), threshold=0.3, n_centroids=16, tol=0.0
+        _embs(spark, sf_dir),
+        threshold=0.3,
+        n_centroids=16,
+        tol=0.0,
+        cache_key=sf_dir,
     )
 
 
@@ -1210,7 +1214,9 @@ def simsearch_ivf_kmeans(spark, sf_dir):
     broadcast-argmax pass (assign_buckets_argmax), not the N×k
     join+window plan the seeded oracle twins keep."""
     embs = _embs(spark, sf_dir)
-    C = S.kmeans_centroids(embs, n_centroids=16, max_iters=5, tol=0.0)
+    C = S.kmeans_centroids(
+        embs, n_centroids=16, max_iters=5, tol=0.0, cache_key=sf_dir
+    )
     return S.ivf_topk(embs, centroid_matrix=C)
 
 
@@ -1218,7 +1224,7 @@ def simsearch_index_quality(spark, sf_dir):
     """Per-cluster population + inertia of the trained IVF index
     (operators/simsearch.index_quality) — oracle re-derives the index
     AND the distances from scratch."""
-    return S.index_quality(_embs(spark, sf_dir))
+    return S.index_quality(_embs(spark, sf_dir), cache_key=sf_dir)
 
 
 def simsearch_pq(spark, sf_dir):
@@ -1229,7 +1235,7 @@ def simsearch_pq(spark, sf_dir):
     took in round 5. The rng-codebook variant (S.pq_train + S.pq_topk,
     the 16x8-bit production config) stays as the library API with its
     recall/monotonicity unit tests."""
-    return S.pq_topk_exact(_embs(spark, sf_dir))
+    return S.pq_topk_exact(_embs(spark, sf_dir), cache_key=sf_dir)
 
 
 def simsearch_ivfpq(spark, sf_dir):
@@ -1243,7 +1249,7 @@ def simsearch_ivfpq(spark, sf_dir):
     assignment is int64 arithmetic (operators.simsearch.ivfpq_topk_exact);
     the rng-codebook variant stays as the library API
     (S.ivfpq_topk) with its recall/monotonicity unit tests."""
-    return S.ivfpq_topk_exact(_embs(spark, sf_dir))
+    return S.ivfpq_topk_exact(_embs(spark, sf_dir), cache_key=sf_dir)
 
 
 def corpus_bpe_pairs(spark, sf_dir):

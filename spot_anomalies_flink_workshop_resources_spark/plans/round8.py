@@ -1844,7 +1844,9 @@ def simsearch_centroid_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline_ops import _embs
 
     embs = _embs(spark, sf_dir)
-    C = S.kmeans_centroids(embs, n_centroids=16, max_iters=5, tol=0.0)
+    C = S.kmeans_centroids(
+        embs, n_centroids=16, max_iters=5, tol=0.0, cache_key=sf_dir
+    )
     assigned = S.assign_buckets_argmax(embs, C, n_probes=1).select(
         "vec_id", "cent_id"
     )

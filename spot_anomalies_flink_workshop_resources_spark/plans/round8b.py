@@ -684,7 +684,8 @@ def simsearch_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     m, n_codes, iters, sample = 32, 64, 4, 2048
     embs = _embs(spark, sf_dir)
     B = pq_train_exact_int(
-        embs, m=m, n_codes=n_codes, iters=iters, sample=sample
+        embs, m=m, n_codes=n_codes, iters=iters, sample=sample,
+        cache_key=sf_dir,
     )
     sub = B.shape[2]
     bc = spark.sparkContext.broadcast(B)
