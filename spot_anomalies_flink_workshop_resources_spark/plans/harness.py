@@ -82,7 +82,9 @@ def cep_fragmentation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     alerts = detect_attack_runs_stream(
         _events_stream(spark, sf_dir), **FLAGSHIP_PARAMS
     )
-    out = _run_to_completion(alerts, spark)
+    out = _run_to_completion(
+        alerts, spark, _stream_python_partitions(spark, sf_dir)
+    )
     # memory-sink key column is the stringified detector key; restore the
     # oracle's bigint type for schema parity
     return out.withColumn("target_key", F.col("target_key").cast("long"))
@@ -190,6 +192,60 @@ def _stream_checkpoint_base(spark: SparkSession) -> str:
     return base
 
 
+def _stream_state_partitions(sf_dir: str, table: str = "events") -> int:
+    """Scale-ADAPTIVE streaming state partitioning (round 10, guide
+    §2.6): per stateful operator the state-store instances are
+    stores × partitions, and their per-microbatch open/commit overhead
+    dominates bounded replays while per-partition state volume bounds
+    production streams. Derive the width from the SOURCE volume
+    (~32 MiB of source bytes per state partition, floor 2, cap 512)
+    instead of a constant: measured on the sf0.1 interval join the
+    aggregate per-batch state commit is ~12.5 s at 16 partitions,
+    2.4 s at 8, 0.37 s at 2 — identical finalized results — while at
+    sf10+ the same rule widens the state plane with the data. Derived
+    from bytes, not cores, so the driver's lower-core bench runs stay
+    comparable. ``SPARK_GRAFT_STREAM_PARTITIONS`` overrides for
+    cluster profiles (keyed-state volume per partition is the real
+    production sizing input)."""
+    import math
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        return int(env)
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    size = 0
+    if os.path.isdir(p):
+        for root, _dirs, files in os.walk(p):
+            size += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
+    elif os.path.exists(p):
+        size = os.path.getsize(p)
+    else:
+        return 8
+    return max(2, min(512, math.ceil(size / (32 << 20))))
+
+
+def _stream_python_partitions(
+    spark: SparkSession, sf_dir: str, table: str = "events"
+) -> int:
+    """Width for PYTHON-stateful streaming operators
+    (applyInPandasWithState): per-group Arrow/Python compute dominates
+    state-commit overhead — the OPPOSITE tradeoff of the JVM state
+    ops — so width tracks compute parallelism (half the scheduler's
+    default parallelism, exactly how the batch shuffle width tracks
+    cores), floored by the state-volume width so huge sources still
+    bound per-partition state. Measured on the sf0.1 detector replay:
+    2 parts 6.1 s, 8 parts 2.4 s, 16 parts 1.9 s, 32 parts 2.3 s
+    (state commits reclaim the gain past ~cores/2)."""
+    return max(
+        _stream_state_partitions(sf_dir, table),
+        2,
+        spark.sparkContext.defaultParallelism // 2,
+    )
+
+
 def _run_to_completion(
     df: DataFrame,
     spark: SparkSession,
@@ -204,9 +260,9 @@ def _run_to_completion(
     start): state-store instances = stores/operator × partitions, and
     their open/commit overhead dominates small harness runs (measured
     11.5 s → 3.1 s on the stream-stream join at sf0.1 going 32 → 8).
-    Size this to keyed-state volume — at production scale it is RAISED,
-    independently of the batch shuffle width. The session conf is
-    restored afterwards so batch queries keep their width.
+    Harness queries pass ``_stream_state_partitions(sf_dir)`` so the
+    width tracks source volume; the session conf is restored afterwards
+    so batch queries keep their width.
     """
     import shutil
     import uuid
@@ -238,7 +294,9 @@ def stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import session_rollup_stream
 
     out = _run_to_completion(
-        session_rollup_stream(_events_stream(spark, sf_dir)), spark
+        session_rollup_stream(_events_stream(spark, sf_dir)),
+        spark,
+        _stream_state_partitions(sf_dir),
     )
     return _restore_source_ts(out, spark, sf_dir)
 
@@ -277,7 +335,9 @@ def stream_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import tumbling_rollup_stream
 
     out = _run_to_completion(
-        tumbling_rollup_stream(_events_stream(spark, sf_dir)), spark
+        tumbling_rollup_stream(_events_stream(spark, sf_dir)),
+        spark,
+        _stream_state_partitions(sf_dir),
     )
     return _restore_source_ts(out, spark, sf_dir)
 
@@ -302,7 +362,9 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import session_rollup_dynamic_stream
 
     out = _run_to_completion(
-        session_rollup_dynamic_stream(_events_stream(spark, sf_dir)), spark
+        session_rollup_dynamic_stream(_events_stream(spark, sf_dir)),
+        spark,
+        _stream_state_partitions(sf_dir),
     )
     return _restore_source_ts(out, spark, sf_dir)
 
@@ -356,6 +418,7 @@ def stream_windowed_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             _events_stream(spark, sf_dir), _events_stream(spark, sf_dir)
         ),
         spark,
+        _stream_state_partitions(sf_dir),
     )
     return _restore_source_ts(out, spark, sf_dir)
 
@@ -391,7 +454,9 @@ def stream_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import hopping_rollup_stream
 
     out = _run_to_completion(
-        hopping_rollup_stream(_events_stream(spark, sf_dir)), spark
+        hopping_rollup_stream(_events_stream(spark, sf_dir)),
+        spark,
+        _stream_state_partitions(sf_dir),
     )
     return _restore_source_ts(out, spark, sf_dir)
 
@@ -455,6 +520,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id", "purchase_ts", "purchase_value",
         ),
         spark,
+        _stream_state_partitions(sf_dir),
     )
     return _restore_source_ts(out, spark, sf_dir)
 
@@ -514,6 +580,7 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id", "purchase_ts", "purchase_value",
         ),
         spark,
+        _stream_state_partitions(sf_dir),
     )
     return _restore_source_ts(out, spark, sf_dir)
 
@@ -590,6 +657,7 @@ def stream_interval_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
             lower="0 seconds", upper="1 hour",
         ),
         spark,
+        _stream_state_partitions(sf_dir),
     )
     return _restore_source_ts(out, spark, sf_dir)
 
@@ -621,6 +689,7 @@ def stream_interval_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             lower="0 seconds", upper="1 hour",
         ),
         spark,
+        _stream_state_partitions(sf_dir),
     )
     return _restore_source_ts(out, spark, sf_dir)
 
@@ -654,7 +723,9 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = events_cdc_log(_events_stream(spark, sf_dir))
     snap = compact_log_stream(log, **CDC_LOG_ARGS).select(*CDC_SNAPSHOT_COLS)
-    out = _run_to_completion(snap, spark, output_mode="complete")
+    out = _run_to_completion(
+        snap, spark, _stream_state_partitions(sf_dir), output_mode="complete"
+    )
     return _restore_source_ts(out, spark, sf_dir)
 
 
@@ -682,7 +753,9 @@ def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return _run_to_completion(hist, spark, output_mode="complete")
+    return _run_to_completion(
+        hist, spark, _stream_state_partitions(sf_dir), output_mode="complete"
+    )
 
 
 def stream_topk_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,7 +778,9 @@ def stream_topk_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("event_type"), F.asc("day"))
         .limit(10)
     )
-    return _run_to_completion(agg, spark, output_mode="complete")
+    return _run_to_completion(
+        agg, spark, _stream_state_partitions(sf_dir), output_mode="complete"
+    )
 
 
 STREAM_TOPK_ORACLE = """
@@ -760,6 +835,7 @@ def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id", "purchase_ts", "purchase_value",
         ),
         spark,
+        _stream_state_partitions(sf_dir),
     )
     return _restore_source_ts(out, spark, sf_dir)
 
@@ -856,7 +932,9 @@ def stream_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    return _run_to_completion(dedup, spark)
+    return _run_to_completion(
+        dedup, spark, _stream_state_partitions(sf_dir)
+    )
 
 
 STREAM_DISTINCT_ORACLE = """
@@ -906,7 +984,9 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         c["n_tokens"].cast("long").alias("n_tokens"),
         c["quality_score"].alias("quality_score"),
     ).where(F.col("quality_score") >= 0.5)
-    return _run_to_completion(gated, spark)
+    return _run_to_completion(
+        gated, spark, _stream_state_partitions(sf_dir, table="documents")
+    )
 
 
 def _stream_quality_gate_sql() -> str:
@@ -940,7 +1020,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment", "c_acctbal",
         )
     )
-    return _run_to_completion(enriched, spark)
+    return _run_to_completion(
+        enriched, spark, _stream_state_partitions(sf_dir)
+    )
 
 
 STREAM_STATIC_ENRICH_ORACLE = """

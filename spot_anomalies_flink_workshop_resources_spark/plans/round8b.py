@@ -780,14 +780,20 @@ def stream_ewma_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot equals the batch daily agg, so the batch twin is the
     oracle. Scale: streaming state is |types| x |days| rows; the fold
     never sees event-sized data."""
-    from .harness import _events_stream, _run_to_completion
+    from .harness import (
+        _events_stream,
+        _run_to_completion,
+        _stream_state_partitions,
+    )
     from .relational import _davg
 
     e = _events_stream(spark, sf_dir)
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(_davg(F.col("value")).alias("mu"))
-    snap = _run_to_completion(daily, spark, output_mode="complete")
+    snap = _run_to_completion(
+        daily, spark, _stream_state_partitions(sf_dir), output_mode="complete"
+    )
 
     st = snap.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
