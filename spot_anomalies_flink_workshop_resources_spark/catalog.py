@@ -27,6 +27,21 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Memoize the PLAN OBJECT per (session, dir, table): each
+    # spark.read.parquet call re-lists the directory and re-reads the
+    # footer for schema inference (~70-120 ms), and a full registry
+    # build issues ~460 such calls (~40 s/pass of pure metadata
+    # overhead at any scale factor). DataFrames are immutable, so the
+    # same object is safe to weave into every query plan; execution
+    # still scans the parquet files — nothing about the DATA is cached.
+    # Keyed on the session OBJECT (same rationale as _REGISTERED below).
+    cache = _TABLE_PLANS.get(spark)
+    if cache is None:
+        cache = {}
+        _TABLE_PLANS[spark] = cache
+    hit = cache.get((sf_dir, name))
+    if hit is not None:
+        return hit
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS); ensure the scan-time
         # legacy conf is set even on sessions not built by session.py
@@ -43,6 +58,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    cache[(sf_dir, name)] = df
     return df
 
 
@@ -60,6 +76,13 @@ def load_tables(
 import weakref
 
 _REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
+# (sf_dir, table) -> analyzed DataFrame, per live session (see
+# load_table). Plans only — holds no rows, no blocks; a collected
+# session releases its entries.
+_TABLE_PLANS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
 
