@@ -1307,7 +1307,24 @@ def dup_components(
     pairs = jaccard_pairs(
         docs, threshold=threshold, shingle_n=shingle_n, cache_key=cache_key
     )
-    return bounded_components_from_pairs(docs, pairs, rounds=rounds)
+    if cache_key is None:
+        return bounded_components_from_pairs(docs, pairs, rounds=rounds)
+    # Three registered queries (components, cluster_sizes, canonical)
+    # resolve the IDENTICAL (corpus, threshold, n, rounds) component
+    # assignment; the doc-sized resolved frame joins the shared-pass
+    # cache so the propagation rounds run once per (session, corpus).
+    return _cached_checkpoint(
+        docs.sparkSession,
+        (
+            _session_key(docs.sparkSession),
+            cache_key,
+            threshold,
+            shingle_n,
+            rounds,
+            "dup_components",
+        ),
+        lambda: bounded_components_from_pairs(docs, pairs, rounds=rounds),
+    )
 
 
 # single-task fixpoint bound shared with operators.graph (round 10):
@@ -1545,9 +1562,10 @@ def components_from_pairs(
     # 7: shrinks every round's join/count frames from |docs| to
     # |endpoints|, the dominant cost when duplicates are sparse)
     endpoints = edges.select(F.col("s").alias("doc_id")).distinct()
-    isolated = nodes.select("doc_id").join(
-        endpoints, "doc_id", "left_anti"
-    ).localCheckpoint(eager=True)
+    # isolated is consumed exactly once (the final union) and derives
+    # only from the already-checkpointed edge frame — materializing it
+    # eagerly was one whole extra job per resolution for no reuse
+    isolated = nodes.select("doc_id").join(endpoints, "doc_id", "left_anti")
     # single-task fast path (round 10, guide §2.4): same rounds —
     # neighbor-min + ONE pointer-jump hop, changed-count early stop —
     # as vectorized numpy in one task when the counted edge frame fits;

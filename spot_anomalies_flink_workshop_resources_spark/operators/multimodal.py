@@ -189,8 +189,13 @@ def byte_shingle_pairs(
     )
     if df_cap is not None:
         freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-        toks = toks.join(freq.where(F.col("df") <= df_cap), "tok").select(
-            "media_id", "tok"
+        # materialize the capped frame once: counts + both self-join
+        # sides consume it, and without a checkpoint each recomputes
+        # the df-cap join against the token frame
+        toks = (
+            toks.join(freq.where(F.col("df") <= df_cap), "tok")
+            .select("media_id", "tok")
+            .localCheckpoint(eager=True)
         )
     counts = toks.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = toks.alias("a"), toks.alias("b")

@@ -678,41 +678,13 @@ def sql_ship_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms left-to-right in event-day order with + (the KM recipe with
     + instead of *), so both engines run the same IEEE sequence;
     exp(-H) is one final shared op (<= 1 ulp, tolerated continuous
-    output).  Scale: data-sized work is one per-order min-shipdate agg;
-    the fold lives on the bounded delay-day domain.
+    output).  Scale: data-sized work is one per-order min-shipdate agg
+    shared with the KM query (relational._ship_risk_frame, shared-pass
+    cached); the fold lives on the bounded delay-day domain.
     """
-    o = load_table(spark, sf_dir, "orders")
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.min("l_shipdate").alias("first_ship"))
-    )
-    horizon = li.agg(F.max("first_ship").alias("h"))
-    subj = (
-        o.join(li, o.o_orderkey == li.l_orderkey, "left")
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            F.coalesce(
-                F.datediff(F.col("first_ship"), F.col("o_orderdate")),
-                F.datediff(F.col("h"), F.col("o_orderdate")),
-            ).cast("long").alias("t_obs"),
-            F.col("first_ship").isNotNull().cast("int").alias("evented"),
-        )
-        .where(F.col("t_obs") >= 0)
-    )
-    n_total = subj.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
-    per_day = subj.groupBy("t_obs").agg(
-        F.count(F.lit(1)).cast("long").alias("n_exit"),
-        F.sum("evented").cast("long").alias("d"),
-    )
-    w = Window.orderBy("t_obs").rowsBetween(Window.unboundedPreceding, -1)
-    risk = per_day.crossJoin(F.broadcast(n_total)).select(
-        "t_obs",
-        "d",
-        (F.col("n") - F.coalesce(F.sum("n_exit").over(w), F.lit(0)))
-        .cast("long")
-        .alias("n_risk"),
-    )
+    from .relational import _ship_risk_frame
+
+    risk = _ship_risk_frame(spark, sf_dir)
     steps = risk.where(F.col("d") > 0).select(
         "t_obs",
         "n_risk",
@@ -2417,9 +2389,13 @@ def text_jsd_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" i -> substring(lt, i, {n})) "
         f"ELSE array() END) AS gram",
     )
+    # model feeds four subtrees (tots, the spine distinct, the grid
+    # join) and grid feeds both pair-join sides: materialize each once
+    # so the document-sized gram explode runs a single time — the
+    # oracle's MATERIALIZED CTEs, mirrored
     model = grams.groupBy("lang", "gram").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    ).localCheckpoint(eager=True)
     tots = model.groupBy("lang").agg(F.sum("cnt").cast("long").alias("tot"))
     spine = model.select("gram").distinct().crossJoin(
         F.broadcast(tots.select("lang"))
@@ -2433,7 +2409,7 @@ def text_jsd_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
             "tot",
         )
-    )
+    ).localCheckpoint(eager=True)
     a = grid.select(
         "gram",
         F.col("lang").alias("lang_a"),

@@ -1065,9 +1065,12 @@ def dedup_pipeline_lsh(spark, sf_dir):
 def dedup_components_converged(spark, sf_dir):
     """Fixpoint connected components — exact for any diameter (the
     production form). Value-oracled via DuckDB WITH RECURSIVE
-    reachability (min label at fixpoint == min reachable doc_id)."""
+    reachability (min label at fixpoint == min reachable doc_id).
+    cache_key joins the shared-pass jaccard pair cache (same pairs as
+    the bounded-resolver queries — identical inputs, identical
+    output)."""
     return D.dup_components_converged(
-        _docs(spark, sf_dir), threshold=0.5, shingle_n=3
+        _docs(spark, sf_dir), threshold=0.5, shingle_n=3, cache_key=sf_dir
     )
 
 

@@ -2327,6 +2327,64 @@ FROM buckets b JOIN iso ON iso.k = b.b
 """
 
 
+def _ship_risk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared censored-delay risk frame (t_obs, d, n_risk) for the
+    Kaplan-Meier and Nelson-Aalen queries — their data-sized prefix is
+    IDENTICAL (same subjects, same exits, same at-risk counts), so it
+    runs once per (session, corpus) via the shared-pass checkpoint
+    (the _copurchase_edges pattern). Inside the build the per-order
+    min-shipdate agg is checkpointed once instead of feeding three
+    separate lineitem aggregations (horizon + both subj copies)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import _cached_checkpoint, _session_key
+
+    def build() -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.min("l_shipdate").alias("first_ship"))
+            .localCheckpoint(eager=True)
+        )
+        horizon = li.agg(F.max("first_ship").alias("h"))
+        subj = (
+            o.join(li, o.o_orderkey == li.l_orderkey, "left")
+            .crossJoin(F.broadcast(horizon))
+            .select(
+                F.coalesce(
+                    F.datediff(F.col("first_ship"), F.col("o_orderdate")),
+                    F.datediff(F.col("h"), F.col("o_orderdate")),
+                ).cast("long").alias("t_obs"),
+                F.col("first_ship").isNotNull().cast("int").alias("evented"),
+            )
+            .where(F.col("t_obs") >= 0)
+        )
+        n_total = subj.agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).select("n")
+        # per-day observation exits and events on the bounded delay
+        # domain
+        per_day = subj.groupBy("t_obs").agg(
+            F.count(F.lit(1)).cast("long").alias("n_exit"),
+            F.sum("evented").cast("long").alias("d"),
+        )
+        w = Window.orderBy("t_obs").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return per_day.crossJoin(F.broadcast(n_total)).select(
+            "t_obs",
+            "d",
+            (F.col("n") - F.coalesce(F.sum("n_exit").over(w), F.lit(0)))
+            .cast("long")
+            .alias("n_risk"),
+        )
+
+    return _cached_checkpoint(
+        spark, (_session_key(spark), sf_dir, "ship_risk"), build
+    )
+
+
 def sql_ship_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KAPLAN-MEIER survival curve of order -> first-ship delay, with
     right-censoring — the time-to-event estimator (SLA/fulfilment
@@ -2338,44 +2396,11 @@ def sql_ship_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts once; the survival prefix PRODUCT is an ordered fold over
     the delay-day frame (left-to-right, identical IEEE sequence both
     engines — the EWMA/BM25 recipe with * instead of +). Scale: the
-    data-sized work is one per-order min-shipdate agg; steps live on
-    the bounded delay-day domain and the O(days^2) prefix re-fold is
-    the cusum cost contract."""
-    from pyspark.sql import Window
-
-    o = load_table(spark, sf_dir, "orders")
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.min("l_shipdate").alias("first_ship"))
-    )
-    horizon = li.agg(F.max("first_ship").alias("h"))
-    subj = (
-        o.join(li, o.o_orderkey == li.l_orderkey, "left")
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            F.coalesce(
-                F.datediff(F.col("first_ship"), F.col("o_orderdate")),
-                F.datediff(F.col("h"), F.col("o_orderdate")),
-            ).cast("long").alias("t_obs"),
-            F.col("first_ship").isNotNull().cast("int").alias("evented"),
-        )
-        .where(F.col("t_obs") >= 0)
-    )
-    n_total = subj.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
-    # per-day observation exits and events on the bounded delay domain
-    per_day = subj.groupBy("t_obs").agg(
-        F.count(F.lit(1)).cast("long").alias("n_exit"),
-        F.sum("evented").cast("long").alias("d"),
-    )
-    w = Window.orderBy("t_obs").rowsBetween(Window.unboundedPreceding, -1)
-    risk = per_day.crossJoin(F.broadcast(n_total)).select(
-        "t_obs",
-        "d",
-        (F.col("n") - F.coalesce(F.sum("n_exit").over(w), F.lit(0)))
-        .cast("long")
-        .alias("n_risk"),
-    )
+    data-sized work is one per-order min-shipdate agg (shared-pass
+    cached, _ship_risk_frame); steps live on the bounded delay-day
+    domain and the O(days^2) prefix re-fold is the cusum cost
+    contract."""
+    risk = _ship_risk_frame(spark, sf_dir)
     steps = risk.where(F.col("d") > 0).select(
         "t_obs",
         "n_risk",

@@ -1416,16 +1416,22 @@ def sql_supplier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate shape: a part with d suppliers yields d^2 candidate
     rows, bounded by the df cap 64 — measured max 52 at sf0.1), never
     an all-pairs supplier join. Integer counts; jaccard is one
-    division; minimum overlap 2 bounds the pair frame."""
+    division; minimum overlap 2 bounds the pair frame. The distinct
+    (s, p) frame and its capped filtering are each consumed by three
+    downstream subtrees (freq + both join sides, sizes + both join
+    sides); Spark has no subtree reuse, so without materialization the
+    lineitem distinct runs 4x — the checkpoints mirror the oracle's
+    MATERIALIZED CTEs."""
     sp = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     freq = sp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     capped = sp.join(
         F.broadcast(freq.where(F.col("d") > 64)), "p", "left_anti"
-    )
+    ).localCheckpoint(eager=True)
     sizes = capped.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = capped.select("p", F.col("s").alias("sa"))
     b = capped.select("p", F.col("s").alias("sb"))
