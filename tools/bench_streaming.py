@@ -95,15 +95,30 @@ def measure(
     stream = spark.readStream.schema(schema).format("parquet").load(d)
     alerts = detect_fragmentation_flowlogs_stream(stream)
     name = f"bench_stream_{tag}"
-    t0 = time.time()
-    q = (
-        alerts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
+    # Python-stateful width rule (plans/harness._stream_python_partitions,
+    # round 10): applyInPandasWithState throughput is bounded by
+    # per-group Arrow/Python compute, which peaks at ~cores/2 workers —
+    # beyond that, per-partition state commits reclaim the gain. Derived
+    # from the scheduler's parallelism (not a constant), so the driver's
+    # lower-core runs keep the same rule. Conf is restored so batch
+    # queries keep their width.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(2, spark.sparkContext.defaultParallelism // 2)),
     )
-    q.processAllAvailable()
-    q.stop()
+    t0 = time.time()
+    try:
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     wall = time.time() - t0
     n_alerts = spark.table(name).count()
     return {
@@ -186,16 +201,25 @@ def measure_sustained(
         "spark.sql.streaming.numRecentProgressUpdates",
         str(max(100, int(duration_s * 20))),
     )
-    q = (
-        alerts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
+    # same Python-stateful width rule as measure() above
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(2, spark.sparkContext.defaultParallelism // 2)),
     )
-    t0 = time.time()
-    time.sleep(duration_s)
-    progress = [json.loads(p.json) for p in q.recentProgress]
-    q.stop()
+    try:
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        t0 = time.time()
+        time.sleep(duration_s)
+        progress = [json.loads(p.json) for p in q.recentProgress]
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     wall = time.time() - t0
     n_alerts = spark.table(name).count()
     # drop the first batch (rate-source offset-0 bootstrap, not steady
