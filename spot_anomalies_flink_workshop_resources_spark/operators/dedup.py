@@ -852,6 +852,96 @@ WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
 """
 
 
+# Vectorized within-block pairwise-cosine path (round 10, guide §4.2).
+# The join+fold form evaluates aggregate(zip_with(...)) per pair — ~13M
+# interpreted lambda calls for 200k pairs of 64-dim vectors, measured
+# 2.5 s at sf0.1 vs 0.36 s for one numpy pass per dimension. Bit-exact
+# by construction: the numpy loop applies acc = acc + a_j*b_j in the
+# SAME left-to-right order as the fold (each multiply and add is one
+# correctly-rounded IEEE op in both engines, no FMA, no reassociation),
+# norms arrive precomputed from the identical JVM fold, and division /
+# comparison are single ops — verified by full tuple equality against
+# the join+fold output and by the unchanged DuckDB oracles.
+_MAX_BLOCKED_PAIR_VECTORS = 16384
+
+
+def _blocked_cosine_pairs(
+    e: DataFrame, block_col: str, threshold: float, out_block_col: str
+) -> DataFrame | None:
+    """Within-block pairs with cosine >= threshold from a
+    (vec_id, <block_col>, emb, norm) frame, one vectorized task per
+    block. Returns None when the largest COUNTED block exceeds
+    ``_MAX_BLOCKED_PAIR_VECTORS`` — a hot block's n² pairs belong in
+    the distributed join, which spreads them across tasks, not in one
+    task's matrix (the single-task-fixpoint switch pattern); callers
+    fall back to the join+fold form. The input frame is checkpointed,
+    so the fallback reuses the materialized vectors for free."""
+    import numpy as np
+    import pandas as pd
+
+    e = e.select("vec_id", block_col, "emb", "norm").localCheckpoint(
+        eager=True
+    )
+    mx = (
+        e.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"))
+        .first()["m"]
+    )
+    if mx is not None and mx > _MAX_BLOCKED_PAIR_VECTORS:
+        return None
+    idt = e.schema["vec_id"].dataType.simpleString()
+    bdt = e.schema[block_col].dataType.simpleString()
+    thr = float(threshold)
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        A = np.stack(pdf["emb"].to_numpy())
+        norm = pdf["norm"].to_numpy()
+        n, d = A.shape
+        ids = pdf["vec_id"].to_numpy()
+        outs = []
+        # row-chunked so a large (but under-cap) block bounds its
+        # temporary matrices to chunk x n
+        chunk = max(1, min(n, (1 << 22) // max(n, 1)))
+        for s in range(0, n, chunk):
+            rows = slice(s, min(s + chunk, n))
+            acc = np.zeros((rows.stop - rows.start, n))
+            for j in range(d):
+                acc = acc + np.multiply.outer(A[rows, j], A[:, j])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cosm = acc / np.multiply.outer(norm[rows], norm)
+            # Spark orders NaN above every double, so the JVM filter
+            # keeps NaN cosines (zero-norm vectors); mirror that
+            ri, ci = np.nonzero(
+                ((cosm >= thr) | np.isnan(cosm))
+                & (np.arange(n)[None, :] > np.arange(rows.start, rows.stop)[:, None])
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": ids[ri + rows.start],
+                        "vec_b": ids[ci],
+                        out_block_col: pdf[block_col].to_numpy()[ri + rows.start],
+                        "cosine": cosm[ri, ci],
+                    }
+                )
+            )
+        return pd.concat(outs) if outs else pd.DataFrame(
+            {
+                "vec_a": ids[:0],
+                "vec_b": ids[:0],
+                out_block_col: pdf[block_col].to_numpy()[:0],
+                "cosine": np.zeros(0),
+            }
+        )
+
+    return e.groupBy(block_col).applyInPandas(
+        per_block,
+        f"vec_a {idt}, vec_b {idt}, {out_block_col} {bdt}, cosine double",
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame, threshold: float = 0.3
 ) -> DataFrame:
@@ -871,6 +961,9 @@ def embedding_near_dup(
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
     )
     e = e.withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    blocked = _blocked_cosine_pairs(e, "label", threshold, "label")
+    if blocked is not None:
+        return blocked
     a, b = e.alias("a"), e.alias("b")
     cos = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm"))
     return (
@@ -947,6 +1040,11 @@ def embedding_near_dup_ivf(
         .where(F.col("rn") == 1)
         .drop("rn", "c_cos")
     )
+    blocked = _blocked_cosine_pairs(
+        assigned, "cent_id", threshold, "centroid_id"
+    )
+    if blocked is not None:
+        return blocked
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm"))
     return (
@@ -1186,6 +1284,11 @@ def embedding_near_dup_ivf_trained(
     )
     index = assigned.where(F.col("rn") == 1)
     if n_probes <= 1:
+        blocked = _blocked_cosine_pairs(
+            index, "cent_id", threshold, "centroid_id"
+        )
+        if blocked is not None:
+            return blocked
         a, b = index.alias("a"), index.alias("b")
         cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
             F.col("a.norm") * F.col("b.norm")

@@ -135,6 +135,25 @@ def ml_ipinsights_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# raw parquet schema per (applicationId, path): every streaming harness
+# query read the events footer twice (source schema + the NTZ probe in
+# _restore_source_ts) — ~0.1-0.2 s of repeated inference per stream
+# query. Schema objects only; the memo is the streaming twin of
+# catalog._TABLE_PLANS.
+_RAW_SCHEMA_CACHE: dict = {}
+
+
+def _raw_parquet_schema(spark: SparkSession, path: str):
+    key = (spark.sparkContext.applicationId, path)
+    s = _RAW_SCHEMA_CACHE.get(key)
+    if s is None:
+        s = spark.read.parquet(path).schema
+        while len(_RAW_SCHEMA_CACHE) >= 32:
+            _RAW_SCHEMA_CACHE.pop(next(iter(_RAW_SCHEMA_CACHE)))
+        _RAW_SCHEMA_CACHE[key] = s
+    return s
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -142,7 +161,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     ev_path = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(ev_path).schema
+    raw_schema = _raw_parquet_schema(spark, ev_path)
     # Same two-layout rule as the documents stream (harness.py
     # _docs_stream, round-8 sf1 lesson): a Spark-written corpus makes
     # events.parquet a DIRECTORY of part-files, where the leaf-file
@@ -166,7 +185,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _events_ts_is_ntz(spark: SparkSession, sf_dir: str) -> bool:
     from pyspark.sql.types import TimestampNTZType
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_parquet_schema(spark, f"{sf_dir}/events.parquet")
     return isinstance(schema["ts"].dataType, TimestampNTZType)
 
 
@@ -975,7 +994,7 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import os
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw_schema = _raw_parquet_schema(spark, f"{sf_dir}/documents.parquet")
     # The streaming file source needs a DIRECTORY basePath. Two layouts
     # exist: the driver's testdata keeps documents.parquet as a single
     # FILE (so we stream the parent dir with a leaf-file glob), while

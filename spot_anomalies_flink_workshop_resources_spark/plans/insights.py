@@ -2382,19 +2382,19 @@ def text_jsd_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n = 3
     d = load_table(spark, sf_dir, "documents")
-    grams = d.selectExpr("lang", "lower(text) AS lt").selectExpr(
-        "lang",
-        f"explode(CASE WHEN length(lt) >= {n} THEN "
-        f"transform(sequence(1, length(lt) - {n - 1}),"
-        f" i -> substring(lt, i, {n})) "
-        f"ELSE array() END) AS gram",
-    )
-    # model feeds four subtrees (tots, the spine distinct, the grid
-    # join) and grid feeds both pair-join sides: materialize each once
-    # so the document-sized gram explode runs a single time — the
-    # oracle's MATERIALIZED CTEs, mirrored
-    model = grams.groupBy("lang", "gram").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # model reduces from the LM family's shared (doc_id, lang, gram, m)
+    # pass (operators/text.char_gram_counts — Σ_doc m is the identical
+    # trigram count), so the document-sized explode runs once per
+    # corpus across the whole char-gram family; it feeds four subtrees
+    # (tots, the spine distinct, the grid join) and grid feeds both
+    # pair-join sides, so each is materialized once — the oracle's
+    # MATERIALIZED CTEs, mirrored
+    from ..operators.text import char_gram_counts
+
+    model = (
+        char_gram_counts(d, n, cache_key=sf_dir)
+        .groupBy("lang", "gram")
+        .agg(F.sum("m").cast("long").alias("cnt"))
     ).localCheckpoint(eager=True)
     tots = model.groupBy("lang").agg(F.sum("cnt").cast("long").alias("tot"))
     spine = model.select("gram").distinct().crossJoin(

@@ -62,7 +62,7 @@ def doc_fingerprint(spark, sf_dir):
 
 
 def text_ngram_profile(spark, sf_dir):
-    return T.char_ngram_profile(_docs(spark, sf_dir))
+    return T.char_ngram_profile(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def corpus_sample_weighted(spark, sf_dir):

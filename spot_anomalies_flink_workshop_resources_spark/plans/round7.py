@@ -528,6 +528,9 @@ def sql_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk"))
         .distinct()
+        # consumed by four subtrees (n_orders, per_part, both pair-join
+        # sides); materialized once like the oracle's MATERIALIZED li
+        .localCheckpoint(eager=True)
     )
     n_orders = li.select("o").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n")
