@@ -62,6 +62,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Scale-ADAPTIVE map-parallelism restore (optimization guide §2.5,
+    "input skew: one huge unsplittable file ... repartition immediately
+    after the read"): a small single-row-group parquet file scans as
+    ONE partition, so every map-heavy stage before the first exchange
+    (regex tokenization, gram/shingle explodes, digest computation)
+    serializes on one core regardless of cluster width. When the
+    input's partition count is below half the scheduler's parallelism,
+    round-robin repartition to the core count; at production scale the
+    scan already carries >= cores partitions and this is a NO-OP — no
+    shuffle is inserted. Apply only ahead of measured map-heavy
+    compute: for cheap scans the added exchange costs more than the
+    parallelism buys."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() * 2 < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -50,10 +50,12 @@ def _hex32(col):
 
 
 def _tokens(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    from ..catalog import spread
+
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
     if distinct:
         toks = F.array_distinct(toks)
-    return docs.select("doc_id", F.explode(toks).alias("tok"))
+    return spread(docs).select("doc_id", F.explode(toks).alias("tok"))
 
 
 def _shingles(docs: DataFrame, n: int) -> DataFrame:
@@ -65,10 +67,12 @@ def _shingles(docs: DataFrame, n: int) -> DataFrame:
     past the end (ANSI-safe), and concat_ws drops nulls — matching
     DuckDB's out-of-range list index semantics.
     """
+    from ..catalog import spread
+
     if n == 1:
         return _tokens(docs)
     parts = ", ".join(f"try_element_at(ts, i + {j})" for j in range(n))
-    return docs.selectExpr(
+    return spread(docs).selectExpr(
         "doc_id",
         f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0) AS ts",
     ).selectExpr(
@@ -2040,8 +2044,10 @@ def duplicate_span_stats(
     Output: (doc_id, n_grams, n_dup_grams, dup_frac, keep) — docs with
     < n words emit n_grams = 0, NULL dup_frac, keep = true.
     """
+    from ..catalog import spread
+
     parts = ", ".join(f"try_element_at(ts, i + {j})" for j in range(n))
-    grams = docs.selectExpr(
+    grams = spread(docs).selectExpr(
         "doc_id",
         f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0) AS ts",
     ).selectExpr(

@@ -176,8 +176,10 @@ def byte_shingle_pairs(
     Output: (media_a, media_b, jaccard) for capped-set Jaccard >=
     threshold.
     """
+    from ..catalog import spread
+
     w2, s2 = 2 * window_bytes, 2 * stride_bytes
-    hx = media.select("media_id", F.hex("content").alias("h"))
+    hx = spread(media).select("media_id", F.hex("content").alias("h"))
     arr = F.expr(
         f"transform(sequence(1, (length(h) - {w2}) div {s2} + 1), "
         f"i -> substring(h, (i - 1) * {s2} + 1, {w2}))"

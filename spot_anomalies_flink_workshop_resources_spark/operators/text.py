@@ -365,7 +365,9 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    cs = docs.select(
+    from ..catalog import spread
+
+    cs = spread(docs).select(
         "doc_id",
         F.expr("transform(split(lower(text), ''), c -> ascii(c))").alias("cs"),
         F.length("text").cast("long").alias("n_chars2"),
@@ -415,6 +417,9 @@ def top_terms_sketch(
     """
     import pandas as pd
 
+    from ..catalog import spread
+
+    docs = spread(docs)
     toks_distinct = docs.select(
         "doc_id",
         F.explode(
@@ -456,7 +461,14 @@ def top_terms_sketch(
         .mapInPandas(mg, "tok string, n_pairs long, n_evictions long")
         .collect()
     )
-    candidates = [r["tok"] for r in summary_rows if r["tok"] is not None]
+    # DEDUPE across partition summaries: a token surviving in several
+    # partitions appears once per summary, and duplicate candidate rows
+    # would multiply the inner verify join's occurrence counts (latent
+    # on any multi-partition input; surfaced by the round-10 spread()
+    # parallelism fix)
+    candidates = sorted(
+        {r["tok"] for r in summary_rows if r["tok"] is not None}
+    )
     n_total = sum(r["n_pairs"] for r in summary_rows)
     n_evictions = sum(r["n_evictions"] for r in summary_rows)
     spark = docs.sparkSession
@@ -507,8 +519,10 @@ def char_gram_counts(
     lang_mismatch, ccnet buckets, curation sampling, and round8's
     trigram entropy all reduce from it). ``cache_key`` memoizes the
     eager checkpoint under the family's shared "lm_gcnt" key."""
+    from ..catalog import spread
+
     grams = (
-        docs.selectExpr("doc_id", "lang", "lower(text) AS lt")
+        spread(docs).selectExpr("doc_id", "lang", "lower(text) AS lt")
         .selectExpr(
             "doc_id",
             "lang",

@@ -693,30 +693,41 @@ def sql_ship_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step"
         ),
     )
-    a = steps.select(F.col("t_obs").alias("t"), "n_risk", "d")
-    b = steps.select(F.col("t_obs").alias("u"), F.col("step").alias("su"))
-    haz = (
-        a.join(F.broadcast(b), F.col("u") <= F.col("t"))
-        .groupBy("t", "n_risk", "d")
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("u", "su"))),
-                    lambda p: p["su"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("cum_hazard")
+    # Sequential prefix SUM in one tiny task — the KM prefix-product
+    # rewrite (relational.sql_ship_survival) with + instead of *:
+    # np.cumsum applies acc = acc + s_t left-to-right, the identical
+    # add sequence as the u<=t join + fold (0.0 + s_1 = s_1 exactly),
+    # so every cum_hazard double is unchanged; the oracle keeps its
+    # fold form.
+    import numpy as np
+    import pandas as pd
+
+    def prefix_sum(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values("t_obs").reset_index(drop=True)
+        yield pd.DataFrame(
+            {
+                "delay_days": pdf["t_obs"],
+                "n_at_risk": pdf["n_risk"],
+                "n_events": pdf["d"],
+                "cum_hazard": np.cumsum(pdf["step"].to_numpy()),
+            }
         )
+
+    haz = steps.coalesce(1).mapInPandas(
+        prefix_sum,
+        "delay_days long, n_at_risk long, n_events long, cum_hazard double",
     )
     # libm exp twin on the day-domain-bounded frame: bit-matches the
     # oracle's exp (functions/libm.py; VERDICT r6 #5)
     from ..functions.libm import libm_exp
 
     return haz.select(
-        F.col("t").alias("delay_days"),
-        F.col("n_risk").alias("n_at_risk"),
-        F.col("d").alias("n_events"),
+        "delay_days",
+        "n_at_risk",
+        "n_events",
         "cum_hazard",
         libm_exp(-F.col("cum_hazard")).alias("fh_survival"),
     )

@@ -2411,27 +2411,34 @@ def sql_ship_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("factor"),
     )
     # prefix product per step: ordered fold over all steps <= t
-    a = steps.select(F.col("t_obs").alias("t"), "n_risk", "d")
-    b = steps.select(F.col("t_obs").alias("u"), F.col("factor").alias("fu"))
-    surv = (
-        a.join(F.broadcast(b), F.col("u") <= F.col("t"))
-        .groupBy("t", "n_risk", "d")
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("u", "fu"))),
-                    lambda p: p["fu"],
-                ),
-                F.lit(1.0),
-                lambda acc, x: acc * x,
-            ).alias("survival")
+    # Sequential prefix product over the day-domain frame in ONE tiny
+    # task (round 10, guide §1.2): the SQL-expressible O(days²)
+    # u<=t broadcast join + per-t collect_list fold re-derived every
+    # prefix from scratch (~856k interpreted lambda multiplies at
+    # sf0.1). np.cumprod applies acc = acc * f_t left-to-right — the
+    # IDENTICAL multiply sequence as the fold over the u-sorted list
+    # (1.0 * f_1 = f_1 exactly), so every output double is unchanged;
+    # the oracle keeps its own fold form.
+    import numpy as np
+    import pandas as pd
+
+    def prefix_product(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values("t_obs").reset_index(drop=True)
+        yield pd.DataFrame(
+            {
+                "delay_days": pdf["t_obs"],
+                "n_at_risk": pdf["n_risk"],
+                "n_events": pdf["d"],
+                "survival": np.cumprod(pdf["factor"].to_numpy()),
+            }
         )
-    )
-    return surv.select(
-        F.col("t").alias("delay_days"),
-        F.col("n_risk").alias("n_at_risk"),
-        F.col("d").alias("n_events"),
-        "survival",
+
+    return steps.coalesce(1).mapInPandas(
+        prefix_product,
+        "delay_days long, n_at_risk long, n_events long, survival double",
     )
 
 

@@ -930,48 +930,65 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     type."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    from ..catalog import spread
+
+    e = spread(load_table(spark, sf_dir, "events"))
     grid32 = float(2 ** 32)
     blocks = e.select(
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
         F.explode(F.sequence(F.lit(0), F.lit(_B // 4 - 1))).alias("blk"),
         "event_id",
-    ).select(
-        "event_type",
-        "c",
-        "blk",
-        F.md5(
-            F.concat_ws(
-                ":",
-                F.col("event_id").cast("string"),
-                F.col("blk").cast("string"),
-            )
-        ).alias("h"),
     )
 
-    def _w(pos: int):
-        u = (
-            F.conv(
-                F.substring(F.col("h"), 1 + 8 * pos, 8), 16, 10
-            ).cast("double")
-            + F.lit(0.5)
-        ) / F.lit(grid32)
-        return (
-            F.when(u < _POIS[0], 0)
-            .when(u < _POIS[1], 1)
-            .when(u < _POIS[2], 2)
-            .when(u < _POIS[3], 3)
-            .when(u < _POIS[4], 4)
-            .otherwise(5)
-            .cast("long")
-        )
+    # md5 coin + Poisson-CDF weights vectorized in Arrow batches (round
+    # 10, guide §4.2): the JVM md5 + four conv(hex) parses + four
+    # when-chains cost ~2.6 s over the x10 frame at sf0.1. hashlib.md5
+    # is the same RFC digest as Spark's md5 over the identical
+    # "event_id:blk" UTF-8 bytes; the four 8-hex coins are exactly the
+    # digest's four big-endian uint32 words (np.frombuffer — no string
+    # parsing); u = (coin + 0.5)/2^32 is the same exact double; and
+    # np.searchsorted(_POIS, u, 'right') == #{i: p_i <= u} is precisely
+    # the when-chain's branch index. Bit-identical weights, no row
+    # Python (one mapInPandas per partition).
+    import hashlib
 
-    per_block = blocks.select(
-        "event_type",
-        "blk",
-        "c",
-        *[_w(p).alias(f"w{p}") for p in range(4)],
+    import numpy as np
+    import pandas as pd
+
+    pois = np.asarray(_POIS)
+
+    def coins(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            keys = (
+                pdf["event_id"].astype("int64").astype(str)
+                + ":"
+                + pdf["blk"].astype("int64").astype(str)
+            )
+            digest = b"".join(md5(k.encode()).digest() for k in keys)
+            u = (
+                np.frombuffer(digest, dtype=">u4")
+                .reshape(-1, 4)
+                .astype(np.float64)
+                + 0.5
+            ) / grid32
+            w = np.searchsorted(pois, u.ravel(), side="right").reshape(
+                -1, 4
+            )
+            yield pd.DataFrame(
+                {
+                    "event_type": pdf["event_type"],
+                    "blk": pdf["blk"],
+                    "c": pdf["c"],
+                    **{f"w{p}": w[:, p].astype(np.int64) for p in range(4)},
+                }
+            )
+
+    per_block = blocks.mapInPandas(
+        coins,
+        "event_type string, blk int, c long, "
+        + ", ".join(f"w{p} long" for p in range(4)),
     ).groupBy("event_type", "blk").agg(
         *[
             agg

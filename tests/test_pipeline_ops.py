@@ -561,6 +561,23 @@ def test_top_terms_sketch_exact_and_guarded(spark, sf_dir):
         text.top_terms_sketch(docs, k=50, capacity=2)
 
 
+def test_top_terms_sketch_multi_partition_exact(spark, sf_dir):
+    """Regression (round 10): with a MULTI-partition input each
+    partition emits its own Misra-Gries summary, so a common token
+    appears in many summaries — un-deduped candidates multiplied the
+    verify join's n_occurrences by the partition count. The sketch must
+    equal the direct aggregation at any input partitioning."""
+    from spot_anomalies_flink_workshop_resources_spark.catalog import load_table
+    from spot_anomalies_flink_workshop_resources_spark.plans.pipeline_ops import (
+        corpus_top_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").repartition(8)
+    want = [tuple(r) for r in corpus_top_terms(spark, sf_dir).collect()]
+    got = [tuple(r) for r in text.top_terms_sketch(docs, k=50).collect()]
+    assert got == want
+
+
 def test_corpus_split_stable_and_exhaustive(spark):
     """The md5-bucket split must (a) assign every doc, (b) give the same
     assignment on a re-shuffled re-read — the contamination guard the
