@@ -2188,6 +2188,11 @@ def containment_pairs(
             ).alias("arr")
         )
         .select("doc_id", "arr", F.size("arr").alias("sz"))
+        # four consumers (prefix, posting, both verify sides) — without
+        # materialization each re-runs the toks⋈freq + sorted
+        # collect_list aggregation (the frame is doc-sized: one array
+        # row per doc)
+        .localCheckpoint(eager=True)
     )
     # prefix length k = sz - ceil(0.7*sz) + 1; ceil via (7*sz+9) div 10
     prefix = per_doc.select(
