@@ -1316,6 +1316,26 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_containment",          # df-capped rewrite THIS round (VERDICT r9 #3)
     "sql_copurchase_hits",        # scale-armed THIS round (VERDICT r9 #4)
     "ml_ipinsights_score_fixed",  # NEW value oracle for M2 scoring (VERDICT r9 #7)
+    # -- round 10 block 2: queries whose EXECUTION was rewritten by the
+    # optimization round (vectorized folds, shared-pass prefixes,
+    # materializations) — each proven bit-exact locally at sf0.01 AND
+    # sf0.1, but a rewrite forces a driver re-check (the block-1
+    # policy). --
+    "sql_ship_survival",          # sequential prefix product (was O(days^2) fold)
+    "sql_ship_hazard",            # sequential prefix sum + shared risk frame
+    "events_bootstrap_ci",        # Arrow-batch md5 coins (same digest words)
+    "dedup_embedding",            # blocked numpy cosine (same IEEE fold order)
+    "dedup_embedding_ivf",        # same blocked-cosine path
+    "dedup_embedding_ivf_trained",  # same blocked-cosine path
+    "text_doc_fingerprint",       # int64 numpy rolling hash
+    "text_ngram_profile",         # reduces from shared char-gram pass
+    "text_jsd_lang_matrix",       # reduces from shared char-gram pass
+    "corpus_top_terms_sketch",    # multi-partition candidate dedup FIX
+    "dedup_canonical",            # shared-pass component resolution
+    "dedup_components_converged",  # shared pair cache + trimmed checkpoint
+    "multimodal_near_dup",        # capped-token materialization + spread
+    "sql_basket_rules",           # materialized 4x-consumed li frame
+    "cep_fragmentation_stream",   # scale-adaptive stream state partitions
     # -- round 10 newcomers (12 adds incl. the fixed-score oracle; cap
     # 15, VERDICT r9 #8) --
     "events_benford_mad",         # NEW: Benford first-digit conformity (MAD)
