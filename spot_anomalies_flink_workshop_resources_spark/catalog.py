@@ -35,6 +35,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # same object is safe to weave into every query plan; execution
     # still scans the parquet files — nothing about the DATA is cached.
     # Keyed on the session OBJECT (same rationale as _REGISTERED below).
+    # ASSUMPTION (ADVICE r10): a table directory is immutable for the
+    # session's lifetime — the cached plan pins the parquet file
+    # listing, so data regenerated in-place mid-session would scan
+    # stale/deleted files. Data producers in this repo (make_scale_data,
+    # generators) run in their own process/session; a tool that must
+    # rewrite an sf_dir inside a live session must use a fresh session
+    # or a new sf_dir, not this cache.
     cache = _TABLE_PLANS.get(spark)
     if cache is None:
         cache = {}

