@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import detection
@@ -252,7 +253,13 @@ def _stream_state_partitions(sf_dir: str, table: str = "events") -> int:
 
     env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
     if env:
-        return int(env)
+        # clamp to >= 1 and ignore garbage: 0/negative would land in
+        # spark.sql.shuffle.partitions and fail cryptically at stream
+        # start (ADVICE r10)
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
     p = os.path.join(sf_dir, f"{table}.parquet")
     size = 0
     if os.path.isdir(p):
@@ -267,22 +274,66 @@ def _stream_state_partitions(sf_dir: str, table: str = "events") -> int:
     return max(2, min(512, math.ceil(size / (32 << 20))))
 
 
-def _stream_python_partitions(
-    spark: SparkSession, sf_dir: str, table: str = "events"
-) -> int:
+def _python_state_width(n_keys: int, cores: int) -> int:
     """Width for PYTHON-stateful streaming operators
-    (applyInPandasWithState): per-group Arrow/Python compute dominates
-    state-commit overhead — the OPPOSITE tradeoff of the JVM state
-    ops — so width tracks compute parallelism (half the scheduler's
-    default parallelism, exactly how the batch shuffle width tracks
-    cores), floored by the state-volume width so huge sources still
-    bound per-partition state. Measured on the sf0.1 detector replay:
-    2 parts 6.1 s, 8 parts 2.4 s, 16 parts 1.9 s, 32 parts 2.3 s
-    (state commits reclaim the gain past ~cores/2)."""
+    (applyInPandasWithState) from DISTINCT-KEY COUNT, with cores as a
+    CAP (round 11, VERDICT r10 #1). The per-micro-batch cost of a
+    state partition is (fixed Arrow worker round-trip + state-store
+    open/commit) + (per-KEY-GROUP pandas apply overhead) × groups —
+    so the width that balances the two puts ~80 key groups on each
+    partition. That single rule fits every measured curve where the
+    round-10 cores/2 rule did not: the cep replay (1500 user keys,
+    100k events) measured 6.1 s at width 2 / 2.4 s at 8 / 1.9 s at 16
+    (keys/80 → 19 ≈ the optimum 16), while the 400k-event detector
+    replay (~280 ip_dst keys) measured width 4 BEST in the round-11
+    32-core interleaved A/B (medians: w2 44.8k, w4 47.5k, w8 41.5k,
+    w16 30.9k, w32 ~21.7k ev/s under 22-26%% hypervisor steal — w16,
+    the old cores/2 value, loses ~1.5x; keys/80 → 4 ✓) and width 4 was
+    also the 8-core driver record's configuration (123.8k ev/s,
+    BENCH_r10_c8). Cores cap the width so a huge key space never
+    outruns the scheduler; floor 2 keeps a second partition as a
+    straggler hedge."""
+    return max(2, min(cores, round(n_keys / 80)))
+
+
+# per (applicationId, sf_dir, table, key) approximate distinct-key
+# count for the width rule — ONE ~0.2 s bounded aggregate per session,
+# amortized over every Python-stateful replay of that table (never a
+# result cache: a fresh process recounts from parquet).
+_STREAM_KEY_COUNTS: dict = {}
+
+
+def _stream_python_partitions(
+    spark: SparkSession, sf_dir: str, table: str = "events",
+    key: str = "user_id",
+) -> int:
+    """Key-derived Python-stateful width for the harness replays (see
+    :func:`_python_state_width`). The distinct-key count comes from one
+    memoized approx_count_distinct over the source table (±2% is far
+    inside the rule's tolerance — the width only has to land on the
+    right side of the ~80-groups/partition knee). Floored by the JVM
+    state-volume width so huge sources still bound per-partition state
+    volume."""
+    memo_key = (
+        spark.sparkContext.applicationId, sf_dir, table, key,
+    )
+    n_keys = _STREAM_KEY_COUNTS.get(memo_key)
+    if n_keys is None:
+        from ..catalog import load_table
+
+        n_keys = int(
+            load_table(spark, sf_dir, table)
+            .agg(F.approx_count_distinct(key).alias("k"))
+            .first()["k"]
+        )
+        while len(_STREAM_KEY_COUNTS) >= 32:
+            _STREAM_KEY_COUNTS.pop(next(iter(_STREAM_KEY_COUNTS)))
+        _STREAM_KEY_COUNTS[memo_key] = n_keys
     return max(
         _stream_state_partitions(sf_dir, table),
-        2,
-        spark.sparkContext.defaultParallelism // 2,
+        _python_state_width(
+            n_keys, spark.sparkContext.defaultParallelism
+        ),
     )
 
 
@@ -447,16 +498,16 @@ WHERE session_end <= (SELECT MAX(ts) FROM events)
 
 
 def stream_windowed_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chained multiple-stateful-operator streaming query: two hourly
-    window aggregations (per-type counts; totals) joined on the window
-    into each type's traffic share — three stateful operators in one
-    append-mode query, watermark-finalized on both sides."""
+    """Chained multiple-stateful-operator streaming query: hourly
+    per-type counts, then a second windowed aggregation chained on the
+    window column folds each hour into its total + per-type shares —
+    two stateful operators, one source scan, watermark-finalized
+    (round 11; was two aggs + a stream-stream window join over two
+    source scans — same rows, same oracle)."""
     from ..streaming.windows import windowed_share_stream
 
     out = _run_to_completion(
-        windowed_share_stream(
-            _events_stream(spark, sf_dir), _events_stream(spark, sf_dir)
-        ),
+        windowed_share_stream(_events_stream(spark, sf_dir)),
         spark,
         _stream_state_partitions(sf_dir),
     )

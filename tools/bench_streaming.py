@@ -59,6 +59,7 @@ def measure(
     n_bursts: int,
     tag: str = "out",
     hot_key_frac: float = 0.0,
+    width: int | None = None,
 ) -> dict:
     """One sustained-rate run of parse->detect->serialize: returns
     {"events", "wall_sec", "events_per_sec", "alerts"}. Dataset prep
@@ -95,18 +96,31 @@ def measure(
     stream = spark.readStream.schema(schema).format("parquet").load(d)
     alerts = detect_fragmentation_flowlogs_stream(stream)
     name = f"bench_stream_{tag}"
-    # Python-stateful width rule (plans/harness._stream_python_partitions,
-    # round 10): applyInPandasWithState throughput is bounded by
-    # per-group Arrow/Python compute, which peaks at ~cores/2 workers —
-    # beyond that, per-partition state commits reclaim the gain. Derived
-    # from the scheduler's parallelism (not a constant), so the driver's
-    # lower-core runs keep the same rule. Conf is restored so batch
-    # queries keep their width.
+    # Python-stateful width rule (plans/harness._python_state_width,
+    # round 11, VERDICT r10 #1): ~80 detector key groups per state
+    # partition, cores as a cap — derived from the DISTINCT-KEY count
+    # of the prepared dataset (one count job, outside the timed
+    # window). The round-10 cores/2 rule overshot at 32 cores (width
+    # 16; the driver's own 8-core run at width 4 was 2x faster), and
+    # the round-11 interleaved A/B at 32 cores confirms: uniform
+    # medians w2 44.8k / w4 47.5k / w8 41.5k / w16 30.9k / w32 ~21.7k
+    # ev/s — keys/80 lands on the measured optimum for BOTH this
+    # ~280-key replay (width 4) and the harness's 1500-key cep replay
+    # (width 16-19). ``width`` overrides for interleaved A/Bs. Conf is
+    # restored so batch queries keep their width.
+    if width is None:
+        from spot_anomalies_flink_workshop_resources_spark.plans.harness import (
+            _python_state_width,
+        )
+
+        n_keys = (
+            spark.read.parquet(d).select("ip_dst").distinct().count()
+        )
+        width = _python_state_width(
+            n_keys, spark.sparkContext.defaultParallelism
+        )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(max(2, spark.sparkContext.defaultParallelism // 2)),
-    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
     t0 = time.time()
     try:
         q = (
@@ -201,11 +215,18 @@ def measure_sustained(
         "spark.sql.streaming.numRecentProgressUpdates",
         str(max(100, int(duration_s * 20))),
     )
-    # same Python-stateful width rule as measure() above
+    # same Python-stateful width rule as measure() above (~80 key
+    # groups per partition; n_keys is this generator's parameter)
+    from spot_anomalies_flink_workshop_resources_spark.plans.harness import (
+        _python_state_width,
+    )
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(max(2, spark.sparkContext.defaultParallelism // 2)),
+        str(_python_state_width(
+            n_keys, spark.sparkContext.defaultParallelism
+        )),
     )
     try:
         q = (
