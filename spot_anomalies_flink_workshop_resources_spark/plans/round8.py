@@ -1412,32 +1412,48 @@ def sql_supplier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 supplier pairs by CATALOG JACCARD (shared parts /
     union parts, derived from lineitem since the synthetic schema
     ships no partsupp) — the supplier-redundancy read procurement
-    consolidation starts from. Inverted-index join on part (the LSH
-    candidate shape: a part with d suppliers yields d^2 candidate
-    rows, bounded by the df cap 64 — measured max 52 at sf0.1), never
-    an all-pairs supplier join. Integer counts; jaccard is one
-    division; minimum overlap 2 bounds the pair frame. The distinct
-    (s, p) frame and its capped filtering are each consumed by three
-    downstream subtrees (freq + both join sides, sizes + both join
-    sides); Spark has no subtree reuse, so without materialization the
-    lineitem distinct runs 4x — the checkpoints mirror the oracle's
-    MATERIALIZED CTEs."""
+    consolidation starts from. Round-11 shape (VERDICT r10 #3: the
+    capped⋈capped token self-join was data-quadratic at sf10 — 28x at
+    10x — because the 100x-replica corpus drives every posting list
+    to the df cap): the containment rewrite's PER-DOC-ARRAY pattern.
+    One groupBy(p) builds each part's sorted supplier array (bounded
+    by the df cap 64, enforced by the same d>64 cut — size(ss) <= 64
+    replaces the anti-join), pair enumeration is an array-bounded
+    transform/slice expression over that array (never a data-sized
+    self-join; the flattened pairs feed the partial (sa,sb) aggregate
+    directly instead of a join build), and per-supplier sizes reduce
+    from the exploded capped arrays — the identical multiset of
+    capped (s,p) rows. Integer counts; jaccard is one division;
+    minimum overlap 2 bounds the pair frame. The per-part frame is
+    consumed by both the pair and the size subtrees, so it is
+    checkpointed once (the oracle's MATERIALIZED CTE)."""
     sp = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
+    )
+    per_part = (
+        sp.groupBy("p")
+        .agg(F.expr("sort_array(collect_list(s))").alias("ss"))
+        .where(F.size("ss") <= 64)
         .localCheckpoint(eager=True)
     )
-    freq = sp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
-    capped = sp.join(
-        F.broadcast(freq.where(F.col("d") > 64)), "p", "left_anti"
-    ).localCheckpoint(eager=True)
-    sizes = capped.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = capped.select("p", F.col("s").alias("sa"))
-    b = capped.select("p", F.col("s").alias("sb"))
+    sizes = (
+        per_part.select(F.explode("ss").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
     shared = (
-        a.join(b, "p")
-        .where(F.col("sa") < F.col("sb"))
+        per_part.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS sa, y AS sb))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.sa", "pr.sb")
         .groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .where(F.col("shared") >= 2)
