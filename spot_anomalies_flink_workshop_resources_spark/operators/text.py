@@ -395,7 +395,10 @@ FROM (SELECT doc_id, text,
 
 
 def top_terms_sketch(
-    docs: DataFrame, k: int = 50, capacity: int = 4096
+    docs: DataFrame,
+    k: int = 50,
+    capacity: int = 4096,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """EXACT top-k corpus terms via Misra-Gries candidates + a verify
     pass — the scale path for the vocabulary profile
@@ -417,16 +420,13 @@ def top_terms_sketch(
     """
     import pandas as pd
 
-    from ..catalog import spread
-
-    docs = spread(docs)
-    toks_distinct = docs.select(
+    # both the sketch pass and the exact verify pass reduce from the
+    # shared per-corpus token-array frame (round 11): one tokenize job
+    # instead of two
+    ta = token_arrays(docs, cache_key=cache_key)
+    toks_distinct = ta.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
-            )
-        ).alias("tok"),
+        F.explode(F.array_distinct(F.col("toks"))).alias("tok"),
     )
 
     def mg(batches):
@@ -474,12 +474,7 @@ def top_terms_sketch(
     spark = docs.sparkSession
     cand_df = spark.createDataFrame([(t,) for t in candidates], "tok string")
 
-    toks_all = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
-        ).alias("tok"),
-    )
+    toks_all = ta.select("doc_id", F.explode("toks").alias("tok"))
     exact = (
         toks_all.join(F.broadcast(cand_df), "tok")
         .groupBy("tok")
@@ -509,6 +504,44 @@ def top_terms_sketch(
             f"{n_total}/{capacity}); raise capacity"
         )
     return exact
+
+
+def token_arrays(
+    docs: DataFrame, cache_key: str | None = None
+) -> DataFrame:
+    """Shared (doc_id, lang, source, toks) token-ARRAY frame — ONE
+    ``regexp_extract_all(lower(text), TOKEN_RE)`` tokenization pass per
+    corpus for the word-token family (top-terms/zipf/tf-idf/diversity/
+    oov/span/shingle consumers), the round-11 extension of the
+    char-gram-pass pattern (VERDICT r10 #5). Ordered arrays preserve
+    everything any consumer derives: explode(toks) is the token
+    stream, array_distinct the per-doc set, size(toks) the count, and
+    windowed transforms the n-gram shingles. ``cache_key`` memoizes
+    the eager checkpoint under the family's shared "tok_arrays" key;
+    without it the frame is just the factored expression."""
+    from ..catalog import spread
+
+    # carry whatever metadata columns the input has (subset frames may
+    # lack lang/source); the column tuple joins the cache key so a
+    # narrower build never serves a consumer that needs more
+    meta = [c for c in ("doc_id", "lang", "source") if c in docs.columns]
+
+    def _build() -> DataFrame:
+        return spread(docs).selectExpr(
+            *meta,
+            f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0) AS toks",
+        )
+
+    if cache_key is None:
+        return _build()
+    from .dedup import _cached_checkpoint
+    from .dedup import _session_key as _sk
+
+    return _cached_checkpoint(
+        docs.sparkSession,
+        (_sk(docs.sparkSession), cache_key, tuple(meta), "tok_arrays"),
+        _build,
+    )
 
 
 def char_gram_counts(
@@ -779,7 +812,9 @@ WHERE o.mlang = o.lang
 """
 
 
-def keyword_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+def keyword_topk(
+    docs: DataFrame, k: int = 5, cache_key: str | None = None
+) -> DataFrame:
     """Per-document top-k TF-IDF keywords — the tagging/routing
     primitive. tf = in-doc token count, idf = ln(N/df); ranking
     compares the QUANTIZED score floor(tf·ln(N/df)·2^20 + 0.5) as an
@@ -792,13 +827,8 @@ def keyword_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     from pyspark.sql import Window
 
     scale = 1 << 20
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
-            )
-        ).alias("tok"),
+    toks = token_arrays(docs, cache_key=cache_key).select(
+        "doc_id", F.explode("toks").alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
@@ -865,7 +895,11 @@ FROM (
 
 
 def cms_error_profile(
-    docs: DataFrame, d: int = 4, w: int = 1024, k: int = 20
+    docs: DataFrame,
+    d: int = 4,
+    w: int = 1024,
+    k: int = 20,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """COUNT-MIN SKETCH term counts — with an EXACT oracle.
 
@@ -886,10 +920,8 @@ def cms_error_profile(
     probes are k*d lookups against the broadcast table. At 100 TB the
     d*w table is the only thing that leaves the executors.
     """
-    toks = docs.select(
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
-        ).alias("tok")
+    toks = token_arrays(docs, cache_key=cache_key).select(
+        F.explode("toks").alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
     spark = docs.sparkSession
@@ -1005,8 +1037,8 @@ def bigram_lm_by_source(docs: DataFrame, cache_key: str | None = None) -> DataFr
     # spot-run caught one straggler partition spending 25 min in
     # interpreted RegExpExtractAll; with the projection the same
     # partition is seconds). Same rule as the char-gram pass above.
-    arr = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
-    bg = docs.selectExpr("source", f"{arr} AS toks").selectExpr(
+    ta = token_arrays(docs, cache_key=cache_key)
+    bg = ta.selectExpr(
         "source",
         "explode(CASE WHEN size(toks) >= 2 THEN "
         "transform(sequence(1, size(toks) - 1), "
@@ -1023,7 +1055,7 @@ def bigram_lm_by_source(docs: DataFrame, cache_key: str | None = None) -> DataFr
         )
 
     def build_cw() -> DataFrame:
-        toks = docs.selectExpr(f"explode({arr}) AS w")
+        toks = ta.selectExpr("explode(toks) AS w")
         return toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cw"))
 
     if cache_key is None:

@@ -80,8 +80,14 @@ def _gram_pass(spark: SparkSession, sf_dir: str) -> dict:
     ids_before = {
         int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet()
     }
-    d = load_table(spark, sf_dir, "documents")
-    arr = F.expr(f"regexp_extract_all(lower(text), '{_TOKEN_RE}', 0)")
+    from ..operators.text import token_arrays
+
+    # both the n_toks frame and the 5-gram explode reduce from the
+    # shared per-corpus token-array pass (round 11, VERDICT r10 #5)
+    d = token_arrays(
+        load_table(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    arr = F.col("toks")
     toks = d.select(
         "doc_id", "source", F.size(arr).cast("long").alias("n_toks")
     ).localCheckpoint(eager=True)
@@ -1685,13 +1691,11 @@ def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (doc_id, source, lang, s) with s an exact int64."""
     from ..functions.libm import libm_log
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.selectExpr(
-        "doc_id",
-        "source",
-        "lang",
-        f"explode(regexp_extract_all(lower(text), '{_TOKEN_RE}', 0)) AS tok",
-    )
+    from ..operators.text import token_arrays
+
+    toks = token_arrays(
+        load_table(spark, sf_dir, "documents"), cache_key=sf_dir
+    ).selectExpr("doc_id", "source", "lang", "explode(toks) AS tok")
     # materialized once: both the vocab branch and the scoring join read
     # pt — without the checkpoint Catalyst re-derives the explode+agg
     # twice (same index-reuse pattern as the LSH shingle frame)

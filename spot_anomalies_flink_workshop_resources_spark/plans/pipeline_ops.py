@@ -250,12 +250,8 @@ def corpus_top_terms(spark, sf_dir):
     in both engines."""
     from pyspark.sql import functions as F
 
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(f"regexp_extract_all(lower(text), '{T.TOKEN_RE}', 0)")
-        ).alias("tok"),
+    toks = T.token_arrays(_docs(spark, sf_dir), cache_key=sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
     )
     return (
         toks.groupBy("tok")
@@ -288,7 +284,7 @@ def corpus_top_terms_sketch(spark, sf_dir):
     wide shuffle carries |candidates| groups instead of |vocab|, with a
     runtime-certified completeness guarantee. Exact output ⇒ SAME
     oracle as the direct form."""
-    return T.top_terms_sketch(_docs(spark, sf_dir), k=50)
+    return T.top_terms_sketch(_docs(spark, sf_dir), k=50, cache_key=sf_dir)
 
 
 def corpus_zipf_fit(spark, sf_dir):
@@ -303,11 +299,8 @@ def corpus_zipf_fit(spark, sf_dir):
     class as the top-terms sort, fine at any corpus size."""
     from pyspark.sql import Window, functions as F
 
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        F.explode(
-            F.expr(f"regexp_extract_all(lower(text), '{T.TOKEN_RE}', 0)")
-        ).alias("tok")
+    toks = T.token_arrays(_docs(spark, sf_dir), cache_key=sf_dir).select(
+        F.explode("toks").alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.desc("n"), F.asc("tok"))
@@ -495,7 +488,7 @@ def dedup_lines(spark, sf_dir):
 
 
 def dedup_simhash(spark, sf_dir):
-    return D.simhash(_docs(spark, sf_dir))
+    return D.simhash(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def dedup_simhash_packed(spark, sf_dir):
@@ -613,7 +606,7 @@ def dedup_incremental_lsh(spark, sf_dir):
 def text_keywords(spark, sf_dir):
     """Per-doc top-5 TF-IDF keywords (operators.text.keyword_topk) —
     quantized-int score ranking, deterministic cross-engine."""
-    return T.keyword_topk(_docs(spark, sf_dir))
+    return T.keyword_topk(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def corpus_cms_error(spark, sf_dir):
@@ -622,7 +615,7 @@ def corpus_cms_error(spark, sf_dir):
     sketch a pure integer fold, so — unlike HLL/KLL — the structure
     itself is value-checked, including the estimate>=truth guarantee
     and the collision overestimate on the exact top-20 terms."""
-    return T.cms_error_profile(_docs(spark, sf_dir))
+    return T.cms_error_profile(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def text_langid_confusion(spark, sf_dir):

@@ -721,11 +721,11 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one final division. Scale: one token explode -> vocab agg (the only
     data-sized shuffle); ranking runs on the vocab-sized frame; the
     in-vocab probe is a semi join against a 1000-row broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.selectExpr(
-        "source",
-        "explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok",
-    )
+    from ..operators.text import token_arrays
+
+    toks = token_arrays(
+        load_table(spark, sf_dir, "documents"), cache_key=sf_dir
+    ).selectExpr("source", "explode(toks) AS tok")
     per_src_tok = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )

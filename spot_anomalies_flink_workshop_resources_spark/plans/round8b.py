@@ -886,17 +886,12 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocab-bounded term frame. Scale: one data-sized explode + two
     map-side-combinable hash aggs; the window runs on vocab-bounded
     rows."""
-    from ..operators.text import TOKEN_RE
+    from ..operators.text import token_arrays
 
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
-            )
-        ).alias("term"),
+    toks = token_arrays(d, cache_key=sf_dir).select(
+        "doc_id", F.explode("toks").alias("term")
     )
     per_td = toks.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("c")

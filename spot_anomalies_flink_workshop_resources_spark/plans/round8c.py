@@ -672,13 +672,11 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     there; ANSI Spark would throw where DuckDB yields NULL — ADVICE
     r8). Scale: one token explode + two map-side-combinable hash
     aggs; the spectrum frame is vocab x sources bounded."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "source",
-        F.explode(
-            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-        ).alias("tok"),
-    )
+    from ..operators.text import token_arrays
+
+    toks = token_arrays(
+        load_table(spark, sf_dir, "documents"), cache_key=sf_dir
+    ).select("source", F.explode("toks").alias("tok"))
     tf = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("f")
     )
