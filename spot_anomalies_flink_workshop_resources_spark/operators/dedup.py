@@ -285,9 +285,16 @@ def _other_entries_ids(except_keys: set) -> set:
 # several cached frames fetched during ONE build (bigram LM holds two),
 # so eviction must never unpersist recently-touched entries — LRU order
 # (hits reinsert) plus this floor keeps every frame a single plan can
-# hold alive.
-_CACHE_CAP = 16
-_CACHE_KEEP = 8
+# hold alive. Round 11: cap 16/keep 8 started THRASHING once the
+# shared-pass census passed ~16 distinct frames per registry pass
+# (token arrays + daily grid joined shingle/minhash/simhash/graph/LM
+# entries) — every pass rebuilt evicted frames, erasing the fusion the
+# cache exists for. The frames are corpus-bounded aggregates/indexes
+# (few MB each at bench scale; at production scale the LRU + live-block
+# validation still bound memory by evicting coldest first), so the cap
+# rides well above the census.
+_CACHE_CAP = 48
+_CACHE_KEEP = 24
 
 
 def _cached_checkpoint(spark, key: tuple, builder) -> DataFrame:
@@ -1460,6 +1467,7 @@ def dup_components(
 # rounds run unchanged — the 100 TB shape. Only pair-CONNECTED nodes
 # ever iterate, so the edge count bounds the task's working set.
 from .graph import MAX_SINGLE_TASK_EDGES as _MAX_SINGLE_TASK_EDGES
+from .graph import cached_count as _graph_cached_count
 
 
 def _components_single_task(
@@ -1564,7 +1572,7 @@ def bounded_components_from_pairs(
     # distributed left-join leaves them at rep = doc_id), so the edge
     # count bounds the task. Past the bound the distributed rounds run
     # unchanged — the 100 TB shape.
-    if edges.count() <= _MAX_SINGLE_TASK_EDGES:
+    if _graph_cached_count(edges) <= _MAX_SINGLE_TASK_EDGES:
         id_type = docs.schema["doc_id"].dataType.simpleString()
         out = _components_single_task(
             edges, id_type, rounds, pointer_jump=False, track_converged=False
@@ -1698,7 +1706,7 @@ def components_from_pairs(
     # the convergence flag rides out on every row and is checked
     # EAGERLY here so the refuse-to-lie raise stays a build-time
     # RuntimeError exactly as in the distributed form.
-    if edges.count() <= _MAX_SINGLE_TASK_EDGES:
+    if _graph_cached_count(edges) <= _MAX_SINGLE_TASK_EDGES:
         id_type = nodes.schema["doc_id"].dataType.simpleString()
         out = _components_single_task(
             edges, id_type, max_rounds, pointer_jump=True,

@@ -184,16 +184,29 @@ grid AS MATERIALIZED (
 
 
 def _daily_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    raw = e.groupBy(
-        F.col("event_type").alias("t"), F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    days = e.select(F.to_date("ts").alias("d")).distinct()
-    types = e.select(F.col("event_type").alias("t")).distinct()
-    return (
-        types.crossJoin(days)
-        .join(raw, ["t", "d"], "left")
-        .select("t", "d", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    """Zero-filled (type, day, n) daily grid — the shared prefix of the
+    events stattest family (11 consumers). Round 11: memoized as ONE
+    eager checkpoint per (session, sf_dir) in the shared-pass cache —
+    the grid is calendar-bounded (|types| x |days| ≈ 150 rows), but
+    every consumer used to rebuild its aggregation subtree (3 exchanges
+    of plan construction) and several re-checkpointed it per query."""
+    from ..operators.dedup import _cached_checkpoint, _session_key
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "events")
+        raw = e.groupBy(
+            F.col("event_type").alias("t"), F.to_date("ts").alias("d")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        days = e.select(F.to_date("ts").alias("d")).distinct()
+        types = e.select(F.col("event_type").alias("t")).distinct()
+        return (
+            types.crossJoin(days)
+            .join(raw, ["t", "d"], "left")
+            .select("t", "d", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        )
+
+    return _cached_checkpoint(
+        spark, (_session_key(spark), sf_dir, "daily_grid"), build
     )
 
 
@@ -215,7 +228,7 @@ def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow guard). Scale: the day-pair frame is CALENDAR-bounded
     (~C(31,2) rows per type pair, the events_cusum cost argument); the
     only data-sized stage is the daily count agg."""
-    g = _daily_grid(spark, sf_dir).localCheckpoint(eager=True)
+    g = _daily_grid(spark, sf_dir)
     a = g.select(F.col("t").alias("ta"), F.col("d").alias("da"), F.col("n").alias("xa"))
     b = g.select(F.col("t").alias("tb"), F.col("d").alias("db"), F.col("n").alias("xb"))
     # same-type day pairs for each ordered type pair: join day frames
@@ -307,7 +320,7 @@ def events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-operand expression with sqrt(a)*sqrt(b) denominators.
     Scale: rank-by-count per type over the calendar-bounded grid (a
     bounded window), one pair join on day."""
-    g = _daily_grid(spark, sf_dir).localCheckpoint(eager=True)
+    g = _daily_grid(spark, sf_dir)
     # doubled average rank: 2*(# strictly smaller) + (# ties incl self - 1) + 2
     # == 2*cume_smaller + ties + 1 in 1-based rank doubling
     wcnt = Window.partitionBy("t")
