@@ -1347,59 +1347,54 @@ WHERE src_endpoint.ip LIKE '10.%'
 # The full surface (all oracles) is still verified locally each round via
 # tools/check_oracles.py — see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round 10 block 0 (VERDICT r9 #1): the three oracle-backed
-    # queries that have NEVER been driver-green — their only driver
-    # appearance (r3/r4) predates their oracles ("no_oracle" err), and
-    # the round-9 window was fully consumed by the 35-query backlog.
-    # All three verified bit-exact locally at sf0.01 (r9 judge + this
-    # round's tools/check_oracles.py). Fronted so CORRECTNESS_r10
-    # finally records them. --
-    "simsearch_pq",
-    "multimodal_features",
-    "corpus_bpe_encode",
-    # -- round 10 block 1 (VERDICT r9 #1/#4): queries REWRITTEN since
-    # their last driver-green round — a rewrite must force a driver
-    # re-check rather than ride the last-green rotation tail. --
-    "sql_part_name_similarity",   # dedup-first rewrite (r9); last green r5
-    "text_bigram_lm",             # O(tokens^2) tokenization fix (r9); last green r7
-    "text_lm_score",              # same tokenization fix (r9); last green r4
-    "sql_supplier_overlap",       # plan pin (r9); last green r8
-    "dedup_containment",          # df-capped rewrite THIS round (VERDICT r9 #3)
-    "sql_copurchase_hits",        # scale-armed THIS round (VERDICT r9 #4)
-    "ml_ipinsights_score_fixed",  # NEW value oracle for M2 scoring (VERDICT r9 #7)
-    # -- round 10 block 2: queries whose EXECUTION was rewritten by the
-    # optimization round (vectorized folds, shared-pass prefixes,
-    # materializations) — each proven bit-exact locally at sf0.01 AND
-    # sf0.1, but a rewrite forces a driver re-check (the block-1
-    # policy). --
-    "sql_ship_survival",          # sequential prefix product (was O(days^2) fold)
-    "sql_ship_hazard",            # sequential prefix sum + shared risk frame
-    "events_bootstrap_ci",        # Arrow-batch md5 coins (same digest words)
-    "dedup_embedding",            # blocked numpy cosine (same IEEE fold order)
-    "dedup_embedding_ivf",        # same blocked-cosine path
-    "dedup_embedding_ivf_trained",  # same blocked-cosine path
-    "text_doc_fingerprint",       # int64 numpy rolling hash
-    "text_ngram_profile",         # reduces from shared char-gram pass
-    "text_jsd_lang_matrix",       # reduces from shared char-gram pass
-    "corpus_top_terms_sketch",    # multi-partition candidate dedup FIX
-    "dedup_canonical",            # shared-pass component resolution
-    "dedup_components_converged",  # shared pair cache + trimmed checkpoint
-    "multimodal_near_dup",        # capped-token materialization + spread
-    "sql_basket_rules",           # materialized 4x-consumed li frame
-    "cep_fragmentation_stream",   # scale-adaptive stream state partitions
-    # -- round 10 newcomers (12 adds incl. the fixed-score oracle; cap
-    # 15, VERDICT r9 #8) --
-    "events_benford_mad",         # NEW: Benford first-digit conformity (MAD)
-    "events_max_drawdown",        # NEW: peak-to-trough drawdown of daily value
-    "events_theil_sen",           # NEW: robust median-of-slopes daily trend
-    "events_weekly_autocorr",     # NEW: lag-7 autocorrelation of daily counts
-    "events_chao1_richness",      # NEW: Chao1 unseen-vocabulary estimate
-    "events_odd_hours_share",     # NEW: off-hours activity share per type
-    "sql_backlog_aging",          # NEW: open-order aging buckets as-of date
-    "sql_price_ladder_gaps",      # NEW: within-brand price-point gap scan
-    "sql_bullwhip_ratio",         # NEW: order-vs-ship variance amplification
-    "sql_discount_anova",         # NEW: one-way F across brands on discount
-    "sql_fill_rate_monthly",      # NEW: 30-day fulfillment share per month
+    # -- round 11 (optimization round 2): every query whose EXECUTION
+    # was rewritten this round is fronted for the driver's ~50-slot
+    # correctness window (the VERDICT-endorsed rewrite-forces-recheck
+    # policy). All verified bit-exact locally (two full 387-oracle
+    # sf0.001 sweeps + targeted sf0.01/sf0.1 checks). Round 10's blocks
+    # were all driver-green in CORRECTNESS_r10 and return to the
+    # last-green rotation tail. --
+    # block 0: structurally rewritten queries
+    "sql_supplier_overlap",       # per-part-array pairs, token self-join removed
+    "stream_windowed_share",      # 3 stateful ops -> 2 chained aggs, 1 scan
+    "cep_fragmentation_stream",   # key-derived Python-stateful state width
+    # block 1: the shared token-array pass (one tokenize per corpus)
+    "corpus_top_terms",
+    "corpus_top_terms_sketch",
+    "corpus_zipf_fit",
+    "corpus_oov_rate",
+    "text_yule_k",
+    "text_burstiness",
+    "text_keywords",
+    "corpus_cms_error",
+    "text_bigram_lm",
+    "dedup_simhash",
+    "corpus_boilerplate",
+    "corpus_dsir_select",
+    "corpus_template_strip",
+    "corpus_dsir_ess",
+    "dedup_jaccard",              # shingle builder now reduces from token arrays
+    "dedup_minhash_lsh",          # same shingle path
+    "dedup_containment",          # same shingle path
+    # block 2: shared daily-grid checkpoint (stattest family prefix)
+    "events_spearman",
+    "events_kendall_tau",
+    "events_cusum",
+    "events_seasonal_strength",
+    # block 3: memoized graph edge/node frames + counted-bound memo
+    "events_pagerank",
+    "events_hits",
+    "events_markov_stationary",
+    "sql_copurchase_pagerank",
+    "sql_copurchase_hits",
+    "sql_repeat_pagerank",
+    "dedup_canonical",
+    "dedup_components_converged",
+    "dedup_simhash_components",
+    # block 4: blocked-cosine null-key drop + fallback reuse (ADVICE)
+    "dedup_embedding",
+    "dedup_embedding_ivf",
+    "dedup_embedding_ivf_trained",
 )
 
 # Rows-only (no-oracle-by-design) queries are pushed BEHIND every
