@@ -1427,14 +1427,15 @@ def sql_supplier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum overlap 2 bounds the pair frame. The per-part frame is
     consumed by both the pair and the size subtrees, so it is
     checkpointed once (the oracle's MATERIALIZED CTE)."""
-    sp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
-        .distinct()
+    sp = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
     )
+    # collect_set IS the per-part distinct — the (s, p) DISTINCT and the
+    # per-part grouping collapse into ONE exchange (the old shape paid
+    # a distinct shuffle and then a groupBy(p) shuffle)
     per_part = (
         sp.groupBy("p")
-        .agg(F.expr("sort_array(collect_list(s))").alias("ss"))
+        .agg(F.expr("sort_array(collect_set(s))").alias("ss"))
         .where(F.size("ss") <= 64)
         .localCheckpoint(eager=True)
     )
@@ -1443,17 +1444,16 @@ def sql_supplier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    # two NATIVE Generates (posexplode + explode(slice(...))) instead of
+    # a nested transform/flatten lambda: higher-order functions run
+    # interpreted per element, measured 1.55x slower on the identical
+    # 8.7M-pair enumeration at sf0.1 (5.21 vs 3.37 s interleaved)
     shared = (
-        per_part.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ss, (x, i) -> "
-                    "transform(slice(ss, i + 2, size(ss)), "
-                    "y -> struct(x AS sa, y AS sb))))"
-                )
-            ).alias("pr")
+        per_part.select("ss", F.posexplode("ss").alias("i", "sa"))
+        .select(
+            "sa",
+            F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias("sb"),
         )
-        .select("pr.sa", "pr.sb")
         .groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .where(F.col("shared") >= 2)
