@@ -72,9 +72,13 @@ def test_interleaved_corpora_with_eviction_and_unpersist(spark):
         if round_i == 0:
             # Force EVICTION: fill the dict past the cap with dummy
             # builds, then verify the evicted blocks were unpersisted.
+            # Derived from the cap constants (round 11 raised 16/8 to
+            # 48/24), not literals: overfill by cap+1 dummies so the
+            # eviction branch must fire at least once.
             pre_ids = dedup.protected_rdd_ids()
             assert pre_ids, "expected live cached blocks before eviction"
-            for j in range(17):
+            n_dummies = dedup._CACHE_CAP + 1
+            for j in range(n_dummies):
                 dedup._cached_checkpoint(
                     spark,
                     (dedup._session_key(spark), f"dummy{j}", "torture"),
@@ -82,7 +86,7 @@ def test_interleaved_corpora_with_eviction_and_unpersist(spark):
                         F.col("id").alias("doc_id")
                     ),
                 )
-            assert len(dedup._SHINGLE_CACHE) <= 17
+            assert len(dedup._SHINGLE_CACHE) <= dedup._CACHE_CAP + 1
             leaked = pre_ids & _live_ids(spark)
             assert not leaked, f"evicted blocks still persisted: {leaked}"
         elif round_i == 1:
@@ -126,7 +130,12 @@ def test_stale_entry_is_unpersisted_not_leaked(spark):
     dedup.shingle_frame(
         catalog.load_table(spark, SF, "documents"), 3, cache_key=SF
     )
-    (key, entry), = list(dedup._SHINGLE_CACHE.items())
+    # the shingle build also populates the nested token-array entry
+    # (round 11); pick the shingles entry itself
+    (key, entry), = [
+        (k, v) for k, v in dedup._SHINGLE_CACHE.items()
+        if k[-1] == "shingles"
+    ]
     ids = set(entry["rdd_ids"])
     assert ids <= _live_ids(spark)
     # Invalidate by unpersisting ONE of its blocks: next access must
@@ -181,9 +190,11 @@ def test_shared_block_protection_on_eviction(spark):
     ids_b_own = set(dedup._SHINGLE_CACHE[("t", "B")]["rdd_ids"])
     assert ids_b_own, "B checkpoint produced no persistent blocks"
 
-    # ...then 7 filler entries so B sits inside the evict slice
-    # (oldest 8 of 16) while A lands in the keep slice (newest 8).
-    for i in range(7):
+    # ...then filler entries so B sits inside the evict slice (oldest
+    # CAP-KEEP) while A lands in the keep slice (newest KEEP). Counts
+    # derive from the cap constants (round 11 raised 16/8 to 48/24).
+    n_old = dedup._CACHE_CAP - dedup._CACHE_KEEP - 1
+    for i in range(n_old):
         dedup._SHINGLE_CACHE[("fill-old", i)] = {"frame": None, "rdd_ids": set()}
 
     frame_a = dedup._cached_checkpoint(
@@ -197,11 +208,12 @@ def test_shared_block_protection_on_eviction(spark):
     # also claims A's blocks (overlapping rdd_ids across two entries).
     dedup._SHINGLE_CACHE[("t", "B")]["rdd_ids"] |= ids_a
 
-    for i in range(7):
+    for i in range(dedup._CACHE_KEEP - 1):
         dedup._SHINGLE_CACHE[("fill-new", i)] = {"frame": None, "rdd_ids": set()}
     assert len(dedup._SHINGLE_CACHE) == dedup._CACHE_CAP
 
-    # Next insert triggers cap-eviction of the oldest 8 — including B.
+    # Next insert triggers cap-eviction of the oldest CAP-KEEP —
+    # including B.
     dedup._cached_checkpoint(
         spark, ("t", "C"), lambda: spark.range(10).withColumn("c", F.lit(1))
     )
