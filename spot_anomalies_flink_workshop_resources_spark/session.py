@@ -59,6 +59,16 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # PySpark 4.x wraps every DataFrame/Column API call in a
+        # call-site-capture decorator for error enrichment: per call it
+        # pays a Python stack walk plus THREE extra py4j round trips
+        # (conf.get + PySparkCurrentOrigin.set/clear). Across this
+        # engine's ~390-query registry that is ~35% of all plan-
+        # construction time (interleaved A/B: 40 mid-band builders
+        # 11.2-12.2s -> 7.4-7.8s warm). Error semantics are unchanged —
+        # only the "user code line" annotation in error messages is
+        # dropped.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
