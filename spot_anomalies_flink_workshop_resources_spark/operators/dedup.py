@@ -129,7 +129,9 @@ GROUP BY md5(lower(trim(text)))
 """
 
 
-def line_block_dedup(docs: DataFrame, block_tokens: int = 12) -> DataFrame:
+def line_block_dedup(
+    docs: DataFrame, block_tokens: int = 12, cache_key: str | None = None
+) -> DataFrame:
     """Paragraph-level EXACT dedup (Gopher / MassiveText "repetition
     removal" granularity): duplicate text is usually a boilerplate
     paragraph repeated across pages, not a whole duplicated document —
@@ -151,11 +153,15 @@ def line_block_dedup(docs: DataFrame, block_tokens: int = 12) -> DataFrame:
     Output: (source, n_blocks, n_dups, dup_chars, dup_rate).
     """
     bt = block_tokens
-    base = docs.selectExpr(
-        "doc_id",
-        "source",
-        f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0) AS ts",
-    ).where(F.size("ts") >= 1)
+    # the token arrays reduce from the shared per-corpus tokenize pass
+    # (operators/text.token_arrays) — identical factored expression
+    from .text import token_arrays
+
+    base = (
+        token_arrays(docs, cache_key)
+        .select("doc_id", "source", F.col("toks").alias("ts"))
+        .where(F.size("ts") >= 1)
+    )
     n_blocks = F.expr(f"(size(ts) + {bt - 1}) div {bt}")
     blocks = base.select(
         "doc_id",
@@ -2051,7 +2057,10 @@ SELECT doc_id, partner AS dup_of, jaccard FROM (
 
 
 def duplicate_span_stats(
-    docs: DataFrame, n: int = 8, keep_max_frac: float = 0.3
+    docs: DataFrame,
+    n: int = 8,
+    keep_max_frac: float = 0.3,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span mass — the ExactSubstr-style dedup
     signal (Lee et al. 2022) at word-n-gram granularity: what fraction
@@ -2071,12 +2080,14 @@ def duplicate_span_stats(
     Output: (doc_id, n_grams, n_dup_grams, dup_frac, keep) — docs with
     < n words emit n_grams = 0, NULL dup_frac, keep = true.
     """
-    from ..catalog import spread
+    # the token arrays reduce from the shared per-corpus tokenize pass
+    # (operators/text.token_arrays) — identical factored expression;
+    # token_arrays applies spread() itself, so map parallelism holds
+    from .text import token_arrays
 
     parts = ", ".join(f"try_element_at(ts, i + {j})" for j in range(n))
-    grams = spread(docs).selectExpr(
-        "doc_id",
-        f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0) AS ts",
+    grams = token_arrays(docs, cache_key).selectExpr(
+        "doc_id", "toks AS ts"
     ).selectExpr(
         "doc_id",
         f"explode(CASE WHEN size(ts) >= {n} THEN transform("

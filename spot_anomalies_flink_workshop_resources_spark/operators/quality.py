@@ -509,7 +509,7 @@ GOPHER_MAX_TOP_TOKEN_X5 = 5    # 5*max_tf <= n  (top token <= 20%)
 GOPHER_ALPHA_NUM = (4, 5)      # 5*n_alpha >= 4*n (>=80% alphabetic)
 
 
-def gopher_rules(docs: DataFrame) -> DataFrame:
+def gopher_rules(docs: DataFrame, cache_key: str | None = None) -> DataFrame:
     """Per-rule Gopher quality-filter audit: for each (source, rule),
     how many documents pass and fail. The per-rule long form is what a
     curation team actually reads — a single blended score (corpus_prep)
@@ -531,13 +531,13 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
 
     Output: (source, rule, n_pass, n_fail).
     """
-    from .text import TOKEN_RE
+    # the token stream reduces from the shared per-corpus tokenize pass
+    # (operators/text.token_arrays) — identical factored expression
+    from .text import token_arrays
 
     stopset = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
-    toks = docs.selectExpr(
-        "doc_id",
-        "source",
-        f"explode(regexp_extract_all(lower(text), '{TOKEN_RE}', 0)) AS tok",
+    toks = token_arrays(docs, cache_key).select(
+        "doc_id", "source", F.explode("toks").alias("tok")
     )
     per_tok = toks.groupBy("doc_id", "source", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf")

@@ -57,6 +57,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Top-k documents per keyword query under BM25.
 
@@ -71,18 +72,17 @@ def bm25_topk(
     spark = docs.sparkSession
     qt = _query_terms(spark, queries)
 
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
-        ).alias("tok"),
-    )
+    # both the token stream and the doc lengths reduce from the shared
+    # per-corpus token-array pass (operators/text.token_arrays) — bm25
+    # previously paid the regexp tokenize TWICE per run (toks + dl);
+    # the factored expression is identical, so results are unchanged
+    from .text import token_arrays
+
+    ta = token_arrays(docs, cache_key)
+    toks = ta.select("doc_id", F.explode("toks").alias("tok"))
     # doc length: narrow per-row compute, no shuffle
-    dl = docs.select(
-        "doc_id",
-        F.size(
-            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
-        ).cast("double").alias("dl"),
+    dl = ta.select(
+        "doc_id", F.size("toks").cast("double").alias("dl")
     )
     # one scalar row (N, avgdl), broadcast back into the plan
     stats = dl.agg(

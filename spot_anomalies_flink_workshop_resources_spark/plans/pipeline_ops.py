@@ -93,7 +93,7 @@ def text_bm25_topk(spark, sf_dir):
     fold — value-oracled against an independent DuckDB derivation."""
     from ..operators import retrieval as R
 
-    return R.bm25_topk(_docs(spark, sf_dir))
+    return R.bm25_topk(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def corpus_curation_sample(spark, sf_dir):
@@ -465,7 +465,7 @@ def corpus_gopher_rules(spark, sf_dir):
     integer-exact gates — word count, mean word length, stopword
     presence, top-token repetition, alphabetic ratio. The per-rule
     breakdown a curation team reads before touching mixture weights."""
-    return Q.gopher_rules(_docs(spark, sf_dir))
+    return Q.gopher_rules(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def dedup_embedding_lsh(spark, sf_dir):
@@ -484,7 +484,9 @@ def dedup_lines(spark, sf_dir):
     source rollup with duplicated-char mass and dup rate
     (operators.dedup.line_block_dedup). Catches boilerplate repeated
     INSIDE otherwise-distinct documents, which doc-level dedup misses."""
-    return D.line_block_dedup(_docs(spark, sf_dir), block_tokens=12)
+    return D.line_block_dedup(
+        _docs(spark, sf_dir), block_tokens=12, cache_key=sf_dir
+    )
 
 
 def dedup_simhash(spark, sf_dir):
@@ -1040,7 +1042,7 @@ def dedup_span_stats(spark, sf_dir):
     """Per-doc duplicated n-gram span mass (ExactSubstr-style dedup
     signal, operators.dedup.duplicate_span_stats) — the C4/RefinedWeb
     repeated-text filter; exact-int arithmetic, value-oracled."""
-    return D.duplicate_span_stats(_docs(spark, sf_dir))
+    return D.duplicate_span_stats(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def dedup_pipeline_lsh(spark, sf_dir):
