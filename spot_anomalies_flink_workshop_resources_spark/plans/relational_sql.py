@@ -64,13 +64,51 @@ ORDERS_ROLLUP_SQL = _ROLLUP_TEMPLATE.format(STR="STRING")
 ORDERS_ROLLUP_ORACLE = _ROLLUP_TEMPLATE.format(STR="VARCHAR")
 
 # exact percentiles: Spark percentile() and DuckDB quantile_cont() both
-# use linear interpolation; values verified bit-equal on this data
-_SPARK_QUANTILES = """
+# use linear interpolation; values verified bit-equal on this data.
+#
+# Round-11 execution form: percentile() buffers EVERY group value in an
+# ObjectHashAggregate ArrayBuffer (no codegen, no graceful spill) and
+# ships them all to one reducer per group. The window-pick form below
+# sorts within the group partition (external sort — spills instead of
+# OOM at scale), keeps only the 4 bracketing order statistics, and
+# interpolates with the IDENTICAL double sequence Spark's Percentile
+# uses: pos = p*(n-1); (ceil(pos)-pos)*v_lo + (pos-floor(pos))*v_hi.
+# Measured 1.47 s -> 0.66 s at sf0.1, results bit-identical (and the
+# DuckDB quantile_cont oracle is unchanged). l_extendedprice is
+# NOT NULL in the schema — the rank positions assume no null values.
+def _pick(p: str, col: str = "v") -> str:
+    lo = f"CAST(FLOOR({p}D*(n-1)) AS BIGINT)+1"
+    hi = f"CAST(CEIL({p}D*(n-1)) AS BIGINT)+1"
+    vlo = f"MAX(CASE WHEN rn = {lo} THEN {col} END)"
+    vhi = f"MAX(CASE WHEN rn = {hi} THEN {col} END)"
+    pos = f"({p}D*(MAX(n)-1))"
+    return (
+        f"CASE WHEN CEIL({pos}) = FLOOR({pos}) THEN {vlo} "
+        f"ELSE (CEIL({pos}) - {pos}) * {vlo}"
+        f" + ({pos} - FLOOR({pos})) * {vhi} END"
+    )
+
+
+_SPARK_QUANTILES = f"""
+WITH ranked AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+picks AS (
+  SELECT l_returnflag, n, rn, v FROM ranked
+  WHERE rn IN (CAST(FLOOR(0.5D*(n-1)) AS BIGINT)+1,
+               CAST(CEIL(0.5D*(n-1)) AS BIGINT)+1,
+               CAST(FLOOR(0.95D*(n-1)) AS BIGINT)+1,
+               CAST(CEIL(0.95D*(n-1)) AS BIGINT)+1)
+)
 SELECT l_returnflag,
-       percentile(l_extendedprice, 0.5) AS median_price,
-       percentile(l_extendedprice, 0.95) AS p95_price,
-       CAST(COUNT(*) AS BIGINT) AS n_rows
-FROM lineitem
+       {_pick('0.5')} AS median_price,
+       {_pick('0.95')} AS p95_price,
+       CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n_rows
+FROM picks
 GROUP BY l_returnflag
 """
 _DUCKDB_QUANTILES = """
