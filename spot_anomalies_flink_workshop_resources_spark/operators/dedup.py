@@ -416,19 +416,30 @@ def jaccard_pairs(
     # minhash_lsh_pairs.
     toks = shingle_frame(docs, shingle_n, cache_key=cache_key)
     if df_cap is not None:
-        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        # CAPPED path (round 11): per-shingle sorted doc ARRAYS — the
+        # supplier-overlap/containment pattern. One groupBy(tok) builds
+        # each posting list (collect_set IS the distinct + grouping in
+        # one exchange), the cap is a size() filter instead of a
+        # freq-join, pair enumeration is an array-bounded double
+        # Generate (never a data-sized self-join build), and per-doc
+        # counts reduce from the exploded capped arrays — the identical
+        # capped (doc, tok) multiset, so counts and pair counts match
+        # the join form row for row. Arrays are bounded by the cap, so
+        # the shape is safe at any corpus scale.
+        per_tok = toks.groupBy("tok").agg(
+            F.expr("sort_array(collect_set(doc_id))").alias("ds")
+        ).localCheckpoint(eager=True)
         if log_skew:
             import logging
 
-            # materialize the vocab-sized freq once so the telemetry agg
-            # and the pruning join share one shingle pass
-            freq = freq.localCheckpoint(eager=True)
-            s = freq.agg(
-                F.max("df").alias("max_df"),
-                F.expr("CAST(percentile(df, 0.99) AS DOUBLE)").alias("p99_df"),
-                F.sum(F.when(F.col("df") > df_cap, 1).otherwise(0)).alias(
-                    "n_dropped"
-                ),
+            s = per_tok.agg(
+                F.max(F.size("ds")).alias("max_df"),
+                F.expr(
+                    "CAST(percentile(size(ds), 0.99) AS DOUBLE)"
+                ).alias("p99_df"),
+                F.sum(
+                    F.when(F.size("ds") > df_cap, 1).otherwise(0)
+                ).alias("n_dropped"),
                 F.count(F.lit(1)).alias("n_shingles"),
             ).collect()[0]
             logging.getLogger(__name__).info(
@@ -436,15 +447,37 @@ def jaccard_pairs(
                 "dropped=%s/%s at df_cap=%s",
                 s["max_df"], s["p99_df"], s["n_dropped"], s["n_shingles"], df_cap,
             )
-        toks = toks.join(freq.where(F.col("df") <= df_cap), "tok")
-    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    common = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+        capped = per_tok.where(F.size("ds") <= df_cap)
+        counts = (
+            capped.select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        common = (
+            capped.select("ds", F.posexplode("ds").alias("i", "da"))
+            .select(
+                "da",
+                F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("db"),
+            )
+            .groupBy(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a = toks.alias("a")
+        b = toks.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.tok") == F.col("b.tok"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))

@@ -74,7 +74,12 @@ def main() -> None:
             dn = newq[name](spark, sf_dir)
             do = oldq[name](spark, sf_dir)
             tn, to = dn.toArrow(), do.toArrow()
-            if tn.schema != to.schema:
+            # nullability is NOT part of the driver's cross-engine
+            # schema check (DuckDB fields carry their own flags);
+            # compare names + types only
+            sn = [(f.name, f.type) for f in tn.schema]
+            so = [(f.name, f.type) for f in to.schema]
+            if sn != so:
                 print(f"FAIL {name} @ {sf_dir}: schema\n  new={tn.schema}\n  old={to.schema}")
                 bad += 1
                 continue
