@@ -738,31 +738,35 @@ def lang_mismatch(
             F.sum("m").cast("long").alias("ng"),
         )
     )
-    avg = (F.col("s").cast("double") / F.col("ng").cast("double")) / F.lit(
-        float(scale)
+    # best-model pick and own-model score in ONE aggregation (round 11):
+    # the row_number window ordered by (s asc, mlang asc) is exactly
+    # min(struct(s, mlang)) — struct ordering is field-by-field — and
+    # ng (the doc's gram mass) is model-invariant, so the former
+    # two-window + self-join shape (a doc-keyed SortMergeJoin of two
+    # window outputs) collapses to a (doc, lang) groupBy. Every model
+    # scores the same corpus its models were built from, so the
+    # own-model row always exists. avg_nll runs the identical double
+    # sequence on the aggregated integers.
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.min(F.struct(F.col("s"), F.col("mlang"))).alias("b"),
+        F.max(
+            F.when(F.col("mlang") == F.col("lang"), F.col("s"))
+        ).alias("own_s"),
+        F.max("ng").alias("ng"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.asc("s"), F.asc("mlang"))
-    ranked = scored.withColumn("rk", F.row_number().over(w)).withColumn(
-        "avg_nll", avg
-    )
-    best = ranked.where(F.col("rk") == 1).select(
+
+    def _avg(s_col):
+        return (
+            s_col.cast("double") / F.col("ng").cast("double")
+        ) / F.lit(float(scale))
+
+    return per_doc.select(
         "doc_id",
-        F.col("mlang").alias("best_lang"),
-        F.col("avg_nll").alias("best_nll"),
-    )
-    own = ranked.where(F.col("mlang") == F.col("lang")).select(
-        "doc_id", "lang", F.col("avg_nll").alias("own_nll")
-    )
-    return (
-        own.join(best, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "own_nll",
-            "best_lang",
-            "best_nll",
-            (F.col("best_lang") != F.col("lang")).alias("is_mismatch"),
-        )
+        "lang",
+        _avg(F.col("own_s")).alias("own_nll"),
+        F.col("b.mlang").alias("best_lang"),
+        _avg(F.col("b.s")).alias("best_nll"),
+        (F.col("b.mlang") != F.col("lang")).alias("is_mismatch"),
     )
 
 
