@@ -35,29 +35,30 @@ from pyspark.sql import functions as F
 from .text import TOKEN_RE
 
 
-def _vocab(docs: DataFrame) -> DataFrame:
-    """(token, n) word-frequency dictionary — the BPE working set."""
+def _vocab(docs: DataFrame, cache_key: str | None = None) -> DataFrame:
+    """(token, n) word-frequency dictionary — the BPE working set.
+    Tokenization reduces from the shared per-corpus token-array pass
+    (operators/text.token_arrays, round 11) — identical expression."""
+    from .text import token_arrays
+
     return (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(
-                    F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
-                )
-            ).alias("tok")
-        )
+        token_arrays(docs, cache_key)
+        .select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
 
 
-def bpe_pair_counts(docs: DataFrame, top_k: int = 30) -> DataFrame:
+def bpe_pair_counts(
+    docs: DataFrame, top_k: int = 30, cache_key: str | None = None
+) -> DataFrame:
     """First-round BPE pair statistics: adjacent character pairs across
     the word-frequency dictionary, weighted by word count; top_k rows
     ranked by (count desc, pair asc) — a total order, so the cut is
     deterministic."""
     from pyspark.sql import Window
 
-    vocab = _vocab(docs)
+    vocab = _vocab(docs, cache_key=cache_key)
     pairs = vocab.select(
         "n",
         F.explode(
@@ -232,6 +233,7 @@ def learn_merges(
     checkpoint_every: int = 4,
     max_batch: int = 8,
     stats: dict | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
     (merge_rank, left, right, merged, pair_count). Stops early when no
@@ -245,7 +247,7 @@ def learn_merges(
     ``{"rounds": r}`` for instrumentation."""
     spark = docs.sparkSession
     vocab = (
-        _vocab(docs)
+        _vocab(docs, cache_key=cache_key)
         .select(_chars(F.col("tok")).alias("syms"), "n")
         .localCheckpoint(eager=True)
     )
@@ -284,7 +286,9 @@ def learn_merges(
     return _merge_table(spark, merges)
 
 
-def bpe_encode(docs: DataFrame, merges: list[tuple]) -> DataFrame:
+def bpe_encode(
+    docs: DataFrame, merges: list[tuple], cache_key: str | None = None
+) -> DataFrame:
     """Apply a learned merge table to the corpus: per document, the
     whitespace/regex token count and the BPE symbol count after all
     merges — the number a sequence-packing or cost-estimation stage
@@ -310,13 +314,10 @@ def bpe_encode(docs: DataFrame, merges: list[tuple]) -> DataFrame:
     n_chars, >= n_tokens's information floor; equal to n_tokens' sum of
     per-token symbol counts.
     """
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
-            )
-        ).alias("tok"),
+    from .text import token_arrays
+
+    toks = token_arrays(docs, cache_key).select(
+        "doc_id", F.explode("toks").alias("tok")
     )
     vocab = toks.select("tok").distinct().select(
         "tok", _chars(F.col("tok")).alias("syms")

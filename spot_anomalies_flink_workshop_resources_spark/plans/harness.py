@@ -1358,6 +1358,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_supplier_overlap",       # per-part-array pairs, token self-join removed
     "stream_windowed_share",      # 3 stateful ops -> 2 chained aggs, 1 scan
     "cep_fragmentation_stream",   # key-derived Python-stateful state width
+    # block 0b (session 2): execution rewrites — window-pick exact
+    # percentile, array-bounded capped jaccard, one-agg lang-mismatch,
+    # and the last four direct tokenizers rewired onto the shared pass
+    "sql_price_quantiles",        # ObjectHashAggregate -> window-pick, bit-exact
+    "dedup_jaccard",              # capped pairs via per-shingle arrays
+    "text_lang_mismatch",         # 2 windows + SMJ -> one (doc,lang) agg
+    "text_bm25_topk",             # token arrays: was 2 own tokenize passes
+    "dedup_lines",                # token arrays
+    "dedup_span_stats",           # token arrays
+    "corpus_gopher_rules",        # token arrays
     # block 1: the shared token-array pass (one tokenize per corpus)
     "corpus_top_terms",
     "corpus_top_terms_sketch",

@@ -1254,7 +1254,7 @@ def corpus_bpe_pairs(spark, sf_dir):
     """One BPE round's pair statistics (operators.bpe), oracle-backed."""
     from ..operators.bpe import bpe_pair_counts
 
-    return bpe_pair_counts(_docs(spark, sf_dir))
+    return bpe_pair_counts(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def corpus_bpe_merges(spark, sf_dir):
@@ -1264,7 +1264,7 @@ def corpus_bpe_merges(spark, sf_dir):
     exercises the batched==serial equivalence argument on real data."""
     from ..operators.bpe import learn_merges
 
-    return learn_merges(_docs(spark, sf_dir), n_merges=12)
+    return learn_merges(_docs(spark, sf_dir), n_merges=12, cache_key=sf_dir)
 
 
 def _bpe_merges_oracle() -> str:
@@ -1389,13 +1389,13 @@ def _bpe_encoded(spark, sf_dir, n_merges=16):
         if len(_BPE_MERGES_CACHE) >= 8:
             _BPE_MERGES_CACHE.clear()
         _BPE_MERGES_CACHE[mkey] = [
-            tuple(r) for r in learn_merges(docs, n_merges=n_merges).collect()
+            tuple(r) for r in learn_merges(docs, n_merges=n_merges, cache_key=sf_dir).collect()
         ]
     merges = _BPE_MERGES_CACHE[mkey]
     return _cached_checkpoint(
         spark,
         (_session_key(spark), sf_dir, n_merges, "bpe_encode"),
-        lambda: bpe_encode(docs, merges),
+        lambda: bpe_encode(docs, merges, cache_key=sf_dir),
     )
 
 
@@ -1433,13 +1433,13 @@ def corpus_bpe_curve(spark, sf_dir):
         if len(_BPE_MERGES_CACHE) >= 8:
             _BPE_MERGES_CACHE.clear()
         _BPE_MERGES_CACHE[mkey] = [
-            tuple(r) for r in learn_merges(docs, n_merges=16).collect()
+            tuple(r) for r in learn_merges(docs, n_merges=16, cache_key=sf_dir).collect()
         ]
     merges = _BPE_MERGES_CACHE[mkey]
     out = None
     for k in (4, 8, 16):
         agg = (
-            bpe_encode(docs, merges[:k])
+            bpe_encode(docs, merges[:k], cache_key=sf_dir)
             .agg(
                 F.sum("n_tokens").cast("long").alias("n_tokens"),
                 F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
