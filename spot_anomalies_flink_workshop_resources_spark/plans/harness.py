@@ -1383,8 +1383,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_dsir_select",
     "corpus_template_strip",
     "corpus_dsir_ess",
-    "dedup_jaccard",              # shingle builder now reduces from token arrays
-    "dedup_minhash_lsh",          # same shingle path
+    "dedup_minhash_lsh",          # shingle builder reduces from token arrays
     "dedup_containment",          # same shingle path
     # block 2: shared daily-grid checkpoint (stattest family prefix)
     "events_spearman",
