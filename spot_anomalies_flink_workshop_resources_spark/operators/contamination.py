@@ -50,13 +50,23 @@ def decontaminate(
     docs: DataFrame,
     shingle_n: int = 3,
     threshold: float = CONTAMINATION_THRESHOLD,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Per TEST-split document: distinct shingle count, how many of
     those shingles occur in any TRAIN-split document, the contamination
     fraction, and a flag at ``threshold``."""
-    sh = _shingles(docs, shingle_n).withColumn(
-        "_split", _split_expr(F.col("doc_id"))
-    )
+    # reduce from the family's shared shingle checkpoint when keyed
+    # (jaccard/minhash/containment use the same (key, n, "shingles")
+    # entry) — the train/test branches then read it instead of
+    # re-exploding the corpus twice; unkeyed callers keep the plain
+    # factored expression (no surprise eager checkpoint in tests)
+    from .dedup import shingle_frame
+
+    sh = (
+        shingle_frame(docs, shingle_n, cache_key=cache_key)
+        if cache_key is not None
+        else _shingles(docs, shingle_n)
+    ).withColumn("_split", _split_expr(F.col("doc_id")))
     train_toks = (
         sh.where(F.col("_split") == "train").select("tok").distinct()
     )
@@ -170,6 +180,7 @@ def decontaminate_bloom(
     threshold: float = CONTAMINATION_THRESHOLD,
     bits_per_item: int = 16,
     n_hashes: int = 4,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """:func:`decontaminate` with the 100 TB bloom prefilter armed
     (VERDICT r3 #7): a broadcast bloom over the distinct train-shingle
@@ -179,9 +190,18 @@ def decontaminate_bloom(
     rejoin at the final per-doc rollup. Bloom negatives are definite,
     so the output is bit-identical to the unfiltered form and shares
     its oracle."""
-    sh = _shingles(docs, shingle_n).withColumn(
-        "_split", _split_expr(F.col("doc_id"))
-    )
+    # reduce from the family's shared shingle checkpoint when keyed
+    # (jaccard/minhash/containment use the same (key, n, "shingles")
+    # entry) — the train/test branches then read it instead of
+    # re-exploding the corpus twice; unkeyed callers keep the plain
+    # factored expression (no surprise eager checkpoint in tests)
+    from .dedup import shingle_frame
+
+    sh = (
+        shingle_frame(docs, shingle_n, cache_key=cache_key)
+        if cache_key is not None
+        else _shingles(docs, shingle_n)
+    ).withColumn("_split", _split_expr(F.col("doc_id")))
     train_toks = sh.where(F.col("_split") == "train").select("tok").distinct()
     train_toks = train_toks.localCheckpoint(eager=True)
     bloom = bloom_build(

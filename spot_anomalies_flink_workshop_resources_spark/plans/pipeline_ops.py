@@ -1291,7 +1291,7 @@ def corpus_decontaminate(spark, sf_dir):
     """Test-split shingle overlap vs the train split (operators.contamination)."""
     from ..operators.contamination import decontaminate
 
-    return decontaminate(_docs(spark, sf_dir))
+    return decontaminate(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def corpus_sample_exact_k(spark, sf_dir):
@@ -1548,7 +1548,7 @@ def corpus_decontaminate_bloom(spark, sf_dir):
     oracle. Unit-tested: join input drops >10x on the harness corpus."""
     from ..operators.contamination import decontaminate_bloom
 
-    return decontaminate_bloom(_docs(spark, sf_dir))
+    return decontaminate_bloom(_docs(spark, sf_dir), cache_key=sf_dir)
 
 
 def text_repetition_stats(spark, sf_dir):
